@@ -1,0 +1,53 @@
+"""Pipeline configuration — thresholds, blocking-key skew handling, sizing.
+
+The reference hard-codes its thresholds in SQL
+(`/root/reference/transform/payor_mdm/models/match/match_candidates.sql:34-39`);
+here they are data, like the reference's survivorship rules-as-data idea
+(`snowflake/07_seed_survivorship_config.sql`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class BlockingConfig:
+    # emit the Soundex phonetic key alongside the reference's 3 keys
+    # (north-rule addition; SURVEY §2.3 U2)
+    use_phonetic_key: bool = True
+    # hot-key handling: keys with more than `hot_key_cap` member records are
+    # salted into ceil(n/hot_key_cap) sub-blocks (hash-of-id assignment);
+    # pairs are generated within a sub-block plus one chain-link pair between
+    # consecutive sub-block anchors, preserving cluster connectivity while
+    # bounding per-key pair count at O(n * cap) instead of O(n^2).
+    # None disables capping (exact reference pair semantics).
+    hot_key_cap: int | None = 1000
+    # degenerate keys (empty-name 'XX…' / 'XXX…' keys) above the cap are
+    # *parked* (no pairs at all) instead of salted — they carry no signal.
+    park_degenerate_hot_keys: bool = True
+
+
+@dataclass
+class ScoringConfig:
+    auto_match_threshold: float = 0.85   # match_candidates.sql:36
+    review_threshold: float = 0.60       # match_candidates.sql:37
+    batch_size: int = 8192               # pairs per scorer actor batch
+    concurrency: tuple[int, int] | int | None = None  # actor pool size (None → auto)
+
+
+@dataclass
+class ClusterConfig:
+    max_rounds: int = 50                 # label-propagation fixpoint bound
+    join_num_partitions: int = 32
+
+
+@dataclass
+class PipelineConfig:
+    blocking: BlockingConfig = field(default_factory=BlockingConfig)
+    scoring: ScoringConfig = field(default_factory=ScoringConfig)
+    cluster: ClusterConfig = field(default_factory=ClusterConfig)
+    # per-stage checkpoint root (None → no checkpoints)
+    checkpoint_dir: str | None = None
+    # drop sidecar label columns in production mode
+    keep_labels: bool = True
