@@ -1,0 +1,116 @@
+"""Audit change log + pipeline metrics.
+
+- Change log ≙ `MDM_CHANGE_LOG` (`06_create_audit_tables.sql:18-29`):
+  append-only rows for system actions (golden created, group formed,
+  hierarchy inferred) and steward decisions (T4, `MatchReview.tsx:82-86`).
+  Log ids are deterministic uuid5 of (entity_type, entity_id, action).
+- Metrics ≙ the UI aggregates (SURVEY §2.8 A11, `Dashboard.tsx:39-46`,
+  `DataQuality.tsx:31-47`): row counts per stage, decision counts, score
+  histogram (WIDTH_BUCKET(score,0,1,10)), per-source record counts and
+  field-completeness, per-source-pair match rates. All computed as
+  grouped aggregates / vectorized batch passes — the driver only collects
+  the (tiny) final aggregate frames.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+from ray.data.aggregate import Count, Mean, Sum
+
+_A_NS = uuid.uuid5(uuid.NAMESPACE_DNS, "payor-linkage.audit")
+
+
+def _log_batch(batch: pa.Table, entity_type: str, id_col: str, action: str,
+               actor: str, detail_col: str | None = None) -> pa.Table:
+    ids = batch[id_col].to_pylist()
+    log_ids = [str(uuid.uuid5(_A_NS, f"{entity_type}|{i}|{action}")) for i in ids]
+    n = batch.num_rows
+    detail = (batch[detail_col] if detail_col and detail_col in batch.column_names
+              else pa.array([""] * n, pa.string()))
+    return pa.table({
+        "log_id": pa.array(log_ids, pa.string()),
+        "entity_type": pa.array([entity_type] * n, pa.string()),
+        "entity_id": pa.array([str(i) for i in ids], pa.string()),
+        "action": pa.array([action] * n, pa.string()),
+        "actor": pa.array([actor] * n, pa.string()),
+        "detail": pc.cast(detail, pa.string()),
+    })
+
+
+def build_audit_log(golden: Dataset, hierarchy: Dataset,
+                    steward_overlay: Dataset | None = None) -> Dataset:
+    """Append-only change log for this run's system actions."""
+    g = golden.map_batches(
+        lambda b: _log_batch(b, "golden_payor", "master_payor_id",
+                             "golden_created", "system", "payor_name"),
+        batch_format="pyarrow")
+    h = hierarchy.map_batches(
+        lambda b: _log_batch(b, "payor_hierarchy", "hierarchy_id",
+                             "hierarchy_inferred", "system", "source"),
+        batch_format="pyarrow")
+    log = g.union(h)
+    if steward_overlay is not None:
+        s = steward_overlay.map_batches(
+            lambda b: _log_batch(b, "match_candidate", "candidate_id",
+                                 "steward_decision", "steward", "steward_decision"),
+            batch_format="pyarrow")
+        log = log.union(s)
+    return log
+
+
+def score_histogram(candidates: Dataset) -> Dataset:
+    """WIDTH_BUCKET(overall_score, 0, 1, 10) histogram (`Dashboard.tsx:44`)."""
+    def bucketize(b: pa.Table) -> pa.Table:
+        s = pc.coalesce(b["overall_score"], pa.scalar(-1.0))
+        bucket = pc.cast(pc.floor(pc.multiply(s, 10.0)), pa.int32())
+        bucket = pc.min_element_wise(bucket, pa.scalar(9, pa.int32()))
+        return pa.table({"score_bucket": bucket})
+    return (candidates.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("score_bucket").count())
+
+
+def pipeline_metrics(unified: Dataset, candidates: Dataset, groups: Dataset,
+                     golden: Dataset) -> dict:
+    """Small driver-side metrics dict (every value is an aggregate)."""
+    per_source = {r["source_system"]: r["count()"]
+                  for r in unified.groupby("source_system").count().take_all()}
+    decisions = {r["final_decision"]: r["count()"]
+                 for r in candidates.groupby("final_decision").count().take_all()}
+    auto = {r["auto_decision"]: r["count()"]
+            for r in candidates.groupby("auto_decision").count().take_all()}
+    rules = {r["match_rule"]: r["count()"]
+             for r in candidates.groupby("match_rule").count().take_all()}
+    conf = golden.aggregate(Mean("confidence_score", alias_name="avg_confidence"),
+                            Mean("completeness_score", alias_name="avg_completeness"),
+                            Count(alias_name="golden_count"))
+    return {
+        "records": unified.count(),
+        "records_per_source": per_source,
+        "candidates": candidates.count(),
+        "decisions": decisions,
+        "auto_decisions": auto,
+        "match_rules": rules,
+        "groups": len(groups.groupby("match_group_id").count().take_all()),
+        "golden": conf,
+    }
+
+
+def source_field_completeness(unified: Dataset, fields: list[str]) -> Dataset:
+    """Per-source field-completeness percentages (`DataQuality.tsx:31-40`):
+    partial counts per batch, then one small grouped sum — no full shuffle."""
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = b.select(["source_system"] + fields).to_pandas()
+        agg = df.groupby("source_system").agg(
+            **{f"nn_{f}": (f, lambda s: int(s.notna().sum())) for f in fields},
+            total=("source_system", "size"))
+        return pa.Table.from_pandas(agg.reset_index(), preserve_index=False)
+
+    partials = unified.map_batches(partial, batch_format="pyarrow")
+    aggs = [Sum(f"nn_{f}", alias_name=f"nn_{f}") for f in fields]
+    aggs.append(Sum("total", alias_name="total"))
+    return partials.groupby("source_system").aggregate(*aggs)

@@ -1,4 +1,4 @@
-"""Connected components + group finalize — fully distributed.
+"""Connected components + group finalize — fully distributed, join-free.
 
 The reference has two clustering implementations that disagree
 (SURVEY §2.7): a 2-fixed-pass SQL min-propagation (`match_groups.sql:43-73`,
@@ -11,27 +11,31 @@ survivor = lowest source_trust_rank, first-in-sorted-order tie-break
 singletons kept — executed as *iterated min-label propagation*:
 
     L0(node) = node
-    round: label(edge endpoints) ← min(label_a, label_b); L' = groupby(node).min
-    stop when no edge has label_a != label_b (fixpoint; O(cluster diameter)
-    rounds — entity clusters are shallow, so this converges in a handful)
+    round: endpoint labels ← min(label_a, label_b); L' = groupby(node).min
+    stop when no edge has label_a != label_b (fixpoint; O(cluster
+    diameter) rounds — entity clusters are shallow)
 
-Each round is two hash joins (edges × labels) + one groupby(min) — all
-Ray Data shuffles, nothing driver-side; L is materialized per round to
-cut lineage. This is the "distributed union-find via iterated label
-propagation" design from SURVEY §2.7/§7.6.
+Every step is a groupby shuffle (sort-based): edge labeling uses the
+union-merge equi-join (``rayutil.nested_safe_join``) and the final group
+assembly folds members + edge scores into ONE ``groupby(label)`` — no
+``Dataset.join`` anywhere (Ray's hash-join aggregator mis-handles
+partitions that receive an empty block, observed as
+``ArrowInvalid: No match ... FieldRef`` on small inputs).
 """
 
 from __future__ import annotations
 
 import uuid
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
-from ray.data.aggregate import Mean, Min
+from ray.data.aggregate import Min
 
 from payor_linkage.config import ClusterConfig
+from payor_linkage.rayutil import nested_safe_join
 
 
 def match_edges(candidates: Dataset) -> Dataset:
@@ -46,68 +50,87 @@ def match_edges(candidates: Dataset) -> Dataset:
     return candidates.map_batches(f, batch_format="pyarrow")
 
 
-def _label_edges(edges: Dataset, labels: Dataset, np_: int) -> Dataset:
-    """Attach current labels of both endpoints to every edge."""
-    la = labels.rename_columns({"node": "src", "label": "label_a"})
-    lb = labels.rename_columns({"node": "dst", "label": "label_b"})
-    el = edges.join(la, join_type="inner", num_partitions=np_, on=("src",))
-    el = el.join(lb, join_type="inner", num_partitions=np_, on=("dst",))
+def _label_edges(edges: Dataset, labels: Dataset) -> Dataset:
+    """Attach current labels of both endpoints to every edge (union-merge)."""
+    la = labels.map_batches(
+        lambda b: pa.table({"src": b["node"], "label_a": b["label"]}),
+        batch_format="pyarrow")
+    lb = labels.map_batches(
+        lambda b: pa.table({"dst": b["node"], "label_b": b["label"]}),
+        batch_format="pyarrow")
+    el = nested_safe_join(edges, la, on="src")
+    el = nested_safe_join(el, lb, on="dst")
     return el
 
 
-def propagate_labels(edges: Dataset, nodes: Dataset, cfg: ClusterConfig | None = None) -> Dataset:
-    """nodes (col ``node``) + edges (src, dst) → (node, label) at fixpoint.
+def propagate_labels(edges: Dataset, nodes: Dataset,
+                     cfg: ClusterConfig | None = None):
+    """nodes (node, source_trust_rank) + edges → ((node, label, trust) at
+    fixpoint, final labeled edges or None).
 
     label = min node id of the connected component (string min)."""
     cfg = cfg or ClusterConfig()
-    np_ = cfg.join_num_partitions
 
     labels = nodes.map_batches(
-        lambda b: pa.table({"node": b["node"], "label": b["node"]}),
+        lambda b: pa.table({"node": b["node"], "label": b["node"],
+                            "source_trust_rank": b["source_trust_rank"]}),
         batch_format="pyarrow").materialize()
     edges = edges.materialize()
     if edges.count() == 0:
-        return labels
+        return labels, None
 
+    base_blocks = max(labels.num_blocks(), edges.num_blocks())
+    el = None
     for _round in range(cfg.max_rounds):
-        el = _label_edges(edges, labels, np_).materialize()
+        el = _label_edges(edges, labels).materialize()
         frontier = el.map_batches(
             lambda b: b.filter(pc.not_equal(b["label_a"], b["label_b"])),
             batch_format="pyarrow")
         if frontier.count() == 0:
-            return labels
+            return labels, el
 
         def msgs(b: pa.Table) -> pa.Table:
-            m = pc.min_element_wise(b["label_a"], b["label_b"])
+            m = b["label_a"] if isinstance(b["label_a"], pa.ChunkedArray) else b["label_a"]
+            mm = pc.min_element_wise(b["label_a"], b["label_b"])
+            if isinstance(mm, pa.ChunkedArray):
+                mm = mm.combine_chunks()
+            both = pa.concat_arrays([mm, mm])
+            n2 = len(both)
             return pa.table({
                 "node": pa.concat_arrays([
-                    b["src"].combine_chunks(), b["dst"].combine_chunks()]),
-                "label": pa.concat_arrays([m.combine_chunks(), m.combine_chunks()])
-                if isinstance(m, pa.ChunkedArray)
-                else pa.concat_arrays([m, m]),
+                    b["src"].combine_chunks() if isinstance(b["src"], pa.ChunkedArray) else b["src"],
+                    b["dst"].combine_chunks() if isinstance(b["dst"], pa.ChunkedArray) else b["dst"]]),
+                "label": both,
+                "source_trust_rank": pa.nulls(n2, pa.int32()),
             })
 
         candidates = el.map_batches(msgs, batch_format="pyarrow")
         labels = (
             labels.union(candidates)
             .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
+            .aggregate(Min("label", alias_name="label"),
+                       Min("source_trust_rank", alias_name="source_trust_rank"))
+            # union+sort multiply block counts ~3× per round (observed
+            # geometric slowdown to fixpoint) — pin the block count
+            .repartition(base_blocks)
             .materialize()
         )
-    else:
-        raise RuntimeError(
-            f"label propagation did not converge in {cfg.max_rounds} rounds")
-    return labels
+    raise RuntimeError(
+        f"label propagation did not converge in {cfg.max_rounds} rounds")
 
 
 def _finalize_group(g: pd.DataFrame) -> pd.DataFrame:
-    """One cluster → MATCH_GROUPS rows (G2 semantics, proc `:59-85`)."""
-    members = sorted(g["node"].tolist())
+    """One cluster → MATCH_GROUPS rows (G2 semantics, proc `:59-85`).
+
+    ``g`` holds member rows (node non-null) and edge-score rows (score
+    non-null) for one label."""
+    mem = g[g["node"].notna()]
+    members = sorted(mem["node"].tolist())
     group_id = str(uuid.uuid5(uuid.NAMESPACE_DNS, "|".join(members)))
-    trust = dict(zip(g["node"], g["source_trust_rank"]))
+    trust = dict(zip(mem["node"], mem["source_trust_rank"]))
     survivor = min(members, key=lambda m: trust.get(m, 999))
-    conf = g["group_confidence"].iloc[0]
-    conf = round(float(conf), 4) if pd.notna(conf) else None
+    scores = g["score"].dropna()
+    conf = round(float(scores.mean()), 4) if len(scores) else None
     return pd.DataFrame({
         "match_group_id": [group_id] * len(members),
         "source_record_id": members,
@@ -116,41 +139,99 @@ def _finalize_group(g: pd.DataFrame) -> pd.DataFrame:
     })
 
 
+def _local_union_find(edge_rows: list[dict]) -> dict[str, str]:
+    """Path-compressed union-find over a *bounded* edge list → node→min-id
+    label map. Used only below ``local_cc_max_edges`` (the guide's "driver
+    union-find only if the candidate set is provably small"); unlike the
+    reference proc it never collects the record set — singletons stay
+    distributed."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for e in edge_rows:
+        ra, rb = find(e["src"]), find(e["dst"])
+        if ra != rb:
+            # union by min id → label IS the component minimum
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {n: find(n) for n in list(parent)}
+
+
+def _propagate_local(edges: Dataset, nodes: Dataset):
+    """Local-CC variant of propagate_labels: same outputs, one broadcast."""
+    import ray
+
+    edge_rows = edges.take_all()
+    comp = _local_union_find(edge_rows)
+    ref = ray.put(comp)
+
+    def label_nodes(b: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        nodes_l = b["node"].to_pylist()
+        return pa.table({
+            "node": b["node"],
+            "label": pa.array([m.get(n, n) for n in nodes_l], pa.string()),
+            "source_trust_rank": b["source_trust_rank"],
+        })
+
+    labels = nodes.map_batches(label_nodes, batch_format="pyarrow")
+
+    def label_edges(b: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        src = b["src"].to_pylist()
+        return pa.table({
+            "src": b["src"], "dst": b["dst"], "score": b["score"],
+            "label_a": pa.array([m.get(s, s) for s in src], pa.string()),
+            "label_b": pa.array([m.get(s, s) for s in src], pa.string()),
+        })
+
+    el = edges.map_batches(label_edges, batch_format="pyarrow")
+    return labels, el
+
+
 def build_match_groups(candidates: Dataset, unified: Dataset,
                        cfg: ClusterConfig | None = None) -> Dataset:
-    """candidates + unified records → MATCH_GROUPS Dataset."""
+    """candidates + unified records → MATCH_GROUPS Dataset (one shuffle
+    after fixpoint: members ∪ edge-scores grouped by final label)."""
     cfg = cfg or ClusterConfig()
-    np_ = cfg.join_num_partitions
 
-    edges = match_edges(candidates)
+    edges = match_edges(candidates).materialize()
     nodes = unified.map_batches(
         lambda b: pa.table({"node": b["source_record_id"],
                             "source_trust_rank": b["source_trust_rank"]}),
         batch_format="pyarrow")
 
-    edges = edges.materialize()
-    labels = propagate_labels(
-        edges, nodes.select_columns(["node"]), cfg)
-
-    members = labels.join(nodes, join_type="inner", num_partitions=np_, on=("node",))
-
-    if edges.count() == 0:
-        # no match edges at all → every record is a singleton group with
-        # null confidence (an empty Dataset would lose its schema and break
-        # the join below)
-        members = members.map_batches(
-            lambda b: b.append_column("group_confidence", pa.nulls(b.num_rows, pa.float64())),
-            batch_format="pyarrow")
+    n_edges = edges.count()
+    if n_edges == 0:
+        labels, el_final = propagate_labels(edges, nodes, cfg)
+    elif n_edges <= cfg.local_cc_max_edges:
+        labels, el_final = _propagate_local(edges, nodes)
     else:
-        # per-cluster mean edge score (proc `:69-74`): label each edge by its
-        # (now converged) src label, then one grouped mean
-        edges_l = _label_edges(edges, labels, np_)
-        conf = (edges_l
-                .map_batches(lambda b: pa.table({"label": b["label_a"], "score": b["score"]}),
-                             batch_format="pyarrow")
-                .groupby("label")
-                .aggregate(Mean("score", alias_name="group_confidence")))
-        members = members.join(conf, join_type="left_outer", num_partitions=np_,
-                               on=("label",))
+        labels, el_final = propagate_labels(edges, nodes, cfg)
 
-    return members.groupby("label").map_groups(_finalize_group, batch_format="pandas")
+    member_rows = labels.map_batches(
+        lambda b: pa.table({
+            "label": b["label"], "node": b["node"],
+            "source_trust_rank": b["source_trust_rank"],
+            "score": pa.nulls(b.num_rows, pa.float64()),
+        }), batch_format="pyarrow")
+
+    if el_final is not None:
+        score_rows = el_final.map_batches(
+            lambda b: pa.table({
+                "label": b["label_a"],
+                "node": pa.nulls(b.num_rows, pa.string()),
+                "source_trust_rank": pa.nulls(b.num_rows, pa.int32()),
+                "score": b["score"],
+            }), batch_format="pyarrow")
+        member_rows = member_rows.union(score_rows)
+
+    return member_rows.groupby("label").map_groups(
+        _finalize_group, batch_format="pandas")

@@ -39,7 +39,13 @@ class ScoringConfig:
 @dataclass
 class ClusterConfig:
     max_rounds: int = 50                 # label-propagation fixpoint bound
-    join_num_partitions: int = 32
+    join_num_partitions: int | None = None  # None → adapt to cluster CPUs
+    # when the match-edge count is provably below this bound, connected
+    # components run as a driver-side union-find over the (bounded) edge
+    # list with the component map broadcast back — singletons and group
+    # assembly stay distributed. Above it, the iterated label-propagation
+    # path runs (the 10^12-scale path). 0 disables the local path.
+    local_cc_max_edges: int = 2_000_000
 
 
 @dataclass

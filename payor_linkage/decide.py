@@ -25,6 +25,7 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 
 from payor_linkage.config import ScoringConfig
+from payor_linkage.rayutil import join_partitions
 
 _PAIR_NS = uuid.uuid5(uuid.NAMESPACE_DNS, "payor-linkage.candidate")
 
@@ -50,29 +51,42 @@ def _decide_batch(batch: pa.Table, auto_t: float, review_t: float) -> pa.Table:
     return out
 
 
-def _final_batch(batch: pa.Table) -> pa.Table:
-    steward = (batch["steward_decision"] if "steward_decision" in batch.column_names
-               else pa.nulls(batch.num_rows, pa.string()))
-    steward = pc.coalesce(steward, pa.scalar(""))
+def _final_batch(batch: pa.Table, overlay_ref=None) -> pa.Table:
+    if overlay_ref is not None:
+        import ray
+
+        overlay: dict[str, str] = ray.get(overlay_ref)
+        steward = pa.array(
+            [overlay.get(c, "") for c in batch["candidate_id"].to_pylist()],
+            pa.string())
+    else:
+        steward = pa.array([""] * batch.num_rows, pa.string())
     final = pc.if_else(
         pc.equal(steward, "confirmed_match"), pa.scalar("match"),
         pc.if_else(pc.equal(steward, "confirmed_no_match"), pa.scalar("no_match"),
                    pc.if_else(pc.equal(batch["auto_decision"], "auto_match"),
                               pa.scalar("match"), pa.scalar("no_match"))))
-    if "steward_decision" in batch.column_names:
-        batch = batch.drop_columns(["steward_decision"])
     return batch.append_column("final_decision", final)
 
 
 def decide(scored: Dataset, cfg: ScoringConfig | None = None,
            steward_overlay: Dataset | None = None) -> Dataset:
-    """scored pairs → match_candidates with auto + final decisions."""
+    """scored pairs → match_candidates with auto + final decisions.
+
+    The steward overlay is human-produced — bounded by review throughput,
+    never data-scale — so it is *broadcast* (ray.put of the latest
+    decision per candidate_id) into the decision map rather than shuffled
+    through a join (SURVEY §2.6 T3)."""
+    import ray
+
     cfg = cfg or ScoringConfig()
     cands = scored.map_batches(
         lambda b: _decide_batch(b, cfg.auto_match_threshold, cfg.review_threshold),
         batch_format="pyarrow")
+    overlay_ref = None
     if steward_overlay is not None:
-        overlay = steward_overlay.select_columns(["candidate_id", "steward_decision"])
-        cands = cands.join(overlay, join_type="left_outer", num_partitions=16,
-                           on=("candidate_id",))
-    return cands.map_batches(_final_batch, batch_format="pyarrow")
+        rows = steward_overlay.select_columns(
+            ["candidate_id", "steward_decision"]).take_all()
+        overlay_ref = ray.put({r["candidate_id"]: r["steward_decision"] for r in rows})
+    return cands.map_batches(lambda b: _final_batch(b, overlay_ref),
+                             batch_format="pyarrow")

@@ -1,0 +1,131 @@
+"""Parent/child hierarchy inference between golden records.
+
+Two signals, as in `int_hierarchy_inferred.sql`:
+
+- J5 ``name_ref_match`` (`:29-44`): a source record's non-empty
+  ``parent_ref`` equals (upper/trim) another golden's ``payor_name``;
+  the child is the record's own golden via xref. Executed as a
+  *broadcast* of the golden name→id map into ``map_batches`` over the
+  staged records (goldens are the post-merge entity set — small relative
+  to input; SURVEY §2.4 J5).
+- J6 ``name_substring`` (`:47-63`): golden parent name (len ≥ 6) is a
+  substring of a strictly-longer golden child name. Executed with a
+  broadcast 4-gram-prefix index over parent names: each child probes the
+  index with its own 4-grams, then verifies real containment — O(len ×
+  bucket) per child instead of the reference's O(G²) self-join.
+
+Output mirrors `payor_hierarchy.sql`: relationship_type='parent_company',
+steward_confirmed=false; hierarchy ids are uuid5 of
+(parent|child|method) — deterministic, unlike the reference's
+`uuid_string()`.
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections import defaultdict
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data import Dataset
+
+from payor_linkage.rayutil import join_partitions
+
+_H_NS = uuid.uuid5(uuid.NAMESPACE_DNS, "payor-linkage.hierarchy")
+
+
+def _norm(s: str | None) -> str | None:
+    return s.strip().upper() if s else None
+
+
+def infer_hierarchy(golden: Dataset, unified: Dataset, xref: Dataset) -> Dataset:
+    """golden + staged records + xref → inferred parent/child edge Dataset."""
+    # goldens are the merged entity set — collect the two small lookup
+    # structures once and broadcast (ray.put), never re-shipped per batch
+    gold = golden.select_columns(["master_payor_id", "payor_name"]).take_all()
+    name_to_ids: dict[str, list[str]] = defaultdict(list)
+    for r in gold:
+        n = _norm(r["payor_name"])
+        if n:
+            name_to_ids[n].append(r["master_payor_id"])
+    # 4-gram prefix index of parent-candidate names (len >= 6, `:59`)
+    prefix_index: dict[str, list[tuple[str, str]]] = defaultdict(list)
+    for r in gold:
+        n = _norm(r["payor_name"])
+        if n and len(n) >= 6:
+            prefix_index[n[:4]].append((n, r["master_payor_id"]))
+    bcast = ray.put((dict(name_to_ids), dict(prefix_index)))
+
+    # signal 1: parent_ref matches — stream over staged records
+    refs = unified.select_columns(["source_record_id", "parent_ref"]).map_batches(
+        lambda b: b.filter(pc.and_(pc.is_valid(b["parent_ref"]),
+                                   pc.not_equal(b["parent_ref"], ""))),
+        batch_format="pyarrow")
+    child_map = xref.select_columns(["source_record_id", "master_payor_id"])
+    refs = refs.join(child_map, join_type="inner", num_partitions=join_partitions(8),
+                     on=("source_record_id",))
+
+    def signal1(batch: pa.Table) -> pa.Table:
+        names, _ = ray.get(bcast)
+        parents, children = [], []
+        for ref, child in zip(batch["parent_ref"].to_pylist(),
+                              batch["master_payor_id"].to_pylist()):
+            for pid in names.get(_norm(ref), ()):
+                if pid != child:
+                    parents.append(pid)
+                    children.append(child)
+        return pa.table({
+            "parent_master_id": pa.array(parents, pa.string()),
+            "child_master_id": pa.array(children, pa.string()),
+            "inference_method": pa.array(["name_ref_match"] * len(parents), pa.string()),
+        })
+
+    s1 = refs.map_batches(signal1, batch_format="pyarrow")
+
+    # signal 2: substring containment — stream over goldens as children
+    def signal2(batch: pa.Table) -> pa.Table:
+        _, index = ray.get(bcast)
+        parents, children = [], []
+        for child_name, child_id in zip(batch["payor_name"].to_pylist(),
+                                        batch["master_payor_id"].to_pylist()):
+            cn = _norm(child_name)
+            if not cn:
+                continue
+            seen: set[str] = set()
+            for i in range(len(cn) - 3):
+                for pn, pid in index.get(cn[i:i + 4], ()):
+                    if (pid != child_id and pid not in seen
+                            and len(cn) > len(pn) and pn in cn):
+                        seen.add(pid)
+                        parents.append(pid)
+                        children.append(child_id)
+        return pa.table({
+            "parent_master_id": pa.array(parents, pa.string()),
+            "child_master_id": pa.array(children, pa.string()),
+            "inference_method": pa.array(["name_substring"] * len(parents), pa.string()),
+        })
+
+    s2 = golden.select_columns(["master_payor_id", "payor_name"]).map_batches(
+        signal2, batch_format="pyarrow")
+
+    # distinct union (O3) + final shape (payor_hierarchy.sql)
+    edges = s1.union(s2).groupby(
+        ["parent_master_id", "child_master_id", "inference_method"]).map_groups(
+        lambda t: t.slice(0, 1), batch_format="pyarrow")
+
+    def finalize(b: pa.Table) -> pa.Table:
+        hids = [str(uuid.uuid5(_H_NS, f"{p}|{c}|{m}")) for p, c, m in zip(
+            b["parent_master_id"].to_pylist(), b["child_master_id"].to_pylist(),
+            b["inference_method"].to_pylist())]
+        n = b.num_rows
+        return pa.table({
+            "hierarchy_id": pa.array(hids, pa.string()),
+            "parent_master_id": b["parent_master_id"],
+            "child_master_id": b["child_master_id"],
+            "relationship_type": pa.array(["parent_company"] * n, pa.string()),
+            "source": b["inference_method"],
+            "steward_confirmed": pa.array([False] * n, pa.bool_()),
+        })
+
+    return edges.map_batches(finalize, batch_format="pyarrow")

@@ -234,7 +234,9 @@ def normalize_batch(batch: pa.Table) -> pa.Table:
     block_phonetic = pc.binary_join_element_wise(
         pa.array([uniq[t] for t in toks], type=pa.string()),
         pc.coalesce(state_code, pa.scalar("XX")), "")
-    block_phonetic = pc.if_else(pc.equal(pc.utf8_slice_codeunits(block_phonetic, 0, 1), ""),
+    # soundex is exactly 4 chars when the name has letters; an empty-name key
+    # (just the 2-char state) carries no signal → null (not emitted)
+    block_phonetic = pc.if_else(pc.less(pc.utf8_length(block_phonetic), 6),
                                 pa.scalar(None, pa.string()), block_phonetic)
 
     cols = {

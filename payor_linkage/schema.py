@@ -137,6 +137,32 @@ COMPLETENESS_FIELDS = [
     "effective_date",
 ]
 
+GOLDEN_SCHEMA = pa.schema([
+    ("master_payor_id", pa.string()),
+    ("payor_name", pa.string()),
+    ("payor_name_alt", pa.string()),
+    ("tax_id", pa.string()),
+    ("npi", pa.string()),
+    ("cms_plan_id", pa.string()),
+    ("address_line_1", pa.string()),
+    ("address_line_2", pa.string()),
+    ("city", pa.string()),
+    ("state_code", pa.string()),
+    ("zip_code", pa.string()),
+    ("phone", pa.string()),
+    ("website", pa.string()),
+    ("payor_type", pa.string()),
+    ("line_of_business", pa.string()),
+    ("is_active", pa.bool_()),
+    ("effective_date", pa.date32()),
+    ("termination_date", pa.date32()),
+    ("completeness_score", pa.float64()),
+    ("source_count", pa.int64()),
+    ("confidence_score", pa.float64()),
+    ("survivor_record_id", pa.string()),
+    ("spans", pa.list_(SPAN_STRUCT)),
+])
+
 XREF_SCHEMA = pa.schema([
     ("source_record_id", pa.string()),
     ("master_payor_id", pa.string()),

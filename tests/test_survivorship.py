@@ -1,0 +1,143 @@
+"""Survivorship rule-by-rule checks (A1-A10, `int_survivorship.sql` +
+`golden_payors.sql`) over a crafted 3-source group."""
+
+from datetime import date, datetime
+
+import pyarrow as pa
+import pytest
+
+from payor_linkage.schema import SPAN_STRUCT
+
+
+def _group(rows):
+    """rows: dicts with unified-record fields (subset) + group columns."""
+    import ray.data as rd
+
+    defaults = {
+        "match_group_id": "g1", "is_survivor": False, "group_confidence": 0.95,
+        "source_record_id": None, "source_system": None, "source_trust_rank": None,
+        "payor_name": None, "payor_name_alt": None, "tax_id": None, "npi": None,
+        "cms_plan_id": None, "address_line_1": None, "address_line_2": None,
+        "city": None, "state_code": None, "zip_code": None, "phone": None,
+        "website": None, "payor_type": None, "line_of_business": None,
+        "is_active": None, "effective_date": None, "termination_date": None,
+        "loaded_at": None, "spans": [],
+    }
+    full = [{**defaults, **r} for r in rows]
+    schema = pa.schema([
+        ("match_group_id", pa.string()), ("is_survivor", pa.bool_()),
+        ("group_confidence", pa.float64()), ("source_record_id", pa.string()),
+        ("source_system", pa.string()), ("source_trust_rank", pa.int32()),
+        ("payor_name", pa.string()), ("payor_name_alt", pa.string()),
+        ("tax_id", pa.string()), ("npi", pa.string()), ("cms_plan_id", pa.string()),
+        ("address_line_1", pa.string()), ("address_line_2", pa.string()),
+        ("city", pa.string()), ("state_code", pa.string()), ("zip_code", pa.string()),
+        ("phone", pa.string()), ("website", pa.string()), ("payor_type", pa.string()),
+        ("line_of_business", pa.string()), ("is_active", pa.bool_()),
+        ("effective_date", pa.date32()), ("termination_date", pa.date32()),
+        ("loaded_at", pa.timestamp("us")), ("spans", pa.list_(SPAN_STRUCT)),
+    ])
+    return rd.from_arrow(pa.Table.from_pylist(full, schema=schema))
+
+
+@pytest.fixture(scope="module")
+def golden_row(ray_session):
+    from payor_linkage.survivorship import make_golden_fn, SurvivorshipConfig
+
+    members = _group([
+        {"source_record_id": "crm:1", "source_system": "crm", "source_trust_rank": 1,
+         "payor_name": "Acme Health", "tax_id": "111111111",
+         "address_line_1": "1 Old St", "city": "OLDTOWN",
+         "payor_name_alt": "short", "is_active": False,
+         "effective_date": date(2005, 1, 1), "termination_date": date(2019, 1, 1),
+         "loaded_at": datetime(2024, 1, 1), "is_survivor": True,
+         "spans": [{"kind": "payor_name", "text": "Acme Health", "media_ref": "", "offset": 0}]},
+        {"source_record_id": "cred:2", "source_system": "credentialing",
+         "source_trust_rank": 2, "payor_name": "Acme Health Services",
+         "npi": "1999999999", "payor_name_alt": "the longest alt name",
+         "address_line_1": "2 New Ave", "city": "NEWVILLE", "phone": "5551234567",
+         "is_active": True, "effective_date": date(2010, 6, 1),
+         "loaded_at": datetime(2024, 6, 1)},
+        {"source_record_id": "ref:3", "source_system": "cms_reference",
+         "source_trust_rank": 4, "payor_name": "ACME HEALTH OFFICIAL",
+         "cms_plan_id": "H9999", "payor_type": "commercial",
+         "termination_date": date(2022, 5, 5), "loaded_at": datetime(2023, 1, 1)},
+    ])
+    import pandas as pd
+    df = members.to_pandas()
+    out = make_golden_fn(SurvivorshipConfig())(df)
+    return out.to_pylist()[0] if hasattr(out, "to_pylist") else out.iloc[0]
+
+
+def test_source_priority_trust_wins(golden_row):
+    assert golden_row["payor_name"] == "Acme Health"      # trust 1 (A1)
+    assert golden_row["tax_id"] == "111111111"
+    assert golden_row["npi"] == "1999999999"              # first non-null by trust
+    assert golden_row["payor_type"] == "commercial"       # only ref has it
+
+
+def test_cms_priority_prefers_reference(golden_row):
+    assert golden_row["cms_plan_id"] == "H9999"           # A2
+
+
+def test_most_recent_address(golden_row):
+    # cred loaded 2024-06-01 is most recent with non-null address (A3)
+    assert golden_row["address_line_1"] == "2 New Ave"
+    assert golden_row["city"] == "NEWVILLE"
+    assert golden_row["phone"] == "5551234567"
+
+
+def test_most_complete_alt_name(golden_row):
+    assert golden_row["payor_name_alt"] == "the longest alt name"  # A4
+
+
+def test_any_true_active(golden_row):
+    assert golden_row["is_active"] is True                # A5 BOOLOR
+
+
+def test_date_aggregates(golden_row):
+    assert str(golden_row["effective_date"]) == "2005-01-01"   # A6 min
+    assert str(golden_row["termination_date"]) == "2022-05-05"  # A6 max
+
+
+def test_metrics(golden_row):
+    assert golden_row["source_count"] == 3                # A8
+    assert golden_row["confidence_score"] == 0.95         # A9
+    # A10: non-null of the 15 completeness fields
+    assert 0 < golden_row["completeness_score"] <= 1
+
+
+def test_survivor_spans_verbatim(golden_row):
+    assert golden_row["survivor_record_id"] == "crm:1"
+    assert golden_row["spans"][0]["text"] == "Acme Health"
+
+
+def test_rule_vocabulary_dispatch(ray_session):
+    """most_frequent / any_non_null / manual from the declared vocabulary
+    (`05_create_master_tables.sql:96-98`)."""
+    import pandas as pd
+
+    from payor_linkage.survivorship import _apply_rule
+
+    g = pd.DataFrame({
+        "source_record_id": ["a", "b", "c"],
+        "source_system": ["crm", "claims", "claims"],
+        "source_trust_rank": [1, 3, 3],
+        "x": ["v1", "v2", "v2"],
+    })
+    import numpy as np
+    order = np.array([0, 1, 2])
+    assert _apply_rule("most_frequent", g, "x", order, order) == "v2"
+    assert _apply_rule("any_non_null", g, "x", order, order) == "v1"
+    assert _apply_rule("manual", g, "x", order, order) is None
+    with pytest.raises(ValueError):
+        _apply_rule("bogus", g, "x", order, order)
+
+
+def test_build_golden_end_to_end(pipeline_result):
+    g = pipeline_result.golden.to_pandas()
+    assert g.master_payor_id.is_unique
+    assert ((g.completeness_score >= 0) & (g.completeness_score <= 1)).all()
+    assert (g.source_count >= 1).all()
+    # every golden carries its survivor's spans
+    assert g.spans.map(len).min() > 0
