@@ -1,0 +1,205 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline pipelines:
+- ``mdm_pipeline``: the flagship record-linkage run (synth corpus scaled
+  to the sf tier: interleaved docs → normalize → block → score → cluster
+  → golden), with candidate-pairs-scored/sec as the headline throughput
+  (BASELINE.md).
+- document/embedding/event operators from `payor_linkage.dataops` over
+  ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
+
+``--scaling`` runs the same job in two fresh processes at
+``num_cpus=8`` and ``num_cpus=32`` on identical input and reports both
+throughputs + scaling efficiency (sandbox stand-in for N vs 4N nodes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data as rd
+
+    ctx = rd.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from payor_linkage.blocking import blocking_pairs
+    from payor_linkage.cluster import build_match_groups
+    from payor_linkage.dataops.dedup import exact_dedup, minhash_lsh_pairs
+    from payor_linkage.dataops.similarity import ann_topk
+    from payor_linkage.dataops.text import doc_stats, fingerprint
+    from payor_linkage.decide import decide
+    from payor_linkage.normalize import unify
+    from payor_linkage.scoring import score_pairs
+    from payor_linkage.survivorship import build_golden
+    from payor_linkage.synth import synth_documents
+
+    sf = _sf_from_dir(sf_dir)
+    replicas = int(os.environ.get("GRAFT_MDM_REPLICAS", max(1, round(1200 * sf))))
+
+    queries: dict[str, float] = {}
+    extra: dict = {}
+
+    t_total = time.time()
+
+    # ── headline: MDM linkage pipeline ────────────────────────────────
+    t0 = time.time()
+    docs = synth_documents(replicas, parallelism=num_cpus * 2).materialize()
+    n_docs = docs.count()
+    queries["synth"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    unified = unify(docs).materialize()
+    queries["normalize"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    pairs = blocking_pairs(unified).materialize()
+    n_pairs = pairs.count()
+    queries["blocking"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    cands = decide(score_pairs(pairs)).materialize()
+    score_sec = time.time() - t0
+    queries["score_decide"] = round(score_sec, 2)
+
+    t0 = time.time()
+    groups = build_match_groups(cands, unified).materialize()
+    queries["cluster"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    golden = build_golden(groups, unified).materialize()
+    queries["survivorship"] = round(time.time() - t0, 2)
+
+    mdm_sec = sum(queries[k] for k in
+                  ["normalize", "blocking", "score_decide", "cluster", "survivorship"])
+    queries["mdm_pipeline"] = round(mdm_sec, 2)
+    extra.update({
+        "mdm_docs": n_docs,
+        "mdm_pairs": n_pairs,
+        "mdm_golden": golden.count(),
+        "pairs_scored_per_sec": round(n_pairs / score_sec, 1),
+        "docs_per_sec": round(n_docs / mdm_sec, 1),
+        "mdm_replicas": replicas,
+    })
+
+    # ── dataops over the driver tables ────────────────────────────────
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.exists(docs_path):
+        dd = rd.read_parquet(docs_path)
+
+        t0 = time.time()
+        extra["minhash_pairs"] = minhash_lsh_pairs(
+            dd, threshold=0.5, shingle_k=5, bands=8).count()
+        queries["minhash_lsh"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        exact_dedup(dd).count()
+        queries["exact_dedup"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        doc_stats(dd).count()
+        fingerprint(dd).count()
+        queries["text_stats"] = round(time.time() - t0, 2)
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.exists(emb_path):
+        ee = rd.read_parquet(emb_path)
+        t0 = time.time()
+        ann_topk(ee, query_ids=[0, 1, 2, 3, 4], k=10).count()
+        queries["ann_topk"] = round(time.time() - t0, 2)
+
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    if os.path.exists(ev_path):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        ev = rd.read_parquet(ev_path)
+        t0 = time.time()
+
+        def win(b: pa.Table) -> pa.Table:
+            w = pc.divide(pc.cast(b["ts"], pa.int64()), 600_000_000)
+            return pa.table({"user_id": b["user_id"], "win": pc.cast(w, pa.int64())})
+
+        ev.map_batches(win, batch_format="pyarrow").groupby(
+            ["user_id", "win"]).count().count()
+        queries["event_windows"] = round(time.time() - t0, 2)
+
+    total = round(time.time() - t_total, 2)
+    ray.shutdown()
+    return {
+        "metric": "bench_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        **extra,
+    }
+
+
+def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    """Same job, fresh processes, two parallelism levels → efficiency."""
+    import subprocess
+
+    results = {}
+    # scaling runs use a larger corpus so compute dominates fixed overhead
+    # (the sandbox stand-in for the N vs 4N cluster sizes); same input both runs
+    scaling_replicas = os.environ.get("GRAFT_SCALING_REPLICAS", "2400")
+    for ncpu in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
+                   GRAFT_MDM_REPLICAS=scaling_replicas)
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                             capture_output=True, text=True, check=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
+        results[ncpu] = json.loads(out.stdout.strip().splitlines()[-1])
+    t_lo = results[lo]["queries"]["mdm_pipeline"]
+    t_hi = results[hi]["queries"]["mdm_pipeline"]
+    pps_lo = results[lo]["pairs_scored_per_sec"]
+    pps_hi = results[hi]["pairs_scored_per_sec"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        f"mdm_sec_{lo}cpu": t_lo,
+        f"mdm_sec_{hi}cpu": t_hi,
+        f"pairs_per_sec_{lo}cpu": pps_lo,
+        f"pairs_per_sec_{hi}cpu": pps_hi,
+        f"total_sec_{lo}cpu": results[lo]["value"],
+        f"total_sec_{hi}cpu": results[hi]["value"],
+        "sf": results[lo]["sf"],
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+    else:
+        print(json.dumps(run_bench(sf_dir, num_cpus)))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,25 +1,27 @@
-"""Blocking: key emission → hot-key salting → pair generation → pair dedup.
+"""Blocking: key emission → hot-key salting → duplicate-free pair generation.
 
 Replaces the reference's blocking self-join
 (`/root/reference/transform/payor_mdm/models/match/int_blocking_pairs.sql:11-33`)
 with a shuffle-on-block-key design (SURVEY §2.4 J1):
 
-1. every record is exploded to one key-row per blocking key it carries
+1. every record explodes to one key-row per blocking key it carries
    (tax key only when non-empty — the SQL's explicit guard; name / zip3
    keys always, with the reference's 'XX'/'XXX' null-coalescing; plus the
-   Soundex phonetic key);
-2. a *small* count pre-pass finds hot keys (skew!); hot keys are salted
-   into bounded sub-blocks by hash-of-record-id, with chain-link pairs
-   between consecutive sub-block anchors so transitive clustering can
-   still reunite a genuinely-same-entity mega block; degenerate hot keys
-   (built purely from null coalescing) are parked;
-3. ``groupby(bkey).map_groups`` emits canonical a<b pairs carrying both
-   records' comparison payloads (avoids the reference's two join-backs,
-   `int_match_scored.sql:49-51`);
-4. exact pair dedup (a pair can arise from several keys — the SQL's
-   SELECT DISTINCT) as a ``groupby(pair_key).aggregate(Min(...))``:
-   payloads are identical across duplicates, so Min is a pure first-value
-   with no per-group Python.
+   Soundex phonetic key), carrying the record's *other* keys too;
+2. a small count pre-pass finds hot keys (skew!). Hot keys are salted
+   into bounded sub-blocks by a stable hash of the record id; a *liaison*
+   sub-block samples ~cap records ACROSS all salts (independent second
+   hash) so transitive clustering can reunite a genuinely-same-entity
+   mega block; degenerate hot keys (pure null-coalescing) are parked;
+3. ``groupby(bkey).map_groups`` emits canonical a<b pairs **exactly
+   once**: a block emits a pair only if it is the pair's minimum common
+   salted key under a fixed type precedence (tax < name < zip < pho <
+   liaison-of-each). Every emitter can decide this locally from the
+   carried keys + the broadcast hot map — the SQL's SELECT DISTINCT
+   without a second all-to-all shuffle.
+
+Pairs carry both records' comparison payloads (avoids the reference's two
+join-backs, `int_match_scored.sql:49-51`).
 """
 
 from __future__ import annotations
@@ -31,47 +33,62 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
-from ray.data.aggregate import Min
 
 from payor_linkage.config import BlockingConfig
 from payor_linkage.schema import PAIR_PAYLOAD_FIELDS
 
-# columns carried through pair generation (payload for the scorer)
 _CARRY = ["source_record_id"] + PAIR_PAYLOAD_FIELDS
+# fixed type precedence for duplicate-free emission
+_TYPES = ["tax", "name", "zip", "pho"]
+_KEY_COLS = {"tax": "block_tax_id", "name": "block_name_key",
+             "zip": "block_zip3_name4", "pho": "block_phonetic"}
+
+
+def _salt_of(rid: str, n_salts: int) -> int:
+    return zlib.crc32(rid.encode()) % n_salts
+
+
+def _is_liaison_member(rid: str, n_salts: int) -> bool:
+    # independent second hash → expected n/n_salts ≈ cap members drawn
+    # from ALL salts (cross-salt connectivity)
+    return zlib.crc32((rid + "~L").encode()) % n_salts == 0
 
 
 def _key_rows_batch(batch: pa.Table, use_phonetic: bool) -> pa.Table:
-    """Explode each record into one row per blocking key it participates in."""
-    carry = {c: batch[c] for c in _CARRY}
+    """Explode each record into one row per blocking key, carrying every
+    key (for precedence) + the comparison payload."""
+    n = batch.num_rows
+    base_cols = {c: batch[c] for c in _CARRY}
+    for t in _TYPES:
+        base_cols[f"k_{t}"] = batch[_KEY_COLS[t]]
     pieces = []
 
-    def mk(block_type: str, keys: pa.ChunkedArray | pa.Array, valid: pa.Array | None):
+    def mk(block_type: str, valid: pa.Array | None):
+        keys = batch[_KEY_COLS[block_type]]
         t = pa.table({
             "bkey": pc.binary_join_element_wise(
-                pa.array([block_type] * batch.num_rows), pc.cast(keys, pa.string()), "|"),
-            **carry,
+                pa.array([block_type] * n), pc.coalesce(pc.cast(keys, pa.string()), pa.scalar("")), "|"),
+            **base_cols,
         })
         if valid is not None:
             t = t.filter(valid)
         pieces.append(t)
 
-    # Block 2 (tax): both non-null and non-empty — int_blocking_pairs.sql:22-26
     tax = batch["block_tax_id"]
-    mk("tax", tax, pc.and_(pc.is_valid(tax), pc.not_equal(pc.coalesce(tax, pa.scalar("")), "")))
-    # Block 1 (name6+state) and Block 3 (zip3+name4): always non-null by construction
-    mk("name", batch["block_name_key"], None)
-    mk("zip", batch["block_zip3_name4"], None)
-    if use_phonetic and "block_phonetic" in batch.column_names:
+    mk("tax", pc.and_(pc.is_valid(tax), pc.not_equal(pc.coalesce(tax, pa.scalar("")), "")))
+    mk("name", None)
+    mk("zip", None)
+    if use_phonetic:
         pho = batch["block_phonetic"]
-        mk("pho", pho, pc.is_valid(pho))
+        mk("pho", pc.is_valid(pho))
     return pa.concat_tables(pieces)
 
 
 def _is_degenerate_key(bkey: str) -> bool:
     """Keys built purely from null coalescing carry no matching signal.
     name key = name6+state ('XX' when null state): empty name → only the
-    2-char state remains. zip key = zip3('XXX')+name4: empty name → 3 chars.
-    Pairing those would be O(records-per-state²) noise — the reference's
+    2-char state remains. zip key = zip3('XXX')+name4: empty name → 3
+    chars. Pairing those is O(records-per-state²) noise — the reference's
     unhandled skew cliff (SURVEY §4)."""
     btype, _, key = bkey.partition("|")
     if btype == "name":
@@ -81,42 +98,52 @@ def _is_degenerate_key(bkey: str) -> bool:
     return False
 
 
-def _find_hot_keys(key_rows: Dataset, cap: int) -> dict[str, int]:
-    """Count pre-pass → {bkey: n_records} for keys above the cap.
-    Hot keys are by definition few; the collected result is tiny."""
+def _find_hot_keys(key_rows: Dataset, cap: int, park_degenerate: bool,
+                   park_above: int | None = None,
+                   pho_cap: int | None = None) -> dict[str, int]:
+    """Count pre-pass → {bkey: n_salts} for keys above the cap (tiny).
+    Parked keys map to -1 — they produce no pairs and are excluded from
+    the emission-precedence computation. A key is parked when degenerate
+    (null-coalescing junk) or larger than ``park_above`` (salting bounds
+    sub-block memory but still emits O(n·cap) pairs — beyond the bound
+    the key is collision noise, not an entity)."""
+    low_cap = min(cap, pho_cap or cap)
     counts = key_rows.groupby("bkey").count()
     hot = counts.map_batches(
-        lambda t: t.filter(pc.greater(t["count()"], cap)), batch_format="pyarrow")
-    return {r["bkey"]: r["count()"] for r in hot.take_all()}
+        lambda t: t.filter(pc.greater(t["count()"], low_cap)), batch_format="pyarrow")
+    out = {}
+    for r in hot.take_all():
+        k = r["bkey"]
+        n = r["count()"]
+        k_cap = pho_cap if (pho_cap is not None and k.startswith("pho|")) else cap
+        if n <= k_cap:
+            continue
+        parked = (park_degenerate and _is_degenerate_key(k)) or \
+            (park_above is not None and n > park_above)
+        out[k] = -1 if parked else -(-n // k_cap)
+    return out
 
 
-def _salt_batch(batch: pa.Table, hot: dict[str, int], cap: int, park_degenerate: bool) -> pa.Table:
-    """Rewrite hot keys to 'key#salt' sub-keys; park degenerate hot keys.
-
-    Connectivity: records whose (stable) hash lands in salt 0 are *also*
-    emitted into a liaison sub-block 'key#L' (expected size ≈ cap, members
-    from every salt w.h.p.), so the liaison block's pairs transitively link
-    all sub-blocks of a genuinely-same-entity mega key — the clustering
-    stage reunites them. Uses crc32, not Python hash() (which is
-    process-randomized and would break determinism across workers)."""
+def _salt_batch(batch: pa.Table, hot: dict[str, int]) -> pa.Table:
+    """Rewrite hot keys to 'key#salt' sub-keys, add liaison rows, drop
+    parked (n_salts = -1) key rows."""
     bkeys = batch["bkey"].to_numpy(zero_copy_only=False)
     ids = batch["source_record_id"].to_numpy(zero_copy_only=False)
     out = bkeys.copy()
     keep = np.ones(len(bkeys), dtype=bool)
     liaison_rows: list[int] = []
     for i, k in enumerate(bkeys):
-        n = hot.get(k)
-        if n is None:
+        n_salts = hot.get(k)
+        if n_salts is None:
             continue
-        if park_degenerate and _is_degenerate_key(k):
+        if n_salts < 0:  # parked
             keep[i] = False
             continue
-        n_salts = -(-n // cap)
-        salt = zlib.crc32(ids[i].encode()) % n_salts
-        out[i] = f"{k}#{salt}"
-        if salt == 0 and n_salts > 1:
+        out[i] = f"{k}#{_salt_of(ids[i], n_salts)}"
+        if _is_liaison_member(ids[i], n_salts):
             liaison_rows.append(i)
-    t = batch.set_column(batch.column_names.index("bkey"), "bkey", pa.array(out, pa.string()))
+    t = batch.set_column(batch.column_names.index("bkey"), "bkey",
+                         pa.array(out, pa.string()))
     parts = [t.filter(pa.array(keep)) if not keep.all() else t]
     if liaison_rows:
         lia = batch.take(pa.array(liaison_rows, pa.int64()))
@@ -127,68 +154,209 @@ def _salt_batch(batch: pa.Table, hot: dict[str, int], cap: int, park_degenerate:
     return pa.concat_tables(parts) if len(parts) > 1 else parts[0]
 
 
-def _emit_pairs(group: pa.Table) -> pa.Table:
-    """All canonical (a<b) pairs within one block, payloads attached."""
-    k = group.num_rows
-    if k < 2:
-        return _empty_pairs_table()
-    ids = group["source_record_id"].to_numpy(zero_copy_only=False)
-    order = np.argsort(ids)  # canonical ordering → a < b by construction
-    iu, ju = np.triu_indices(k, k=1)
-    ai, bi = order[iu], order[ju]
-    cols: dict[str, pa.Array] = {
-        "pair_key": pa.array(np.char.add(np.char.add(ids[ai].astype(str), "|"),
-                                         ids[bi].astype(str))),
-    }
-    for c in _CARRY:
-        arr = group[c].combine_chunks() if isinstance(group[c], pa.ChunkedArray) else group[c]
-        cols[f"{c}_a" if c != "source_record_id" else "source_record_id_a"] = arr.take(pa.array(ai))
-        cols[f"{c}_b" if c != "source_record_id" else "source_record_id_b"] = arr.take(pa.array(bi))
-    return pa.table(cols)
-
-
 def _pairs_schema() -> pa.Schema:
-    fields = [("pair_key", pa.string())]
+    fields = []
     for c in _CARRY:
-        name = "source_record_id" if c == "source_record_id" else c
-        fields.append((f"{name}_a", pa.string()))
-        fields.append((f"{name}_b", pa.string()))
+        fields.append((f"{c}_a", pa.string()))
+        fields.append((f"{c}_b", pa.string()))
     return pa.schema(fields)
 
 
-def _empty_pairs_table() -> pa.Table:
-    return _pairs_schema().empty_table()
+def _rank_arrays(group: pa.Table, hot: dict[str, int]) -> dict[str, np.ndarray]:
+    """Per-row per-type salted-key info: key string, salt, liaison flag.
+    Parked keys (n_salts = -1) are nulled — they never co-locate a pair."""
+    ids = group["source_record_id"].to_numpy(zero_copy_only=False)
+    out: dict[str, np.ndarray] = {"ids": ids}
+    for t in _TYPES:
+        raw = group[f"k_{t}"].to_numpy(zero_copy_only=False)
+        keys = np.array([None if (k is None or k == "") else k for k in raw],
+                        dtype=object)
+        n_salts = np.array([hot.get(f"{t}|{k}", 0) if k is not None else 0
+                            for k in keys], dtype=np.int64)
+        keys = np.where(n_salts < 0, None, keys)   # parked → unusable
+        n_salts = np.maximum(n_salts, 0)
+        salts = np.array([_salt_of(i, n) if n > 0 else -1
+                          for i, n in zip(ids, n_salts)], dtype=np.int64)
+        lia = np.array([_is_liaison_member(i, n) if n > 0 else False
+                        for i, n in zip(ids, n_salts)], dtype=bool)
+        out[f"key_{t}"] = keys
+        out[f"nsalt_{t}"] = n_salts
+        out[f"salt_{t}"] = salts
+        out[f"lia_{t}"] = lia
+    return out
+
+
+def make_runs_pair_emitter(hot: dict[str, int]):
+    """Block-level pair emitter: vectorizes pair generation + the
+    min-common-key precedence across ALL runs of a sorted block at once.
+    Keys are dictionary-encoded to int codes (object-string comparisons
+    over k² pair arrays were the hot-block straggler)."""
+
+    def emit_runs(b: pa.Table, starts, ends) -> pa.Table:
+        if len(starts) == 0:
+            return _pairs_schema().empty_table()
+        ids = b["source_record_id"].to_numpy(zero_copy_only=False)
+        bkeys = b["bkey"].to_numpy(zero_copy_only=False)
+        n = b.num_rows
+
+        # per-type per-row: int key codes (−1 null/parked), salts, liaison
+        codes: dict[str, np.ndarray] = {}
+        salts: dict[str, np.ndarray] = {}
+        lias: dict[str, np.ndarray] = {}
+        for t in _TYPES:
+            col = b[f"k_{t}"]
+            enc = pc.dictionary_encode(
+                col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            uniq = enc.dictionary.to_pylist()
+            idx = pc.fill_null(enc.indices, -1).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            # per-unique: n_salts (0 not hot, -1 parked)
+            u_nsalt = np.array([hot.get(f"{t}|{u}", 0) if u not in (None, "") else 0
+                                for u in uniq], dtype=np.int64)
+            u_valid = np.array([u not in (None, "") for u in uniq], dtype=bool)
+            row_nsalt = np.where(idx >= 0, u_nsalt[np.maximum(idx, 0)], 0)
+            row_valid = (idx >= 0) & np.where(idx >= 0, u_valid[np.maximum(idx, 0)], False)
+            code = np.where(row_valid & (row_nsalt >= 0), idx, -1)
+            codes[t] = code
+            need = code >= 0
+            srow = np.full(n, -1, dtype=np.int64)
+            lrow = np.zeros(n, dtype=bool)
+            hot_rows = np.nonzero(need & (row_nsalt > 0))[0]
+            for i in hot_rows:
+                ns = row_nsalt[i]
+                srow[i] = _salt_of(ids[i], ns)
+                lrow[i] = _is_liaison_member(ids[i], ns)
+            salts[t] = srow
+            lias[t] = lrow
+
+        # pair index arrays across all runs + per-pair own rank
+        ai_parts, bi_parts, rank_parts = [], [], []
+        for s_, e_ in zip(starts, ends):
+            k = e_ - s_
+            if k < 2:
+                continue
+            own = bkeys[s_]
+            own_raw, _, own_suffix = own.partition("#")
+            own_type = own_raw.partition("|")[0]
+            own_rank = (10 + _TYPES.index(own_type)) if own_suffix == "L" \
+                else _TYPES.index(own_type)
+            run_idx = np.arange(s_, e_)
+            order = run_idx[np.argsort(ids[s_:e_])]
+            iu, ju = np.triu_indices(k, k=1)
+            ai_parts.append(order[iu])
+            bi_parts.append(order[ju])
+            rank_parts.append(np.full(len(iu), own_rank, dtype=np.int64))
+        if not ai_parts:
+            return _pairs_schema().empty_table()
+        ai = np.concatenate(ai_parts)
+        bi = np.concatenate(bi_parts)
+        own_rank = np.concatenate(rank_parts)
+
+        best = np.full(len(ai), 99, dtype=np.int64)
+        for ti, t in enumerate(_TYPES):
+            code = codes[t]
+            eq = (code[ai] >= 0) & (code[ai] == code[bi])
+            if not eq.any():
+                continue
+            hot_t = salts[t][ai] >= 0
+            co_sub = eq & (~hot_t | (salts[t][ai] == salts[t][bi]))
+            best = np.minimum(best, np.where(co_sub, ti, 99))
+            co_lia = eq & hot_t & lias[t][ai] & lias[t][bi]
+            best = np.minimum(best, np.where(co_lia, 10 + ti, 99))
+
+        mask = best == own_rank
+        if not mask.any():
+            return _pairs_schema().empty_table()
+        ai, bi = ai[mask], bi[mask]
+        cols: dict[str, pa.Array] = {}
+        for c in _CARRY:
+            arr = b[c].combine_chunks() if isinstance(b[c], pa.ChunkedArray) else b[c]
+            cols[f"{c}_a"] = arr.take(pa.array(ai))
+            cols[f"{c}_b"] = arr.take(pa.array(bi))
+        return pa.table(cols)
+
+    return emit_runs
+
+
+def make_pair_emitter(hot: dict[str, int]):
+    """Group fn emitting each canonical pair exactly once (min common
+    salted key wins). `hot` maps raw 'type|key' → n_salts."""
+
+    def emit(group: pa.Table) -> pa.Table:
+        k = group.num_rows
+        if k < 2:
+            return _pairs_schema().empty_table()
+        own = group["bkey"][0].as_py()
+        own_raw, _, own_suffix = own.partition("#")
+        own_type = own_raw.partition("|")[0]
+        own_is_liaison = own_suffix == "L"
+        own_rank = (10 + _TYPES.index(own_type)) if own_is_liaison \
+            else _TYPES.index(own_type)
+
+        info = _rank_arrays(group, hot)
+        ids = info["ids"]
+        order = np.argsort(ids)
+        iu, ju = np.triu_indices(k, k=1)
+        ai, bi = order[iu], order[ju]
+
+        best = np.full(len(ai), 99, dtype=np.int64)
+        for ti, t in enumerate(_TYPES):
+            keys = info[f"key_{t}"]
+            ka, kb = keys[ai], keys[bi]
+            eq = (ka == kb) & (ka != None)  # noqa: E711 (vectorized object cmp)
+            if not eq.any():
+                continue
+            nsalt = info[f"nsalt_{t}"]
+            salt = info[f"salt_{t}"]
+            lia = info[f"lia_{t}"]
+            hot_t = nsalt[ai] > 0
+            # co-located in the same salted sub-block (or key not hot)
+            co_sub = eq & (~hot_t | (salt[ai] == salt[bi]))
+            best = np.minimum(best, np.where(co_sub, ti, 99))
+            # co-located in the liaison sub-block of this type
+            co_lia = eq & hot_t & lia[ai] & lia[bi]
+            best = np.minimum(best, np.where(co_lia, 10 + ti, 99))
+
+        mask = best == own_rank
+        if not mask.any():
+            return _pairs_schema().empty_table()
+        ai, bi = ai[mask], bi[mask]
+        cols: dict[str, pa.Array] = {}
+        for c in _CARRY:
+            arr = group[c].combine_chunks() if isinstance(group[c], pa.ChunkedArray) else group[c]
+            cols[f"{c}_a"] = arr.take(pa.array(ai))
+            cols[f"{c}_b"] = arr.take(pa.array(bi))
+        return pa.table(cols)
+
+    return emit
 
 
 def blocking_pairs(unified: Dataset, cfg: BlockingConfig | None = None) -> Dataset:
-    """unified records → deduped candidate pairs with payloads.
+    """unified records → duplicate-free candidate pairs with payloads.
 
-    Shuffles: groupby(bkey) for pair generation + groupby(pair_key) for
-    dedup. Hot keys are salted (bounded sub-blocks) after a count
-    pre-pass; parked/salted volume is reported via `blocking_skew_report`.
-    """
+    ONE groupby shuffle for pair generation (plus the small count
+    pre-pass when hot-key capping is on); no dedup shuffle — see module
+    docstring."""
     cfg = cfg or BlockingConfig()
     key_rows = unified.map_batches(
         lambda b: _key_rows_batch(b, cfg.use_phonetic_key), batch_format="pyarrow")
 
+    hot: dict[str, int] = {}
     if cfg.hot_key_cap:
-        hot = _find_hot_keys(key_rows, cfg.hot_key_cap)
+        hot = _find_hot_keys(key_rows, cfg.hot_key_cap,
+                             cfg.park_degenerate_hot_keys, cfg.park_key_above,
+                             cfg.pho_key_cap)
         if hot:
             hot_ref = ray.put(hot)
-            cap = cfg.hot_key_cap
-            park = cfg.park_degenerate_hot_keys
 
             def salt(batch: pa.Table) -> pa.Table:
-                return _salt_batch(batch, ray.get(hot_ref), cap, park)
+                return _salt_batch(batch, ray.get(hot_ref))
 
             key_rows = key_rows.map_batches(salt, batch_format="pyarrow")
 
-    pairs = key_rows.groupby("bkey").map_groups(
-        _emit_pairs, batch_format="pyarrow")
+    from payor_linkage.rayutil import grouped_apply
 
-    # exact pair dedup (SELECT DISTINCT): payloads identical per pair_key →
-    # Min == first value; one aggregate shuffle, no per-group Python.
-    agg_cols = [c for c in _pairs_schema().names if c != "pair_key"]
-    deduped = pairs.groupby("pair_key").aggregate(
-        *[Min(c, alias_name=c, ignore_nulls=True) for c in agg_cols])
-    return deduped
+    return grouped_apply(key_rows, "bkey", out_schema=_pairs_schema(),
+                         runs_fn=make_runs_pair_emitter(hot))

@@ -119,24 +119,34 @@ def propagate_labels(edges: Dataset, nodes: Dataset,
         f"label propagation did not converge in {cfg.max_rounds} rounds")
 
 
-def _finalize_group(g: pd.DataFrame) -> pd.DataFrame:
+_GROUPS_SCHEMA = pa.schema([
+    ("match_group_id", pa.string()),
+    ("source_record_id", pa.string()),
+    ("is_survivor", pa.bool_()),
+    ("group_confidence", pa.float64()),
+])
+
+
+def _finalize_group(g: pa.Table) -> pa.Table:
     """One cluster → MATCH_GROUPS rows (G2 semantics, proc `:59-85`).
 
     ``g`` holds member rows (node non-null) and edge-score rows (score
-    non-null) for one label."""
-    mem = g[g["node"].notna()]
-    members = sorted(mem["node"].tolist())
+    non-null) for one label. Plain-python over tiny groups."""
+    nodes = g["node"].to_pylist()
+    trusts = g["source_trust_rank"].to_pylist()
+    scores = [s for s in g["score"].to_pylist() if s is not None]
+    trust = {n: t for n, t in zip(nodes, trusts) if n is not None}
+    members = sorted(trust)
     group_id = str(uuid.uuid5(uuid.NAMESPACE_DNS, "|".join(members)))
-    trust = dict(zip(mem["node"], mem["source_trust_rank"]))
-    survivor = min(members, key=lambda m: trust.get(m, 999))
-    scores = g["score"].dropna()
-    conf = round(float(scores.mean()), 4) if len(scores) else None
-    return pd.DataFrame({
-        "match_group_id": [group_id] * len(members),
-        "source_record_id": members,
-        "is_survivor": [m == survivor for m in members],
-        "group_confidence": [conf] * len(members),
-    })
+    survivor = min(members, key=lambda m: trust.get(m) if trust.get(m) is not None else 999)
+    conf = round(sum(scores) / len(scores), 4) if scores else None
+    k = len(members)
+    return pa.Table.from_arrays([
+        pa.array([group_id] * k, pa.string()),
+        pa.array(members, pa.string()),
+        pa.array([m == survivor for m in members], pa.bool_()),
+        pa.array([conf] * k, pa.float64()),
+    ], schema=_GROUPS_SCHEMA)
 
 
 def _local_union_find(edge_rows: list[dict]) -> dict[str, str]:
@@ -233,5 +243,6 @@ def build_match_groups(candidates: Dataset, unified: Dataset,
             }), batch_format="pyarrow")
         member_rows = member_rows.union(score_rows)
 
-    return member_rows.groupby("label").map_groups(
-        _finalize_group, batch_format="pandas")
+    from payor_linkage.rayutil import grouped_apply
+
+    return grouped_apply(member_rows, "label", _finalize_group, _GROUPS_SCHEMA)

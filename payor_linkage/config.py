@@ -16,6 +16,12 @@ class BlockingConfig:
     # emit the Soundex phonetic key alongside the reference's 3 keys
     # (north-rule addition; SURVEY §2.3 U2)
     use_phonetic_key: bool = True
+    # phonetic blocks get a much lower cap: Soundex keys are low-precision
+    # recall boosters whose buckets grow linearly with corpus size — salting
+    # them early keeps phonetic pair cost at O(rows × cap/2) instead of
+    # O(bucket²) (same-entity recall is preserved by the other key types +
+    # the liaison sub-block)
+    pho_key_cap: int = 32
     # hot-key handling: keys with more than `hot_key_cap` member records are
     # salted into ceil(n/hot_key_cap) sub-blocks (hash-of-id assignment);
     # pairs are generated within a sub-block plus one chain-link pair between
@@ -26,13 +32,18 @@ class BlockingConfig:
     # degenerate keys (empty-name 'XX…' / 'XXX…' keys) above the cap are
     # *parked* (no pairs at all) instead of salted — they carry no signal.
     park_degenerate_hot_keys: bool = True
+    # hard pair-count bound: ANY key larger than this is parked (salting
+    # bounds sub-block size but still emits O(n·cap) pairs per key — a key
+    # this hot is collision noise, not an entity; parked volume should be
+    # surfaced via blocking metrics)
+    park_key_above: int = 50_000
 
 
 @dataclass
 class ScoringConfig:
     auto_match_threshold: float = 0.85   # match_candidates.sql:36
     review_threshold: float = 0.60       # match_candidates.sql:37
-    batch_size: int = 8192               # pairs per scorer actor batch
+    batch_size: int = 2048               # pairs per scorer actor batch (keeps the pool busy)
     concurrency: tuple[int, int] | int | None = None  # actor pool size (None → auto)
 
 

@@ -1,0 +1,332 @@
+"""Deduplication operators over a document table (id + text columns).
+
+All scale-shaped: hashes/signatures computed vectorized per batch,
+candidate generation via groupby shuffles on bounded keys, exact-dedup as
+a single aggregate (no per-group Python). The LSH pipeline is the guide's
+canonical shingle → minhash → band → bucket-groupby → verify shape.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+from ray.data.aggregate import Count, Min
+
+# ── exact dedup ────────────────────────────────────────────────────────────
+
+
+def exact_dedup(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
+    """One row per distinct text: (text, keeper_id = min id, n_dups).
+
+    Group key is the md5 of the content (bounded-width shuffle key even for
+    huge documents); the text itself rides along via Min (identical within
+    a group)."""
+    def add_hash(b: pa.Table) -> pa.Table:
+        h = [hashlib.md5(t.encode()).hexdigest() for t in b[text_col].to_pylist()]
+        return pa.table({
+            "_h": pa.array(h, pa.string()),
+            text_col: b[text_col],
+            id_col: b[id_col],
+        })
+
+    agg = (ds.map_batches(add_hash, batch_format="pyarrow")
+           .groupby("_h")
+           .aggregate(Min(text_col, alias_name=text_col),
+                      Min(id_col, alias_name="keeper_id"),
+                      Count(alias_name="n_dups")))
+    return agg.map_batches(lambda b: b.drop_columns(["_h"]), batch_format="pyarrow")
+
+
+# ── MinHash + LSH ──────────────────────────────────────────────────────────
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    return a, b
+
+
+def _shingles(text: str, k: int) -> np.ndarray:
+    if len(text) < k:
+        grams = [text]
+    else:
+        grams = [text[i:i + k] for i in range(len(text) - k + 1)]
+    return np.unique(np.array([zlib.crc32(g.encode()) for g in grams], dtype=np.int64))
+
+
+def _minhash_sig(text: str, a: np.ndarray, b: np.ndarray, k: int) -> np.ndarray:
+    sh = _shingles(text, k)
+    # (num_perm, n_shingles) universal hashing, min over shingles
+    hv = (a[:, None] * sh[None, :] + b[:, None]) % _MERSENNE
+    return hv.min(axis=1)
+
+
+def _jaccard_shingles(ta: str, tb: str, k: int) -> float:
+    sa, sb = set(_shingles(ta, k).tolist()), set(_shingles(tb, k).tolist())
+    u = sa | sb
+    return len(sa & sb) / len(u) if u else 0.0
+
+
+class MinHasher:
+    """Actor-pool stage: permutation params built once per actor."""
+
+    def __init__(self, num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        self.a, self.b = _perm_params(num_perm)
+        self.num_perm, self.bands, self.k = num_perm, bands, shingle_k
+        self.rows_per_band = num_perm // bands
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        """doc → one row per LSH band: (bucket, id, text)."""
+        texts = batch[self.text_col].to_pylist()
+        ids = batch[self.id_col].to_pylist()
+        buckets, out_ids, out_texts = [], [], []
+        for i, t in enumerate(texts):
+            sig = _minhash_sig(t, self.a, self.b, self.k)
+            for band in range(self.bands):
+                chunk = sig[band * self.rows_per_band:(band + 1) * self.rows_per_band]
+                bucket = f"{band}|{hashlib.md5(chunk.tobytes()).hexdigest()[:16]}"
+                buckets.append(bucket)
+                out_ids.append(ids[i])
+                out_texts.append(t)
+        return pa.table({
+            "bucket": pa.array(buckets, pa.string()),
+            "id": pa.array(out_ids),
+            "text": pa.array(out_texts, pa.string()),
+        })
+
+
+def minhash_lsh_pairs(ds: Dataset, threshold: float = 0.5, num_perm: int = 64,
+                      bands: int = 16, shingle_k: int = 3,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      max_bucket: int = 2000) -> Dataset:
+    """Near-duplicate pairs by MinHash-LSH, verified with exact shingle
+    Jaccard ≥ threshold. Output: (id_a, id_b, jaccard round 4).
+
+    Shape: shingle→minhash per batch (actor pool) → explode to band-bucket
+    rows → groupby(bucket) pair emission (bounded by ``max_bucket``) →
+    pair dedup (aggregate) → exact verify. At 100 TB the carried text
+    would be replaced by a content-store pointer + a second verify pass."""
+    k = shingle_k
+
+    band_rows = ds.map_batches(
+        MinHasher, batch_format="pyarrow",
+        fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands, shingle_k=k,
+                                   text_col=text_col, id_col=id_col),
+        concurrency=(1, 4), batch_size=1024)
+
+    def emit_pairs(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n < 2 or n > max_bucket:
+            return pa.schema([("pair", pa.string()), ("id_a", g["id"].type),
+                              ("id_b", g["id"].type), ("text_a", pa.string()),
+                              ("text_b", pa.string())]).empty_table()
+        ids = g["id"].to_numpy(zero_copy_only=False)
+        texts = g["text"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        iu, ju = np.triu_indices(n, k=1)
+        ai, bi = order[iu], order[ju]
+        return pa.table({
+            "pair": pa.array([f"{ids[x]}|{ids[y]}" for x, y in zip(ai, bi)], pa.string()),
+            "id_a": pa.array(ids[ai]),
+            "id_b": pa.array(ids[bi]),
+            "text_a": pa.array(texts[ai], pa.string()),
+            "text_b": pa.array(texts[bi], pa.string()),
+        })
+
+    pairs = band_rows.groupby("bucket").map_groups(emit_pairs, batch_format="pyarrow")
+    deduped = pairs.groupby("pair").aggregate(
+        Min("id_a", alias_name="id_a"), Min("id_b", alias_name="id_b"),
+        Min("text_a", alias_name="text_a"), Min("text_b", alias_name="text_b"))
+
+    def verify(b: pa.Table) -> pa.Table:
+        jac = [round(_jaccard_shingles(ta, tb, k), 4)
+               for ta, tb in zip(b["text_a"].to_pylist(), b["text_b"].to_pylist())]
+        out = pa.table({"id_a": b["id_a"], "id_b": b["id_b"],
+                        "jaccard": pa.array(jac, pa.float64())})
+        return out.filter(pc.greater_equal(out["jaccard"], threshold))
+
+    return deduped.map_batches(verify, batch_format="pyarrow")
+
+
+# ── SimHash ────────────────────────────────────────────────────────────────
+
+
+_SHIFTS = np.arange(64, dtype=np.uint64)
+
+
+def _simhash64(tokens: list[str]) -> np.uint64:
+    acc = np.zeros(64, dtype=np.int64)
+    one = np.uint64(1)
+    for t in tokens:
+        h = np.uint64(int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little"))
+        bits = (h >> _SHIFTS) & one
+        acc += np.where(bits == one, 1, -1)
+    bits = (acc > 0).astype(np.uint64)
+    return np.uint64((bits << _SHIFTS).sum(dtype=np.uint64))
+
+
+def simhash_pairs(ds: Dataset, max_hamming: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id", max_bucket: int = 2000) -> Dataset:
+    """Near-duplicate pairs by 64-bit SimHash: candidates share one of the
+    four 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical chunk),
+    verified by full hamming distance. Output (id_a, id_b, hamming)."""
+
+    def sigs(b: pa.Table) -> pa.Table:
+        rows_bucket, rows_id, rows_sig = [], [], []
+        for i, t in enumerate(b[text_col].to_pylist()):
+            s = _simhash64(t.split())
+            for chunk in range(4):
+                part = (int(s) >> (16 * chunk)) & 0xFFFF
+                rows_bucket.append(f"{chunk}|{part}")
+                rows_id.append(b[id_col][i].as_py())
+                rows_sig.append(int(s))
+        return pa.table({"bucket": pa.array(rows_bucket, pa.string()),
+                         "id": pa.array(rows_id),
+                         "sig": pa.array(rows_sig, pa.uint64())})
+
+    band_rows = ds.map_batches(sigs, batch_format="pyarrow")
+
+    def emit(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n < 2 or n > max_bucket:
+            return pa.schema([("pair", pa.string()), ("id_a", g["id"].type),
+                              ("id_b", g["id"].type), ("hamming", pa.int32())]).empty_table()
+        ids = g["id"].to_numpy(zero_copy_only=False)
+        s = g["sig"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.argsort(ids)
+        iu, ju = np.triu_indices(n, k=1)
+        ai, bi = order[iu], order[ju]
+        x = s[ai] ^ s[bi]
+        ham = np.array([bin(int(v)).count("1") for v in x], dtype=np.int32)
+        keep = ham <= 64  # full verify below threshold happens after dedup
+        return pa.table({
+            "pair": pa.array([f"{ids[a]}|{ids[b]}" for a, b in zip(ai, bi)], pa.string()),
+            "id_a": pa.array(ids[ai]), "id_b": pa.array(ids[bi]),
+            "hamming": pa.array(ham),
+        })
+
+    pairs = band_rows.groupby("bucket").map_groups(emit, batch_format="pyarrow")
+    deduped = pairs.groupby("pair").aggregate(
+        Min("id_a", alias_name="id_a"), Min("id_b", alias_name="id_b"),
+        Min("hamming", alias_name="hamming"))
+    return deduped.map_batches(
+        lambda b: b.filter(pc.less_equal(b["hamming"], max_hamming)).drop_columns(["pair"]),
+        batch_format="pyarrow")
+
+
+# ── n-gram / char-set Jaccard over blocked pairs ───────────────────────────
+
+
+def blocked_pairs(ds: Dataset, block_cols: list[str], id_col: str = "doc_id",
+                  carry: list[str] | None = None, max_block: int = 5000) -> Dataset:
+    """Generic J1-style pair generation: records sharing all ``block_cols``
+    → canonical a<b pairs carrying ``carry`` columns from both sides."""
+    carry = carry or []
+
+    def keyed(b: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            *[pc.cast(b[c], pa.string()) for c in block_cols], "|")
+        cols = {"bkey": key, "id": b[id_col]}
+        for c in carry:
+            cols[c] = b[c]
+        return pa.table(cols)
+
+    def emit(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        fields = [("pair", pa.string()), ("id_a", g["id"].type), ("id_b", g["id"].type)]
+        for c in carry:
+            fields += [(f"{c}_a", g[c].type), (f"{c}_b", g[c].type)]
+        if n < 2 or n > max_block:
+            return pa.schema(fields).empty_table()
+        ids = g["id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        iu, ju = np.triu_indices(n, k=1)
+        ai, bi = order[iu], order[ju]
+        cols = {
+            "pair": pa.array([f"{ids[a]}|{ids[b]}" for a, b in zip(ai, bi)], pa.string()),
+            "id_a": pa.array(ids[ai]), "id_b": pa.array(ids[bi]),
+        }
+        for c in carry:
+            arr = g[c].combine_chunks() if isinstance(g[c], pa.ChunkedArray) else g[c]
+            cols[f"{c}_a"] = arr.take(pa.array(ai))
+            cols[f"{c}_b"] = arr.take(pa.array(bi))
+        return pa.table(cols)
+
+    pairs = (ds.map_batches(keyed, batch_format="pyarrow")
+             .groupby("bkey").map_groups(emit, batch_format="pyarrow"))
+    aggs = [Min("id_a", alias_name="id_a"), Min("id_b", alias_name="id_b")]
+    for c in carry:
+        aggs += [Min(f"{c}_a", alias_name=f"{c}_a"), Min(f"{c}_b", alias_name=f"{c}_b")]
+    return pairs.groupby("pair").aggregate(*aggs).map_batches(
+        lambda b: b.drop_columns(["pair"]), batch_format="pyarrow")
+
+
+def charset_jaccard(a: str, b: str) -> float:
+    """Character-set Jaccard — semantics of DuckDB's ``jaccard()``."""
+    sa, sb = set(a), set(b)
+    u = sa | sb
+    return len(sa & sb) / len(u) if u else 0.0
+
+
+def ngram_jaccard_pairs(ds: Dataset, block_cols: list[str], threshold: float,
+                        k: int = 3, charset: bool = False,
+                        text_col: str = "text", id_col: str = "doc_id") -> Dataset:
+    """Jaccard-verified near-dup pairs within blocks. ``charset=True`` uses
+    character-set Jaccard (DuckDB-oracle parity); else k-shingle Jaccard."""
+    pairs = blocked_pairs(ds, block_cols, id_col=id_col, carry=[text_col])
+
+    def verify(b: pa.Table) -> pa.Table:
+        ta = b[f"{text_col}_a"].to_pylist()
+        tb = b[f"{text_col}_b"].to_pylist()
+        if charset:
+            jac = [round(charset_jaccard(x, y), 4) for x, y in zip(ta, tb)]
+        else:
+            jac = [round(_jaccard_shingles(x, y, k), 4) for x, y in zip(ta, tb)]
+        out = pa.table({"id_a": b["id_a"], "id_b": b["id_b"],
+                        "jaccard": pa.array(jac, pa.float64())})
+        return out.filter(pc.greater_equal(out["jaccard"], threshold))
+
+    return pairs.map_batches(verify, batch_format="pyarrow")
+
+
+# ── embedding cosine near-dup ──────────────────────────────────────────────
+
+
+def embedding_neardup_pairs(ds: Dataset, threshold: float = 0.4,
+                            id_col: str = "vec_id", vec_col: str = "embedding") -> Dataset:
+    """Pairs with cosine ≥ threshold: per-batch f64 matmul against the
+    broadcast (normalized) full matrix — the brute-force baseline; the
+    LSH-bucketed scale path is `similarity.lsh_neardup_pairs`.
+    Output: (id_a, id_b) ids only (no float column → exact oracle compare)."""
+    import ray
+
+    rows = ds.select_columns([id_col, vec_col]).take_all()
+    ids = np.array([r[id_col] for r in rows])
+    M = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((ids, M))
+
+    def batch_pairs(b: pa.Table) -> pa.Table:
+        all_ids, allM = ray.get(ref)
+        bid = np.array(b[id_col].to_pylist())
+        B = np.stack([np.asarray(v, dtype=np.float64) for v in b[vec_col].to_pylist()])
+        B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
+        cos = B @ allM.T
+        ri, ci = np.nonzero(cos >= threshold)
+        keep = bid[ri] < all_ids[ci]  # canonical a<b, kills self-pairs
+        return pa.table({
+            "id_a": pa.array(bid[ri][keep]),
+            "id_b": pa.array(all_ids[ci][keep]),
+        })
+
+    return ds.map_batches(batch_pairs, batch_format="pyarrow")

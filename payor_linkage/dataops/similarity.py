@@ -1,0 +1,190 @@
+"""Similarity search over an embedding column (`list<float>`).
+
+- `ann_topk`: brute-force cosine top-k — numpy f64 matmul per batch
+  against a broadcast query matrix (`ray.put` once), partial top-k per
+  batch, final top-k per query in one small groupby. The baseline.
+- `ivf_topk`: IVF-style scale path — seeded mini k-means centroids
+  (sampled, driver-side), assignments per batch, probe only the
+  `nprobe` closest centroid partitions.
+- `lsh_neardup_pairs`: random-hyperplane LSH bucketing for cosine
+  near-dup at corpus scale (no broadcast of the full matrix).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+
+
+def _normalize(M: np.ndarray) -> np.ndarray:
+    return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+
+def _to_matrix(col) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col.to_pylist()])
+
+
+def ann_topk(ds: Dataset, query_ids: list[int], k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> Dataset:
+    """Top-k cosine neighbors for each query vector (queries selected by id
+    from the dataset itself). Output (query_id, rank, neighbor_id), self
+    excluded, ties broken by neighbor id — deterministic."""
+    qset = set(query_ids)
+    qrows = [r for r in ds.select_columns([id_col, vec_col]).take_all()
+             if r[id_col] in qset]
+    qids = np.array([r[id_col] for r in qrows])
+    Q = _normalize(np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qrows]))
+    ref = ray.put((qids, Q))
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids_q, Qm = ray.get(ref)
+        bid = np.array(b[id_col].to_pylist())
+        B = _normalize(_to_matrix(b[vec_col]))
+        cos = Qm @ B.T                       # (nq, batch)
+        nq, nb = cos.shape
+        kk = min(k + 1, nb)                  # +1 to survive self-removal
+        part = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
+        rows_q, rows_n, rows_c = [], [], []
+        for qi in range(nq):
+            for j in part[qi]:
+                rows_q.append(ids_q[qi])
+                rows_n.append(bid[j])
+                rows_c.append(cos[qi, j])
+        return pa.table({
+            "query_id": pa.array(rows_q),
+            "neighbor_id": pa.array(rows_n),
+            "cos": pa.array(rows_c, pa.float64()),
+        })
+
+    def final_topk(g):
+        import pandas as pd
+        g = g[g.query_id != g.neighbor_id]
+        g = g.sort_values(["cos", "neighbor_id"], ascending=[False, True]).head(k)
+        return pd.DataFrame({
+            "query_id": g.query_id.to_numpy(),
+            "rank": np.arange(1, len(g) + 1),
+            "neighbor_id": g.neighbor_id.to_numpy(),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("query_id").map_groups(final_topk, batch_format="pandas"))
+
+
+def _mini_kmeans(sample: np.ndarray, n_centroids: int, iters: int = 10,
+                 seed: int = 11) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)
+    C = sample[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(_normalize(sample) @ _normalize(C).T, axis=1)
+        for c in range(len(C)):
+            members = sample[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+    return _normalize(C)
+
+
+def ivf_topk(ds: Dataset, query_ids: list[int], k: int = 5, n_centroids: int = 16,
+             nprobe: int = 4, sample_size: int = 4096,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> Dataset:
+    """IVF-bucketed ANN: vectors are assigned to their nearest centroid;
+    each query scans only its ``nprobe`` closest centroid partitions.
+    Approximate (recall < 1 by design) — the scale path."""
+    sample = _to_matrix(
+        pa.chunked_array([pa.array([r[vec_col] for r in
+                                    ds.limit(sample_size).take_all()])]))
+    C = _mini_kmeans(sample, n_centroids)
+    qset = set(query_ids)
+    qrows = [r for r in ds.select_columns([id_col, vec_col]).take_all()
+             if r[id_col] in qset]
+    qids = np.array([r[id_col] for r in qrows])
+    Q = _normalize(np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qrows]))
+    probes = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]   # (nq, nprobe)
+    ref = ray.put((qids, Q, C, probes))
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids_q, Qm, Cm, probe = ray.get(ref)
+        bid = np.array(b[id_col].to_pylist())
+        B = _normalize(_to_matrix(b[vec_col]))
+        assign = np.argmax(B @ Cm.T, axis=1)              # vector → centroid
+        rows_q, rows_n, rows_c = [], [], []
+        for qi in range(len(ids_q)):
+            mask = np.isin(assign, probe[qi])
+            if not mask.any():
+                continue
+            cos = Qm[qi] @ B[mask].T
+            cand = bid[mask]
+            kk = min(k + 1, len(cand))
+            top = np.argpartition(-cos, kk - 1)[:kk]
+            rows_q += [ids_q[qi]] * len(top)
+            rows_n += list(cand[top])
+            rows_c += list(cos[top])
+        return pa.table({"query_id": pa.array(rows_q, pa.int64()),
+                         "neighbor_id": pa.array(rows_n, pa.int64()),
+                         "cos": pa.array(rows_c, pa.float64())})
+
+    def final_topk(g):
+        import pandas as pd
+        g = g[g.query_id != g.neighbor_id]
+        g = g.sort_values(["cos", "neighbor_id"], ascending=[False, True]).head(k)
+        return pd.DataFrame({"query_id": g.query_id.to_numpy(),
+                             "rank": np.arange(1, len(g) + 1),
+                             "neighbor_id": g.neighbor_id.to_numpy()})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("query_id").map_groups(final_topk, batch_format="pandas"))
+
+
+def lsh_neardup_pairs(ds: Dataset, threshold: float = 0.4, n_planes: int = 12,
+                      n_tables: int = 4, seed: int = 13, max_bucket: int = 4000,
+                      id_col: str = "vec_id", vec_col: str = "embedding") -> Dataset:
+    """Cosine near-dup at corpus scale: random-hyperplane signatures bucket
+    the vectors (`n_tables` independent tables); exact cosine verify inside
+    buckets. No full-matrix broadcast — the 100 TB path."""
+    from ray.data.aggregate import Min
+
+    # dimension probed from one row
+    dim = len(ds.limit(1).take_all()[0][vec_col])
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_tables, n_planes, dim)
+    pref = ray.put(planes)
+
+    def sig(b: pa.Table) -> pa.Table:
+        P = ray.get(pref)
+        bid = b[id_col].to_pylist()
+        B = _normalize(_to_matrix(b[vec_col]))
+        buckets, ids, vecs = [], [], []
+        for t in range(P.shape[0]):
+            bits = (B @ P[t].T) > 0
+            codes = (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1)
+            for i, code in enumerate(codes):
+                buckets.append(f"{t}|{int(code)}")
+                ids.append(bid[i])
+                vecs.append(B[i].tolist())
+        return pa.table({"bucket": pa.array(buckets, pa.string()),
+                         "id": pa.array(ids),
+                         "vec": pa.array(vecs, pa.list_(pa.float64()))})
+
+    def emit(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n < 2 or n > max_bucket:
+            return pa.schema([("pair", pa.string()), ("id_a", g["id"].type),
+                              ("id_b", g["id"].type)]).empty_table()
+        ids = np.array(g["id"].to_pylist())
+        V = np.array(g["vec"].to_pylist())
+        cos = V @ V.T
+        ri, ci = np.nonzero(cos >= threshold)
+        keep = ids[ri] < ids[ci]
+        return pa.table({
+            "pair": pa.array([f"{a}|{b}" for a, b in zip(ids[ri][keep], ids[ci][keep])]),
+            "id_a": pa.array(ids[ri][keep]),
+            "id_b": pa.array(ids[ci][keep]),
+        })
+
+    pairs = (ds.map_batches(sig, batch_format="pyarrow")
+             .groupby("bucket").map_groups(emit, batch_format="pyarrow"))
+    return (pairs.groupby("pair")
+            .aggregate(Min("id_a", alias_name="id_a"), Min("id_b", alias_name="id_b"))
+            .map_batches(lambda b: b.drop_columns(["pair"]), batch_format="pyarrow"))

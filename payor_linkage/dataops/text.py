@@ -1,0 +1,132 @@
+"""Text-analysis operators: token stats / quality, language-ID,
+fingerprinting. Vectorized (pyarrow.compute / numpy) per batch."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "a", "to", "in", "is", "it", "that", "for",
+           "on", "with", "as", "was", "at", "by", "an", "be", "this", "are"},
+    "de": {"der", "die", "das", "und", "ist", "ich", "nicht", "ein", "mit",
+           "auf", "für", "von", "den", "des", "zu", "im"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "des", "du", "dans",
+           "pour", "que", "qui", "avec", "sur", "au"},
+    "es": {"el", "la", "los", "las", "y", "es", "un", "una", "de", "en",
+           "que", "por", "con", "para", "del", "se"},
+}
+
+# a BPE-ish tokenizer regex: word pieces OR single non-space punctuation
+TOKEN_RE = r"\w+|[^\w\s]"
+
+
+def doc_stats(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
+    """Quality-scoring stats per document — all integer counts plus one
+    deterministic rounded ratio (oracle-parity-safe):
+    n_chars_calc, n_words (single-space split), n_tokens (TOKEN_RE
+    matches), n_punct, n_stop (English stopwords), stop_ratio round 4."""
+    stops = _STOPWORDS["en"]
+
+    def stats(b: pa.Table) -> pa.Table:
+        text = b[text_col]
+        n_chars = pc.utf8_length(text)
+        words = pc.split_pattern(text, " ")
+        n_words = pc.list_value_length(words)
+        n_tokens = pc.count_substring_regex(text, TOKEN_RE)
+        n_punct = pc.count_substring_regex(text, r"[^\w\s]")
+        flat = pc.list_flatten(words)
+        parents = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        is_stop = pc.is_in(pc.utf8_lower(flat),
+                           value_set=pa.array(sorted(stops))).to_numpy(zero_copy_only=False)
+        n_stop = np.zeros(b.num_rows, dtype=np.int64)
+        np.add.at(n_stop, parents[is_stop], 1)
+        ratio = [round(s / w, 4) if w else 0.0
+                 for s, w in zip(n_stop, n_words.to_pylist())]
+        return pa.table({
+            id_col: b[id_col],
+            "n_chars_calc": pc.cast(n_chars, pa.int64()),
+            "n_words": pc.cast(n_words, pa.int64()),
+            "n_tokens": pc.cast(n_tokens, pa.int64()),
+            "n_punct": pc.cast(n_punct, pa.int64()),
+            "n_stop": pa.array(n_stop, pa.int64()),
+            "stop_ratio": pa.array(ratio, pa.float64()),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+class LangId:
+    """Actor-pool language-ID: stopword-hit-rate heuristic per language —
+    dictionaries compiled once per actor."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col, self.id_col = text_col, id_col
+        self.tables = {lang: frozenset(words) for lang, words in _STOPWORDS.items()}
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        preds, confs = [], []
+        for t in b[self.text_col].to_pylist():
+            toks = [w.lower() for w in t.split()]
+            if not toks:
+                preds.append("und")
+                confs.append(0.0)
+                continue
+            scores = {lang: sum(w in tbl for w in toks) / len(toks)
+                      for lang, tbl in self.tables.items()}
+            best = max(sorted(scores), key=scores.get)
+            preds.append(best if scores[best] > 0 else "und")
+            confs.append(round(scores[best], 4))
+        return pa.table({
+            self.id_col: b[self.id_col],
+            "lang_pred": pa.array(preds, pa.string()),
+            "lang_conf": pa.array(confs, pa.float64()),
+        })
+
+
+def lang_id(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
+    return ds.map_batches(LangId, batch_format="pyarrow",
+                          fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
+                          concurrency=(1, 4), batch_size=2048)
+
+
+def fingerprint(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
+    """Content fingerprints: md5 (oracle-parity) + a 64-bit polynomial
+    rolling hash over 8-char windows (winnowing-style document signature)."""
+    MOD = (1 << 61) - 1
+    BASE = 257
+    W = 8
+
+    def fp(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        md5s = [hashlib.md5(t.encode()).hexdigest() for t in texts]
+        rolls = []
+        for t in texts:
+            data = t.encode()
+            if len(data) < W:
+                h = 0
+                for c in data:
+                    h = (h * BASE + c) % MOD
+                rolls.append(h)
+                continue
+            h = 0
+            top = pow(BASE, W - 1, MOD)
+            mn = MOD
+            for i, c in enumerate(data):
+                if i >= W:
+                    h = (h - data[i - W] * top) % MOD
+                h = (h * BASE + c) % MOD
+                if i >= W - 1:
+                    mn = min(mn, h)
+            rolls.append(mn)  # min window hash = stable doc signature
+        return pa.table({
+            id_col: b[id_col],
+            "md5": pa.array(md5s, pa.string()),
+            "rolling_min_hash": pa.array(rolls, pa.uint64()),
+        })
+
+    return ds.map_batches(fp, batch_format="pyarrow")

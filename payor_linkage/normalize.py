@@ -66,6 +66,30 @@ def _extract_kind(spans: pa.ChunkedArray | pa.ListArray, kind: str,
     return pa.array(out, type=pa.string())
 
 
+def _serialize_spans(spans: pa.ListArray | pa.ChunkedArray) -> pa.Array:
+    """spans list<struct> → compact JSON per row (order-preserving,
+    lossless — the fidelity invariant is byte-carried from here on)."""
+    import json
+
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    return pa.array(
+        [json.dumps(row, separators=(",", ":"), ensure_ascii=False)
+         for row in spans.to_pylist()],
+        pa.string())
+
+
+def spans_from_json(col) -> pa.Array:
+    """spans_json string column → list<struct> (SPAN_STRUCT)."""
+    import json
+
+    from payor_linkage.schema import SPAN_STRUCT
+
+    vals = col.to_pylist() if hasattr(col, "to_pylist") else list(col)
+    return pa.array([json.loads(v) if v else [] for v in vals],
+                    pa.list_(SPAN_STRUCT))
+
+
 def _nullif_empty(arr: pa.Array) -> pa.Array:
     return pc.if_else(pc.equal(pc.coalesce(arr, pa.scalar("")), ""), pa.scalar(None, pa.string()), arr)
 
@@ -226,16 +250,19 @@ def normalize_batch(batch: pa.Table) -> pa.Table:
         pc.coalesce(pc.utf8_slice_codeunits(zip_code, 0, 3), pa.scalar("XXX")),
         pc.utf8_slice_codeunits(name_clean_nn, 0, 4), "")
 
-    # phonetic key: Soundex of the first clean-name token + state (north rule);
-    # Soundex runs once per unique token, not per row
-    first_tok = pc.replace_substring_regex(name_clean_nn, r"\s.*$", "")
-    toks = first_tok.to_numpy(zero_copy_only=False)
-    uniq = {t: soundex(t) for t in set(toks)}
+    # phonetic key: Soundex of the first TWO clean-name tokens + state
+    # (north rule). Two tokens, not one: single-token Soundex collides too
+    # often at corpus scale (8918 codes) and turns the phonetic block into
+    # a quadratic hot key; the second token keeps spelling-variant recall
+    # while multiplying the key space. Soundex runs per unique token.
+    toks2 = [(t.split(" ", 2) + ["", ""])[:2] if t else ["", ""]
+             for t in name_clean_nn.to_pylist()]
+    uniq = {t: soundex(t) for pair in toks2 for t in pair}
     block_phonetic = pc.binary_join_element_wise(
-        pa.array([uniq[t] for t in toks], type=pa.string()),
+        pa.array([uniq[a] + uniq[b] for a, b in toks2], type=pa.string()),
         pc.coalesce(state_code, pa.scalar("XX")), "")
-    # soundex is exactly 4 chars when the name has letters; an empty-name key
-    # (just the 2-char state) carries no signal → null (not emitted)
+    # first-token soundex is 4 chars when the name has letters; an
+    # empty-name key (just the 2-char state) carries no signal → null
     block_phonetic = pc.if_else(pc.less(pc.utf8_length(block_phonetic), 6),
                                 pa.scalar(None, pa.string()), block_phonetic)
 
@@ -270,7 +297,8 @@ def normalize_batch(batch: pa.Table) -> pa.Table:
         "block_zip3_name4": block_zip3_name4,
         "block_phonetic": block_phonetic,
         "media_fingerprint": pc.coalesce(logo_ref, scan_ref),
-        "spans": spans,  # carried verbatim — never rebuilt
+        # carried verbatim, serialized — shuffles/joins treat it as opaque
+        "spans_json": _serialize_spans(spans),
     }
     out = pa.table({k: pc.cast(v, UNIFIED_SCHEMA.field(k).type) for k, v in cols.items()})
     # carry sidecar labels when present (test/bench mode)

@@ -25,6 +25,87 @@ def join_partitions(requested: int | None = None, cap: int = 64) -> int:
     return max(2, min(requested, auto))
 
 
+def grouped_apply(ds: Dataset, key: str, group_fn=None, out_schema: pa.Schema = None,
+                  runs_fn=None) -> Dataset:
+    """``groupby(key).map_groups(group_fn)`` with block-amortized overhead.
+
+    Ray's ``map_groups`` pays ~1ms of harness overhead per group — ruinous
+    for millions of tiny groups. This sorts once, then slices group runs
+    *inside* each block vectorized; only the runs touching a block edge
+    (a key can straddle blocks) are deferred to a single small
+    consolidation pass. Exact: every group processed exactly once.
+
+    Provide either ``group_fn`` (pa.Table of one complete group →
+    pa.Table(out_schema)) or ``runs_fn`` (pa.Table block + starts/ends
+    numpy arrays of complete runs → pa.Table(out_schema)) — runs_fn lets
+    the caller vectorize ACROSS groups in a block.
+    """
+    import numpy as np
+
+    assert (group_fn is None) != (runs_fn is None)
+    s = ds.sort(key).materialize()
+    empty = out_schema.empty_table()
+
+    def _runs(keys) -> tuple:
+        arr = keys.to_numpy(zero_copy_only=False)
+        starts = np.nonzero(np.concatenate([[True], arr[1:] != arr[:-1]]))[0]
+        ends = np.concatenate([starts[1:], [len(arr)]])
+        return starts, ends
+
+    def apply_runs(b: pa.Table, starts, ends) -> pa.Table:
+        if len(starts) == 0:
+            return empty
+        if runs_fn is not None:
+            return runs_fn(b, starts, ends)
+        outs = [group_fn(b.slice(starts[i], ends[i] - starts[i]))
+                for i in range(len(starts))]
+        return pa.concat_tables(outs) if outs else empty
+
+    def interior(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        starts, ends = _runs(b[key])
+        return apply_runs(b, starts[1:-1], ends[1:-1])  # skip first+last run
+
+    def boundary_rows(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        starts, ends = _runs(b[key])
+        if len(starts) == 1:
+            return b  # single-key block: everything is boundary
+        head = b.slice(0, ends[0])
+        tail = b.slice(starts[-1], b.num_rows - starts[-1])
+        return pa.concat_tables([head, tail])
+
+    def consolidate(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        starts, ends = _runs(b[key])
+        return apply_runs(b, starts, ends)
+
+    part_a = s.map_batches(interior, batch_format="pyarrow", batch_size=None)
+    part_b = (s.map_batches(boundary_rows, batch_format="pyarrow", batch_size=None)
+              .repartition(1)
+              .map_batches(consolidate, batch_format="pyarrow", batch_size=None))
+    return part_a.union(part_b)
+
+
+def smart_join(left: Dataset, right: Dataset, on: str,
+               small_threshold: int = 5_000) -> Dataset:
+    """Inner equi-join choosing the implementation by size: Ray's hash
+    join for real data (partitions sized so none is empty — the hash-join
+    aggregator crashes on empty partition blocks), the union-merge join
+    below for small inputs where empty partitions are likely."""
+    left = left.materialize()
+    right = right.materialize()
+    n = min(left.count(), right.count())
+    if n < small_threshold:
+        return nested_safe_join(left, right, on)
+    num_partitions = join_partitions(max(2, n // 50_000))
+    return left.join(right, join_type="inner", num_partitions=num_partitions,
+                     on=(on,))
+
+
 def nested_safe_join(left: Dataset, right: Dataset, on: str) -> Dataset:
     """Inner equi-join that tolerates nested (list/struct) payload columns.
 

@@ -82,8 +82,10 @@ UNIFIED_COLUMNS = [
     ("block_phonetic", pa.string()),
     # media fingerprint for pair scoring (first logo/scan media_ref)
     ("media_fingerprint", pa.string()),
-    # spans carried verbatim (span-sequence fidelity invariant)
-    ("spans", pa.list_(SPAN_STRUCT)),
+    # spans carried verbatim, serialized to JSON (span-sequence fidelity
+    # invariant; serialized so every downstream shuffle/join treats it as
+    # an opaque string — pyarrow acero rejects nested non-key join fields)
+    ("spans_json", pa.string()),
 ]
 
 UNIFIED_SCHEMA = pa.schema(UNIFIED_COLUMNS)

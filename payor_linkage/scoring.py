@@ -188,19 +188,28 @@ class EnsembleScorer:
 
 
 def score_pairs(pairs, cfg=None):
-    """pairs Dataset → scored pairs Dataset via the EnsembleScorer pool."""
+    """pairs Dataset → scored pairs Dataset via the EnsembleScorer pool.
+
+    Pool autoscales (1, cluster CPUs) by default — scoring is the
+    dominant compute stage, but the autoscaler releases actors when the
+    read/shuffle stages need room."""
+    import ray
+
     from payor_linkage.config import ScoringConfig
 
     cfg = cfg or ScoringConfig()
-    kwargs = {}
     if cfg.concurrency is not None:
-        kwargs["concurrency"] = cfg.concurrency
+        concurrency = cfg.concurrency
     else:
-        kwargs["concurrency"] = (1, 8)
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        concurrency = (1, max(2, cpus))
     return pairs.map_batches(
         EnsembleScorer,
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
         num_cpus=1,
-        **kwargs,
+        concurrency=concurrency,
     )

@@ -31,9 +31,10 @@ from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from ray.data import Dataset
 
-from payor_linkage.rayutil import join_partitions, nested_safe_join
+from payor_linkage.rayutil import join_partitions, smart_join
 from payor_linkage.schema import COMPLETENESS_FIELDS, GOLDEN_FIELDS, GOLDEN_SCHEMA
 
 
@@ -63,119 +64,191 @@ class SurvivorshipConfig:
     })
 
 
-def _first_non_null(series: pd.Series, order: np.ndarray):
-    vals = series.to_numpy()[order]
-    for v in vals:
-        if v is not None and not (isinstance(v, float) and np.isnan(v)):
+def _first_non_null(vals: list, order) -> object:
+    for i in order:
+        v = vals[i]
+        if v is not None:
             return v
     return None
 
 
-def _apply_rule(rule: str, g: pd.DataFrame, col: str,
-                trust_order: np.ndarray, recent_order: np.ndarray):
-    s = g[col]
+def _apply_rule(rule: str, cols: dict, col: str,
+                trust_order: list, recent_order: list):
+    """One survivorship rule over one group's plain-python column lists."""
+    vals = cols[col]
     if rule == "source_priority":
-        return _first_non_null(s, trust_order)
+        return _first_non_null(vals, trust_order)
     if rule == "cms_priority":
         # cms_reference outranks everything, then trust+10 (`:63`)
-        rank = np.where(g["source_system"].to_numpy() == "cms_reference", 1,
-                        g["source_trust_rank"].to_numpy() + 10)
-        order = g.assign(_rank=rank).sort_values(
-            ["_rank", "source_record_id"]).index.to_numpy()
-        return _first_non_null(s, order)
+        n = len(vals)
+        order = sorted(range(n), key=lambda i: (
+            1 if cols["source_system"][i] == "cms_reference"
+            else (cols["source_trust_rank"][i] or 0) + 10,
+            cols["source_record_id"][i]))
+        return _first_non_null(vals, order)
     if rule == "most_recent":
-        return _first_non_null(s, recent_order)
+        return _first_non_null(vals, recent_order)
     if rule == "most_complete":
-        mask = s.notna() & (s.astype(str).str.strip() != "")
-        if not mask.any():
+        cand = [str(v) for v in vals if v is not None and str(v).strip() != ""]
+        if not cand:
             return None
-        cand = s[mask].astype(str)
-        lens = cand.str.len()
-        best = cand[lens == lens.max()]
-        return sorted(best)[0]  # deterministic tie-break (reference MAX_BY is arbitrary)
+        mx = max(len(c) for c in cand)
+        return sorted(c for c in cand if len(c) == mx)[0]  # deterministic tie
     if rule == "most_frequent":
-        vc = s.dropna()
-        if vc.empty:
+        from collections import Counter
+
+        nn = [v for v in vals if v is not None]
+        if not nn:
             return None
-        counts = vc.value_counts()
-        top = counts[counts == counts.max()]
-        return sorted(top.index)[0]
+        counts = Counter(nn)
+        mx = max(counts.values())
+        return sorted(k for k, c in counts.items() if c == mx)[0]
     if rule == "any_true":
-        nn = s.dropna()
-        return bool(nn.any()) if len(nn) else None
+        nn = [v for v in vals if v is not None]
+        return any(nn) if nn else None
     if rule == "any_non_null":
-        return _first_non_null(s, trust_order)
+        return _first_non_null(vals, trust_order)
     if rule == "earliest":
-        nn = s.dropna()
-        return nn.min() if len(nn) else None
+        nn = [v for v in vals if v is not None]
+        return min(nn) if nn else None
     if rule == "latest":
-        nn = s.dropna()
-        return nn.max() if len(nn) else None
+        nn = [v for v in vals if v is not None]
+        return max(nn) if nn else None
     if rule == "manual":
         return None  # steward-only field: never auto-populated
     raise ValueError(f"unknown survivorship rule: {rule}")
 
 
+_GOLDEN_JSON_SCHEMA = pa.schema(
+    [f if f.name != "spans" else pa.field("spans_json", pa.string())
+     for f in GOLDEN_SCHEMA])
+
+_GROUP_COLS = ["match_group_id", "source_record_id", "source_system",
+               "source_trust_rank", "is_survivor", "group_confidence",
+               "loaded_us", "spans_json"] + GOLDEN_FIELDS
+
+
 def make_golden_fn(cfg: SurvivorshipConfig):
+    """Group fn in pyarrow batch format with plain-python rule logic —
+    groups are tiny (a handful of source records), so python beats
+    pandas-per-group by an order of magnitude."""
     rules = cfg.rules
 
-    def golden_for_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.reset_index(drop=True)
-        trust_order = g.sort_values(
-            ["source_trust_rank", "source_record_id"]).index.to_numpy()
-        # loaded_at desc, nulls last, id tie-break (`:81`)
-        recent_order = g.sort_values(
-            ["loaded_at", "source_record_id"], ascending=[False, True],
-            na_position="last").index.to_numpy()
+    def golden_for_group(g: pa.Table) -> pa.Table:
+        cols = {c: g[c].to_pylist() for c in _GROUP_COLS if c in g.column_names}
+        n = g.num_rows
+        rid = cols["source_record_id"]
+        trust = cols["source_trust_rank"]
+        trust_order = sorted(range(n), key=lambda i: (trust[i] or 999, rid[i]))
+        loaded = cols["loaded_us"]
+        recent_order = sorted(range(n), key=lambda i: (
+            loaded[i] is None,
+            -loaded[i] if loaded[i] is not None else 0,
+            rid[i]))
 
-        out = {"master_payor_id": g["match_group_id"].iloc[0]}
+        out = {"master_payor_id": cols["match_group_id"][0]}
         for col in GOLDEN_FIELDS:
-            out[col] = _apply_rule(rules[col], g, col, trust_order, recent_order)
+            out[col] = _apply_rule(rules[col], cols, col, trust_order, recent_order)
 
         # A10 completeness over the 15 named fields, round 4
         nn = sum(1 for c in COMPLETENESS_FIELDS if out[c] is not None)
         out["completeness_score"] = round(nn / 15.0, 4)
         # A8 distinct source systems
-        out["source_count"] = int(g["source_system"].nunique())
+        out["source_count"] = len(set(cols["source_system"]))
         # A9 avg(coalesce(group_confidence, 1.0)) — constant per group
-        conf = g["group_confidence"].iloc[0]
-        out["confidence_score"] = float(conf) if pd.notna(conf) else 1.0
+        conf = cols["group_confidence"][0]
+        out["confidence_score"] = float(conf) if conf is not None else 1.0
 
-        # survivor's spans verbatim (fidelity invariant)
-        surv = g[g["is_survivor"]]
-        row = surv.iloc[0] if len(surv) else g.iloc[0]
-        out["survivor_record_id"] = row["source_record_id"]
-        spans_val = row["spans"]
-        if hasattr(spans_val, "tolist"):
-            spans_val = spans_val.tolist()
-        out["spans"] = spans_val
+        # survivor's spans verbatim (fidelity invariant, byte-carried JSON)
+        surv = cols["is_survivor"]
+        si = next((i for i in range(n) if surv[i]), 0)
+        out["survivor_record_id"] = rid[si]
+        out["spans_json"] = cols.get("spans_json", [None] * n)[si]
 
-        # emit a typed Arrow row — pandas→Arrow inference can't handle the
-        # nested spans cell / all-null columns consistently across groups
-        import pyarrow as pa
-        arrays = []
-        for f in GOLDEN_SCHEMA:
-            v = out.get(f.name)
-            if isinstance(v, float) and np.isnan(v):
-                v = None
-            if hasattr(v, "item") and not isinstance(v, (list, str)):
-                v = v.item()
-            arrays.append(pa.array([v], type=f.type))
-        return pa.Table.from_arrays(arrays, schema=GOLDEN_SCHEMA)
+        return pa.Table.from_arrays(
+            [pa.array([out.get(f.name)], type=f.type) for f in _GOLDEN_JSON_SCHEMA],
+            schema=_GOLDEN_JSON_SCHEMA)
 
     return golden_for_group
+
+
+def make_golden_runs_fn(cfg: SurvivorshipConfig):
+    """Block-level variant: extract columns once per block, run the
+    per-group rules on python list slices, emit ONE table per block —
+    kills the per-group Arrow overhead (rules are identical to
+    make_golden_fn)."""
+    rules = cfg.rules
+    out_names = [f.name for f in _GOLDEN_JSON_SCHEMA]
+
+    def golden_runs(b: pa.Table, starts, ends) -> pa.Table:
+        present = [c for c in _GROUP_COLS if c in b.column_names]
+        all_cols = {c: b[c].to_pylist() for c in present}
+        out_rows: dict[str, list] = {name: [] for name in out_names}
+
+        for s_, e_ in zip(starts, ends):
+            cols = {c: v[s_:e_] for c, v in all_cols.items()}
+            n = e_ - s_
+            rid = cols["source_record_id"]
+            trust = cols["source_trust_rank"]
+            trust_order = sorted(range(n), key=lambda i: (trust[i] or 999, rid[i]))
+            loaded = cols["loaded_us"]
+            recent_order = sorted(range(n), key=lambda i: (
+                loaded[i] is None,
+                -loaded[i] if loaded[i] is not None else 0,
+                rid[i]))
+
+            out = {"master_payor_id": cols["match_group_id"][0]}
+            for col in GOLDEN_FIELDS:
+                out[col] = _apply_rule(rules[col], cols, col, trust_order, recent_order)
+            nn = sum(1 for c in COMPLETENESS_FIELDS if out[c] is not None)
+            out["completeness_score"] = round(nn / 15.0, 4)
+            out["source_count"] = len(set(cols["source_system"]))
+            conf = cols["group_confidence"][0]
+            out["confidence_score"] = float(conf) if conf is not None else 1.0
+            surv = cols["is_survivor"]
+            si = next((i for i in range(n) if surv[i]), 0)
+            out["survivor_record_id"] = rid[si]
+            out["spans_json"] = cols.get("spans_json", [None] * n)[si]
+            for name in out_names:
+                out_rows[name].append(out.get(name))
+
+        return pa.Table.from_arrays(
+            [pa.array(out_rows[f.name], type=f.type) for f in _GOLDEN_JSON_SCHEMA],
+            schema=_GOLDEN_JSON_SCHEMA)
+
+    return golden_runs
 
 
 def build_golden(groups: Dataset, unified: Dataset,
                  cfg: SurvivorshipConfig | None = None,
                  num_partitions: int | None = None) -> Dataset:
-    """MATCH_GROUPS ⋈ unified → one golden record per group."""
+    """MATCH_GROUPS ⋈ unified → one golden record per group (golden rows
+    carry the survivor document's spans, re-hydrated to list<struct>)."""
+    from payor_linkage.normalize import spans_from_json
+
+    from payor_linkage.rayutil import grouped_apply
+
     cfg = cfg or SurvivorshipConfig()
-    # spans (list<struct>) must survive this join → nested-safe union-merge
-    # (acero hash join rejects nested non-key fields)
-    members = nested_safe_join(groups, unified, on="source_record_id")
-    return members.groupby("match_group_id").map_groups(
-        make_golden_fn(cfg), batch_format="pandas")
+    members = smart_join(groups, unified, on="source_record_id")
+
+    def precast(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # loaded_at → int64 µs: ordering key only; avoids per-group
+        # datetime materialization (os.environ TZ lookups per row)
+        loaded = pc.cast(b["loaded_at"], pa.int64())
+        return b.drop_columns(["loaded_at"]).append_column("loaded_us", loaded)
+
+    members = members.map_batches(precast, batch_format="pyarrow")
+    golden = grouped_apply(members, "match_group_id",
+                           out_schema=_GOLDEN_JSON_SCHEMA,
+                           runs_fn=make_golden_runs_fn(cfg))
+
+    def hydrate(b: pa.Table) -> pa.Table:
+        spans = spans_from_json(b["spans_json"])
+        return b.drop_columns(["spans_json"]).append_column("spans", spans)
+
+    return golden.map_batches(hydrate, batch_format="pyarrow")
 
 
 def build_xref(groups: Dataset, unified: Dataset, num_partitions: int | None = None) -> Dataset:
@@ -183,8 +256,7 @@ def build_xref(groups: Dataset, unified: Dataset, num_partitions: int | None = N
     import pyarrow as pa
 
     slim = unified.select_columns(["source_record_id", "source_system", "source_id"])
-    j = groups.join(slim, join_type="inner", num_partitions=join_partitions(num_partitions),
-                    on=("source_record_id",))
+    j = smart_join(groups, slim, on="source_record_id")
 
     def proj(b: pa.Table) -> pa.Table:
         return pa.table({

@@ -342,21 +342,24 @@ def _maybe_stale_status(rng: random.Random, is_active: bool, source: str) -> boo
 
 
 class _TaxPool:
-    """Allocates unique 9-digit tax ids with pairwise hamming distance ≥ 3,
-    so cross-entity TIN_TRANS (≤2-digit difference → 0.7/0.9 score,
+    """Allocates unique 9-digit tax ids: a replica-derived 4-digit prefix
+    (cross-replica DET-1 exact matches impossible for <9000 replicas) plus
+    a 5-digit suffix kept at pairwise hamming distance ≥ 3 within the
+    replica, so cross-entity TIN_TRANS (≤2-digit difference → 0.7/0.9,
     `11_ensemble_udfs.sql:276-300`) can never fire between distinct
     entities — within-entity typo messiness still exercises it."""
 
-    def __init__(self, rng: random.Random):
+    def __init__(self, rng: random.Random, replica: int = 0):
         self.rng = rng
+        self.prefix = f"{1000 + replica % 9000:04d}"
         self.assigned: list[str] = []
 
     def next(self) -> str:
         while True:
-            cand = f"{self.rng.randint(100000000, 999999999)}"
+            cand = f"{self.rng.randint(10000, 99999)}"
             if all(sum(a != b for a, b in zip(cand, t)) >= 3 for t in self.assigned):
                 self.assigned.append(cand)
-                return cand
+                return self.prefix + cand
 
 
 def _audit_separable(names_states: list[tuple[str, str]]) -> bool:
@@ -390,15 +393,20 @@ def build_entities(rng: random.Random, replica: int = 0) -> list[dict]:
     entities = []
     eid_base = replica * 1_000_000
     eid = 0
-    taxes = _TaxPool(rng)
-    cms_seen: set[str] = set()
+    taxes = _TaxPool(rng, replica)
+    cms_counter = [0]
 
     def next_cms() -> str:
-        while True:
-            c = f"H{rng.randint(1000, 9999)}"
-            if c not in cms_seen:
-                cms_seen.add(c)
-                return c
+        # 'H' + base36(replica*64 + idx): globally unique across replicas
+        # (cross-replica CMS_EXACT / CMS_PFX can never fire)
+        n = replica * 64 + cms_counter[0]
+        cms_counter[0] += 1
+        digits36 = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+        out = []
+        for _ in range(4):
+            out.append(digits36[n % 36])
+            n //= 36
+        return "H" + "".join(out)
     token_map = _replica_token_map(replica) if replica > 0 else {}
     for fam_id, parent_name, parent_tax, parent_state, parent_city, members in FAMILIES:
         if replica > 0:
@@ -535,11 +543,14 @@ _SOURCE_PREFIX = {"crm": "crm", "claims": "claims", "credentialing": "cred", "cm
 
 
 def _record_to_document(rng: random.Random, source: str, rec: dict, entity: dict | None,
-                        loaded_at: datetime) -> dict:
+                        loaded_at: datetime, replica: int = 0) -> dict:
     """Build one interleaved document: text spans for every non-null field,
     media spans (logo/scan) with entity-linked refs, order seeded-shuffled,
-    offsets strictly increasing."""
-    doc_id = f"{_SOURCE_PREFIX[source]}:{rec['source_id']}"
+    offsets strictly increasing. Replica worlds embed the replica index in
+    the source_id so record ids are globally unique (doc_id is the join /
+    blocking / clustering identity — collisions would hard-merge worlds)."""
+    sid = rec["source_id"] if replica == 0 else f"R{replica:05d}-{rec['source_id']}"
+    doc_id = f"{_SOURCE_PREFIX[source]}:{sid}"
     fields = [("source_system", source)]
     for k, v in rec.items():
         if k == "source_id" or v is None:
@@ -597,18 +608,18 @@ def build_replica(replica: int = 0, seed: int = SEED) -> pa.Table:
             if rng.random() < prob:
                 counters[source] += 1
                 rec = _SOURCE_BUILDERS[source](rng, e, counters[source])
-                docs.append(_record_to_document(rng, source, rec, e, loaded_at()))
+                docs.append(_record_to_document(rng, source, rec, e, loaded_at(), replica))
                 # 5% within-source duplicate in CRM with a claims-style name
                 if source == "crm" and rng.random() < 0.05:
                     counters[source] += 1
                     dup = _crm_record(rng, e, counters[source])
                     dup["payor_name"] = _name_variant(rng, e["name"], "claims")
-                    docs.append(_record_to_document(rng, "crm", dup, e, loaded_at()))
+                    docs.append(_record_to_document(rng, "crm", dup, e, loaded_at(), replica))
 
     # orphan records: CRM-only, unmatched by construction (taxes drawn from
     # the same separated pool so they can't near-collide with entities)
-    orphan_taxes = _TaxPool(rng)
-    orphan_taxes.assigned = [e["tax_id"] for e in entities if e["tax_id"]]
+    orphan_taxes = _TaxPool(rng, replica)
+    orphan_taxes.assigned = [e["tax_id"][4:] for e in entities if e["tax_id"]]
     for orphan_i in range(rng.randint(5, 8)):
         counters["crm"] += 1
         tax = orphan_taxes.next()
@@ -627,7 +638,7 @@ def build_replica(replica: int = 0, seed: int = SEED) -> pa.Table:
             "parent_ref": None, "status": "active",
             "effective_date": date(2022, 1, 1).isoformat(), "termination_date": None,
         }
-        docs.append(_record_to_document(rng, "crm", orphan, None, loaded_at()))
+        docs.append(_record_to_document(rng, "crm", orphan, None, loaded_at(), replica))
 
     # parent/child confusion: child claims record carrying the parent's name.
     # Only for children in a *different* state than the parent — same-state
@@ -644,7 +655,7 @@ def build_replica(replica: int = 0, seed: int = SEED) -> pa.Table:
             rec = _claims_record(rng, e, counters["claims"])
             rec["payor_name"] = _name_variant(rng, e["parent_name"], "claims")
             rec["tax_id"] = _tax_id_variant(rng, e["tax_id"], "claims")
-            docs.append(_record_to_document(rng, "claims", rec, e, loaded_at()))
+            docs.append(_record_to_document(rng, "claims", rec, e, loaded_at(), replica))
             confused += 1
 
     return pa.Table.from_pylist(docs, schema=DOCUMENT_LABELED_SCHEMA)

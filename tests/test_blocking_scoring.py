@@ -3,7 +3,8 @@
 import pyarrow as pa
 import pytest
 
-from payor_linkage.blocking import _emit_pairs, _is_degenerate_key, _key_rows_batch, _salt_batch
+from payor_linkage.blocking import (_is_degenerate_key, _key_rows_batch,
+                                    _salt_batch, make_pair_emitter)
 from payor_linkage.decide import candidate_uuid, decide
 from payor_linkage.schema import PAIR_PAYLOAD_FIELDS
 from payor_linkage.scoring import EnsembleScorer
@@ -41,9 +42,24 @@ def test_emit_pairs_canonical_and_complete():
         [{"id": x, "namekey": "SAMEKY"} for x in ["r3", "r1", "r2"]]),
         use_phonetic=False)
     g = g.filter(pa.compute.starts_with(g["bkey"], "name|"))
-    pairs = _emit_pairs(g).to_pylist()
+    pairs = make_pair_emitter({})(g).to_pylist()
     keys = {(p["source_record_id_a"], p["source_record_id_b"]) for p in pairs}
     assert keys == {("r1", "r2"), ("r1", "r3"), ("r2", "r3")}  # a<b, all pairs
+
+
+def test_emit_pairs_precedence_no_duplicates():
+    """A pair sharing tax AND name keys is emitted only by the tax group
+    (minimum common key wins) — the SELECT DISTINCT without a shuffle."""
+    rows = [{"id": "a", "tax": "123456789", "namekey": "SAMEKY",
+             "tax_id": "123456789"},
+            {"id": "b", "tax": "123456789", "namekey": "SAMEKY",
+             "tax_id": "123456789"}]
+    kr = _key_rows_batch(_unified_rows(rows), use_phonetic=False)
+    emit = make_pair_emitter({})
+    tax_group = kr.filter(pa.compute.starts_with(kr["bkey"], "tax|"))
+    name_group = kr.filter(pa.compute.starts_with(kr["bkey"], "name|"))
+    assert emit(tax_group).num_rows == 1
+    assert emit(name_group).num_rows == 0  # name group defers to tax
 
 
 def test_degenerate_keys():
@@ -56,29 +72,61 @@ def test_degenerate_keys():
 
 
 def test_salting_bounds_blocks_and_keeps_liaison():
-    rows = [{"id": f"r{i:03d}", "namekey": "HOTKEY"} for i in range(50)]
+    rows = [{"id": f"r{i:03d}", "namekey": "HOTKEY9"} for i in range(50)]
     t = _key_rows_batch(_unified_rows(rows), use_phonetic=False)
     t = t.filter(pa.compute.starts_with(t["bkey"], "name|"))
-    hot = {"name|HOTKEY": 50}
-    salted = _salt_batch(t, hot, cap=10, park_degenerate=True)
+    salted = _salt_batch(t, {"name|HOTKEY9": 5})  # 5 salt sub-blocks
     keys = salted["bkey"].to_pylist()
     import collections
     counts = collections.Counter(keys)
-    # 5 salt sub-blocks + liaison block
-    assert all(k.startswith("name|HOTKEY#") for k in counts)
-    assert "name|HOTKEY#L" in counts
+    assert all(k.startswith("name|HOTKEY9#") for k in counts)
+    assert "name|HOTKEY9#L" in counts
     non_liaison = {k: c for k, c in counts.items() if not k.endswith("#L")}
+    assert len(non_liaison) == 5
     assert max(non_liaison.values()) < 25  # bounded sub-blocks
-    # liaison members duplicated from salt 0
-    assert counts["name|HOTKEY#L"] == non_liaison["name|HOTKEY#0"]
+    # liaison samples ACROSS salts (independent hash), expected ≈ 50/5
+    from payor_linkage.blocking import _is_liaison_member, _salt_of
+    lia_ids = {f"r{i:03d}" for i in range(50) if _is_liaison_member(f"r{i:03d}", 5)}
+    assert counts["name|HOTKEY9#L"] == len(lia_ids)
+    lia_salts = {_salt_of(i, 5) for i in lia_ids}
+    assert len(lia_salts) > 1  # members from more than one sub-block
 
 
 def test_salting_parks_degenerate():
     rows = [{"id": f"r{i:03d}", "namekey": "XX"} for i in range(50)]
     t = _key_rows_batch(_unified_rows(rows), use_phonetic=False)
     t = t.filter(pa.compute.starts_with(t["bkey"], "name|"))
-    salted = _salt_batch(t, {"name|XX": 50}, cap=10, park_degenerate=True)
+    salted = _salt_batch(t, {"name|XX": -1})  # parked
     assert salted.num_rows == 0
+
+
+def test_blocking_matches_naive_reference_semantics(ray_session):
+    """blocking_pairs == the reference self-join's DISTINCT pair set
+    (`int_blocking_pairs.sql:11-33`, + phonetic key) on the seeded corpus,
+    each pair exactly once."""
+    import pandas as pd
+
+    from payor_linkage.blocking import blocking_pairs
+    from payor_linkage.normalize import unify
+    from payor_linkage.synth import synth_documents
+
+    unified = unify(synth_documents(1)).materialize()
+    got = blocking_pairs(unified).to_pandas()
+    assert not got.duplicated(["source_record_id_a", "source_record_id_b"]).any()
+
+    u = unified.select_columns(
+        ["source_record_id", "block_tax_id", "block_name_key",
+         "block_zip3_name4", "block_phonetic"]).to_pandas()
+    naive = set()
+    for col, guard in [("block_tax_id", True), ("block_name_key", False),
+                       ("block_zip3_name4", False), ("block_phonetic", True)]:
+        s = u[["source_record_id", col]].dropna()
+        if guard:
+            s = s[s[col] != ""]
+        m = s.merge(s, on=col)
+        m = m[m.source_record_id_x < m.source_record_id_y]
+        naive |= set(zip(m.source_record_id_x, m.source_record_id_y))
+    assert set(zip(got.source_record_id_a, got.source_record_id_b)) == naive
 
 
 def _pair(a="a", b="b", **kw):

@@ -1,0 +1,190 @@
+"""Unit tests for the training-data operators (dedup / similarity / text /
+multimodal) on crafted inputs."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _doc_ds(texts, ids=None):
+    import ray.data as rd
+
+    ids = ids if ids is not None else list(range(len(texts)))
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["s0"] * len(texts), pa.string()),
+    }))
+
+
+def test_exact_dedup(ray_session):
+    from payor_linkage.dataops.dedup import exact_dedup
+
+    ds = _doc_ds(["aaa", "bbb", "aaa", "ccc", "aaa"])
+    out = exact_dedup(ds).to_pandas().sort_values("text").reset_index(drop=True)
+    assert out.text.tolist() == ["aaa", "bbb", "ccc"]
+    assert out.keeper_id.tolist() == [0, 1, 3]
+    assert out.n_dups.tolist() == [3, 1, 1]
+
+
+def test_minhash_lsh_finds_near_dups(ray_session):
+    from payor_linkage.dataops.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = base.replace("lazy", "sleepy")
+    far = "completely different content about spark shuffles and arrow batches"
+    ds = _doc_ds([base, near, far])
+    out = minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+    assert {(0, 1)} == set(zip(out.id_a, out.id_b))
+    assert (out.jaccard >= 0.5).all()
+
+
+def test_minhash_deterministic(ray_session):
+    from payor_linkage.dataops.dedup import _minhash_sig, _perm_params
+
+    a, b = _perm_params(64)
+    s1 = _minhash_sig("hello world text", a, b, 3)
+    s2 = _minhash_sig("hello world text", a, b, 3)
+    assert (s1 == s2).all()
+
+
+def test_simhash_pairs(ray_session):
+    from payor_linkage.dataops.dedup import simhash_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    far = "one two three four five six seven eight nine ten"
+    ds = _doc_ds([base, near, far])
+    out = simhash_pairs(ds, max_hamming=16).to_pandas()
+    assert (0, 1) in set(zip(out.id_a, out.id_b))
+    assert (2 not in set(out.id_a)) and (2 not in set(out.id_b))
+
+
+def test_ngram_vs_charset_jaccard(ray_session):
+    from payor_linkage.dataops.dedup import charset_jaccard, ngram_jaccard_pairs
+
+    assert charset_jaccard("abc", "abd") == 0.5
+    ds = _doc_ds(["abcdefgh", "abcdefgx", "zzzzzzzz"])
+    out = ngram_jaccard_pairs(ds, ["source", "lang"], threshold=0.3, k=3).to_pandas()
+    assert (0, 1) in set(zip(out.id_a, out.id_b))
+
+
+def _emb_ds(vectors, ids=None):
+    import ray.data as rd
+
+    ids = ids if ids is not None else list(range(len(vectors)))
+    return rd.from_arrow(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vectors],
+                              pa.list_(pa.float32())),
+    }))
+
+
+def test_embedding_neardup(ray_session):
+    from payor_linkage.dataops.dedup import embedding_neardup_pairs
+
+    v = [[1, 0, 0], [0.99, 0.1, 0], [0, 1, 0]]
+    out = embedding_neardup_pairs(_emb_ds(v), threshold=0.9).to_pandas()
+    assert set(zip(out.id_a, out.id_b)) == {(0, 1)}
+
+
+def test_ann_topk_ordering(ray_session):
+    from payor_linkage.dataops.similarity import ann_topk
+
+    rng = np.random.RandomState(3)
+    V = rng.randn(30, 8)
+    out = ann_topk(_emb_ds(V), query_ids=[0], k=3).to_pandas()
+    assert len(out) == 3
+    assert out["rank"].tolist() == [1, 2, 3]
+    # brute-force reference
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    cos = Vn[0] @ Vn.T
+    cos[0] = -2
+    expect = np.argsort(-cos)[:3]
+    assert out.neighbor_id.tolist() == list(expect)
+
+
+def test_ivf_recall_reasonable(ray_session):
+    from payor_linkage.dataops.similarity import ann_topk, ivf_topk
+
+    rng = np.random.RandomState(5)
+    V = rng.randn(200, 16)
+    exact = ann_topk(_emb_ds(V), query_ids=[0, 1], k=5).to_pandas()
+    approx = ivf_topk(_emb_ds(V), query_ids=[0, 1], k=5, n_centroids=8,
+                      nprobe=4).to_pandas()
+    # nprobe=4 of 8 centroids → expect at least some overlap per query
+    for q in (0, 1):
+        e = set(exact[exact.query_id == q].neighbor_id)
+        a = set(approx[approx.query_id == q].neighbor_id)
+        assert len(e & a) >= 2, (q, e, a)
+
+
+def test_lsh_neardup(ray_session):
+    from payor_linkage.dataops.similarity import lsh_neardup_pairs
+
+    v = [[1, 0, 0, 0], [0.995, 0.05, 0, 0], [0, 1, 0, 0], [0, 0, 1, 0]]
+    out = lsh_neardup_pairs(_emb_ds(v), threshold=0.95, n_planes=6,
+                            n_tables=8).to_pandas()
+    assert (0, 1) in set(zip(out.id_a, out.id_b))
+
+
+def test_doc_stats_counts(ray_session):
+    from payor_linkage.dataops.text import doc_stats
+
+    out = doc_stats(_doc_ds(["the cat, and a dog!"])).to_pandas().iloc[0]
+    assert out.n_chars_calc == 19
+    assert out.n_words == 5           # single-space split
+    assert out.n_punct == 2           # ',' and '!'
+    assert out.n_stop == 3            # the, and, a
+    assert out.stop_ratio == round(3 / 5, 4)
+
+
+def test_lang_id(ray_session):
+    from payor_linkage.dataops.text import lang_id
+
+    ds = _doc_ds([
+        "the cat is on the mat and it is happy",
+        "der Hund ist nicht auf der Matte und das ist gut",
+        "le chat est dans la maison avec le chien",
+        "xyzzy qwerty plugh",
+    ])
+    out = lang_id(ds).to_pandas().sort_values("doc_id")
+    assert out.lang_pred.tolist() == ["en", "de", "fr", "und"]
+
+
+def test_fingerprint_md5(ray_session):
+    import hashlib
+
+    from payor_linkage.dataops.text import fingerprint
+
+    out = fingerprint(_doc_ds(["hello"])).to_pandas().iloc[0]
+    assert out.md5 == hashlib.md5(b"hello").hexdigest()
+    # rolling hash deterministic
+    out2 = fingerprint(_doc_ds(["hello"])).to_pandas().iloc[0]
+    assert out.rolling_min_hash == out2.rolling_min_hash
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data as rd
+
+    from payor_linkage.dataops.multimodal import (FrameSampler, decode_images,
+                                                  sample_frames, synth_media)
+
+    refs = rd.from_items([{"media_ref": f"ref-{i}"} for i in range(10)])
+    media = synth_media(refs).materialize()
+    assert media.count() == 10
+    decoded = decode_images(media).to_pandas()
+    assert len(decoded) == 10
+    assert set(decoded.decoder) <= {"pil", "stub"}
+    assert ((decoded.width >= 64) & (decoded.width < 256)).all()
+    assert decoded.feature.map(len).eq(64).all()
+    # determinism: same ref → same decode
+    d2 = decode_images(synth_media(refs)).to_pandas()
+    assert sorted(decoded.content_hash) == sorted(d2.content_hash)
+
+    frames = sample_frames(media, n_frames=3).to_pandas()
+    assert len(frames) == 30
+
+    with pytest.raises(NotImplementedError):
+        FrameSampler(real=True)

@@ -115,9 +115,11 @@ def test_blocking_keys():
 
 
 def test_spans_carried_verbatim():
+    import json
+
     d = doc("crm:CRM-0010", {"source_system": "crm", "payor_name": "Acme"})
     r = norm([d])[0]
-    assert r["spans"] == d["spans"]
+    assert json.loads(r["spans_json"]) == d["spans"]
 
 
 def test_media_fingerprint():

@@ -66,11 +66,14 @@ def test_hierarchy_fk_and_no_self_loops(pipeline_result):
 def test_span_fidelity(pipeline_result, corpus_table):
     """Per-row invariant: every surviving row's (kind, text, media_ref,
     order) sequence equals its source document's exactly."""
+    import json
+
     src = {r["doc_id"]: r["spans"] for r in corpus_table.to_pylist()}
     uni = pipeline_result.unified.select_columns(
-        ["source_record_id", "spans"]).to_pandas()
-    for rid, spans in zip(uni.source_record_id, uni.spans):
-        got = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
+        ["source_record_id", "spans_json"]).to_pandas()
+    for rid, spans_json in zip(uni.source_record_id, uni.spans_json):
+        got = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+               for s in json.loads(spans_json)]
         want = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in src[rid]]
         assert got == want, rid
     # golden rows carry the survivor document's spans verbatim

@@ -6,7 +6,6 @@ from datetime import date, datetime
 import pyarrow as pa
 import pytest
 
-from payor_linkage.schema import SPAN_STRUCT
 
 
 def _group(rows):
@@ -21,7 +20,7 @@ def _group(rows):
         "city": None, "state_code": None, "zip_code": None, "phone": None,
         "website": None, "payor_type": None, "line_of_business": None,
         "is_active": None, "effective_date": None, "termination_date": None,
-        "loaded_at": None, "spans": [],
+        "loaded_at": None, "spans_json": "[]",
     }
     full = [{**defaults, **r} for r in rows]
     schema = pa.schema([
@@ -35,7 +34,7 @@ def _group(rows):
         ("phone", pa.string()), ("website", pa.string()), ("payor_type", pa.string()),
         ("line_of_business", pa.string()), ("is_active", pa.bool_()),
         ("effective_date", pa.date32()), ("termination_date", pa.date32()),
-        ("loaded_at", pa.timestamp("us")), ("spans", pa.list_(SPAN_STRUCT)),
+        ("loaded_at", pa.timestamp("us")), ("spans_json", pa.string()),
     ])
     return rd.from_arrow(pa.Table.from_pylist(full, schema=schema))
 
@@ -51,7 +50,7 @@ def golden_row(ray_session):
          "payor_name_alt": "short", "is_active": False,
          "effective_date": date(2005, 1, 1), "termination_date": date(2019, 1, 1),
          "loaded_at": datetime(2024, 1, 1), "is_survivor": True,
-         "spans": [{"kind": "payor_name", "text": "Acme Health", "media_ref": "", "offset": 0}]},
+         "spans_json": '[{"kind":"payor_name","text":"Acme Health","media_ref":"","offset":0}]'},
         {"source_record_id": "cred:2", "source_system": "credentialing",
          "source_trust_rank": 2, "payor_name": "Acme Health Services",
          "npi": "1999999999", "payor_name_alt": "the longest alt name",
@@ -63,10 +62,13 @@ def golden_row(ray_session):
          "cms_plan_id": "H9999", "payor_type": "commercial",
          "termination_date": date(2022, 5, 5), "loaded_at": datetime(2023, 1, 1)},
     ])
-    import pandas as pd
-    df = members.to_pandas()
-    out = make_golden_fn(SurvivorshipConfig())(df)
-    return out.to_pylist()[0] if hasattr(out, "to_pylist") else out.iloc[0]
+    import pyarrow.compute as pc
+
+    tbl = pa.Table.from_pandas(members.to_pandas(), preserve_index=False)
+    loaded_us = pc.cast(tbl["loaded_at"], pa.int64())
+    tbl = tbl.drop_columns(["loaded_at"]).append_column("loaded_us", loaded_us)
+    out = make_golden_fn(SurvivorshipConfig())(tbl)
+    return out.to_pylist()[0]
 
 
 def test_source_priority_trust_wins(golden_row):
@@ -108,30 +110,29 @@ def test_metrics(golden_row):
 
 
 def test_survivor_spans_verbatim(golden_row):
+    import json
+
     assert golden_row["survivor_record_id"] == "crm:1"
-    assert golden_row["spans"][0]["text"] == "Acme Health"
+    assert json.loads(golden_row["spans_json"])[0]["text"] == "Acme Health"
 
 
 def test_rule_vocabulary_dispatch(ray_session):
     """most_frequent / any_non_null / manual from the declared vocabulary
     (`05_create_master_tables.sql:96-98`)."""
-    import pandas as pd
-
     from payor_linkage.survivorship import _apply_rule
 
-    g = pd.DataFrame({
+    cols = {
         "source_record_id": ["a", "b", "c"],
         "source_system": ["crm", "claims", "claims"],
         "source_trust_rank": [1, 3, 3],
         "x": ["v1", "v2", "v2"],
-    })
-    import numpy as np
-    order = np.array([0, 1, 2])
-    assert _apply_rule("most_frequent", g, "x", order, order) == "v2"
-    assert _apply_rule("any_non_null", g, "x", order, order) == "v1"
-    assert _apply_rule("manual", g, "x", order, order) is None
+    }
+    order = [0, 1, 2]
+    assert _apply_rule("most_frequent", cols, "x", order, order) == "v2"
+    assert _apply_rule("any_non_null", cols, "x", order, order) == "v1"
+    assert _apply_rule("manual", cols, "x", order, order) is None
     with pytest.raises(ValueError):
-        _apply_rule("bogus", g, "x", order, order)
+        _apply_rule("bogus", cols, "x", order, order)
 
 
 def test_build_golden_end_to_end(pipeline_result):
