@@ -175,10 +175,14 @@ def _local_union_find(edge_rows: list[dict]) -> dict[str, str]:
 
 
 def _propagate_local(edges: Dataset, nodes: Dataset):
-    """Local-CC variant of propagate_labels: same outputs, one broadcast."""
+    """Local-CC variant of propagate_labels: same outputs, one broadcast.
+    Collects columnar (to_pandas, not row dicts) — the driver-side cost is
+    one bounded pass over the edge list."""
     import ray
 
-    edge_rows = edges.take_all()
+    df = edges.to_pandas()
+    edge_rows = [{"src": s, "dst": d} for s, d in
+                 zip(df["src"].to_numpy(), df["dst"].to_numpy())]
     comp = _local_union_find(edge_rows)
     ref = ray.put(comp)
 

@@ -44,6 +44,17 @@ def grouped_apply(ds: Dataset, key: str, group_fn=None, out_schema: pa.Schema = 
 
     assert (group_fn is None) != (runs_fn is None)
     s = ds.sort(key).materialize()
+    # order-preserving block split so every CPU gets interior work (sort
+    # output inherits the input block count, which may be far below the
+    # cluster's parallelism); boundary consolidation cost grows only by
+    # O(blocks) rows
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    target_blocks = max(s.num_blocks(), cpus * 2)
+    if target_blocks > s.num_blocks():
+        s = s.repartition(target_blocks).materialize()
     empty = out_schema.empty_table()
 
     def _runs(keys) -> tuple:
@@ -101,7 +112,14 @@ def smart_join(left: Dataset, right: Dataset, on: str,
     n = min(left.count(), right.count())
     if n < small_threshold:
         return nested_safe_join(left, right, on)
-    num_partitions = join_partitions(max(2, n // 50_000))
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    # one partition per ~40k rows, capped at half the cluster CPUs (each
+    # partition is an aggregator actor; more aggregators than cpus//2
+    # measurably thrashes), floor 2; partitions non-empty at these sizes
+    num_partitions = max(2, min(n // 40_000 + 1, cpus // 2))
     return left.join(right, join_type="inner", num_partitions=num_partitions,
                      on=(on,))
 

@@ -205,7 +205,7 @@ def score_pairs(pairs, cfg=None):
             cpus = int(ray.cluster_resources().get("CPU", 8))
         except Exception:
             cpus = 8
-        concurrency = (1, max(2, cpus))
+        concurrency = (max(2, cpus // 2), max(2, cpus))
     return pairs.map_batches(
         EnsembleScorer,
         batch_format="pyarrow",

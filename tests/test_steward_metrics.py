@@ -1,0 +1,80 @@
+"""Steward serving helpers + telemetry + audit metrics tests."""
+
+import pytest
+
+
+def test_review_queue_sorted(pipeline_result):
+    from payor_linkage.steward import review_queue
+
+    q = review_queue(pipeline_result.candidates).to_pandas()
+    assert (q.auto_decision == "review").all()
+    assert (q.overall_score.to_numpy()[:-1] >= q.overall_score.to_numpy()[1:]).all()
+
+
+def test_review_queue_excludes_decided(ray_session, pipeline_result):
+    from payor_linkage.steward import record_decisions, review_queue
+
+    q = review_queue(pipeline_result.candidates).to_pandas()
+    if len(q) == 0:
+        pytest.skip("no review candidates")
+    overlay = record_decisions([{
+        "candidate_id": q.iloc[0].candidate_id,
+        "steward_decision": "confirmed_no_match",
+    }])
+    q2 = review_queue(pipeline_result.candidates, overlay).to_pandas()
+    assert q.iloc[0].candidate_id not in set(q2.candidate_id)
+    assert len(q2) == len(q) - 1
+
+
+def test_record_decisions_appends(ray_session):
+    from payor_linkage.steward import record_decisions
+
+    o1 = record_decisions([{"candidate_id": "c1", "steward_decision": "confirmed_match"}])
+    o2 = record_decisions([{"candidate_id": "c2",
+                            "steward_decision": "confirmed_no_match"}], o1)
+    df = o2.to_pandas()
+    assert set(df.candidate_id) == {"c1", "c2"}
+
+
+def test_strategy_performance_counts(pipeline_result):
+    from payor_linkage.steward import strategy_performance
+
+    sp = strategy_performance(pipeline_result.candidates).to_pandas()
+    assert (sp.times_selected >= sp.times_won).all()
+    known = {"NAME_JW", "NAME_TSR", "NAME_PHO", "NAME_ABR", "NAME_NGR",
+             "ADDR_JAC", "ADDR_CMP", "ADDR_NRM", "TIN_EXACT", "TIN_TRANS",
+             "PHONE_E164", "PHONE_L7", "CMS_EXACT", "CMS_PFX"}
+    assert set(sp.strategy) <= known
+    assert sp.times_selected.sum() > 0
+
+
+def test_score_histogram(pipeline_result):
+    from payor_linkage.audit import score_histogram
+
+    h = score_histogram(pipeline_result.candidates).to_pandas()
+    assert h["count()"].sum() == pipeline_result.candidates.count()
+    assert h.score_bucket.between(-1, 9).all()
+
+
+def test_pipeline_metrics(pipeline_result):
+    from payor_linkage.audit import pipeline_metrics
+
+    m = pipeline_metrics(pipeline_result.unified, pipeline_result.candidates,
+                         pipeline_result.groups, pipeline_result.golden)
+    assert m["records"] == pipeline_result.unified.count()
+    assert set(m["records_per_source"]) == {"crm", "claims", "credentialing",
+                                            "cms_reference"}
+    assert sum(m["decisions"].values()) == m["candidates"]
+    assert m["groups"] == pipeline_result.golden.count()
+
+
+def test_source_field_completeness(pipeline_result):
+    from payor_linkage.audit import source_field_completeness
+
+    c = source_field_completeness(pipeline_result.unified,
+                                  ["tax_id", "phone", "cms_plan_id"]).to_pandas()
+    assert set(c.source_system) == {"crm", "claims", "credentialing", "cms_reference"}
+    assert (c.nn_tax_id <= c.total).all()
+    # reference feed never has phone (stg_reference_payors.sql:43)
+    ref = c[c.source_system == "cms_reference"].iloc[0]
+    assert ref.nn_phone == 0

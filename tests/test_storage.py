@@ -1,0 +1,84 @@
+"""Checkpoint / lineage / resume tests (storage.py) — the dbt-style
+per-stage materialization contract (SURVEY §2.1 S7, S10)."""
+
+import json
+import os
+
+import pytest
+
+
+def test_write_read_roundtrip(ray_session, tmp_path):
+    import ray.data as rd
+
+    from payor_linkage.storage import fingerprint, read_stage, write_stage
+
+    ds = rd.range(100)
+    fp = fingerprint("test", 1)
+    out = write_stage(ds, str(tmp_path / "stage1"), fp=fp)
+    assert out.count() == 100
+    again = read_stage(str(tmp_path / "stage1"))
+    assert again.count() == 100
+    manifest = json.load(open(tmp_path / "stage1" / "_lineage.json"))
+    assert manifest["fingerprint"] == fp
+    assert manifest["rows"] == 100
+
+
+def test_stage_validity(ray_session, tmp_path):
+    import ray.data as rd
+
+    from payor_linkage.storage import stage_is_valid, write_stage
+
+    p = str(tmp_path / "stage2")
+    write_stage(rd.range(10), p, fp="abc")
+    assert stage_is_valid(p, "abc")
+    assert not stage_is_valid(p, "xyz")
+    assert not stage_is_valid(str(tmp_path / "missing"), "abc")
+
+
+def test_checkpointed_skips_valid_stage(ray_session, tmp_path):
+    import ray.data as rd
+
+    from payor_linkage.storage import checkpointed
+
+    calls = []
+
+    def make():
+        calls.append(1)
+        return rd.range(5)
+
+    root = str(tmp_path)
+    r1 = checkpointed(root, "s", "fp1")(make)
+    assert r1.count() == 5 and len(calls) == 1
+    r2 = checkpointed(root, "s", "fp1")(make)
+    assert r2.count() == 5 and len(calls) == 1      # resumed, not recomputed
+    r3 = checkpointed(root, "s", "fp2")(make)
+    assert r3.count() == 5 and len(calls) == 2      # fingerprint change → rerun
+
+
+def test_checkpointed_none_root_passthrough(ray_session):
+    import ray.data as rd
+
+    from payor_linkage.storage import checkpointed
+
+    out = checkpointed(None, "x", "fp")(lambda: rd.range(3))
+    assert out.count() == 3
+
+
+def test_pipeline_resume_from_checkpoints(ray_session, tmp_path):
+    """Full pipeline with checkpoint_dir: a second run reuses every stage
+    (the reference's downstream-only rebuild, S10) and outputs match."""
+    from payor_linkage.config import PipelineConfig
+    from payor_linkage.pipeline import run_linkage
+    from payor_linkage.synth import synth_documents
+
+    cfg = PipelineConfig(checkpoint_dir=str(tmp_path / "ckpt"))
+    docs = synth_documents(1)
+    r1 = run_linkage(docs, cfg)
+    g1 = r1.golden.to_pandas().sort_values("master_payor_id").reset_index(drop=True)
+
+    r2 = run_linkage(docs, cfg)  # stages all resume from checkpoint
+    g2 = r2.golden.to_pandas().sort_values("master_payor_id").reset_index(drop=True)
+    assert g1.drop(columns=["spans"]).equals(g2.drop(columns=["spans"]))
+    # stage dirs exist with lineage manifests
+    for stage in ["unified", "pairs", "candidates", "groups", "golden", "xref"]:
+        assert os.path.exists(tmp_path / "ckpt" / stage / "_lineage.json"), stage
