@@ -149,6 +149,31 @@ def _finalize_group(g: pa.Table) -> pa.Table:
     ], schema=_GROUPS_SCHEMA)
 
 
+def _finalize_runs(b: pa.Table, starts, ends) -> pa.Table:
+    """Block-level finalize: same semantics as _finalize_group, columns
+    extracted once per block (kills per-group Arrow overhead)."""
+    nodes = b["node"].to_pylist()
+    trusts = b["source_trust_rank"].to_pylist()
+    scores = b["score"].to_pylist()
+    out_gid, out_rid, out_surv, out_conf = [], [], [], []
+    for s_, e_ in zip(starts, ends):
+        trust = {nodes[i]: trusts[i] for i in range(s_, e_) if nodes[i] is not None}
+        sc = [scores[i] for i in range(s_, e_) if scores[i] is not None]
+        members = sorted(trust)
+        group_id = str(uuid.uuid5(uuid.NAMESPACE_DNS, "|".join(members)))
+        survivor = min(members, key=lambda m: trust[m] if trust[m] is not None else 999)
+        conf = round(sum(sc) / len(sc), 4) if sc else None
+        for m in members:
+            out_gid.append(group_id)
+            out_rid.append(m)
+            out_surv.append(m == survivor)
+            out_conf.append(conf)
+    return pa.Table.from_arrays([
+        pa.array(out_gid, pa.string()), pa.array(out_rid, pa.string()),
+        pa.array(out_surv, pa.bool_()), pa.array(out_conf, pa.float64()),
+    ], schema=_GROUPS_SCHEMA)
+
+
 def _local_union_find(edge_rows: list[dict]) -> dict[str, str]:
     """Path-compressed union-find over a *bounded* edge list → node→min-id
     label map. Used only below ``local_cc_max_edges`` (the guide's "driver
@@ -174,36 +199,79 @@ def _local_union_find(edge_rows: list[dict]) -> dict[str, str]:
     return {n: find(n) for n in list(parent)}
 
 
+def _int_union_find(src_codes: np.ndarray, dst_codes: np.ndarray,
+                    n_uniques: int) -> np.ndarray:
+    """Union-find over integer-coded edges → root code per unique
+    (component root = the unique with the SMALLEST code — callers must
+    factorize in sorted order so min-code ≙ min node id)."""
+    parent = np.arange(n_uniques, dtype=np.int64)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(src_codes, dst_codes):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    for i in range(n_uniques):
+        find(i)
+    # one more pass: after compression parent[i] is the root
+    return parent
+
+
 def _propagate_local(edges: Dataset, nodes: Dataset):
     """Local-CC variant of propagate_labels: same outputs, one broadcast.
-    Collects columnar (to_pandas, not row dicts) — the driver-side cost is
-    one bounded pass over the edge list."""
+
+    Driver-side cost is one bounded columnar pass: factorize the edge
+    endpoints (sorted, so code order == id order), integer union-find,
+    then broadcast (uniques, labels) numpy arrays — workers label their
+    batches with C-speed Index lookups (no 100k-entry python dicts)."""
+    import pandas as pd
     import ray
 
     df = edges.to_pandas()
-    edge_rows = [{"src": s, "dst": d} for s, d in
-                 zip(df["src"].to_numpy(), df["dst"].to_numpy())]
-    comp = _local_union_find(edge_rows)
-    ref = ray.put(comp)
+    both = np.concatenate([df["src"].to_numpy(), df["dst"].to_numpy()])
+    uniques = np.unique(both)                       # sorted → min code = min id
+    idx = pd.Index(uniques)
+    src_codes = idx.get_indexer(df["src"].to_numpy())
+    dst_codes = idx.get_indexer(df["dst"].to_numpy())
+    parent = _int_union_find(src_codes, dst_codes, len(uniques))
+    label_strs = uniques[parent]                    # label per unique node
+    ref = ray.put((uniques, label_strs))
+
+    def _lookup(node_arr: np.ndarray) -> np.ndarray:
+        # uniques is sorted → binary search per batch (no per-task
+        # hash-table build, unlike pd.Index.get_indexer)
+        u, lbl = ray.get(ref)
+        pos = np.searchsorted(u, node_arr)
+        pos_c = np.minimum(pos, len(u) - 1)
+        hit = u[pos_c] == node_arr
+        out = node_arr.copy()
+        out[hit] = lbl[pos_c[hit]]
+        return out
 
     def label_nodes(b: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        nodes_l = b["node"].to_pylist()
+        nodes_np = b["node"].to_numpy(zero_copy_only=False)
         return pa.table({
             "node": b["node"],
-            "label": pa.array([m.get(n, n) for n in nodes_l], pa.string()),
+            "label": pa.array(_lookup(nodes_np), pa.string()),
             "source_trust_rank": b["source_trust_rank"],
         })
 
     labels = nodes.map_batches(label_nodes, batch_format="pyarrow")
 
     def label_edges(b: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        src = b["src"].to_pylist()
+        lab = _lookup(b["src"].to_numpy(zero_copy_only=False))
         return pa.table({
             "src": b["src"], "dst": b["dst"], "score": b["score"],
-            "label_a": pa.array([m.get(s, s) for s in src], pa.string()),
-            "label_b": pa.array([m.get(s, s) for s in src], pa.string()),
+            "label_a": pa.array(lab, pa.string()),
+            "label_b": pa.array(lab, pa.string()),
         })
 
     el = edges.map_batches(label_edges, batch_format="pyarrow")
@@ -249,4 +317,5 @@ def build_match_groups(candidates: Dataset, unified: Dataset,
 
     from payor_linkage.rayutil import grouped_apply
 
-    return grouped_apply(member_rows, "label", _finalize_group, _GROUPS_SCHEMA)
+    return grouped_apply(member_rows, "label", out_schema=_GROUPS_SCHEMA,
+                         runs_fn=_finalize_runs)

@@ -1,0 +1,126 @@
+"""Property-based tests (hypothesis) for the scalar kernels — similarity
+metrics, phonetics, hashing, and the union-find."""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from payor_linkage.phonetics import doublemetaphone, jaro_similarity, \
+    jaro_winkler_similarity, soundex
+
+names = st.text(alphabet=string.ascii_uppercase + " ", min_size=1, max_size=30)
+texts = st.text(min_size=0, max_size=60)
+
+
+@given(names, names)
+@settings(max_examples=200, deadline=None)
+def test_jw_symmetric_and_bounded(a, b):
+    s = jaro_winkler_similarity(a, b)
+    assert 0.0 <= s <= 1.0
+    assert abs(s - jaro_winkler_similarity(b, a)) < 1e-12
+
+
+@given(names)
+@settings(max_examples=100, deadline=None)
+def test_jw_identity(a):
+    assert jaro_winkler_similarity(a, a) == 1.0
+
+
+@given(names, names)
+@settings(max_examples=200, deadline=None)
+def test_jw_dominates_jaro(a, b):
+    assert jaro_winkler_similarity(a, b) >= jaro_similarity(a, b) - 1e-12
+
+
+@given(texts)
+@settings(max_examples=200, deadline=None)
+def test_soundex_shape(s):
+    code = soundex(s)
+    assert code == "" or (len(code) == 4 and code[0].isalpha())
+
+
+@given(texts)
+@settings(max_examples=200, deadline=None)
+def test_doublemetaphone_total_and_deterministic(s):
+    p1 = doublemetaphone(s)
+    p2 = doublemetaphone(s)
+    assert p1 == p2
+    assert isinstance(p1[0], str) and isinstance(p1[1], str)
+
+
+@given(names, names)
+@settings(max_examples=100, deadline=None)
+def test_route_name_winner_is_max(a, b):
+    from payor_linkage.strategies import route_name
+
+    score, strat, tried = route_name(a, b)
+    assert strat in tried
+    assert 0.0 <= score <= 1.0
+
+
+@given(st.text(alphabet="0123456789-", min_size=1, max_size=12),
+       st.text(alphabet="0123456789-", min_size=1, max_size=12))
+@settings(max_examples=100, deadline=None)
+def test_taxid_transpose_symmetric(a, b):
+    from payor_linkage.strategies import taxid_transpose
+
+    assert taxid_transpose(a, b) == taxid_transpose(b, a)
+
+
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)),
+                min_size=0, max_size=60))
+@settings(max_examples=100, deadline=None)
+def test_union_find_matches_naive_components(edge_ints):
+    """_local_union_find labels == naive BFS components with min-id label."""
+    from payor_linkage.cluster import _local_union_find
+
+    edges = [{"src": f"n{a:02d}", "dst": f"n{b:02d}"} for a, b in edge_ints]
+    got = _local_union_find(edges)
+
+    # naive reference
+    adj: dict[str, set] = {}
+    for e in edges:
+        adj.setdefault(e["src"], set()).add(e["dst"])
+        adj.setdefault(e["dst"], set()).add(e["src"])
+    seen: set = set()
+    for start in sorted(adj):
+        if start in seen:
+            continue
+        comp, stack = [], [start]
+        while stack:
+            x = stack.pop()
+            if x in comp:
+                continue
+            comp.append(x)
+            stack.extend(adj[x] - set(comp))
+        label = min(comp)
+        for m in comp:
+            seen.add(m)
+            assert got.get(m, m) == label, (m, comp)
+
+
+@given(st.text(min_size=0, max_size=50))
+@settings(max_examples=100, deadline=None)
+def test_minhash_shingles_deterministic(text):
+    from payor_linkage.dataops.dedup import _jaccard_shingles
+
+    assert _jaccard_shingles(text, text, 3) == (1.0 if True else 0)
+    assert 0.0 <= _jaccard_shingles(text, text[::-1], 3) <= 1.0
+
+
+@given(st.lists(st.text(string.printable, max_size=20), max_size=12))
+@settings(max_examples=100, deadline=None)
+def test_spans_json_roundtrip(kinds):
+    """Serialization fidelity: spans → JSON → spans is lossless."""
+    import pyarrow as pa
+
+    from payor_linkage.normalize import _serialize_spans, spans_from_json
+    from payor_linkage.schema import SPAN_STRUCT
+
+    spans = [{"kind": k, "text": k[::-1], "media_ref": "", "offset": i}
+             for i, k in enumerate(kinds)]
+    arr = pa.array([spans], pa.list_(SPAN_STRUCT))
+    ser = _serialize_spans(arr)
+    back = spans_from_json(ser)
+    assert back.to_pylist()[0] == spans
