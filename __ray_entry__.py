@@ -259,11 +259,18 @@ def q_media_decode(sf_dir: str):
     return decode_images(media).drop_columns(["feature"])
 
 
+_MDM_CACHE: dict = {}
+
+
 def _mdm_result(sf_dir: str):
+    """One pipeline run shared by all q_mdm_* queries in this process."""
     from payor_linkage.pipeline import run_linkage
     from payor_linkage.synth import synth_documents
 
-    return run_linkage(synth_documents(_mdm_replicas(sf_dir)))
+    key = _mdm_replicas(sf_dir)
+    if key not in _MDM_CACHE:
+        _MDM_CACHE[key] = run_linkage(synth_documents(key))
+    return _MDM_CACHE[key]
 
 
 def q_mdm_golden(sf_dir: str):

@@ -44,6 +44,10 @@ class ScoringConfig:
     auto_match_threshold: float = 0.85   # match_candidates.sql:36
     review_threshold: float = 0.60       # match_candidates.sql:37
     batch_size: int = 2048               # pairs per scorer actor batch (keeps the pool busy)
+    # emit the reference's full ensemble_detail object as a JSON column
+    # (MATCH_CANDIDATES.ensemble_detail, 12_abbreviation_dict.sql:78-79);
+    # off by default — json.dumps per pair costs real throughput at scale
+    emit_ensemble_detail: bool = False
     concurrency: tuple[int, int] | int | None = None  # actor pool size (None → auto)
 
 

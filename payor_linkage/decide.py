@@ -25,7 +25,6 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 
 from payor_linkage.config import ScoringConfig
-from payor_linkage.rayutil import join_partitions
 
 _PAIR_NS = uuid.uuid5(uuid.NAMESPACE_DNS, "payor-linkage.candidate")
 

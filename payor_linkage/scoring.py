@@ -29,16 +29,17 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from payor_linkage.strategies import digits, ensemble_match_score, route_addr, route_name
+from payor_linkage.strategies import digits, route_addr, route_name
 
 
 class EnsembleScorer:
     """Callable class for ``map_batches`` — one instance per pool actor."""
 
-    def __init__(self) -> None:
+    def __init__(self, emit_ensemble_detail: bool = False) -> None:
         # per-actor memo caches (name/addr routing dominates pair cost)
         self._name_cache: dict[tuple[str, str], tuple[float, str]] = {}
         self._addr_cache: dict[tuple[str, str], tuple[float, str]] = {}
+        self._emit_detail = emit_ensemble_detail
 
     # -- cached single-field scorers ------------------------------------
     def _name(self, a: str, b: str) -> tuple[float, str]:
@@ -170,7 +171,7 @@ class EnsembleScorer:
             # C4 overall score override
             overall[i] = 1.0 if rule != "FUZZY" else composite
 
-        return pa.table({
+        out_cols = {
             "source_record_id_a": pa.array(col["source_record_id_a"], pa.string()),
             "source_record_id_b": pa.array(col["source_record_id_b"], pa.string()),
             "match_rule": pa.array(match_rule, pa.string()),
@@ -184,7 +185,23 @@ class EnsembleScorer:
             "winning_name_strategy": pa.array(win_name, pa.string()),
             "winning_addr_strategy": pa.array(win_addr, pa.string()),
             "strategies_used": pa.array(strategies, pa.list_(pa.string())),
-        })
+        }
+        if self._emit_detail:
+            # full ensemble_detail object per pair (reference VARIANT column)
+            import json
+
+            details = []
+            for i in range(n):
+                details.append(json.dumps({
+                    "name_score": score_name[i], "name_strategy": win_name[i],
+                    "addr_score": score_addr[i], "addr_strategy": win_addr[i],
+                    "tax_score": score_tax[i], "phone_score": score_phone[i],
+                    "cms_score": score_cms[i], "media_score": media_score[i],
+                    "composite": overall[i] if match_rule[i] == "FUZZY" else None,
+                    "strategies_used": strategies[i],
+                }, separators=(",", ":")))
+            out_cols["ensemble_detail"] = pa.array(details, pa.string())
+        return pa.table(out_cols)
 
 
 def score_pairs(pairs, cfg=None):
@@ -212,4 +229,5 @@ def score_pairs(pairs, cfg=None):
         batch_size=cfg.batch_size,
         num_cpus=1,
         concurrency=concurrency,
+        fn_constructor_kwargs=dict(emit_ensemble_detail=cfg.emit_ensemble_detail),
     )

@@ -29,12 +29,10 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-import numpy as np
-import pandas as pd
 import pyarrow as pa
 from ray.data import Dataset
 
-from payor_linkage.rayutil import join_partitions, smart_join
+from payor_linkage.rayutil import smart_join
 from payor_linkage.schema import COMPLETENESS_FIELDS, GOLDEN_FIELDS, GOLDEN_SCHEMA
 
 
