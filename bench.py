@@ -56,7 +56,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     from payor_linkage.synth import synth_documents
 
     sf = _sf_from_dir(sf_dir)
-    replicas = int(os.environ.get("GRAFT_MDM_REPLICAS", max(1, round(1200 * sf))))
+    # default corpus: 2400 replica worlds at sf0.1 (~409k docs / 2.85M
+    # pairs) — the same scale BASELINE.md records, so per-round BENCH
+    # numbers are directly comparable
+    replicas = int(os.environ.get("GRAFT_MDM_REPLICAS", max(1, round(24000 * sf))))
 
     queries: dict[str, float] = {}
     extra: dict = {}

@@ -106,13 +106,21 @@ def name_abr(a: str, b: str) -> float:
     return round(jaro_winkler_similarity(_expand_abbrevs(a), _expand_abbrevs(b)), 4)
 
 
+@lru_cache(maxsize=65536)
+def _ngram_profile(s: str) -> tuple[dict, float]:
+    """(trigram counts, L2 norm) — cached per string: block-mates repeat
+    names heavily, and profile construction dominates NAME_NGR cost."""
+    g = Counter(_ngrams(s))
+    return dict(g), math.sqrt(sum(v * v for v in g.values()))
+
+
 def name_ngr(a: str, b: str) -> float:
     """F5 NAME_NGR char-trigram cosine (`:489-495`)."""
-    ga, gb = Counter(_ngrams(a)), Counter(_ngrams(b))
-    common = set(ga) & set(gb)
-    dot = sum(ga[g] * gb[g] for g in common)
-    ma = math.sqrt(sum(v * v for v in ga.values()))
-    mb = math.sqrt(sum(v * v for v in gb.values()))
+    ga, ma = _ngram_profile(a)
+    gb, mb = _ngram_profile(b)
+    if len(gb) < len(ga):
+        ga, gb = gb, ga
+    dot = sum(v * gb[g] for g, v in ga.items() if g in gb)
     return round(dot / (ma * mb), 4) if ma and mb else 0.0
 
 
