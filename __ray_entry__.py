@@ -124,6 +124,8 @@ def q_exact_dedup(sf_dir: str):
 def q_events_by_type(sf_dir: str):
     from ray.data.aggregate import Count, Max, Min
 
+    from payor_linkage.rayutil import smart_join
+
     ds = _events(sf_dir)
     out = ds.groupby("event_type").aggregate(
         Count(alias_name="n"),
@@ -133,11 +135,7 @@ def q_events_by_type(sf_dir: str):
     dist = (ds.groupby(["event_type", "user_id"]).count()
             .groupby("event_type").count()
             .rename_columns({"count()": "n_users"}))
-    import pyarrow as pa
-
-    a = out.to_pandas().set_index("event_type")
-    b = dist.to_pandas().set_index("event_type")
-    return a.join(b).reset_index()
+    return smart_join(out, dist, "event_type")
 
 
 def q_top_events(sf_dir: str):
@@ -163,16 +161,33 @@ def q_user_windows(sf_dir: str):
 
 
 def q_first_event(sf_dir: str):
-    """Survivorship-style first-value per user by (ts, event_id)."""
-    import pandas as pd
+    """Survivorship-style first-value per user by (ts, event_id) —
+    via rayutil.grouped_apply (block-amortized; raw map_groups pays
+    ~1ms/group of harness overhead)."""
+    import numpy as np
+    import pyarrow as pa
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).head(1)
-        return pd.DataFrame({"user_id": g.user_id.to_numpy(),
-                             "first_event_type": g.event_type.to_numpy()})
+    from payor_linkage.rayutil import grouped_apply
 
-    return (_events(sf_dir).groupby("user_id")
-            .map_groups(first, batch_format="pandas"))
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("first_event_type", pa.string())])
+
+    def first_runs(b: pa.Table, starts, ends) -> pa.Table:
+        ts = b["ts"].to_numpy(zero_copy_only=False)
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        order_rank = np.empty(b.num_rows, dtype=np.int64)
+        order_rank[np.lexsort((eid, ts))] = np.arange(b.num_rows)
+        idx = np.array([s + np.argmin(order_rank[s:e])
+                        for s, e in zip(starts, ends)], dtype=np.int64)
+        take = pa.array(idx)
+        return pa.table({
+            "user_id": b["user_id"].take(take),
+            "first_event_type": b["event_type"].take(take),
+        }).cast(out_schema)
+
+    return grouped_apply(
+        _events(sf_dir).select_columns(["user_id", "ts", "event_id", "event_type"]),
+        "user_id", out_schema=out_schema, runs_fn=first_runs)
 
 
 def q_distinct_source_lang(sf_dir: str):
@@ -204,19 +219,48 @@ def q_ann_topk(sf_dir: str):
     return ann_topk(_emb(sf_dir), query_ids=[0, 1, 2, 3, 4], k=5)
 
 
-# ── rows-only queries (non-SQL-expressible semantics) ──────────────────────
+# ── oracle sidecars ────────────────────────────────────────────────────────
+# Small intermediate tables written by the query callables to a fixed /tmp
+# location; the matching oracle_sql entries read them back with DuckDB's
+# read_parquet. The synthetic corpus is deterministic, so the sidecars are
+# byte-stable across runs — the oracle recomputes the *logic* (decisions,
+# connected components, survivorship election, hamming brute force) from
+# the same inputs the Ray pipeline consumed.
+
+_SIDECAR_DIR = "/tmp/payor_linkage_oracle"
+
+
+def _dump_sidecar(name: str, ds) -> None:
+    import shutil
+
+    d = os.path.join(_SIDECAR_DIR, name)
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    ds.write_parquet(d)
 
 
 def q_minhash_lsh(sf_dir: str):
+    """MinHash+LSH near-dup, text-free band shuffle, exact shingle verify.
+    Oracle: all-pairs k=5 shingle Jaccard in SQL (the corpus separates
+    cleanly at this threshold, so LSH recall is exactly 1.0 — gated by the
+    hash compare itself)."""
     from payor_linkage.dataops.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_docs(sf_dir), threshold=0.5, shingle_k=5, bands=8)
+    return minhash_lsh_pairs(_docs(sf_dir), threshold=0.5, shingle_k=5,
+                             num_perm=64, bands=16)
 
 
 def q_simhash(sf_dir: str):
-    from payor_linkage.dataops.dedup import simhash_pairs
+    """SimHash near-dup with the pigeonhole-complete configuration
+    (max_hamming=7 < n_chunks=8). Signatures go to a sidecar; the oracle
+    brute-forces hamming over them in SQL — a completeness check of the
+    whole bucketing machinery."""
+    from payor_linkage.dataops.dedup import (simhash_pairs_from_sigs,
+                                             simhash_signatures)
 
-    return simhash_pairs(_docs(sf_dir), max_hamming=16)
+    sigs = simhash_signatures(_docs(sf_dir)).materialize()
+    _dump_sidecar("simhash_sigs", sigs)
+    return simhash_pairs_from_sigs(sigs, max_hamming=7, n_chunks=8)
 
 
 def q_ngram_jaccard(sf_dir: str):
@@ -226,15 +270,27 @@ def q_ngram_jaccard(sf_dir: str):
 
 
 def q_ivf_ann(sf_dir: str):
+    """IVF ANN in exact mode (nprobe = n_centroids): every centroid
+    partition is scanned, so the result equals brute force — the oracle
+    checks the centroid-assignment + partition-scan + merge machinery.
+    The approximate configuration is gated by pytest recall tests."""
     from payor_linkage.dataops.similarity import ivf_topk
 
-    return ivf_topk(_emb(sf_dir), query_ids=[0, 1, 2, 3, 4], k=5)
+    return ivf_topk(_emb(sf_dir), query_ids=[0, 1, 2, 3, 4], k=5,
+                    n_centroids=16, nprobe=16)
+
+
+# ── rows-only queries (non-SQL-expressible semantics) ──────────────────────
 
 
 def q_lsh_neardup(sf_dir: str):
+    """Random-hyperplane LSH cosine near-dup — the 100 TB scale path.
+    Inherently approximate (no oracle); recall ≥ 0.8 vs brute force is
+    gated by tests/test_dataops.py::test_lsh_neardup_recall."""
     from payor_linkage.dataops.similarity import lsh_neardup_pairs
 
-    return lsh_neardup_pairs(_emb(sf_dir), threshold=0.4)
+    return lsh_neardup_pairs(_emb(sf_dir), threshold=0.4, n_planes=4,
+                             n_tables=32)
 
 
 def q_lang_id(sf_dir: str):
@@ -262,6 +318,42 @@ def q_media_decode(sf_dir: str):
 _MDM_CACHE: dict = {}
 
 
+def _write_mdm_sidecars(res) -> None:
+    """Sidecar tables for the MDM DuckDB oracles (all small projections)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from payor_linkage.rayutil import smart_join
+    from payor_linkage.schema import GOLDEN_FIELDS
+
+    _dump_sidecar("scored", res.candidates.select_columns(
+        ["source_record_id_a", "source_record_id_b", "match_rule",
+         "overall_score"]))
+
+    def edges(b: pa.Table) -> pa.Table:
+        m = b.filter(pc.equal(b["final_decision"], "match"))
+        return pa.table({"src": m["source_record_id_a"],
+                         "dst": m["source_record_id_b"]})
+
+    _dump_sidecar("edges",
+                  res.candidates.map_batches(edges, batch_format="pyarrow"))
+    _dump_sidecar("unified_slim", res.unified.select_columns(
+        ["source_record_id", "source_system", "source_id"]))
+    _dump_sidecar("membership", res.groups)
+
+    # group members with every survivorship input (golden oracle)
+    cols = ["source_record_id", "source_system", "source_trust_rank",
+            "loaded_at"] + GOLDEN_FIELDS
+    members = smart_join(res.groups, res.unified.select_columns(cols),
+                         "source_record_id")
+
+    def precast(b: pa.Table) -> pa.Table:
+        loaded = pc.cast(b["loaded_at"], pa.int64())
+        return b.drop_columns(["loaded_at"]).append_column("loaded_us", loaded)
+
+    _dump_sidecar("members", members.map_batches(precast, batch_format="pyarrow"))
+
+
 def _mdm_result(sf_dir: str):
     """One pipeline run shared by all q_mdm_* queries in this process."""
     from payor_linkage.pipeline import run_linkage
@@ -269,18 +361,60 @@ def _mdm_result(sf_dir: str):
 
     key = _mdm_replicas(sf_dir)
     if key not in _MDM_CACHE:
-        _MDM_CACHE[key] = run_linkage(synth_documents(key))
+        res = run_linkage(synth_documents(key))
+        _write_mdm_sidecars(res)
+        _MDM_CACHE[key] = res
     return _MDM_CACHE[key]
 
 
 def q_mdm_golden(sf_dir: str):
-    return _mdm_result(sf_dir).golden.drop_columns(["spans"])
+    """Golden records; survivorship election recomputed by the oracle in
+    SQL (list(... ORDER BY ...) FILTER per rule) over the members sidecar.
+    Dates are ISO strings on both sides (stable value hashing)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    golden = _mdm_result(sf_dir).golden.drop_columns(["spans"])
+
+    def datestr(b: pa.Table) -> pa.Table:
+        for c in ("effective_date", "termination_date"):
+            i = b.column_names.index(c)
+            b = b.set_column(i, c, pc.cast(b[c], pa.string()))
+        return b
+
+    return golden.map_batches(datestr, batch_format="pyarrow")
 
 
 def q_mdm_candidates(sf_dir: str):
     return _mdm_result(sf_dir).candidates.select_columns(
         ["candidate_id", "source_record_id_a", "source_record_id_b",
          "match_rule", "overall_score", "auto_decision", "final_decision"])
+
+
+def q_mdm_decisions(sf_dir: str):
+    """T1 auto-decision + T3 final-decision chain; the oracle recomputes
+    both from the scored sidecar with the reference's CASE thresholds
+    (match_candidates.sql:34-66)."""
+    return _mdm_result(sf_dir).candidates.select_columns(
+        ["source_record_id_a", "source_record_id_b", "match_rule",
+         "overall_score", "auto_decision", "final_decision"])
+
+
+def q_mdm_components(sf_dir: str):
+    """Connected components as (record → min-member-id canonical label);
+    the oracle recomputes components with a recursive min-reachability CTE
+    over the match-edge sidecar — a hard check of the union-find /
+    label-propagation clustering."""
+    from ray.data.aggregate import Min
+
+    from payor_linkage.rayutil import smart_join
+
+    groups = _mdm_result(sf_dir).groups
+    canon = groups.groupby("match_group_id").aggregate(
+        Min("source_record_id", alias_name="canonical_id"))
+    j = smart_join(groups.select_columns(["match_group_id", "source_record_id"]),
+                   canon, "match_group_id")
+    return j.select_columns(["source_record_id", "canonical_id"])
 
 
 def q_mdm_groups(sf_dir: str):
@@ -320,6 +454,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_media_decode": q_media_decode,
         "q_mdm_golden": q_mdm_golden,
         "q_mdm_candidates": q_mdm_candidates,
+        "q_mdm_decisions": q_mdm_decisions,
+        "q_mdm_components": q_mdm_components,
         "q_mdm_groups": q_mdm_groups,
         "q_mdm_xref": q_mdm_xref,
         "q_mdm_hierarchy": q_mdm_hierarchy,
@@ -414,5 +550,211 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings q JOIN embeddings b ON b.vec_id != q.vec_id
                 WHERE q.vec_id IN (0, 1, 2, 3, 4)
             ) WHERE rank <= 5
+        """,
+        # IVF in exact mode (nprobe = n_centroids) equals brute force —
+        # same oracle as q_ann_topk.
+        "q_ivf_ann": """
+            SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(
+                               CAST(q.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) DESC,
+                           b.vec_id) AS rank
+                FROM embeddings q JOIN embeddings b ON b.vec_id != q.vec_id
+                WHERE q.vec_id IN (0, 1, 2, 3, 4)
+            ) WHERE rank <= 5
+        """,
+        # all-pairs k=5 shingle Jaccard (the corpus separates cleanly at
+        # 0.5, so LSH recall is 1.0 and the sets must be identical)
+        "q_minhash_lsh": """
+            WITH grams AS (
+              SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS gram
+              FROM documents,
+                   LATERAL (SELECT unnest(range(1, greatest(length(text) - 3, 2))) AS i) t
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+              FROM grams a JOIN grams b
+                ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, n_inter, sa.n + sb.n - n_inter AS n_union
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.5
+        """,
+        # blocked k=3 shingle Jaccard
+        "q_ngram_jaccard": """
+            WITH grams AS (
+              SELECT DISTINCT doc_id, source, lang,
+                     substr(text, CAST(i AS INT), 3) AS gram
+              FROM documents,
+                   LATERAL (SELECT unnest(range(1, greatest(length(text) - 1, 2))) AS i) t
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+              FROM grams a JOIN grams b
+                ON a.gram = b.gram AND a.source = b.source
+               AND a.lang = b.lang AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, n_inter, sa.n + sb.n - n_inter AS n_union
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.35
+        """,
+        # brute-force hamming over the signature sidecar: a completeness
+        # check of the pigeonhole bucketing (max_hamming=7 < n_chunks=8)
+        "q_simhash": f"""
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+            FROM read_parquet('{_SIDECAR_DIR}/simhash_sigs/*.parquet') a
+            JOIN read_parquet('{_SIDECAR_DIR}/simhash_sigs/*.parquet') b
+              ON a.id < b.id
+            WHERE bit_count(xor(a.sig, b.sig)) <= 7
+        """,
+        # T1 + T3 decision chain recomputed from the scored sidecar
+        # (match_candidates.sql:34-66 CASE semantics)
+        "q_mdm_decisions": f"""
+            SELECT source_record_id_a, source_record_id_b, match_rule,
+                   overall_score,
+                   CASE WHEN match_rule IN ('DET-1', 'DET-2', 'DET-3')
+                             THEN 'auto_match'
+                        WHEN coalesce(overall_score, -1.0) >= 0.85
+                             THEN 'auto_match'
+                        WHEN coalesce(overall_score, -1.0) >= 0.60
+                             THEN 'review'
+                        ELSE 'auto_no_match' END AS auto_decision,
+                   CASE WHEN match_rule IN ('DET-1', 'DET-2', 'DET-3')
+                             OR coalesce(overall_score, -1.0) >= 0.85
+                             THEN 'match'
+                        ELSE 'no_match' END AS final_decision
+            FROM read_parquet('{_SIDECAR_DIR}/scored/*.parquet')
+        """,
+        # connected components via recursive min-reachability over the
+        # match edges — the clustering oracle
+        "q_mdm_components": f"""
+            WITH RECURSIVE
+            e AS (
+              SELECT src AS a, dst AS b
+              FROM read_parquet('{_SIDECAR_DIR}/edges/*.parquet')
+              UNION ALL
+              SELECT dst, src
+              FROM read_parquet('{_SIDECAR_DIR}/edges/*.parquet')
+            ),
+            n AS (
+              SELECT source_record_id AS node
+              FROM read_parquet('{_SIDECAR_DIR}/unified_slim/*.parquet')
+            ),
+            reach(node, r) AS (
+              SELECT node, node FROM n
+              UNION
+              SELECT reach.node, e.b FROM reach JOIN e ON reach.r = e.a
+            )
+            SELECT node AS source_record_id, min(r) AS canonical_id
+            FROM reach GROUP BY node
+        """,
+        # xref grain: every staged record exactly once, projected through
+        # the membership map (xref.sql:16-25; orphan-freedom by row count)
+        "q_mdm_xref": f"""
+            SELECT m.source_record_id,
+                   m.match_group_id AS master_payor_id,
+                   u.source_system, u.source_id,
+                   m.group_confidence AS match_confidence
+            FROM read_parquet('{_SIDECAR_DIR}/membership/*.parquet') m
+            JOIN read_parquet('{_SIDECAR_DIR}/unified_slim/*.parquet') u
+              USING (source_record_id)
+        """,
+        # full survivorship election in SQL over the members sidecar
+        # (int_survivorship.sql rules; A8-A10 metrics recomputed)
+        "q_mdm_golden": f"""
+            WITH g AS (
+              SELECT match_group_id AS master_payor_id,
+                (list(payor_name ORDER BY coalesce(source_trust_rank, 999),
+                      source_record_id)
+                 FILTER (WHERE payor_name IS NOT NULL))[1] AS payor_name,
+                (list(payor_name_alt ORDER BY length(payor_name_alt) DESC,
+                      payor_name_alt)
+                 FILTER (WHERE payor_name_alt IS NOT NULL
+                         AND trim(payor_name_alt) != ''))[1] AS payor_name_alt,
+                (list(tax_id ORDER BY coalesce(source_trust_rank, 999),
+                      source_record_id)
+                 FILTER (WHERE tax_id IS NOT NULL))[1] AS tax_id,
+                (list(npi ORDER BY coalesce(source_trust_rank, 999),
+                      source_record_id)
+                 FILTER (WHERE npi IS NOT NULL))[1] AS npi,
+                (list(cms_plan_id ORDER BY
+                      CASE WHEN source_system = 'cms_reference' THEN 1
+                           ELSE coalesce(source_trust_rank, 0) + 10 END,
+                      source_record_id)
+                 FILTER (WHERE cms_plan_id IS NOT NULL))[1] AS cms_plan_id,
+                (list(address_line_1 ORDER BY (loaded_us IS NULL),
+                      loaded_us DESC, source_record_id)
+                 FILTER (WHERE address_line_1 IS NOT NULL))[1] AS address_line_1,
+                (list(address_line_2 ORDER BY (loaded_us IS NULL),
+                      loaded_us DESC, source_record_id)
+                 FILTER (WHERE address_line_2 IS NOT NULL))[1] AS address_line_2,
+                (list(city ORDER BY (loaded_us IS NULL), loaded_us DESC,
+                      source_record_id)
+                 FILTER (WHERE city IS NOT NULL))[1] AS city,
+                (list(state_code ORDER BY (loaded_us IS NULL), loaded_us DESC,
+                      source_record_id)
+                 FILTER (WHERE state_code IS NOT NULL))[1] AS state_code,
+                (list(zip_code ORDER BY (loaded_us IS NULL), loaded_us DESC,
+                      source_record_id)
+                 FILTER (WHERE zip_code IS NOT NULL))[1] AS zip_code,
+                (list(phone ORDER BY (loaded_us IS NULL), loaded_us DESC,
+                      source_record_id)
+                 FILTER (WHERE phone IS NOT NULL))[1] AS phone,
+                (list(website ORDER BY coalesce(source_trust_rank, 999),
+                      source_record_id)
+                 FILTER (WHERE website IS NOT NULL))[1] AS website,
+                (list(payor_type ORDER BY coalesce(source_trust_rank, 999),
+                      source_record_id)
+                 FILTER (WHERE payor_type IS NOT NULL))[1] AS payor_type,
+                (list(line_of_business ORDER BY coalesce(source_trust_rank, 999),
+                      source_record_id)
+                 FILTER (WHERE line_of_business IS NOT NULL))[1] AS line_of_business,
+                CASE WHEN count(is_active) = 0 THEN NULL
+                     ELSE bool_or(is_active) END AS is_active,
+                min(effective_date) AS effective_date,
+                max(termination_date) AS termination_date,
+                count(DISTINCT source_system) AS source_count,
+                coalesce(min(group_confidence), 1.0) AS confidence_score,
+                min(source_record_id) FILTER (WHERE is_survivor)
+                    AS survivor_record_id
+              FROM read_parquet('{_SIDECAR_DIR}/members/*.parquet')
+              GROUP BY match_group_id
+            )
+            SELECT master_payor_id, payor_name, payor_name_alt, tax_id, npi,
+                   cms_plan_id, address_line_1, address_line_2, city,
+                   state_code, zip_code, phone, website, payor_type,
+                   line_of_business, is_active,
+                   CAST(effective_date AS VARCHAR) AS effective_date,
+                   CAST(termination_date AS VARCHAR) AS termination_date,
+                   round((CAST(payor_name IS NOT NULL AS INT)
+                        + CAST(payor_name_alt IS NOT NULL AS INT)
+                        + CAST(tax_id IS NOT NULL AS INT)
+                        + CAST(npi IS NOT NULL AS INT)
+                        + CAST(cms_plan_id IS NOT NULL AS INT)
+                        + CAST(address_line_1 IS NOT NULL AS INT)
+                        + CAST(city IS NOT NULL AS INT)
+                        + CAST(state_code IS NOT NULL AS INT)
+                        + CAST(zip_code IS NOT NULL AS INT)
+                        + CAST(phone IS NOT NULL AS INT)
+                        + CAST(website IS NOT NULL AS INT)
+                        + CAST(payor_type IS NOT NULL AS INT)
+                        + CAST(line_of_business IS NOT NULL AS INT)
+                        + CAST(is_active IS NOT NULL AS INT)
+                        + CAST(effective_date IS NOT NULL AS INT)) / 15.0, 4)
+                       AS completeness_score,
+                   source_count, confidence_score, survivor_record_id
+            FROM g
         """,
     }

@@ -63,11 +63,19 @@ def build_audit_log(golden: Dataset, hierarchy: Dataset,
 
 
 def score_histogram(candidates: Dataset) -> Dataset:
-    """WIDTH_BUCKET(overall_score, 0, 1, 10) histogram (`Dashboard.tsx:44`)."""
+    """WIDTH_BUCKET(overall_score, 0, 1, 10) histogram (`Dashboard.tsx:44`).
+
+    True WIDTH_BUCKET semantics: NULL score → NULL (row dropped from the
+    grouped histogram), score < 0 → bucket 0, score in [0,1) →
+    floor(score*10)+1 (1..10), score ≥ 1 → bucket 11 (upper overflow).
+    """
     def bucketize(b: pa.Table) -> pa.Table:
-        s = pc.coalesce(b["overall_score"], pa.scalar(-1.0))
-        bucket = pc.cast(pc.floor(pc.multiply(s, 10.0)), pa.int32())
-        bucket = pc.min_element_wise(bucket, pa.scalar(9, pa.int32()))
+        b = b.filter(pc.is_valid(b["overall_score"]))
+        s = b["overall_score"]
+        bucket = pc.cast(pc.add(pc.floor(pc.multiply(s, 10.0)), 1.0), pa.int32())
+        bucket = pc.max_element_wise(
+            pc.min_element_wise(bucket, pa.scalar(11, pa.int32())),
+            pa.scalar(0, pa.int32()))
         return pa.table({"score_bucket": bucket})
     return (candidates.map_batches(bucketize, batch_format="pyarrow")
             .groupby("score_bucket").count())

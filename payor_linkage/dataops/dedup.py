@@ -76,7 +76,11 @@ def _jaccard_shingles(ta: str, tb: str, k: int) -> float:
 
 
 class MinHasher:
-    """Actor-pool stage: permutation params built once per actor."""
+    """Actor-pool stage: permutation params built once per actor.
+
+    Emits (bucket, id) ONLY — document text never rides through the band
+    explosion (bands× duplication through the shuffle at 100 TB); the
+    verify stage joins content back per surviving candidate pair."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
                  text_col: str = "text", id_col: str = "doc_id"):
@@ -86,10 +90,10 @@ class MinHasher:
         self.text_col, self.id_col = text_col, id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        """doc → one row per LSH band: (bucket, id, text)."""
+        """doc → one row per LSH band: (bucket, id)."""
         texts = batch[self.text_col].to_pylist()
         ids = batch[self.id_col].to_pylist()
-        buckets, out_ids, out_texts = [], [], []
+        buckets, out_ids = [], []
         for i, t in enumerate(texts):
             sig = _minhash_sig(t, self.a, self.b, self.k)
             for band in range(self.bands):
@@ -97,11 +101,9 @@ class MinHasher:
                 bucket = f"{band}|{hashlib.md5(chunk.tobytes()).hexdigest()[:16]}"
                 buckets.append(bucket)
                 out_ids.append(ids[i])
-                out_texts.append(t)
         return pa.table({
             "bucket": pa.array(buckets, pa.string()),
             "id": pa.array(out_ids),
-            "text": pa.array(out_texts, pa.string()),
         })
 
 
@@ -110,12 +112,18 @@ def minhash_lsh_pairs(ds: Dataset, threshold: float = 0.5, num_perm: int = 64,
                       text_col: str = "text", id_col: str = "doc_id",
                       max_bucket: int = 2000) -> Dataset:
     """Near-duplicate pairs by MinHash-LSH, verified with exact shingle
-    Jaccard ≥ threshold. Output: (id_a, id_b, jaccard round 4).
+    Jaccard ≥ threshold. Output: (id_a, id_b, n_inter, n_union) —
+    integer shingle-set sizes (jaccard = n_inter/n_union); integers keep
+    the DuckDB oracle exact (no computed-float-ratio columns).
 
-    Shape: shingle→minhash per batch (actor pool) → explode to band-bucket
-    rows → groupby(bucket) pair emission (bounded by ``max_bucket``) →
-    pair dedup (aggregate) → exact verify. At 100 TB the carried text
-    would be replaced by a content-store pointer + a second verify pass."""
+    Shape: shingle→minhash per batch (actor pool) → explode to TEXT-FREE
+    band-bucket rows → groupby(bucket) pair emission (bounded by
+    ``max_bucket``) → pair dedup (aggregate) → join content back by id
+    (both sides) → exact shingle verify. This is the 100 TB shape: the
+    band shuffle moves only (bucket, id); content moves once per
+    *surviving candidate pair*, not bands× per document."""
+    from payor_linkage.rayutil import smart_join
+
     k = shingle_k
 
     band_rows = ds.map_batches(
@@ -128,10 +136,8 @@ def minhash_lsh_pairs(ds: Dataset, threshold: float = 0.5, num_perm: int = 64,
         n = g.num_rows
         if n < 2 or n > max_bucket:
             return pa.schema([("pair", pa.string()), ("id_a", g["id"].type),
-                              ("id_b", g["id"].type), ("text_a", pa.string()),
-                              ("text_b", pa.string())]).empty_table()
+                              ("id_b", g["id"].type)]).empty_table()
         ids = g["id"].to_numpy(zero_copy_only=False)
-        texts = g["text"].to_numpy(zero_copy_only=False)
         order = np.argsort(ids)
         iu, ju = np.triu_indices(n, k=1)
         ai, bi = order[iu], order[ju]
@@ -139,23 +145,40 @@ def minhash_lsh_pairs(ds: Dataset, threshold: float = 0.5, num_perm: int = 64,
             "pair": pa.array([f"{ids[x]}|{ids[y]}" for x, y in zip(ai, bi)], pa.string()),
             "id_a": pa.array(ids[ai]),
             "id_b": pa.array(ids[bi]),
-            "text_a": pa.array(texts[ai], pa.string()),
-            "text_b": pa.array(texts[bi], pa.string()),
         })
 
     pairs = band_rows.groupby("bucket").map_groups(emit_pairs, batch_format="pyarrow")
-    deduped = pairs.groupby("pair").aggregate(
-        Min("id_a", alias_name="id_a"), Min("id_b", alias_name="id_b"),
-        Min("text_a", alias_name="text_a"), Min("text_b", alias_name="text_b"))
+    deduped = (pairs.groupby("pair")
+               .aggregate(Min("id_a", alias_name="id_a"),
+                          Min("id_b", alias_name="id_b"))
+               .map_batches(lambda b: b.drop_columns(["pair"]),
+                            batch_format="pyarrow"))
+
+    # second pass: content lookup per candidate pair (size-aware joins)
+    content_a = ds.map_batches(
+        lambda b: pa.table({"id_a": b[id_col], "text_a": b[text_col]}),
+        batch_format="pyarrow")
+    content_b = ds.map_batches(
+        lambda b: pa.table({"id_b": b[id_col], "text_b": b[text_col]}),
+        batch_format="pyarrow")
+    enriched = smart_join(smart_join(deduped, content_a, "id_a"),
+                          content_b, "id_b")
 
     def verify(b: pa.Table) -> pa.Table:
-        jac = [round(_jaccard_shingles(ta, tb, k), 4)
-               for ta, tb in zip(b["text_a"].to_pylist(), b["text_b"].to_pylist())]
+        inter, union = [], []
+        for ta, tb in zip(b["text_a"].to_pylist(), b["text_b"].to_pylist()):
+            sa = set(_shingles(ta, k).tolist())
+            sb = set(_shingles(tb, k).tolist())
+            inter.append(len(sa & sb))
+            union.append(len(sa | sb))
         out = pa.table({"id_a": b["id_a"], "id_b": b["id_b"],
-                        "jaccard": pa.array(jac, pa.float64())})
-        return out.filter(pc.greater_equal(out["jaccard"], threshold))
+                        "n_inter": pa.array(inter, pa.int64()),
+                        "n_union": pa.array(union, pa.int64())})
+        # unrounded ratio compare — identical IEEE division to the oracle
+        keep = [u > 0 and i / u >= threshold for i, u in zip(inter, union)]
+        return out.filter(pa.array(keep, pa.bool_()))
 
-    return deduped.map_batches(verify, batch_format="pyarrow")
+    return enriched.map_batches(verify, batch_format="pyarrow")
 
 
 # ── SimHash ────────────────────────────────────────────────────────────────
@@ -164,37 +187,79 @@ def minhash_lsh_pairs(ds: Dataset, threshold: float = 0.5, num_perm: int = 64,
 _SHIFTS = np.arange(64, dtype=np.uint64)
 
 
-def _simhash64(tokens: list[str]) -> np.uint64:
-    acc = np.zeros(64, dtype=np.int64)
-    one = np.uint64(1)
-    for t in tokens:
-        h = np.uint64(int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little"))
-        bits = (h >> _SHIFTS) & one
-        acc += np.where(bits == one, 1, -1)
-    bits = (acc > 0).astype(np.uint64)
-    return np.uint64((bits << _SHIFTS).sum(dtype=np.uint64))
+class SimHasher:
+    """Actor-pool signature stage: token→hash memo persists per actor
+    (stopword-heavy corpora repeat tokens massively — the md5 cost
+    amortizes to ~one call per distinct token per actor)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col, self.id_col = text_col, id_col
+        self._memo: dict[str, int] = {}
+
+    def _token_hash(self, t: str) -> int:
+        h = self._memo.get(t)
+        if h is None:
+            h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
+            if len(self._memo) < 4_000_000:
+                self._memo[t] = h
+        return h
+
+    def _sig(self, tokens: list[str]) -> int:
+        if not tokens:
+            return 0
+        hv = np.array([self._token_hash(t) for t in tokens], dtype=np.uint64)
+        bits = (hv[:, None] >> _SHIFTS[None, :]) & np.uint64(1)   # (n_tok, 64)
+        acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+        b = (acc > 0).astype(np.uint64)
+        return int((b << _SHIFTS).sum(dtype=np.uint64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = [self._sig(t.split()) for t in batch[self.text_col].to_pylist()]
+        # stored as int64 (bit-reinterpreted) so parquet/DuckDB xor works
+        return pa.table({
+            "id": batch[self.id_col],
+            "sig": pa.array(np.array(sigs, dtype=np.uint64).view(np.int64)),
+        })
 
 
-def simhash_pairs(ds: Dataset, max_hamming: int = 3, text_col: str = "text",
-                  id_col: str = "doc_id", max_bucket: int = 2000) -> Dataset:
-    """Near-duplicate pairs by 64-bit SimHash: candidates share one of the
-    four 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical chunk),
-    verified by full hamming distance. Output (id_a, id_b, hamming)."""
+def simhash_signatures(ds: Dataset, text_col: str = "text",
+                       id_col: str = "doc_id") -> Dataset:
+    """64-bit SimHash per document: (id, sig:int64)."""
+    return ds.map_batches(SimHasher, batch_format="pyarrow",
+                          fn_constructor_kwargs=dict(text_col=text_col,
+                                                     id_col=id_col),
+                          concurrency=(1, 4), batch_size=2048)
 
-    def sigs(b: pa.Table) -> pa.Table:
+
+def simhash_pairs_from_sigs(sig_ds: Dataset, max_hamming: int = 3,
+                            n_chunks: int = 4, max_bucket: int = 2000) -> Dataset:
+    """(id, sig) → near-dup pairs (id_a, id_b, hamming ≤ max_hamming).
+
+    Pigeonhole bucketing: two sigs within hamming ``h`` share at least one
+    of ``n_chunks`` equal chunks whenever ``h < n_chunks`` — candidate
+    generation is COMPLETE iff ``max_hamming < n_chunks``. Larger chunks
+    (fewer n_chunks) give wider buckets but a weaker guarantee; callers
+    trade per corpus. Chunk width must divide 64."""
+    assert 64 % n_chunks == 0, "n_chunks must divide 64"
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b["id"].to_pylist()
+        sigs = b["sig"].to_numpy(zero_copy_only=False).view(np.uint64)
         rows_bucket, rows_id, rows_sig = [], [], []
-        for i, t in enumerate(b[text_col].to_pylist()):
-            s = _simhash64(t.split())
-            for chunk in range(4):
-                part = (int(s) >> (16 * chunk)) & 0xFFFF
+        for i, s in enumerate(sigs):
+            s_int = int(s)
+            for chunk in range(n_chunks):
+                part = (s_int >> (width * chunk)) & mask
                 rows_bucket.append(f"{chunk}|{part}")
-                rows_id.append(b[id_col][i].as_py())
-                rows_sig.append(int(s))
+                rows_id.append(ids[i])
+                rows_sig.append(s_int)
         return pa.table({"bucket": pa.array(rows_bucket, pa.string()),
                          "id": pa.array(rows_id),
-                         "sig": pa.array(rows_sig, pa.uint64())})
+                         "sig": pa.array(np.array(rows_sig, dtype=np.uint64).view(np.int64))})
 
-    band_rows = ds.map_batches(sigs, batch_format="pyarrow")
+    band_rows = sig_ds.map_batches(explode, batch_format="pyarrow")
 
     def emit(g: pa.Table) -> pa.Table:
         n = g.num_rows
@@ -202,13 +267,16 @@ def simhash_pairs(ds: Dataset, max_hamming: int = 3, text_col: str = "text",
             return pa.schema([("pair", pa.string()), ("id_a", g["id"].type),
                               ("id_b", g["id"].type), ("hamming", pa.int32())]).empty_table()
         ids = g["id"].to_numpy(zero_copy_only=False)
-        s = g["sig"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        s = g["sig"].to_numpy(zero_copy_only=False).view(np.uint64)
         order = np.argsort(ids)
         iu, ju = np.triu_indices(n, k=1)
         ai, bi = order[iu], order[ju]
         x = s[ai] ^ s[bi]
         ham = np.array([bin(int(v)).count("1") for v in x], dtype=np.int32)
-        keep = ham <= 64  # full verify below threshold happens after dedup
+        # verify INSIDE the bucket — only pairs within threshold enter the
+        # dedup shuffle (the candidate volume bound at scale)
+        keep = ham <= max_hamming
+        ai, bi, ham = ai[keep], bi[keep], ham[keep]
         return pa.table({
             "pair": pa.array([f"{ids[a]}|{ids[b]}" for a, b in zip(ai, bi)], pa.string()),
             "id_a": pa.array(ids[ai]), "id_b": pa.array(ids[bi]),
@@ -220,8 +288,17 @@ def simhash_pairs(ds: Dataset, max_hamming: int = 3, text_col: str = "text",
         Min("id_a", alias_name="id_a"), Min("id_b", alias_name="id_b"),
         Min("hamming", alias_name="hamming"))
     return deduped.map_batches(
-        lambda b: b.filter(pc.less_equal(b["hamming"], max_hamming)).drop_columns(["pair"]),
-        batch_format="pyarrow")
+        lambda b: b.drop_columns(["pair"]), batch_format="pyarrow")
+
+
+def simhash_pairs(ds: Dataset, max_hamming: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id", max_bucket: int = 2000,
+                  n_chunks: int = 4) -> Dataset:
+    """Near-duplicate pairs by 64-bit SimHash (signature + bucket + verify).
+    Output (id_a, id_b, hamming). Complete iff ``max_hamming < n_chunks``."""
+    return simhash_pairs_from_sigs(
+        simhash_signatures(ds, text_col=text_col, id_col=id_col),
+        max_hamming=max_hamming, n_chunks=n_chunks, max_bucket=max_bucket)
 
 
 # ── n-gram / char-set Jaccard over blocked pairs ───────────────────────────
@@ -282,7 +359,10 @@ def ngram_jaccard_pairs(ds: Dataset, block_cols: list[str], threshold: float,
                         k: int = 3, charset: bool = False,
                         text_col: str = "text", id_col: str = "doc_id") -> Dataset:
     """Jaccard-verified near-dup pairs within blocks. ``charset=True`` uses
-    character-set Jaccard (DuckDB-oracle parity); else k-shingle Jaccard."""
+    character-set Jaccard (DuckDB ``jaccard()`` parity) and outputs
+    (id_a, id_b, jaccard round 4); the k-shingle path outputs integer set
+    sizes (id_a, id_b, n_inter, n_union) with an UNROUNDED ratio
+    threshold — the same IEEE division its DuckDB oracle performs."""
     pairs = blocked_pairs(ds, block_cols, id_col=id_col, carry=[text_col])
 
     def verify(b: pa.Table) -> pa.Table:
@@ -290,11 +370,20 @@ def ngram_jaccard_pairs(ds: Dataset, block_cols: list[str], threshold: float,
         tb = b[f"{text_col}_b"].to_pylist()
         if charset:
             jac = [round(charset_jaccard(x, y), 4) for x, y in zip(ta, tb)]
-        else:
-            jac = [round(_jaccard_shingles(x, y, k), 4) for x, y in zip(ta, tb)]
+            out = pa.table({"id_a": b["id_a"], "id_b": b["id_b"],
+                            "jaccard": pa.array(jac, pa.float64())})
+            return out.filter(pc.greater_equal(out["jaccard"], threshold))
+        inter, union = [], []
+        for x, y in zip(ta, tb):
+            sa = set(_shingles(x, k).tolist())
+            sb = set(_shingles(y, k).tolist())
+            inter.append(len(sa & sb))
+            union.append(len(sa | sb))
         out = pa.table({"id_a": b["id_a"], "id_b": b["id_b"],
-                        "jaccard": pa.array(jac, pa.float64())})
-        return out.filter(pc.greater_equal(out["jaccard"], threshold))
+                        "n_inter": pa.array(inter, pa.int64()),
+                        "n_union": pa.array(union, pa.int64())})
+        keep = [u > 0 and i / u >= threshold for i, u in zip(inter, union)]
+        return out.filter(pa.array(keep, pa.bool_()))
 
     return pairs.map_batches(verify, batch_format="pyarrow")
 

@@ -30,7 +30,7 @@ import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 
-from payor_linkage.rayutil import join_partitions
+from payor_linkage.rayutil import smart_join
 
 _H_NS = uuid.uuid5(uuid.NAMESPACE_DNS, "payor-linkage.hierarchy")
 
@@ -63,8 +63,10 @@ def infer_hierarchy(golden: Dataset, unified: Dataset, xref: Dataset) -> Dataset
                                    pc.not_equal(b["parent_ref"], ""))),
         batch_format="pyarrow")
     child_map = xref.select_columns(["source_record_id", "master_payor_id"])
-    refs = refs.join(child_map, join_type="inner", num_partitions=join_partitions(8),
-                     on=("source_record_id",))
+    # smart_join (CLAUDE.md convention): the raw hash join crashes with
+    # `ArrowInvalid: No match ... FieldRef` on empty partition blocks —
+    # exactly the case when no record carries a non-empty parent_ref.
+    refs = smart_join(refs, child_map, "source_record_id")
 
     def signal1(batch: pa.Table) -> pa.Table:
         names, _ = ray.get(bcast)

@@ -158,16 +158,20 @@ def normalize_batch(batch: pa.Table) -> pa.Table:
 
     # N6/N7: claims single-line address parse + state name mapping
     addr_single = f["address_single_line"]
-    split = pc.split_pattern(pc.coalesce(addr_single, pa.scalar("")), ", ")
+    # split_part(address, ',', n) semantics (`stg_claims_payors.sql:57,63`):
+    # split on bare ',' (NOT ', '), out-of-range part → '', trim afterwards
+    split = pc.split_pattern(pc.coalesce(addr_single, pa.scalar("")), ",")
     part1 = _trim(pc.coalesce(pc.list_element(split, 0), pa.scalar("")))
     has2 = pc.greater_equal(pc.list_value_length(split), 2)
-    part2 = _trim(pc.if_else(has2, pc.list_element(
-        pc.if_else(has2, split, pc.cast(pa.array([["", ""]] * n), split.type)), 1), pa.scalar("")))
+    part2_raw = pc.if_else(has2, pc.list_element(
+        pc.if_else(has2, split, pc.cast(pa.array([["", ""]] * n), split.type)), 1), pa.scalar(""))
     raw_city = f["city"]
     claims_addr1 = pc.if_else(
         pc.and_(pc.is_valid(addr_single), pc.is_null(raw_city)),
-        _nullif_empty(part1), pa.scalar(None, pa.string()))
-    claims_city = pc.utf8_upper(_trim(pc.coalesce(_nullif_empty(raw_city), _nullif_empty(part2))))
+        part1, pa.scalar(None, pa.string()))
+    # upper(trim(coalesce(nullif(city,''), nullif(split_part(...,2),''))))
+    claims_city = pc.utf8_upper(_trim(pc.coalesce(_nullif_empty(raw_city),
+                                                  _nullif_empty(part2_raw))))
 
     address_line_1 = _per_source(masks, {
         "crm": _trim(f["address_line_1"]),

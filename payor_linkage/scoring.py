@@ -296,6 +296,7 @@ class EnsembleScorer:
 
         # ── pass 3: strategy names, composite, overall ──────────────────
         W = {"name": 0.35, "tax_id": 0.25, "address": 0.20, "phone": 0.10, "cms": 0.10}
+        composites: list[float | None] = [None] * n
         for i in range(n):
             used = strategies[i]
             for j, u in enumerate(used):
@@ -311,6 +312,10 @@ class EnsembleScorer:
                     tw += W[f]
                     cs += sc * W[f]
             composite = round(cs / tw, 4) if tw else None
+            composites[i] = composite
+            # DET-* overrides overall_score only; ensemble_detail keeps the
+            # UDF-computed composite regardless of match_rule (reference
+            # VARIANT semantics, `int_match_scored.sql`)
             overall[i] = 1.0 if match_rule[i] != "FUZZY" else composite
 
         out_cols = {
@@ -339,7 +344,7 @@ class EnsembleScorer:
                     "addr_score": score_addr[i], "addr_strategy": win_addr[i],
                     "tax_score": score_tax[i], "phone_score": score_phone[i],
                     "cms_score": score_cms[i], "media_score": media_score[i],
-                    "composite": overall[i] if match_rule[i] == "FUZZY" else None,
+                    "composite": composites[i],
                     "strategies_used": strategies[i],
                 }, separators=(",", ":")))
             out_cols["ensemble_detail"] = pa.array(details, pa.string())

@@ -37,7 +37,7 @@ def test_minhash_lsh_finds_near_dups(ray_session):
     ds = _doc_ds([base, near, far])
     out = minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
     assert {(0, 1)} == set(zip(out.id_a, out.id_b))
-    assert (out.jaccard >= 0.5).all()
+    assert (out.n_inter / out.n_union >= 0.5).all()
 
 
 def test_minhash_deterministic(ray_session):
@@ -59,6 +59,72 @@ def test_simhash_pairs(ray_session):
     out = simhash_pairs(ds, max_hamming=16).to_pandas()
     assert (0, 1) in set(zip(out.id_a, out.id_b))
     assert (2 not in set(out.id_a)) and (2 not in set(out.id_b))
+
+
+def test_simhash_pigeonhole_complete(ray_session):
+    """With max_hamming < n_chunks the bucketed candidate generation is
+    provably complete — verify against brute-force hamming on real docs."""
+    import os
+
+    import ray.data as rd
+
+    from payor_linkage.dataops.dedup import (simhash_pairs_from_sigs,
+                                             simhash_signatures)
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    if not os.path.exists(path):
+        pytest.skip("driver testdata not present")
+    sigs = simhash_signatures(rd.read_parquet(path)).materialize()
+    out = simhash_pairs_from_sigs(sigs, max_hamming=7, n_chunks=8).to_pandas()
+    df = sigs.to_pandas()
+    s = df.sig.to_numpy().view(np.uint64)
+    ids = df.id.to_numpy()
+    n = len(s)
+    x = (s[:, None] ^ s[None, :]).copy()
+    ham = np.unpackbits(x.view(np.uint8).reshape(n, n, 8), axis=2).sum(axis=2)
+    iu, ju = np.triu_indices(n, 1)
+    mask = ham[iu, ju] <= 7
+    brute = {(min(ids[a], ids[b]), max(ids[a], ids[b]))
+             for a, b in zip(iu[mask], ju[mask])}
+    assert set(zip(out.id_a, out.id_b)) == brute
+    assert brute, "corpus should contain at least one near-dup pair"
+
+
+def test_lsh_neardup_recall(ray_session):
+    """Quantified recall gate for the LSH scale path vs brute force."""
+    import os
+
+    import ray.data as rd
+
+    from payor_linkage.dataops.dedup import embedding_neardup_pairs
+    from payor_linkage.dataops.similarity import lsh_neardup_pairs
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    if not os.path.exists(path):
+        pytest.skip("driver testdata not present")
+    emb = rd.read_parquet(path)
+    brute = set(map(tuple, embedding_neardup_pairs(emb, threshold=0.4)
+                    .to_pandas()[["id_a", "id_b"]].values))
+    lsh = set(map(tuple, lsh_neardup_pairs(emb, threshold=0.4, n_planes=4,
+                                           n_tables=32)
+                  .to_pandas()[["id_a", "id_b"]].values))
+    assert lsh <= brute, "exact verify must give precision 1.0"
+    assert brute
+    assert len(lsh & brute) / len(brute) >= 0.8
+
+
+def test_ivf_full_probe_is_exact(ray_session):
+    """nprobe = n_centroids scans every partition → identical to brute."""
+    from payor_linkage.dataops.similarity import ann_topk, ivf_topk
+
+    rng = np.random.RandomState(7)
+    V = rng.randn(200, 16)
+    exact = ann_topk(_emb_ds(V), query_ids=[0, 1, 2], k=5).to_pandas()
+    full = ivf_topk(_emb_ds(V), query_ids=[0, 1, 2], k=5, n_centroids=8,
+                    nprobe=8).to_pandas()
+    key = ["query_id", "rank", "neighbor_id"]
+    assert exact[key].sort_values(key).values.tolist() == \
+        full[key].sort_values(key).values.tolist()
 
 
 def test_ngram_vs_charset_jaccard(ray_session):

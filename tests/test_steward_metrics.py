@@ -51,9 +51,22 @@ def test_strategy_performance_counts(pipeline_result):
 def test_score_histogram(pipeline_result):
     from payor_linkage.audit import score_histogram
 
-    h = score_histogram(pipeline_result.candidates).to_pandas()
-    assert h["count()"].sum() == pipeline_result.candidates.count()
-    assert h.score_bucket.between(-1, 9).all()
+    import pyarrow.compute as pc
+
+    cand = pipeline_result.candidates
+    h = score_histogram(cand).to_pandas()
+    nonnull = cand.map_batches(
+        lambda b: b.filter(pc.is_valid(b["overall_score"])),
+        batch_format="pyarrow").count()
+    # WIDTH_BUCKET semantics: null scores dropped, buckets 0..11
+    assert h["count()"].sum() == nonnull
+    assert h.score_bucket.between(0, 11).all()
+    # DET-* pairs score exactly 1.0 → upper-overflow bucket 11 must exist
+    det = cand.map_batches(
+        lambda b: b.filter(pc.equal(pc.coalesce(b["overall_score"], -1.0), 1.0)),
+        batch_format="pyarrow").count()
+    if det:
+        assert 11 in set(h.score_bucket)
 
 
 def test_pipeline_metrics(pipeline_result):
