@@ -43,18 +43,16 @@ def grouped_apply(ds: Dataset, key: str, group_fn=None, out_schema: pa.Schema = 
     import numpy as np
 
     assert (group_fn is None) != (runs_fn is None)
-    s = ds.sort(key).materialize()
-    # order-preserving block split so every CPU gets interior work (sort
-    # output inherits the input block count, which may be far below the
-    # cluster's parallelism); boundary consolidation cost grows only by
-    # O(blocks) rows
+    # normalize the block count BEFORE the sort: Ray's sort fans out one
+    # reduce partition per input block, so a many-small-block input (e.g.
+    # from an upstream row-balanced repartition) multiplies sort tasks;
+    # a too-few-block input starves the CPUs. Pin to 2 blocks/CPU — the
+    # repartition is a cheap split/merge (no shuffle) on a lazy dataset.
     try:
         cpus = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
         cpus = 4
-    target_blocks = max(s.num_blocks(), cpus * 2)
-    if target_blocks > s.num_blocks():
-        s = s.repartition(target_blocks).materialize()
+    s = ds.repartition(cpus * 2).sort(key).materialize()
     empty = out_schema.empty_table()
 
     def _runs(keys) -> tuple:

@@ -370,6 +370,11 @@ def score_pairs(pairs, cfg=None):
         except Exception:
             cpus = 8
         concurrency = (max(2, cpus // 2), max(2, cpus))
+    # balance the pool's task sizes: blocking/grouped_apply emit skewed
+    # blocks (observed 2k..194k rows) and an actor task consumes a whole
+    # block — one fat block then dominates the stage wall. A row-count
+    # repartition (no shuffle, just split/merge) caps task granularity.
+    pairs = pairs.repartition(target_num_rows_per_block=4 * cfg.batch_size)
     return pairs.map_batches(
         EnsembleScorer,
         batch_format="pyarrow",
