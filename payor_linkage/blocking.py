@@ -108,13 +108,27 @@ def _find_hot_keys(key_rows: Dataset, cap: int, park_degenerate: bool,
     sub-block memory but still emits O(n·cap) pairs — beyond the bound
     the key is collision noise, not an entity)."""
     low_cap = min(cap, pho_cap or cap)
-    counts = key_rows.groupby("bkey").count()
+    # partial per-block counts over the bkey column ONLY, then one small
+    # grouped sum — the naive groupby("bkey").count() sort-shuffles every
+    # carried payload column just to count keys
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys, cnt = np.unique(b["bkey"].to_numpy(zero_copy_only=False),
+                              return_counts=True)
+        return pa.table({"bkey": pa.array(keys, pa.string()),
+                         "n": pa.array(cnt, pa.int64())})
+
+    counts = (key_rows.select_columns(["bkey"])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("bkey").aggregate(Sum("n", alias_name="n")))
     hot = counts.map_batches(
-        lambda t: t.filter(pc.greater(t["count()"], low_cap)), batch_format="pyarrow")
+        lambda t: t.filter(pc.greater(t["n"], low_cap)), batch_format="pyarrow")
     out = {}
     for r in hot.take_all():
         k = r["bkey"]
-        n = r["count()"]
+        n = r["n"]
         k_cap = pho_cap if (pho_cap is not None and k.startswith("pho|")) else cap
         if n <= k_cap:
             continue

@@ -154,13 +154,40 @@ def minhash_lsh_pairs(ds: Dataset, threshold: float = 0.5, num_perm: int = 64,
                .map_batches(lambda b: b.drop_columns(["pair"]),
                             batch_format="pyarrow"))
 
-    # second pass: content lookup per candidate pair (size-aware joins)
-    content_a = ds.map_batches(
-        lambda b: pa.table({"id_a": b[id_col], "text_a": b[text_col]}),
-        batch_format="pyarrow")
-    content_b = ds.map_batches(
-        lambda b: pa.table({"id_b": b[id_col], "text_b": b[text_col]}),
-        batch_format="pyarrow")
+    # second pass: content lookup per candidate pair. The candidate set is
+    # bounded by the near-dup rate (≪ corpus), so when provably small we
+    # broadcast the id set, filter the corpus in ONE scan (no shuffle) and
+    # join the two now-tiny sides; the size-aware hash join is the
+    # fallback for degenerate corpora where candidates stay large.
+    deduped = deduped.materialize()
+    n_cand = deduped.count()
+    if n_cand <= 1_000_000:
+        import ray
+
+        idcols = deduped.select_columns(["id_a", "id_b"]).take_all()
+        needed = {r["id_a"] for r in idcols} | {r["id_b"] for r in idcols}
+        ref = ray.put(needed)
+
+        def pick(b: pa.Table) -> pa.Table:
+            want = ray.get(ref)
+            keep = pa.array([v in want for v in b[id_col].to_pylist()], pa.bool_())
+            m = b.filter(keep)
+            return pa.table({"id": m[id_col], "text": m[text_col]})
+
+        content = ds.map_batches(pick, batch_format="pyarrow").materialize()
+        content_a = content.map_batches(
+            lambda b: pa.table({"id_a": b["id"], "text_a": b["text"]}),
+            batch_format="pyarrow")
+        content_b = content.map_batches(
+            lambda b: pa.table({"id_b": b["id"], "text_b": b["text"]}),
+            batch_format="pyarrow")
+    else:  # pragma: no cover - degenerate candidate volume
+        content_a = ds.map_batches(
+            lambda b: pa.table({"id_a": b[id_col], "text_a": b[text_col]}),
+            batch_format="pyarrow")
+        content_b = ds.map_batches(
+            lambda b: pa.table({"id_b": b[id_col], "text_b": b[text_col]}),
+            batch_format="pyarrow")
     enriched = smart_join(smart_join(deduped, content_a, "id_a"),
                           content_b, "id_b")
 

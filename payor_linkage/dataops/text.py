@@ -95,34 +95,32 @@ def lang_id(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Data
 
 
 def fingerprint(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
-    """Content fingerprints: md5 (oracle-parity) + a 64-bit polynomial
-    rolling hash over 8-char windows (winnowing-style document signature)."""
-    MOD = (1 << 61) - 1
+    """Content fingerprints: md5 (oracle-parity) + a polynomial rolling
+    hash over 8-byte windows (winnowing-style min-window signature),
+    fully vectorized: every window hash of a document is one
+    sliding_window_view × power-vector dot product in uint64 (31-bit
+    modulus keeps the products overflow-free)."""
+    MOD = (1 << 31) - 1
     BASE = 257
     W = 8
+    PW = np.array([pow(BASE, W - 1 - j, MOD) for j in range(W)], dtype=np.uint64)
+
+    def roll_one(data: bytes) -> int:
+        arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+        if len(arr) == 0:
+            return 0
+        if len(arr) < W:
+            pw = np.array([pow(BASE, len(arr) - 1 - j, MOD) for j in range(len(arr))],
+                          dtype=np.uint64)
+            return int((arr * pw).sum() % MOD)
+        win = np.lib.stride_tricks.sliding_window_view(arr, W)
+        h = (win * PW[None, :]).sum(axis=1) % MOD
+        return int(h.min())
 
     def fp(b: pa.Table) -> pa.Table:
         texts = b[text_col].to_pylist()
         md5s = [hashlib.md5(t.encode()).hexdigest() for t in texts]
-        rolls = []
-        for t in texts:
-            data = t.encode()
-            if len(data) < W:
-                h = 0
-                for c in data:
-                    h = (h * BASE + c) % MOD
-                rolls.append(h)
-                continue
-            h = 0
-            top = pow(BASE, W - 1, MOD)
-            mn = MOD
-            for i, c in enumerate(data):
-                if i >= W:
-                    h = (h - data[i - W] * top) % MOD
-                h = (h * BASE + c) % MOD
-                if i >= W - 1:
-                    mn = min(mn, h)
-            rolls.append(mn)  # min window hash = stable doc signature
+        rolls = [roll_one(t.encode()) for t in texts]
         return pa.table({
             id_col: b[id_col],
             "md5": pa.array(md5s, pa.string()),

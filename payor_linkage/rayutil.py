@@ -122,6 +122,51 @@ def smart_join(left: Dataset, right: Dataset, on: str,
                      on=(on,))
 
 
+def lookup_join(big: Dataset, small: Dataset, on: str,
+                max_rows: int = 5_000_000) -> Dataset:
+    """Inner equi-join where ``small`` has UNIQUE keys and provably
+    bounded size: collect it to sorted numpy arrays once, broadcast
+    (ray.put), and attach its columns to ``big`` with a binary-search map
+    — zero shuffle (vs two full-shuffle sides for a hash join). Rows of
+    ``big`` with no match are dropped (inner semantics). Falls back to
+    ``smart_join`` when ``small`` exceeds ``max_rows`` (a cluster-scale
+    side must shuffle, not broadcast)."""
+    import numpy as np
+
+    small = small.materialize()
+    if small.count() > max_rows:
+        return smart_join(big, small, on)
+    tbl = pa.concat_tables(
+        ray.get(small.to_arrow_refs()), promote_options="default")
+    keys = tbl[on].to_numpy(zero_copy_only=False)
+    order = np.argsort(keys)
+    keys = keys[order]
+    payload_names = [c for c in tbl.column_names if c != on]
+    payload = {c: tbl[c].combine_chunks().take(pa.array(order))
+               for c in payload_names}
+    ref = ray.put((keys, payload))
+
+    def attach(b: pa.Table) -> pa.Table:
+        k, pay = ray.get(ref)
+        if len(k) == 0:  # empty small side → inner join drops everything
+            m = b.slice(0, 0)
+            for c in payload_names:
+                m = m.append_column(c, pay[c].slice(0, 0))
+            return m
+        bk = b[on].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(k, bk)
+        pos_c = np.minimum(pos, len(k) - 1)
+        hit = k[pos_c] == bk
+        m = b.filter(pa.array(hit))
+        idx = pa.array(pos_c[hit])
+        for c in payload_names:
+            if c not in m.column_names:
+                m = m.append_column(c, pay[c].take(idx))
+        return m
+
+    return big.map_batches(attach, batch_format="pyarrow")
+
+
 def nested_safe_join(left: Dataset, right: Dataset, on: str) -> Dataset:
     """Inner equi-join that tolerates nested (list/struct) payload columns.
 

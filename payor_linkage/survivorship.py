@@ -32,7 +32,7 @@ from dataclasses import dataclass, field
 import pyarrow as pa
 from ray.data import Dataset
 
-from payor_linkage.rayutil import smart_join
+from payor_linkage.rayutil import lookup_join
 from payor_linkage.schema import COMPLETENESS_FIELDS, GOLDEN_FIELDS, GOLDEN_SCHEMA
 
 
@@ -170,13 +170,16 @@ def make_golden_fn(cfg: SurvivorshipConfig):
     return golden_for_group
 
 
-def make_golden_runs_fn(cfg: SurvivorshipConfig):
+def make_golden_runs_fn(cfg: SurvivorshipConfig, with_spans: bool = True):
     """Block-level variant: extract columns once per block, run the
     per-group rules on python list slices, emit ONE table per block —
     kills the per-group Arrow overhead (rules are identical to
-    make_golden_fn)."""
+    make_golden_fn). ``with_spans=False`` elects without the span payload
+    (the caller joins the survivor's spans back afterwards)."""
     rules = cfg.rules
-    out_names = [f.name for f in _GOLDEN_JSON_SCHEMA]
+    schema = (_GOLDEN_JSON_SCHEMA if with_spans else
+              pa.schema([f for f in _GOLDEN_JSON_SCHEMA if f.name != "spans_json"]))
+    out_names = [f.name for f in schema]
 
     def golden_runs(b: pa.Table, starts, ends) -> pa.Table:
         present = [c for c in _GROUP_COLS if c in b.column_names]
@@ -206,13 +209,14 @@ def make_golden_runs_fn(cfg: SurvivorshipConfig):
             surv = cols["is_survivor"]
             si = next((i for i in range(n) if surv[i]), 0)
             out["survivor_record_id"] = rid[si]
-            out["spans_json"] = cols.get("spans_json", [None] * n)[si]
+            if with_spans:
+                out["spans_json"] = cols.get("spans_json", [None] * n)[si]
             for name in out_names:
                 out_rows[name].append(out.get(name))
 
         return pa.Table.from_arrays(
-            [pa.array(out_rows[f.name], type=f.type) for f in _GOLDEN_JSON_SCHEMA],
-            schema=_GOLDEN_JSON_SCHEMA)
+            [pa.array(out_rows[f.name], type=f.type) for f in schema],
+            schema=schema)
 
     return golden_runs
 
@@ -221,13 +225,22 @@ def build_golden(groups: Dataset, unified: Dataset,
                  cfg: SurvivorshipConfig | None = None,
                  num_partitions: int | None = None) -> Dataset:
     """MATCH_GROUPS ⋈ unified → one golden record per group (golden rows
-    carry the survivor document's spans, re-hydrated to list<struct>)."""
+    carry the survivor document's spans, re-hydrated to list<struct>).
+
+    The span payload (by far the widest column) is NOT dragged through
+    the election join + group sort: survivorship elects fields over the
+    slim columns, then ONE targeted join attaches the survivor's
+    spans_json (golden-count rows, not member-count)."""
     from payor_linkage.normalize import spans_from_json
 
     from payor_linkage.rayutil import grouped_apply
 
     cfg = cfg or SurvivorshipConfig()
-    members = smart_join(groups, unified, on="source_record_id")
+    slim_cols = [c for c in unified.schema().names if c != "spans_json"]
+    # groups is unique-keyed by source_record_id and narrow → broadcast
+    # lookup attach (zero shuffle) instead of a two-sided hash join
+    members = lookup_join(unified.select_columns(slim_cols), groups,
+                          on="source_record_id")
 
     def precast(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -238,13 +251,24 @@ def build_golden(groups: Dataset, unified: Dataset,
         return b.drop_columns(["loaded_at"]).append_column("loaded_us", loaded)
 
     members = members.map_batches(precast, batch_format="pyarrow")
+    elect_schema = pa.schema([f for f in _GOLDEN_JSON_SCHEMA
+                              if f.name != "spans_json"])
     golden = grouped_apply(members, "match_group_id",
-                           out_schema=_GOLDEN_JSON_SCHEMA,
-                           runs_fn=make_golden_runs_fn(cfg))
+                           out_schema=elect_schema,
+                           runs_fn=make_golden_runs_fn(cfg, with_spans=False))
+
+    # survivor spans attach: golden (one row per group, narrow) is the
+    # broadcast side; the span payload streams through un-shuffled
+    spans_map = unified.map_batches(
+        lambda b: pa.table({"survivor_record_id": b["source_record_id"],
+                            "spans_json": b["spans_json"]}),
+        batch_format="pyarrow")
+    golden = lookup_join(spans_map, golden, on="survivor_record_id")
 
     def hydrate(b: pa.Table) -> pa.Table:
         spans = spans_from_json(b["spans_json"])
-        return b.drop_columns(["spans_json"]).append_column("spans", spans)
+        b = b.drop_columns(["spans_json"]).append_column("spans", spans)
+        return b.select([f.name for f in GOLDEN_SCHEMA])
 
     return golden.map_batches(hydrate, batch_format="pyarrow")
 
@@ -254,7 +278,9 @@ def build_xref(groups: Dataset, unified: Dataset, num_partitions: int | None = N
     import pyarrow as pa
 
     slim = unified.select_columns(["source_record_id", "source_system", "source_id"])
-    j = smart_join(groups, slim, on="source_record_id")
+    j = lookup_join(slim, groups.select_columns(
+        ["source_record_id", "match_group_id", "group_confidence"]),
+        on="source_record_id")
 
     def proj(b: pa.Table) -> pa.Table:
         return pa.table({

@@ -1,0 +1,48 @@
+"""Unit tests for the join/grouping helpers in payor_linkage.rayutil."""
+
+import pyarrow as pa
+
+
+def _ds(table: dict):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table(table))
+
+
+def test_lookup_join_attaches_and_drops(ray_session):
+    from payor_linkage.rayutil import lookup_join
+
+    big = _ds({"k": ["a", "b", "c", "d"], "x": [1, 2, 3, 4]})
+    small = _ds({"k": ["b", "d", "z"], "y": [20, 40, 99]})
+    out = (lookup_join(big, small, "k").to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    assert out.k.tolist() == ["b", "d"]          # inner: unmatched dropped
+    assert out.x.tolist() == [2, 4]
+    assert out.y.tolist() == [20, 40]
+
+
+def test_lookup_join_empty_small_side(ray_session):
+    from payor_linkage.rayutil import lookup_join
+
+    big = _ds({"k": ["a", "b"], "x": [1, 2]})
+    small = _ds({"k": pa.array([], pa.string()), "y": pa.array([], pa.int64())})
+    out = lookup_join(big, small, "k")
+    assert out.count() == 0
+    assert set(out.schema().names) == {"k", "x", "y"}
+
+
+def test_lookup_join_matches_hash_join_semantics(ray_session):
+    import numpy as np
+
+    from payor_linkage.rayutil import lookup_join, smart_join
+
+    rng = np.random.RandomState(3)
+    keys = [f"k{i:04d}" for i in range(500)]
+    big = _ds({"k": [keys[i] for i in rng.randint(0, 500, 2000)],
+               "x": list(range(2000))})
+    small = _ds({"k": keys[::2], "y": list(range(0, 500, 2))})
+    a = (lookup_join(big, small, "k").to_pandas()
+         .sort_values(["k", "x"]).reset_index(drop=True))
+    b = (smart_join(big, small, "k").to_pandas()
+         .sort_values(["k", "x"]).reset_index(drop=True))
+    assert a[["k", "x", "y"]].equals(b[["k", "x", "y"]])
