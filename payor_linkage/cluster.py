@@ -310,7 +310,16 @@ def build_match_groups(candidates: Dataset, unified: Dataset,
     after fixpoint: members ∪ edge-scores grouped by final label)."""
     cfg = cfg or ClusterConfig()
 
-    edges = match_edges(candidates).materialize()
+    # candidates arrive in many small blocks (one per scorer task);
+    # coalesce once so every downstream pass (reduce, labeling, score
+    # rows) runs O(cpus) tasks instead of O(scorer-tasks)
+    try:
+        import ray as _ray
+
+        _cpus = int(_ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        _cpus = 4
+    edges = match_edges(candidates).repartition(_cpus * 2).materialize()
     nodes = unified.map_batches(
         lambda b: pa.table({"node": b["source_record_id"],
                             "source_trust_rank": b["source_trust_rank"]}),
