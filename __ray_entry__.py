@@ -190,6 +190,23 @@ def q_first_event(sf_dir: str):
         "user_id", out_schema=out_schema, runs_fn=first_runs)
 
 
+def q_asof_join(sf_dir: str):
+    """Backward as-of join: each click event gets the most recent prior
+    view event per user (DuckDB native ASOF JOIN as the oracle)."""
+    import pyarrow.compute as pc
+
+    from payor_linkage.dataops.temporal import asof_join
+
+    ev = _events(sf_dir)
+    clicks = ev.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "click")),
+        batch_format="pyarrow")
+    views = ev.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "view")),
+        batch_format="pyarrow")
+    return asof_join(clicks, views, on="user_id", ts_col="ts")
+
+
 def q_distinct_source_lang(sf_dir: str):
     out = _docs(sf_dir).groupby(["source", "lang"]).count()
     return out.drop_columns(["count()"])
@@ -440,6 +457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_top_events": q_top_events,
         "q_user_windows": q_user_windows,
         "q_first_event": q_first_event,
+        "q_asof_join": q_asof_join,
         "q_distinct_source_lang": q_distinct_source_lang,
         "q_doc_stats": q_doc_stats,
         "q_fingerprint": q_fingerprint,
@@ -515,6 +533,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             QUALIFY row_number() OVER (PARTITION BY user_id
                                        ORDER BY ts, event_id) = 1
+        """,
+        "q_asof_join": """
+            SELECT c.event_id, c.user_id, v.prior_event_id
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT user_id, ts,
+                                   max(event_id) AS prior_event_id
+                            FROM events WHERE event_type = 'view'
+                            GROUP BY 1, 2) v
+              ON c.user_id = v.user_id AND v.ts <= c.ts
         """,
         "q_distinct_source_lang": """
             SELECT DISTINCT source, lang FROM documents

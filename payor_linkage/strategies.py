@@ -79,11 +79,25 @@ def name_jw(a: str, b: str) -> float:
     return round(jaro_winkler_similarity(a, b), 4)
 
 
+_TSR_SM: dict = {}
+
+
 def name_tsr(a: str, b: str) -> float:
-    """F2 NAME_TSR token-sort-ratio (`:471-474`)."""
+    """F2 NAME_TSR token-sort-ratio (`:471-474`).
+
+    The SequenceMatcher's seq2 preprocessing (``__chain_b``) is cached
+    per right-hand string — block-mates repeat names heavily. Identical
+    output to a fresh ``SequenceMatcher(None, sa, sb).ratio()``."""
     sa = ' '.join(sorted(a.split()))
     sb = ' '.join(sorted(b.split()))
-    return round(SequenceMatcher(None, sa, sb).ratio(), 4)
+    sm = _TSR_SM.get(sb)
+    if sm is None:
+        sm = SequenceMatcher()
+        sm.set_seq2(sb)
+        if len(_TSR_SM) < 65536:
+            _TSR_SM[sb] = sm
+    sm.set_seq1(sa)
+    return round(sm.ratio(), 4)
 
 
 def name_pho(a: str, b: str) -> float:

@@ -195,6 +195,36 @@ def test_lsh_neardup(ray_session):
     assert (0, 1) in set(zip(out.id_a, out.id_b))
 
 
+def test_asof_join(ray_session):
+    import ray.data as rd
+
+    from payor_linkage.dataops.temporal import asof_join
+
+    def ev(rows):
+        return rd.from_arrow(pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "event_id": pa.array([r[2] for r in rows], pa.int64()),
+        }))
+
+    left = ev([(1, 100, 10), (1, 50, 11), (2, 100, 12), (3, 100, 13)])
+    right = ev([(1, 100, 20), (1, 100, 21),   # tie at ts=100 → max id 21
+                (1, 60, 22), (2, 101, 23)])
+    out = (asof_join(left, right).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    import pandas as pd
+
+    got = {int(r["event_id"]):
+           (None if pd.isna(r["prior_event_id"]) else int(r["prior_event_id"]))
+           for _, r in out.iterrows()}
+    assert got == {
+        10: 21,    # ts=100: tie resolves to max right id
+        11: None,  # ts=50: no view yet
+        12: None,  # user 2's only view is later (101 > 100)
+        13: None,  # user 3 has no views at all
+    }
+
+
 def test_doc_stats_counts(ray_session):
     from payor_linkage.dataops.text import doc_stats
 
