@@ -79,15 +79,37 @@ def propagate_labels(edges: Dataset, nodes: Dataset,
     if edges.count() == 0:
         return labels, None
 
-    base_blocks = max(labels.num_blocks(), edges.num_blocks())
-    el = None
+    # pre-contract: collapse each block's edges to its spanning forest —
+    # connectivity is preserved while the per-round join volume drops
+    # toward node count (dense local structure and duplicate paths
+    # disappear; a key-hash colocation would contract harder but Ray's
+    # hash-shuffle strategy has known empty-partition failure modes).
+    # The iteration then runs on the contracted graph; scores rejoin the
+    # ORIGINAL edges once at fixpoint.
+    try:
+        import ray as _ray
+
+        _cpus = int(_ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        _cpus = 4
+    slim = (edges.select_columns(["src", "dst"])
+            .repartition(_cpus * 2)
+            .map_batches(_reduce_edge_block, batch_format="pyarrow",
+                         batch_size=None)
+            .materialize())
+
+    base_blocks = max(labels.num_blocks(), slim.num_blocks())
     for _round in range(cfg.max_rounds):
-        el = _label_edges(edges, labels).materialize()
+        el = _label_edges(slim, labels).materialize()
         frontier = el.map_batches(
             lambda b: b.filter(pc.not_equal(b["label_a"], b["label_b"])),
             batch_format="pyarrow")
         if frontier.count() == 0:
-            return labels, el
+            # labels at fixpoint on the contracted graph = fixpoint on
+            # the full graph (identical connectivity); label the original
+            # scored edges once for downstream confidence aggregation
+            el_final = _label_edges(edges, labels).materialize()
+            return labels, el_final
 
         def msgs(b: pa.Table) -> pa.Table:
             m = b["label_a"] if isinstance(b["label_a"], pa.ChunkedArray) else b["label_a"]
@@ -243,24 +265,27 @@ def _reduce_edge_block(b: pa.Table) -> pa.Table:
                      "dst": pa.array(uniq[parent[keep]], pa.string())})
 
 
-def _propagate_local(edges: Dataset, nodes: Dataset):
+def _propagate_local(edges: Dataset, nodes: Dataset,
+                     reduced: Dataset | None = None):
     """Local-CC variant of propagate_labels: same outputs, one broadcast.
 
     The edge list is first reduced DISTRIBUTED (per-block union-find →
     spanning forest, `_reduce_edge_block`); the driver-side pass then
     factorizes and union-finds only the merged forests — cost bounded by
-    distinct node count, not edge count."""
+    distinct node count, not edge count. Pass ``reduced`` to reuse an
+    already-contracted forest (the sort-contract tier)."""
     import pandas as pd
     import ray
 
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-    except Exception:
-        cpus = 4
-    reduced = (edges.select_columns(["src", "dst"])
-               .repartition(cpus)
-               .map_batches(_reduce_edge_block, batch_format="pyarrow",
-                            batch_size=None))
+    if reduced is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 4))
+        except Exception:
+            cpus = 4
+        reduced = (edges.select_columns(["src", "dst"])
+                   .repartition(cpus)
+                   .map_batches(_reduce_edge_block, batch_format="pyarrow",
+                                batch_size=None))
     df = reduced.to_pandas()
     both = np.concatenate([df["src"].to_numpy(), df["dst"].to_numpy()])
     uniques = np.unique(both)                       # sorted → min code = min id
@@ -331,7 +356,24 @@ def build_match_groups(candidates: Dataset, unified: Dataset,
     elif n_edges <= cfg.local_cc_max_edges:
         labels, el_final = _propagate_local(edges, nodes)
     else:
-        labels, el_final = propagate_labels(edges, nodes, cfg)
+        # sort-contract tier: alternating anchor sorts + per-block
+        # spanning-forest union-find (no joins) shrink the edge list
+        # geometrically for shallow entity clusters; if the forest fits
+        # the driver bound, finish there — else label-propagate.
+        slim = edges.select_columns(["src", "dst"])
+        n_slim = n_edges
+        for r in range(cfg.contract_rounds):
+            anchor = "src" if r % 2 == 0 else "dst"
+            slim = (slim.repartition(2 * _cpus).sort(anchor)
+                    .map_batches(_reduce_edge_block, batch_format="pyarrow",
+                                 batch_size=None).materialize())
+            n_prev, n_slim = n_slim, slim.count()
+            if n_slim <= cfg.local_cc_max_edges or n_slim >= n_prev:
+                break
+        if cfg.local_cc_max_edges and n_slim <= cfg.local_cc_max_edges:
+            labels, el_final = _propagate_local(edges, nodes, reduced=slim)
+        else:
+            labels, el_final = propagate_labels(edges, nodes, cfg)
 
     member_rows = labels.map_batches(
         lambda b: pa.table({

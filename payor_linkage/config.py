@@ -58,9 +58,13 @@ class ClusterConfig:
     # when the match-edge count is provably below this bound, connected
     # components run as a driver-side union-find over the (bounded) edge
     # list with the component map broadcast back — singletons and group
-    # assembly stay distributed. Above it, the iterated label-propagation
-    # path runs (the 10^12-scale path). 0 disables the local path.
+    # assembly stay distributed. Above it, alternating sort-contract
+    # rounds (sort by src / by dst + per-block spanning-forest
+    # union-find, no joins) shrink the edge list; if it fits the bound
+    # the driver finishes, else the iterated label-propagation path runs
+    # (the last-resort 10^12-scale path). 0 disables the local path.
     local_cc_max_edges: int = 2_000_000
+    contract_rounds: int = 6             # max sort-contract rounds
 
 
 @dataclass

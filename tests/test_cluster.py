@@ -68,6 +68,32 @@ def test_paths_agree(ray_session):
     assert a.equals(b)
 
 
+def test_sort_contract_tier_agrees(ray_session):
+    """The middle tier (sort-contract rounds → driver union-find on the
+    contracted forest) produces the same groups as the local path."""
+    from payor_linkage.cluster import build_match_groups
+    from payor_linkage.config import ClusterConfig
+
+    # a 12-deep chain + a triangle + disjoint pair + singleton
+    chain = [(f"c{i:02d}", f"c{i+1:02d}", 0.9, "match") for i in range(12)]
+    edges = chain + [("t1", "t2", 0.9, "match"), ("t2", "t3", 0.9, "match"),
+                     ("t1", "t3", 0.9, "match"), ("p1", "p2", 1.0, "match")]
+    nodes = ([(f"c{i:02d}", 1) for i in range(13)]
+             + [("t1", 2), ("t2", 1), ("t3", 3), ("p1", 1), ("p2", 2),
+                ("lone", 4)])
+    g_local = build_match_groups(_candidates(edges), _unified(nodes),
+                                 ClusterConfig()).to_pandas()
+    # bound below the raw edge count (16) but above the contracted
+    # forest size → exercises contract-then-driver
+    g_mid = build_match_groups(
+        _candidates(edges), _unified(nodes),
+        ClusterConfig(local_cc_max_edges=15)).to_pandas()
+    key = ["source_record_id"]
+    a = g_local.sort_values(key).reset_index(drop=True)
+    b = g_mid.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+
+
 def test_group_id_is_uuid5_of_sorted_members(ray_session):
     from payor_linkage.cluster import build_match_groups
 
