@@ -207,6 +207,54 @@ def q_asof_join(sf_dir: str):
     return asof_join(clicks, views, on="user_id", ts_col="ts")
 
 
+def q_range_join(sf_dir: str):
+    """Interval join → count: views within the 10 minutes before each
+    click, per user (inclusive bounds)."""
+    import pyarrow.compute as pc
+
+    from payor_linkage.dataops.temporal import range_join_count
+
+    ev = _events(sf_dir)
+    clicks = ev.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "click")),
+        batch_format="pyarrow")
+    views = ev.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "view")),
+        batch_format="pyarrow")
+    return range_join_count(clicks, views, on="user_id", ts_col="ts",
+                            lo_offset_us=-600_000_000, hi_offset_us=0,
+                            out_col="n_views_10m")
+
+
+def q_anti_join(sf_dir: str):
+    """Broadcast temporal anti-join (O7): click events with NO signup by
+    the same user at or before the click. The per-user first-signup
+    timestamp map is a bounded aggregate — broadcast once (ray.put),
+    every batch filters against it; no shuffle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Min
+
+    ev = _events(sf_dir)
+    first_signup = (ev.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "signup"))
+                   .select(["user_id", "ts"]),
+        batch_format="pyarrow")
+        .groupby("user_id").aggregate(Min("ts", alias_name="first_ts")))
+    ref = ray.put({r["user_id"]: r["first_ts"] for r in first_signup.take_all()})
+
+    def anti(b: pa.Table) -> pa.Table:
+        first = ray.get(ref)
+        m = b.filter(pc.equal(b["event_type"], "click"))
+        keep = [u not in first or t < first[u]
+                for u, t in zip(m["user_id"].to_pylist(), m["ts"].to_pylist())]
+        m = m.filter(pa.array(keep, pa.bool_()))
+        return pa.table({"event_id": m["event_id"], "user_id": m["user_id"]})
+
+    return ev.map_batches(anti, batch_format="pyarrow")
+
+
 def q_distinct_source_lang(sf_dir: str):
     out = _docs(sf_dir).groupby(["source", "lang"]).count()
     return out.drop_columns(["count()"])
@@ -458,6 +506,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_user_windows": q_user_windows,
         "q_first_event": q_first_event,
         "q_asof_join": q_asof_join,
+        "q_range_join": q_range_join,
+        "q_anti_join": q_anti_join,
         "q_distinct_source_lang": q_distinct_source_lang,
         "q_doc_stats": q_doc_stats,
         "q_fingerprint": q_fingerprint,
@@ -543,6 +593,23 @@ def oracle_sql() -> dict[str, str]:
                             FROM events WHERE event_type = 'view'
                             GROUP BY 1, 2) v
               ON c.user_id = v.user_id AND v.ts <= c.ts
+        """,
+        "q_range_join": """
+            SELECT c.event_id, c.user_id, count(v.user_id) AS n_views_10m
+            FROM events c
+            LEFT JOIN events v
+              ON v.event_type = 'view' AND v.user_id = c.user_id
+             AND v.ts BETWEEN c.ts - INTERVAL 10 MINUTES AND c.ts
+            WHERE c.event_type = 'click'
+            GROUP BY 1, 2
+        """,
+        "q_anti_join": """
+            SELECT c.event_id, c.user_id FROM events c
+            WHERE c.event_type = 'click'
+              AND NOT EXISTS (SELECT 1 FROM events s
+                              WHERE s.event_type = 'signup'
+                                AND s.user_id = c.user_id
+                                AND s.ts <= c.ts)
         """,
         "q_distinct_source_lang": """
             SELECT DISTINCT source, lang FROM documents

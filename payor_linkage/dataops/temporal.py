@@ -84,3 +84,56 @@ def asof_join(left: Dataset, right: Dataset, on: str = "user_id",
 
     return grouped_apply(lt.union(rt), on, out_schema=out_schema,
                          runs_fn=runs)
+
+
+def range_join_count(left: Dataset, right: Dataset, on: str = "user_id",
+                     ts_col: str = "ts", left_id: str = "event_id",
+                     lo_offset_us: int = -600_000_000, hi_offset_us: int = 0,
+                     out_col: str = "n_in_range") -> Dataset:
+    """Interval/range join reduced to a count: for every ``left`` row,
+    count ``right`` rows in the same ``on`` partition whose timestamp
+    falls in ``[ts + lo_offset_us, ts + hi_offset_us]`` (inclusive).
+    Same composition as `asof_join`: tagged union + one grouped sort;
+    per-run cost is two binary searches per left row."""
+    lt = left.map_batches(
+        lambda b: pa.table({on: b[on],
+                            "_ts": pa.compute.cast(b[ts_col], pa.int64()),
+                            "_lid": b[left_id],
+                            "_side": pa.array([1] * b.num_rows, pa.int8())}),
+        batch_format="pyarrow")
+    rt = right.map_batches(
+        lambda b: pa.table({on: b[on],
+                            "_ts": pa.compute.cast(b[ts_col], pa.int64()),
+                            "_lid": pa.nulls(b.num_rows, pa.int64()),
+                            "_side": pa.array([0] * b.num_rows, pa.int8())}),
+        batch_format="pyarrow")
+
+    s = left.schema()
+    key_type = dict(zip(s.names, s.types))[on]
+    out_schema = pa.schema([(left_id, pa.int64()), (on, key_type),
+                            (out_col, pa.int64())])
+
+    def runs(b: pa.Table, starts, ends) -> pa.Table:
+        keys = b[on].to_numpy(zero_copy_only=False)
+        ts = b["_ts"].to_numpy(zero_copy_only=False)
+        lid = b["_lid"].to_numpy(zero_copy_only=False)
+        side = b["_side"].to_numpy(zero_copy_only=False)
+        out_l, out_k, out_n = [], [], []
+        for st, e in zip(starts, ends):
+            sl = slice(st, e)
+            is_l = side[sl] == 1
+            l_ts, l_id = ts[sl][is_l], lid[sl][is_l]
+            if len(l_ts) == 0:
+                continue
+            r_ts = np.sort(ts[sl][~is_l])
+            lo = np.searchsorted(r_ts, l_ts + lo_offset_us, side="left")
+            hi = np.searchsorted(r_ts, l_ts + hi_offset_us, side="right")
+            out_l.extend(l_id.tolist())
+            out_k.extend([keys[st]] * len(l_id))
+            out_n.extend((hi - lo).tolist())
+        return pa.table({left_id: pa.array(out_l, pa.int64()),
+                         on: pa.array(out_k, key_type),
+                         out_col: pa.array(out_n, pa.int64())})
+
+    return grouped_apply(lt.union(rt), on, out_schema=out_schema,
+                         runs_fn=runs)

@@ -225,6 +225,28 @@ def test_asof_join(ray_session):
     }
 
 
+def test_range_join_count(ray_session):
+    import ray.data as rd
+
+    from payor_linkage.dataops.temporal import range_join_count
+
+    def ev(rows):
+        return rd.from_arrow(pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "event_id": pa.array([r[2] for r in rows], pa.int64()),
+        }))
+
+    left = ev([(1, 1000, 10), (2, 1000, 11)])
+    right = ev([(1, 400, 20), (1, 500, 21), (1, 1000, 22),  # in [500,1000]
+                (1, 1001, 23),                              # after → out
+                (2, 499, 24)])                              # below lo → out
+    out = range_join_count(left, right, lo_offset_us=-500, hi_offset_us=0,
+                           out_col="n").to_pandas()
+    got = dict(zip(out.event_id, out.n))
+    assert got == {10: 2, 11: 0}   # inclusive bounds: 500 and 1000 count
+
+
 def test_doc_stats_counts(ray_session):
     from payor_linkage.dataops.text import doc_stats
 
