@@ -224,6 +224,11 @@ def make_runs_pair_emitter(hot: dict[str, int]):
             if isinstance(enc, pa.ChunkedArray):
                 enc = enc.combine_chunks()
             uniq = enc.dictionary.to_pylist()
+            if not uniq:  # type entirely null in this block (sparse feeds)
+                codes[t] = np.full(n, -1, dtype=np.int64)
+                salts[t] = np.full(n, -1, dtype=np.int64)
+                lias[t] = np.zeros(n, dtype=bool)
+                continue
             idx = pc.fill_null(enc.indices, -1).to_numpy(
                 zero_copy_only=False).astype(np.int64)
             # per-unique: n_salts (0 not hot, -1 parked)

@@ -61,12 +61,21 @@ def infer_hierarchy(golden: Dataset, unified: Dataset, xref: Dataset) -> Dataset
     refs = unified.select_columns(["source_record_id", "parent_ref"]).map_batches(
         lambda b: b.filter(pc.and_(pc.is_valid(b["parent_ref"]),
                                    pc.not_equal(b["parent_ref"], ""))),
-        batch_format="pyarrow")
-    child_map = xref.select_columns(["source_record_id", "master_payor_id"])
-    # smart_join (CLAUDE.md convention): the raw hash join crashes with
-    # `ArrowInvalid: No match ... FieldRef` on empty partition blocks —
-    # exactly the case when no record carries a non-empty parent_ref.
-    refs = smart_join(refs, child_map, "source_record_id")
+        batch_format="pyarrow").materialize()
+    if refs.count() == 0:
+        # no record carries a parent_ref (an entirely valid corpus class):
+        # short-circuit — an empty filtered dataset can lose its schema,
+        # which crashes any join it feeds
+        import ray.data as rd
+
+        refs = rd.from_arrow(pa.schema([
+            ("source_record_id", pa.string()), ("parent_ref", pa.string()),
+            ("master_payor_id", pa.string())]).empty_table())
+    else:
+        child_map = xref.select_columns(["source_record_id", "master_payor_id"])
+        # smart_join (CLAUDE.md convention): the raw hash join crashes with
+        # `ArrowInvalid: No match ... FieldRef` on empty partition blocks
+        refs = smart_join(refs, child_map, "source_record_id")
 
     def signal1(batch: pa.Table) -> pa.Table:
         names, _ = ray.get(bcast)
