@@ -359,9 +359,12 @@ def q_lsh_neardup(sf_dir: str):
 
 
 def q_lang_id(sf_dir: str):
+    """Stopword-hit-rate language ID; integer (n_hits, n_toks) output so
+    the DuckDB oracle reproduces the heuristic exactly (argmax by hit
+    count, alphabetical tie-break)."""
     from payor_linkage.dataops.text import lang_id
 
-    return lang_id(_docs(sf_dir))
+    return lang_id(_docs(sf_dir), emit_counts=True)
 
 
 def q_media_decode(sf_dir: str):
@@ -403,8 +406,10 @@ def _write_mdm_sidecars(res) -> None:
     _dump_sidecar("edges",
                   res.candidates.map_batches(edges, batch_format="pyarrow"))
     _dump_sidecar("unified_slim", res.unified.select_columns(
-        ["source_record_id", "source_system", "source_id"]))
+        ["source_record_id", "source_system", "source_id", "parent_ref"]))
     _dump_sidecar("membership", res.groups)
+    _dump_sidecar("golden_names", res.golden.select_columns(
+        ["master_payor_id", "payor_name"]))
 
     # group members with every survivorship input (golden oracle)
     cols = ["source_record_id", "source_system", "source_trust_rank",
@@ -494,6 +499,25 @@ def q_mdm_hierarchy(sf_dir: str):
     return _mdm_result(sf_dir).hierarchy
 
 
+def q_mdm_hierarchy_edges(sf_dir: str):
+    """Hierarchy edges (parent, child, method) without the uuid5 id —
+    the oracle recomputes BOTH inference signals in SQL: parent_ref
+    equality via the xref projection and substring containment over
+    golden names (int_hierarchy_inferred.sql semantics)."""
+    import pyarrow as pa
+
+    h = _mdm_result(sf_dir).hierarchy
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "parent_master_id": b["parent_master_id"],
+            "child_master_id": b["child_master_id"],
+            "inference_method": b["source"],
+        })
+
+    return h.map_batches(proj, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q_normalize_text": q_normalize_text,
@@ -527,11 +551,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mdm_groups": q_mdm_groups,
         "q_mdm_xref": q_mdm_xref,
         "q_mdm_hierarchy": q_mdm_hierarchy,
+        "q_mdm_hierarchy_edges": q_mdm_hierarchy_edges,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from payor_linkage.dataops.text import _STOPWORDS
+
     stop_sql = ", ".join(f"'{w}'" for w in _STOPLIST)
+    lang_rows = ", ".join(
+        "('%s', [%s])" % (lang, ", ".join(f"'{w}'" for w in sorted(words)))
+        for lang, words in sorted(_STOPWORDS.items()))
     return {
         "q_normalize_text": """
             SELECT doc_id,
@@ -714,6 +744,40 @@ def oracle_sql() -> dict[str, str]:
               ON a.id < b.id
             WHERE bit_count(xor(a.sig, b.sig)) <= 7
         """,
+        # the stopword-hit-rate language-ID heuristic, exactly: argmax of
+        # per-language hit counts with alphabetical tie-break; integer
+        # outputs (no float-ratio hashing)
+        "q_lang_id": f"""
+            WITH toks AS (
+              SELECT d.doc_id, t.tok
+              FROM documents d,
+                   LATERAL unnest(list_filter(
+                       string_split_regex(lower(d.text), '\\s+'),
+                       x -> x != '')) AS t(tok)
+            ),
+            langs(lang, words) AS (VALUES {lang_rows}),
+            hits AS (
+              SELECT toks.doc_id, l.lang,
+                     count(*) FILTER (WHERE list_contains(l.words, toks.tok))
+                         AS n_hits,
+                     count(*) AS n_toks
+              FROM toks CROSS JOIN langs l
+              GROUP BY 1, 2
+            ),
+            best AS (
+              SELECT doc_id, lang, n_hits, n_toks,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY n_hits DESC, lang) AS rk
+              FROM hits
+            )
+            SELECT d.doc_id,
+                   CASE WHEN coalesce(b.n_hits, 0) = 0 THEN 'und'
+                        ELSE b.lang END AS lang_pred,
+                   coalesce(b.n_hits, 0) AS n_hits,
+                   coalesce(b.n_toks, 0) AS n_toks
+            FROM documents d
+            LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rk = 1
+        """,
         # T1 + T3 decision chain recomputed from the scored sidecar
         # (match_candidates.sql:34-66 CASE semantics)
         "q_mdm_decisions": f"""
@@ -765,6 +829,40 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_SIDECAR_DIR}/membership/*.parquet') m
             JOIN read_parquet('{_SIDECAR_DIR}/unified_slim/*.parquet') u
               USING (source_record_id)
+        """,
+        # both hierarchy-inference signals recomputed in SQL:
+        # J5 parent_ref → golden-name equality (through the membership
+        # projection) and J6 substring containment over golden names
+        "q_mdm_hierarchy_edges": f"""
+            WITH g AS (
+              SELECT master_payor_id, upper(trim(payor_name)) AS name
+              FROM read_parquet('{_SIDECAR_DIR}/golden_names/*.parquet')
+              WHERE payor_name IS NOT NULL AND trim(payor_name) != ''
+            ),
+            x AS (
+              SELECT source_record_id, match_group_id AS master
+              FROM read_parquet('{_SIDECAR_DIR}/membership/*.parquet')
+            ),
+            s1 AS (
+              SELECT DISTINCT p.master_payor_id AS parent_master_id,
+                     x.master AS child_master_id,
+                     'name_ref_match' AS inference_method
+              FROM read_parquet('{_SIDECAR_DIR}/unified_slim/*.parquet') u
+              JOIN x ON x.source_record_id = u.source_record_id
+              JOIN g p ON p.name = upper(trim(u.parent_ref))
+              WHERE u.parent_ref IS NOT NULL AND u.parent_ref != ''
+                AND p.master_payor_id != x.master
+            ),
+            s2 AS (
+              SELECT DISTINCT p.master_payor_id AS parent_master_id,
+                     c.master_payor_id AS child_master_id,
+                     'name_substring' AS inference_method
+              FROM g p JOIN g c ON p.master_payor_id != c.master_payor_id
+              WHERE length(p.name) >= 6
+                AND length(c.name) > length(p.name)
+                AND position(p.name IN c.name) > 0
+            )
+            SELECT * FROM s1 UNION ALL SELECT * FROM s2
         """,
         # full survivorship election in SQL over the members sidecar
         # (int_survivorship.sql rules; A8-A10 metrics recomputed)

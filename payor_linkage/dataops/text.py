@@ -62,35 +62,49 @@ def doc_stats(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Da
 
 class LangId:
     """Actor-pool language-ID: stopword-hit-rate heuristic per language —
-    dictionaries compiled once per actor."""
+    dictionaries compiled once per actor. ``emit_counts=True`` outputs
+    integer (n_hits, n_toks) instead of the float confidence ratio — the
+    DuckDB-oracle-safe shape (no computed float ratios)."""
 
-    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 emit_counts: bool = False):
         self.text_col, self.id_col = text_col, id_col
+        self.emit_counts = emit_counts
         self.tables = {lang: frozenset(words) for lang, words in _STOPWORDS.items()}
 
     def __call__(self, b: pa.Table) -> pa.Table:
-        preds, confs = [], []
+        preds, confs, hits_out, toks_out = [], [], [], []
         for t in b[self.text_col].to_pylist():
             toks = [w.lower() for w in t.split()]
             if not toks:
                 preds.append("und")
                 confs.append(0.0)
+                hits_out.append(0)
+                toks_out.append(0)
                 continue
-            scores = {lang: sum(w in tbl for w in toks) / len(toks)
-                      for lang, tbl in self.tables.items()}
-            best = max(sorted(scores), key=scores.get)
-            preds.append(best if scores[best] > 0 else "und")
-            confs.append(round(scores[best], 4))
-        return pa.table({
-            self.id_col: b[self.id_col],
-            "lang_pred": pa.array(preds, pa.string()),
-            "lang_conf": pa.array(confs, pa.float64()),
-        })
+            hits = {lang: sum(w in tbl for w in toks)
+                    for lang, tbl in self.tables.items()}
+            # alphabetically-first language among tied max hit counts
+            best = max(sorted(hits), key=hits.get)
+            preds.append(best if hits[best] > 0 else "und")
+            confs.append(round(hits[best] / len(toks), 4))
+            hits_out.append(hits[best])
+            toks_out.append(len(toks))
+        cols = {self.id_col: b[self.id_col],
+                "lang_pred": pa.array(preds, pa.string())}
+        if self.emit_counts:
+            cols["n_hits"] = pa.array(hits_out, pa.int64())
+            cols["n_toks"] = pa.array(toks_out, pa.int64())
+        else:
+            cols["lang_conf"] = pa.array(confs, pa.float64())
+        return pa.table(cols)
 
 
-def lang_id(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
+def lang_id(ds: Dataset, text_col: str = "text", id_col: str = "doc_id",
+            emit_counts: bool = False) -> Dataset:
     return ds.map_batches(LangId, batch_format="pyarrow",
-                          fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
+                          fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col,
+                                                     emit_counts=emit_counts),
                           concurrency=(1, 4), batch_size=2048)
 
 
