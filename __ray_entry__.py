@@ -406,7 +406,8 @@ def _write_mdm_sidecars(res) -> None:
     _dump_sidecar("edges",
                   res.candidates.map_batches(edges, batch_format="pyarrow"))
     _dump_sidecar("unified_slim", res.unified.select_columns(
-        ["source_record_id", "source_system", "source_id", "parent_ref"]))
+        ["source_record_id", "source_system", "source_id", "parent_ref",
+         "source_trust_rank"]))
     _dump_sidecar("membership", res.groups)
     _dump_sidecar("golden_names", res.golden.select_columns(
         ["master_payor_id", "payor_name"]))
@@ -471,10 +472,11 @@ def q_mdm_decisions(sf_dir: str):
 
 
 def q_mdm_components(sf_dir: str):
-    """Connected components as (record → min-member-id canonical label);
-    the oracle recomputes components with a recursive min-reachability CTE
-    over the match-edge sidecar — a hard check of the union-find /
-    label-propagation clustering."""
+    """Connected components as (record → min-member-id canonical label)
+    plus the survivor flag; the oracle recomputes components with a
+    recursive min-reachability CTE over the match-edge sidecar and
+    re-elects the survivor (lowest trust rank, record-id tie-break) —
+    a hard check of the union-find clustering AND survivor election."""
     from ray.data.aggregate import Min
 
     from payor_linkage.rayutil import smart_join
@@ -482,9 +484,10 @@ def q_mdm_components(sf_dir: str):
     groups = _mdm_result(sf_dir).groups
     canon = groups.groupby("match_group_id").aggregate(
         Min("source_record_id", alias_name="canonical_id"))
-    j = smart_join(groups.select_columns(["match_group_id", "source_record_id"]),
-                   canon, "match_group_id")
-    return j.select_columns(["source_record_id", "canonical_id"])
+    j = smart_join(groups.select_columns(
+        ["match_group_id", "source_record_id", "is_survivor"]),
+        canon, "match_group_id")
+    return j.select_columns(["source_record_id", "canonical_id", "is_survivor"])
 
 
 def q_mdm_groups(sf_dir: str):
@@ -807,17 +810,30 @@ def oracle_sql() -> dict[str, str]:
               SELECT dst, src
               FROM read_parquet('{_SIDECAR_DIR}/edges/*.parquet')
             ),
-            n AS (
-              SELECT source_record_id AS node
+            u AS (
+              SELECT source_record_id AS node, source_trust_rank
               FROM read_parquet('{_SIDECAR_DIR}/unified_slim/*.parquet')
             ),
             reach(node, r) AS (
-              SELECT node, node FROM n
+              SELECT node, node FROM u
               UNION
               SELECT reach.node, e.b FROM reach JOIN e ON reach.r = e.a
+            ),
+            comp AS (
+              SELECT node AS source_record_id, min(r) AS canonical_id
+              FROM reach GROUP BY node
+            ),
+            surv AS (
+              SELECT canonical_id,
+                     (list(source_record_id
+                           ORDER BY coalesce(u.source_trust_rank, 999),
+                                    source_record_id))[1] AS survivor_id
+              FROM comp JOIN u ON u.node = comp.source_record_id
+              GROUP BY canonical_id
             )
-            SELECT node AS source_record_id, min(r) AS canonical_id
-            FROM reach GROUP BY node
+            SELECT c.source_record_id, c.canonical_id,
+                   c.source_record_id = s.survivor_id AS is_survivor
+            FROM comp c JOIN surv s USING (canonical_id)
         """,
         # xref grain: every staged record exactly once, projected through
         # the membership map (xref.sql:16-25; orphan-freedom by row count)
