@@ -29,7 +29,6 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from payor_linkage.strategies import digits, route_addr, route_name
 
 
 class _JWBatch:
@@ -179,19 +178,21 @@ class EnsembleScorer:
                 best_v, best_s = v, strat
         return best_v, best_s
 
+    _COLS = ("source_record_id_a", "source_record_id_b",
+             "payor_name_clean_a", "payor_name_clean_b",
+             "tax_id_a", "tax_id_b", "cms_plan_id_a", "cms_plan_id_b",
+             "state_code_a", "state_code_b",
+             "address_line_1_a", "address_line_1_b",
+             "city_a", "city_b", "zip_code_a", "zip_code_b",
+             "phone_a", "phone_b", "media_fingerprint_a", "media_fingerprint_b")
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        col = {c: batch[c].to_pylist() for c in (
-            "source_record_id_a", "source_record_id_b",
-            "payor_name_clean_a", "payor_name_clean_b",
-            "tax_id_a", "tax_id_b", "cms_plan_id_a", "cms_plan_id_b",
-            "state_code_a", "state_code_b",
-            "address_line_1_a", "address_line_1_b",
-            "city_a", "city_b", "zip_code_a", "zip_code_b",
-            "phone_a", "phone_b", "media_fingerprint_a", "media_fingerprint_b",
-        )}
-
-        jw = _JWBatch(self._use_duckdb)
+        # one JW kernel (and its DuckDB connection) per actor, reused
+        # across batches — its queues clear on resolve()
+        if not hasattr(self, "_jw"):
+            self._jw = _JWBatch(self._use_duckdb)
+        jw = self._jw
         match_rule = []
         score_name: list = [None] * n
         score_tax: list = [None] * n
@@ -206,79 +207,146 @@ class EnsembleScorer:
         pend_name: list = []   # (i, key, tried)
         pend_addr: list = []
 
-        # ── pass 1: rules, cheap fields, route + queue JW jobs ──────────
-        for i in range(n):
-            name_a, name_b = col["payor_name_clean_a"][i], col["payor_name_clean_b"][i]
-            tax_a, tax_b = col["tax_id_a"][i], col["tax_id_b"][i]
-            cms_a, cms_b = col["cms_plan_id_a"][i], col["cms_plan_id_b"][i]
-            st_a, st_b = col["state_code_a"][i], col["state_code_b"][i]
-            phone_a, phone_b = col["phone_a"][i], col["phone_b"][i]
+        # ── pass 1: vectorized rules + cheap fields; python loops touch
+        # only the ensemble-routing subsets (semantics identical to the
+        # straight-line per-row version — gated by tests) ────────────────
+        import numpy as np
+        import pyarrow.compute as pc
 
-            # C1 deterministic rules (first match wins)
-            if tax_a is not None and tax_a == tax_b:
-                rule = "DET-1"
-            elif cms_a is not None and cms_a == cms_b:
-                rule = "DET-2"
-            elif (name_a is not None and name_a == name_b
-                  and st_a is not None and st_a == st_b):
-                rule = "DET-3"
+        ac = {c: (batch[c].combine_chunks()
+                  if isinstance(batch[c], pa.ChunkedArray) else batch[c])
+              for c in self._COLS}
+        empty = pa.scalar("", pa.string())
+
+        def eq_nn(a, b):
+            """non-null equality (SQL `a = b` → False on nulls)"""
+            return pc.fill_null(pc.equal(a, b), False).to_numpy(
+                zero_copy_only=False)
+
+        def truthy(a):
+            """python `bool(x)` over a string column: non-null, non-empty"""
+            return pc.fill_null(pc.not_equal(a, empty), False).to_numpy(
+                zero_copy_only=False)
+
+        # C1 deterministic rules (first match wins)
+        det1 = eq_nn(ac["tax_id_a"], ac["tax_id_b"])
+        det2 = eq_nn(ac["cms_plan_id_a"], ac["cms_plan_id_b"])
+        det3 = (eq_nn(ac["payor_name_clean_a"], ac["payor_name_clean_b"])
+                & eq_nn(ac["state_code_a"], ac["state_code_b"]))
+        match_rule = np.select([det1, det2, det3],
+                               ["DET-1", "DET-2", "DET-3"], "FUZZY").tolist()
+
+        # C2 address concat with null-propagation quirk (null iff line_1
+        # null; other parts coalesce to '')
+        def concat_addr(side: str):
+            return pc.binary_join_element_wise(
+                ac[f"address_line_1_{side}"],
+                pc.coalesce(ac[f"city_{side}"], empty),
+                pc.coalesce(ac[f"state_code_{side}"], empty),
+                pc.coalesce(ac[f"zip_code_{side}"], empty), " ")
+
+        addr_col_a, addr_col_b = concat_addr("a"), concat_addr("b")
+        addr_list_a, addr_list_b = addr_col_a.to_pylist(), addr_col_b.to_pylist()
+
+        # F10 tax: digits-only compare, transposition tolerance
+        dig_a = pc.replace_substring_regex(
+            pc.coalesce(ac["tax_id_a"], empty), r"\D", "")
+        dig_b = pc.replace_substring_regex(
+            pc.coalesce(ac["tax_id_b"], empty), r"\D", "")
+        t_ok = truthy(dig_a) & truthy(dig_b)
+        t_eq = pc.fill_null(pc.equal(dig_a, dig_b), False).to_numpy(
+            zero_copy_only=False)
+        tax_tag: list = [None] * n
+        for i in np.nonzero(t_ok & t_eq)[0]:
+            score_tax[i] = 1.0
+            tax_tag[i] = "TIN_EXACT"
+        dig_a_l, dig_b_l = dig_a.to_pylist(), dig_b.to_pylist()
+        for i in np.nonzero(t_ok & ~t_eq)[0]:
+            da, db = dig_a_l[i], dig_b_l[i]
+            trans = 0.0
+            if len(da) == len(db):
+                diffs = sum(1 for x, y in zip(da, db) if x != y)
+                trans = 0.9 if diffs <= 1 else (0.7 if diffs == 2 else 0.0)
+            score_tax[i] = trans
+            tax_tag[i] = "TIN_TRANS" if trans > 0.0 else "TIN_EXACT"
+
+        # F12 phone: digits-only suffix compare (reverse+prefix ≙ suffix)
+        ph_a = pc.replace_substring_regex(
+            pc.coalesce(ac["phone_a"], empty), r"\D", "")
+        ph_b = pc.replace_substring_regex(
+            pc.coalesce(ac["phone_b"], empty), r"\D", "")
+        p_ok = truthy(ph_a) & truthy(ph_b)
+        rev_a, rev_b = pc.utf8_reverse(ph_a), pc.utf8_reverse(ph_b)
+        len_a = pc.utf8_length(ph_a).to_numpy(zero_copy_only=False)
+        len_b = pc.utf8_length(ph_b).to_numpy(zero_copy_only=False)
+        e164 = ((len_a >= 10) & (len_b >= 10)
+                & eq_nn(pc.utf8_slice_codeunits(rev_a, 0, 10),
+                        pc.utf8_slice_codeunits(rev_b, 0, 10)))
+        l7 = ((len_a >= 7) & (len_b >= 7)
+              & eq_nn(pc.utf8_slice_codeunits(rev_a, 0, 7),
+                      pc.utf8_slice_codeunits(rev_b, 0, 7)))
+        ph_tag: list = [None] * n
+        for i in np.nonzero(p_ok)[0]:
+            score_phone[i] = 1.0 if (e164[i] or l7[i]) else 0.0
+            ph_tag[i] = "PHONE_E164" if e164[i] >= l7[i] else "PHONE_L7"
+
+        # F14 cms: exact / 5-prefix
+        cms_up_a = pc.utf8_upper(pc.utf8_trim_whitespace(
+            pc.coalesce(ac["cms_plan_id_a"], empty)))
+        cms_up_b = pc.utf8_upper(pc.utf8_trim_whitespace(
+            pc.coalesce(ac["cms_plan_id_b"], empty)))
+        c_ok = truthy(ac["cms_plan_id_a"]) & truthy(ac["cms_plan_id_b"])
+        c_exact = eq_nn(cms_up_a, cms_up_b)
+        cl_a = pc.utf8_length(cms_up_a).to_numpy(zero_copy_only=False)
+        cl_b = pc.utf8_length(cms_up_b).to_numpy(zero_copy_only=False)
+        c_pfx = ((cl_a >= 5) & (cl_b >= 5)
+                 & eq_nn(pc.utf8_slice_codeunits(cms_up_a, 0, 5),
+                         pc.utf8_slice_codeunits(cms_up_b, 0, 5)))
+        cms_tag: list = [None] * n
+        for i in np.nonzero(c_ok)[0]:
+            score_cms[i] = 1.0 if c_exact[i] else (0.85 if c_pfx[i] else 0.0)
+            cms_tag[i] = "CMS_PFX" if (not c_exact[i] and c_pfx[i]) else "CMS_EXACT"
+
+        # media fingerprint equality (non-null both sides)
+        m_ok = (pc.is_valid(ac["media_fingerprint_a"]).to_numpy(zero_copy_only=False)
+                & pc.is_valid(ac["media_fingerprint_b"]).to_numpy(zero_copy_only=False))
+        m_eq = eq_nn(ac["media_fingerprint_a"], ac["media_fingerprint_b"])
+        for i in np.nonzero(m_ok)[0]:
+            media_score[i] = 1.0 if m_eq[i] else 0.0
+
+        # ensemble routing: only rows with both sides present
+        nm_ok = truthy(ac["payor_name_clean_a"]) & truthy(ac["payor_name_clean_b"])
+        names_a = ac["payor_name_clean_a"].to_pylist()
+        names_b = ac["payor_name_clean_b"].to_pylist()
+        for i in np.nonzero(nm_ok)[0]:
+            hit, pend = self._name_deferred(names_a[i], names_b[i], jw)
+            if hit is not None:
+                score_name[i], win_name[i] = hit
             else:
-                rule = "FUZZY"
-            match_rule.append(rule)
+                pend_name.append((i, pend[0], pend[1]))
+        ad_ok = truthy(addr_col_a) & truthy(addr_col_b)
+        for i in np.nonzero(ad_ok)[0]:
+            hit, pend = self._addr_deferred(addr_list_a[i], addr_list_b[i], jw)
+            if hit is not None:
+                score_addr[i], win_addr[i] = hit
+            else:
+                pend_addr.append((i, pend[0], pend[1]))
 
-            # C2 address concat with null-propagation quirk
-            a1a, a1b = col["address_line_1_a"][i], col["address_line_1_b"][i]
-            addr_a = (None if a1a is None else
-                      f"{a1a} {col['city_a'][i] or ''} {st_a or ''} {col['zip_code_a'][i] or ''}")
-            addr_b = (None if a1b is None else
-                      f"{a1b} {col['city_b'][i] or ''} {st_b or ''} {col['zip_code_b'][i] or ''}")
-
-            used: list = []
-            if name_a and name_b:
-                hit, pend = self._name_deferred(name_a, name_b, jw)
-                if hit is not None:
-                    score_name[i], win_name[i] = hit
-                else:
-                    pend_name.append((i, pend[0], pend[1]))
+        # strategies_used in the reference's per-pair order:
+        # name, tax, addr, phone, cms
+        for i in range(n):
+            used = []
+            if nm_ok[i]:
                 used.append("@name")
-            if tax_a and tax_b:
-                da, db = digits(tax_a), digits(tax_b)
-                if da and db:
-                    if da == db:
-                        score_tax[i] = 1.0
-                        used.append("TIN_EXACT")
-                    else:
-                        trans = 0.0
-                        if len(da) == len(db):
-                            diffs = sum(1 for x, y in zip(da, db) if x != y)
-                            trans = 0.9 if diffs <= 1 else (0.7 if diffs == 2 else 0.0)
-                        score_tax[i] = trans
-                        used.append("TIN_TRANS" if trans > 0.0 else "TIN_EXACT")
-            if addr_a and addr_b:
-                hit, pend = self._addr_deferred(addr_a, addr_b, jw)
-                if hit is not None:
-                    score_addr[i], win_addr[i] = hit
-                else:
-                    pend_addr.append((i, pend[0], pend[1]))
+            if tax_tag[i] is not None:
+                used.append(tax_tag[i])
+            if ad_ok[i]:
                 used.append("@addr")
-            if phone_a and phone_b:
-                pa_, pb_ = digits(phone_a), digits(phone_b)
-                if pa_ and pb_:
-                    e164 = 1.0 if len(pa_) >= 10 and len(pb_) >= 10 and pa_[-10:] == pb_[-10:] else 0.0
-                    l7 = 1.0 if len(pa_) >= 7 and len(pb_) >= 7 and pa_[-7:] == pb_[-7:] else 0.0
-                    score_phone[i] = max(e164, l7)
-                    used.append("PHONE_E164" if e164 >= l7 else "PHONE_L7")
-            if cms_a and cms_b:
-                ca, cb = cms_a.strip().upper(), cms_b.strip().upper()
-                exact = 1.0 if ca == cb else 0.0
-                pfx = 0.85 if len(ca) >= 5 and len(cb) >= 5 and ca[:5] == cb[:5] else 0.0
-                score_cms[i] = max(exact, pfx)
-                used.append("CMS_EXACT" if exact >= pfx else "CMS_PFX")
+            if ph_tag[i] is not None:
+                used.append(ph_tag[i])
+            if cms_tag[i] is not None:
+                used.append(cms_tag[i])
             strategies[i] = used
-
-            ma, mb = col["media_fingerprint_a"][i], col["media_fingerprint_b"][i]
-            if ma is not None and mb is not None:
-                media_score[i] = 1.0 if ma == mb else 0.0
 
         # ── pass 2: one vectorized JW resolution ────────────────────────
         jw_vals = jw.resolve()
@@ -319,8 +387,8 @@ class EnsembleScorer:
             overall[i] = 1.0 if match_rule[i] != "FUZZY" else composite
 
         out_cols = {
-            "source_record_id_a": pa.array(col["source_record_id_a"], pa.string()),
-            "source_record_id_b": pa.array(col["source_record_id_b"], pa.string()),
+            "source_record_id_a": ac["source_record_id_a"],
+            "source_record_id_b": ac["source_record_id_b"],
             "match_rule": pa.array(match_rule, pa.string()),
             "score_name": pa.array(score_name, pa.float64()),
             "score_tax_id": pa.array(score_tax, pa.float64()),
