@@ -226,6 +226,14 @@ def q_range_join(sf_dir: str):
                             out_col="n_views_10m")
 
 
+def q_sessionize(sf_dir: str):
+    """Gap-based sessionization (30-minute gap) → per-session event
+    counts; the oracle rebuilds sessions with lag/sum window functions."""
+    from payor_linkage.dataops.temporal import sessionize_counts
+
+    return sessionize_counts(_events(sf_dir), gap_us=1_800_000_000)
+
+
 def q_anti_join(sf_dir: str):
     """Broadcast temporal anti-join (O7): click events with NO signup by
     the same user at or before the click. The per-user first-signup
@@ -534,6 +542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_first_event": q_first_event,
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
+        "q_sessionize": q_sessionize,
         "q_anti_join": q_anti_join,
         "q_distinct_source_lang": q_distinct_source_lang,
         "q_doc_stats": q_doc_stats,
@@ -635,6 +644,25 @@ def oracle_sql() -> dict[str, str]:
              AND v.ts BETWEEN c.ts - INTERVAL 10 MINUTES AND c.ts
             WHERE c.event_type = 'click'
             GROUP BY 1, 2
+        """,
+        "q_sessionize": """
+            WITH o AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTES
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+              SELECT user_id,
+                     sum(brk) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM o
+            )
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                   count(*) AS n_events
+            FROM s GROUP BY 1, 2
         """,
         "q_anti_join": """
             SELECT c.event_id, c.user_id FROM events c

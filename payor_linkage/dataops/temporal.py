@@ -86,6 +86,46 @@ def asof_join(left: Dataset, right: Dataset, on: str = "user_id",
                          runs_fn=runs)
 
 
+def sessionize_counts(events: Dataset, on: str = "user_id",
+                      ts_col: str = "ts", id_col: str = "event_id",
+                      gap_us: int = 1_800_000_000) -> Dataset:
+    """Gap-based sessionization (streaming-shaped): within each ``on``
+    partition, order events by (ts, id) and start a new session whenever
+    the gap to the previous event exceeds ``gap_us``. Output one row per
+    session: (key, session_seq, n_events). One grouped sort; session
+    assignment is a vectorized diff+cumsum per run."""
+    s = events.schema()
+    key_type = dict(zip(s.names, s.types))[on]
+    out_schema = pa.schema([(on, key_type), ("session_seq", pa.int64()),
+                            ("n_events", pa.int64())])
+    slim = events.map_batches(
+        lambda b: pa.table({on: b[on],
+                            "_ts": pa.compute.cast(b[ts_col], pa.int64()),
+                            "_id": b[id_col]}),
+        batch_format="pyarrow")
+
+    def runs(b: pa.Table, starts, ends) -> pa.Table:
+        keys = b[on].to_numpy(zero_copy_only=False)
+        ts = b["_ts"].to_numpy(zero_copy_only=False)
+        eid = b["_id"].to_numpy(zero_copy_only=False)
+        out_k, out_s, out_n = [], [], []
+        for st, e in zip(starts, ends):
+            t = ts[st:e]
+            order = np.lexsort((eid[st:e], t))
+            t = t[order]
+            brk = np.concatenate([[0], (np.diff(t) > gap_us).astype(np.int64)])
+            sess = np.cumsum(brk)
+            uniq, cnt = np.unique(sess, return_counts=True)
+            out_k.extend([keys[st]] * len(uniq))
+            out_s.extend(uniq.tolist())
+            out_n.extend(cnt.tolist())
+        return pa.table({on: pa.array(out_k, key_type),
+                         "session_seq": pa.array(out_s, pa.int64()),
+                         "n_events": pa.array(out_n, pa.int64())})
+
+    return grouped_apply(slim, on, out_schema=out_schema, runs_fn=runs)
+
+
 def range_join_count(left: Dataset, right: Dataset, on: str = "user_id",
                      ts_col: str = "ts", left_id: str = "event_id",
                      lo_offset_us: int = -600_000_000, hi_offset_us: int = 0,

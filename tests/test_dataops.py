@@ -247,6 +247,24 @@ def test_range_join_count(ray_session):
     assert got == {10: 2, 11: 0}   # inclusive bounds: 500 and 1000 count
 
 
+def test_sessionize_counts(ray_session):
+    import ray.data as rd
+
+    from payor_linkage.dataops.temporal import sessionize_counts
+
+    rows = [(1, 0, 1), (1, 100, 2), (1, 1000, 3),   # gap 900 > 500 → split
+            (1, 1400, 4),                           # gap 400 → same session
+            (2, 0, 5)]
+    ds = rd.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_id": pa.array([r[2] for r in rows], pa.int64()),
+    }))
+    out = (sessionize_counts(ds, gap_us=500).to_pandas()
+           .sort_values(["user_id", "session_seq"]).reset_index(drop=True))
+    assert out.values.tolist() == [[1, 0, 2], [1, 1, 2], [2, 0, 1]]
+
+
 def test_doc_stats_counts(ray_session):
     from payor_linkage.dataops.text import doc_stats
 
