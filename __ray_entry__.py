@@ -281,9 +281,17 @@ def q_fingerprint(sf_dir: str):
 
 
 def q_embedding_neardup(sf_dir: str):
-    from payor_linkage.dataops.dedup import embedding_neardup_pairs
+    """Cosine near-dup via the LSH-bucketed scale path run in its
+    exact-complete configuration (one table, zero hyperplanes → a single
+    bucket, so every pair is verified — the same trick `q_ivf_ann` uses
+    with nprobe = n_centroids). Checked against the brute-force all-pairs
+    SQL oracle; no full-corpus `take_all()` anywhere on this path. The
+    driver-side brute baseline (`dedup.embedding_neardup_pairs`) is kept
+    as a parity fixture only (tests/test_dataops.py)."""
+    from payor_linkage.dataops.similarity import lsh_neardup_pairs
 
-    return embedding_neardup_pairs(_emb(sf_dir), threshold=0.4)
+    return lsh_neardup_pairs(_emb(sf_dir), threshold=0.4, n_planes=0,
+                             n_tables=1, max_bucket=1 << 31)
 
 
 def q_ann_topk(sf_dir: str):
@@ -357,9 +365,11 @@ def q_ivf_ann(sf_dir: str):
 
 
 def q_lsh_neardup(sf_dir: str):
-    """Random-hyperplane LSH cosine near-dup — the 100 TB scale path.
-    Inherently approximate (no oracle); recall ≥ 0.8 vs brute force is
-    gated by tests/test_dataops.py::test_lsh_neardup_recall."""
+    """Random-hyperplane LSH cosine near-dup — the 100 TB scale path in
+    its production (approximate) configuration. Recall ≥ 0.8 vs brute
+    force is gated by tests/test_dataops.py::test_lsh_neardup_recall;
+    the SAME code path in its exact-complete configuration is
+    DuckDB-oracle-checked as `q_embedding_neardup`."""
     from payor_linkage.dataops.similarity import lsh_neardup_pairs
 
     return lsh_neardup_pairs(_emb(sf_dir), threshold=0.4, n_planes=4,

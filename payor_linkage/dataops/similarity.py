@@ -26,16 +26,34 @@ def _to_matrix(col) -> np.ndarray:
     return np.stack([np.asarray(v, dtype=np.float64) for v in col.to_pylist()])
 
 
+def _query_matrix(ds: Dataset, query_ids: list[int], id_col: str,
+                  vec_col: str) -> tuple[np.ndarray, np.ndarray]:
+    """Collect only the requested query rows: the id filter runs inside
+    `map_batches` so only |query_ids| rows ever reach the driver (the
+    whole-table `take_all()` this replaces collects the full corpus at
+    100 TB just to pick a handful of rows)."""
+    qset = ray.put(np.asarray(sorted(set(query_ids))))
+
+    def pick(b: pa.Table) -> pa.Table:
+        wanted = ray.get(qset)
+        mask = np.isin(np.asarray(b[id_col].to_pylist()), wanted)
+        return b.filter(pa.array(mask))
+
+    rows = (ds.select_columns([id_col, vec_col])
+            .map_batches(pick, batch_format="pyarrow").take_all())
+    rows.sort(key=lambda r: r[id_col])
+    qids = np.array([r[id_col] for r in rows])
+    Q = _normalize(np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                             for r in rows]))
+    return qids, Q
+
+
 def ann_topk(ds: Dataset, query_ids: list[int], k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding") -> Dataset:
     """Top-k cosine neighbors for each query vector (queries selected by id
     from the dataset itself). Output (query_id, rank, neighbor_id), self
     excluded, ties broken by neighbor id — deterministic."""
-    qset = set(query_ids)
-    qrows = [r for r in ds.select_columns([id_col, vec_col]).take_all()
-             if r[id_col] in qset]
-    qids = np.array([r[id_col] for r in qrows])
-    Q = _normalize(np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qrows]))
+    qids, Q = _query_matrix(ds, query_ids, id_col, vec_col)
     ref = ray.put((qids, Q))
 
     def partial(b: pa.Table) -> pa.Table:
@@ -96,11 +114,7 @@ def ivf_topk(ds: Dataset, query_ids: list[int], k: int = 5, n_centroids: int = 1
         pa.chunked_array([pa.array([r[vec_col] for r in
                                     ds.limit(sample_size).take_all()])]))
     C = _mini_kmeans(sample, n_centroids)
-    qset = set(query_ids)
-    qrows = [r for r in ds.select_columns([id_col, vec_col]).take_all()
-             if r[id_col] in qset]
-    qids = np.array([r[id_col] for r in qrows])
-    Q = _normalize(np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qrows]))
+    qids, Q = _query_matrix(ds, query_ids, id_col, vec_col)
     probes = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]   # (nq, nprobe)
     ref = ray.put((qids, Q, C, probes))
 
