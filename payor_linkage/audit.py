@@ -102,7 +102,8 @@ def pipeline_metrics(unified: Dataset, candidates: Dataset, groups: Dataset,
         "decisions": decisions,
         "auto_decisions": auto,
         "match_rules": rules,
-        "groups": len(groups.groupby("match_group_id").count().take_all()),
+        # second-level count(): the per-group rows never reach the driver
+        "groups": groups.groupby("match_group_id").count().count(),
         "golden": conf,
     }
 

@@ -23,23 +23,37 @@ from ray.data.aggregate import Count, Min
 def exact_dedup(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
     """One row per distinct text: (text, keeper_id = min id, n_dups).
 
-    Group key is the md5 of the content (bounded-width shuffle key even for
-    huge documents); the text itself rides along via Min (identical within
-    a group)."""
+    Content-pointer shape: only (md5, id) ride the group shuffle — a
+    bounded-width key/value even for huge documents. The keeper's text is
+    attached afterwards by a keeper-grain join back to the source scan
+    (broadcast binary-search below `lookup_join`'s 5M bound, hash join
+    above it) — no document text moves through the dedup shuffle."""
+    from payor_linkage.rayutil import lookup_join
+
     def add_hash(b: pa.Table) -> pa.Table:
         h = [hashlib.md5(t.encode()).hexdigest() for t in b[text_col].to_pylist()]
         return pa.table({
             "_h": pa.array(h, pa.string()),
-            text_col: b[text_col],
             id_col: b[id_col],
         })
 
-    agg = (ds.map_batches(add_hash, batch_format="pyarrow")
-           .groupby("_h")
-           .aggregate(Min(text_col, alias_name=text_col),
-                      Min(id_col, alias_name="keeper_id"),
-                      Count(alias_name="n_dups")))
-    return agg.map_batches(lambda b: b.drop_columns(["_h"]), batch_format="pyarrow")
+    keepers = (ds.map_batches(add_hash, batch_format="pyarrow")
+               .groupby("_h")
+               .aggregate(Min(id_col, alias_name="keeper_id"),
+                          Count(alias_name="n_dups"))
+               .map_batches(lambda b: b.drop_columns(["_h"]),
+                            batch_format="pyarrow"))
+
+    def as_keeper_grain(b: pa.Table) -> pa.Table:
+        return pa.table({"keeper_id": b[id_col], text_col: b[text_col]})
+
+    content = ds.map_batches(as_keeper_grain, batch_format="pyarrow")
+    # inner join drops non-keeper rows; keepers' keys are unique by
+    # construction (Min over a partition of the ids)
+    out = lookup_join(content, keepers, on="keeper_id")
+    return out.map_batches(
+        lambda b: b.select([text_col, "keeper_id", "n_dups"]),
+        batch_format="pyarrow")
 
 
 # ── MinHash + LSH ──────────────────────────────────────────────────────────

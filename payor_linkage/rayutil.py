@@ -207,27 +207,34 @@ def nested_safe_join(left: Dataset, right: Dataset, on: str) -> Dataset:
 
     l_cols = list(l_types)
     r_cols = list(r_types)
+    out_schema = pa.schema(
+        [(on, l_schema[on])] + [(n, l_types[n]) for n in l_cols]
+        + [(n, r_types[n]) for n in r_cols])
 
-    def merge(g: pa.Table) -> pa.Table:
+    def merge_runs(b: pa.Table, starts, ends) -> pa.Table:
+        # block-amortized merge: per key-run, a within-key cartesian
+        # (typically 1×1 or 1×n) expressed as index arrays; ONE take per
+        # block column instead of a per-group map_groups harness call
+        # (~1ms/group — this sits on the distributed-CC label-prop hot
+        # path via cluster._label_edges).
         import numpy as np
-        side = g["_side"].to_numpy(zero_copy_only=False)
-        li = np.nonzero(side == 0)[0]
-        ri = np.nonzero(side == 1)[0]
-        if len(li) == 0 or len(ri) == 0:
-            cols = {on: pa.array([], g[on].type), }
-            for n in l_cols:
-                cols[n] = pa.array([], g[n].type)
-            for n in r_cols:
-                cols[n] = pa.array([], g[n].type)
-            return pa.table(cols)
-        # cartesian within key (typically 1 x 1 or 1 x n)
-        lrep = np.repeat(li, len(ri))
-        rrep = np.tile(ri, len(li))
-        cols = {on: g[on].take(pa.array(lrep))}
-        for n in l_cols:
-            cols[n] = g[n].take(pa.array(lrep))
-        for n in r_cols:
-            cols[n] = g[n].take(pa.array(rrep))
-        return pa.table(cols)
+        side = b["_side"].to_numpy(zero_copy_only=False)
+        lidx, ridx = [], []
+        for s, e in zip(starts, ends):
+            sl = side[s:e]
+            li = s + np.nonzero(sl == 0)[0]
+            ri = s + np.nonzero(sl == 1)[0]
+            if len(li) == 0 or len(ri) == 0:
+                continue  # key on one side only → inner join drops it
+            lidx.append(np.repeat(li, len(ri)))
+            ridx.append(np.tile(ri, len(li)))
+        if not lidx:
+            return out_schema.empty_table()
+        lrep = pa.array(np.concatenate(lidx))
+        rrep = pa.array(np.concatenate(ridx))
+        cols = [b[on].take(lrep)]
+        cols += [b[n].take(lrep) for n in l_cols]
+        cols += [b[n].take(rrep) for n in r_cols]
+        return pa.table(cols, schema=out_schema)
 
-    return u.groupby(on).map_groups(merge, batch_format="pyarrow")
+    return grouped_apply(u, on, runs_fn=merge_runs, out_schema=out_schema)
