@@ -539,6 +539,56 @@ def q_mdm_hierarchy_edges(sf_dir: str):
     return h.map_batches(proj, batch_format="pyarrow")
 
 
+def q_mdm_source_pair_match_rate(sf_dir: str):
+    """Per-source-pair candidate volume + match count — the DataQuality
+    UI aggregate (`app/src/pages/DataQuality.tsx:43-47`): GROUP BY
+    (source_a_system, source_b_system), pairs = COUNT(*), matches =
+    COUNT(final_decision = match). The oracle re-derives the systems from
+    the record-id prefixes and recomputes the decision CASE chain from
+    the scored sidecar, so the whole (decide → aggregate) path is
+    SQL-checked."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    cands = _mdm_result(sf_dir).candidates
+
+    def proj(b: pa.Table) -> pa.Table:
+        sa = pc.list_element(pc.split_pattern(b["source_record_id_a"], ":"), 0)
+        sb = pc.list_element(pc.split_pattern(b["source_record_id_b"], ":"), 0)
+        is_m = pc.cast(pc.equal(b["final_decision"], "match"), pa.int64())
+        return pa.table({"source_a_system": sa, "source_b_system": sb,
+                         "is_match": is_m})
+
+    return (cands.map_batches(proj, batch_format="pyarrow")
+            .groupby(["source_a_system", "source_b_system"])
+            .aggregate(Count(alias_name="pairs"),
+                       Sum("is_match", alias_name="matches")))
+
+
+def q_mdm_golden_source_count(sf_dir: str):
+    """Golden list with the correlated xref count — the GoldenRecords UI
+    query (`app/src/pages/GoldenRecords.tsx:46-51`, a per-row correlated
+    COUNT subquery) re-expressed scale-shaped: one per-master count
+    aggregate, broadcast-joined back to the golden grain (`lookup_join`,
+    zero shuffle). The oracle keeps the reference's correlated-subquery
+    form over the membership sidecar."""
+    import pyarrow as pa
+
+    from payor_linkage.rayutil import lookup_join
+
+    res = _mdm_result(sf_dir)
+    counts = res.xref.groupby("master_payor_id").count()
+
+    def ren(b: pa.Table) -> pa.Table:
+        return pa.table({"master_payor_id": b["master_payor_id"],
+                         "source_count": b["count()"]})
+
+    counts = counts.map_batches(ren, batch_format="pyarrow")
+    golden = res.golden.select_columns(["master_payor_id", "payor_name"])
+    return lookup_join(golden, counts, on="master_payor_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q_normalize_text": q_normalize_text,
@@ -574,6 +624,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mdm_xref": q_mdm_xref,
         "q_mdm_hierarchy": q_mdm_hierarchy,
         "q_mdm_hierarchy_edges": q_mdm_hierarchy_edges,
+        "q_mdm_source_pair_match_rate": q_mdm_source_pair_match_rate,
+        "q_mdm_golden_source_count": q_mdm_golden_source_count,
     }
 
 
@@ -1003,5 +1055,28 @@ def oracle_sql() -> dict[str, str]:
                        AS completeness_score,
                    source_count, confidence_score, survivor_record_id
             FROM g
+        """,
+        # DataQuality.tsx:43-47 — per-source-pair volume + match count;
+        # the decision chain re-derived from the scored sidecar, systems
+        # re-derived from the record-id prefixes
+        "q_mdm_source_pair_match_rate": f"""
+            SELECT split_part(source_record_id_a, ':', 1) AS source_a_system,
+                   split_part(source_record_id_b, ':', 1) AS source_b_system,
+                   COUNT(*) AS pairs,
+                   SUM(CASE WHEN match_rule IN ('DET-1', 'DET-2', 'DET-3')
+                                 OR coalesce(overall_score, -1.0) >= 0.85
+                            THEN 1 ELSE 0 END) AS matches
+            FROM read_parquet('{_SIDECAR_DIR}/scored/*.parquet')
+            GROUP BY 1, 2
+        """,
+        # GoldenRecords.tsx:46-51 — the reference's correlated COUNT
+        # subquery kept verbatim in the oracle (membership rows ARE the
+        # xref grain: one row per source record with its master id)
+        "q_mdm_golden_source_count": f"""
+            SELECT g.master_payor_id, g.payor_name,
+                   (SELECT COUNT(*)
+                    FROM read_parquet('{_SIDECAR_DIR}/membership/*.parquet') m
+                    WHERE m.match_group_id = g.master_payor_id) AS source_count
+            FROM read_parquet('{_SIDECAR_DIR}/golden_names/*.parquet') g
         """,
     }
