@@ -184,3 +184,20 @@ def test_full_pipeline_no_matches(ray_session):
     res = run_linkage(docs)
     assert res.golden.count() == 6
     assert res.xref.count() == 6
+
+
+def test_hierarchy_distributed_parity(pipeline_result, monkeypatch):
+    """The shuffle-join signal fallback (golden count above the broadcast
+    bound) must produce byte-identical edges to the broadcast-index path."""
+    import payor_linkage.hierarchy as H
+
+    monkeypatch.setattr(H, "BROADCAST_GOLDEN_BOUND", 0)
+    dist = H.infer_hierarchy(
+        pipeline_result.golden, pipeline_result.unified,
+        pipeline_result.xref).to_pandas()
+    base = pipeline_result.hierarchy.to_pandas()
+    key = ["parent_master_id", "child_master_id", "source"]
+    a = dist.sort_values(key).reset_index(drop=True)
+    b = base.sort_values(key).reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(a, b)
