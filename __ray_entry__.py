@@ -427,6 +427,8 @@ def _write_mdm_sidecars(res) -> None:
         ["source_record_id", "source_system", "source_id", "parent_ref",
          "source_trust_rank"]))
     _dump_sidecar("membership", res.groups)
+    _dump_sidecar("quality_fields", res.unified.select_columns(
+        ["source_system"] + _QUALITY_FIELDS))
     _dump_sidecar("golden_names", res.golden.select_columns(
         ["master_payor_id", "payor_name"]))
 
@@ -539,6 +541,22 @@ def q_mdm_hierarchy_edges(sf_dir: str):
     return h.map_batches(proj, batch_format="pyarrow")
 
 
+_QUALITY_FIELDS = ["payor_name", "tax_id", "npi", "address_line_1", "phone"]
+
+
+def q_mdm_source_completeness(sf_dir: str):
+    """Per-source field-completeness — the DataQuality UI aggregate
+    (`app/src/pages/DataQuality.tsx:31-40`). Integer non-null counts
+    instead of the UI's `*100.0/COUNT(*)` percentages so DuckDB float/
+    ROUND semantics can't drift (the percentage is a driver-side display
+    concern). Partial counts per batch + one small grouped sum — no full
+    shuffle (`audit.source_field_completeness`)."""
+    from payor_linkage.audit import source_field_completeness
+
+    res = _mdm_result(sf_dir)
+    return source_field_completeness(res.unified, _QUALITY_FIELDS)
+
+
 def q_mdm_source_pair_match_rate(sf_dir: str):
     """Per-source-pair candidate volume + match count — the DataQuality
     UI aggregate (`app/src/pages/DataQuality.tsx:43-47`): GROUP BY
@@ -624,6 +642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mdm_xref": q_mdm_xref,
         "q_mdm_hierarchy": q_mdm_hierarchy,
         "q_mdm_hierarchy_edges": q_mdm_hierarchy_edges,
+        "q_mdm_source_completeness": q_mdm_source_completeness,
         "q_mdm_source_pair_match_rate": q_mdm_source_pair_match_rate,
         "q_mdm_golden_source_count": q_mdm_golden_source_count,
     }
@@ -1055,6 +1074,15 @@ def oracle_sql() -> dict[str, str]:
                        AS completeness_score,
                    source_count, confidence_score, survivor_record_id
             FROM g
+        """,
+        # DataQuality.tsx:31-40 — per-source completeness as integer
+        # non-null counts (COUNT(col) ≡ the UI's SUM(CASE col IS NOT
+        # NULL); percentages are display-side)
+        "q_mdm_source_completeness": f"""
+            SELECT source_system, COUNT(*) AS total,
+                   {", ".join(f"COUNT({f}) AS nn_{f}" for f in _QUALITY_FIELDS)}
+            FROM read_parquet('{_SIDECAR_DIR}/quality_fields/*.parquet')
+            GROUP BY source_system
         """,
         # DataQuality.tsx:43-47 — per-source-pair volume + match count;
         # the decision chain re-derived from the scored sidecar, systems
