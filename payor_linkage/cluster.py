@@ -223,28 +223,41 @@ def _local_union_find(edge_rows: list[dict]) -> dict[str, str]:
 
 def _int_union_find(src_codes: np.ndarray, dst_codes: np.ndarray,
                     n_uniques: int) -> np.ndarray:
-    """Union-find over integer-coded edges → root code per unique
-    (component root = the unique with the SMALLEST code — callers must
-    factorize in sorted order so min-code ≙ min node id)."""
-    parent = np.arange(n_uniques, dtype=np.int64)
+    """Connected components over integer-coded edges → root code per
+    unique (component root = the unique with the SMALLEST code — callers
+    must factorize in sorted order so min-code ≙ min node id).
 
-    def find(x: int) -> int:
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != x:
-            parent[x], x = root, parent[x]
-        return root
-
-    for a, b in zip(src_codes, dst_codes):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-    for i in range(n_uniques):
-        find(i)
-    # one more pass: after compression parent[i] is the root
-    return parent
+    Vectorized min-label propagation with pointer jumping (no Python
+    per-edge loop): each round relaxes every edge (`np.minimum.at`) then
+    fully compresses paths (`label = label[label]` to fixpoint). Labels
+    are monotone non-increasing with label[i] ≤ i, so both steps converge;
+    outer rounds are O(log diameter) — entity clusters are shallow."""
+    label = np.arange(n_uniques, dtype=np.int64)
+    if len(src_codes) == 0:
+        return label
+    src = np.asarray(src_codes, dtype=np.int64)
+    dst = np.asarray(dst_codes, dtype=np.int64)
+    for _ in range(64):  # provably converges; bound is a safety net
+        la, lb = label[src], label[dst]
+        ne = la != lb
+        if not ne.any():
+            return label
+        # per-target min over the violating edges via sort + reduceat
+        # (~3× faster than np.minimum.at's unbuffered scatter)
+        lo = np.minimum(la[ne], lb[ne])
+        hi = np.maximum(la[ne], lb[ne])
+        o = np.argsort(hi, kind="stable")
+        hi, lo = hi[o], lo[o]
+        bounds = np.nonzero(np.concatenate([[True], hi[1:] != hi[:-1]]))[0]
+        mins = np.minimum.reduceat(lo, bounds)
+        tgt = hi[bounds]
+        label[tgt] = np.minimum(label[tgt], mins)
+        while True:
+            nxt = label[label]
+            if np.array_equal(nxt, label):
+                break
+            label = nxt
+    raise RuntimeError("component labeling did not converge")
 
 
 def _reduce_edge_block(b: pa.Table) -> pa.Table:
@@ -286,12 +299,30 @@ def _propagate_local(edges: Dataset, nodes: Dataset,
                    .repartition(cpus)
                    .map_batches(_reduce_edge_block, batch_format="pyarrow",
                                 batch_size=None))
-    df = reduced.to_pandas()
-    both = np.concatenate([df["src"].to_numpy(), df["dst"].to_numpy()])
-    uniques = np.unique(both)                       # sorted → min code = min id
-    idx = pd.Index(uniques)
-    src_codes = idx.get_indexer(df["src"].to_numpy())
-    dst_codes = idx.get_indexer(df["dst"].to_numpy())
+    # collect the forest as Arrow and factorize with Arrow kernels —
+    # dictionary_encode + a rank remap never boxes the ~2|V| strings into
+    # Python objects (to_pandas + np.unique did, at seconds of driver
+    # time); only the ~node-count dictionary gets sorted, and the rank
+    # remap preserves min-code ≙ min node id
+    tbl = pa.concat_tables(ray.get(reduced.to_arrow_refs()),
+                           promote_options="default")
+    both = pa.chunked_array(
+        list(tbl["src"].chunks) + list(tbl["dst"].chunks)).combine_chunks()
+    enc = pc.dictionary_encode(both)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dictionary = enc.dictionary
+    sort_idx = pc.array_sort_indices(dictionary).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    rank = np.empty(len(sort_idx), dtype=np.int64)
+    rank[sort_idx] = np.arange(len(sort_idx), dtype=np.int64)
+    codes = rank[codes]
+    # sorted → min code = min id (object array: downstream batches binary-
+    # search it with np.searchsorted on their own string arrays)
+    uniques = dictionary.take(pa.array(sort_idx)).to_numpy(
+        zero_copy_only=False)
+    n_edges_local = tbl.num_rows
+    src_codes = codes[:n_edges_local]
+    dst_codes = codes[n_edges_local:]
     parent = _int_union_find(src_codes, dst_codes, len(uniques))
     label_strs = uniques[parent]                    # label per unique node
     ref = ray.put((uniques, label_strs))

@@ -138,12 +138,13 @@ def lookup_join(big: Dataset, small: Dataset, on: str,
         return smart_join(big, small, on)
     tbl = pa.concat_tables(
         ray.get(small.to_arrow_refs()), promote_options="default")
+    # Arrow-native sort (C kernel) — np.argsort on an object-dtype key
+    # array pays a Python richcompare per comparison (~1s/M keys)
+    import pyarrow.compute as pc
+    tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[(on, "ascending")]))
     keys = tbl[on].to_numpy(zero_copy_only=False)
-    order = np.argsort(keys)
-    keys = keys[order]
     payload_names = [c for c in tbl.column_names if c != on]
-    payload = {c: tbl[c].combine_chunks().take(pa.array(order))
-               for c in payload_names}
+    payload = {c: tbl[c].combine_chunks() for c in payload_names}
     ref = ray.put((keys, payload))
 
     def attach(b: pa.Table) -> pa.Table:
