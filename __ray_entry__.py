@@ -344,6 +344,22 @@ def q_simhash(sf_dir: str):
     return simhash_pairs_from_sigs(sigs, max_hamming=7, n_chunks=8)
 
 
+def q_neardup_components(sf_dir: str):
+    """Near-dup clusters: MinHash-verified pairs → connected components
+    over the document table (every doc labeled with its component's min
+    id; singletons canonical). Reuses the linkage engine's CC tiers. The
+    pairs go to a sidecar; the oracle recomputes the components with a
+    recursive min-reachability CTE — same gate shape as
+    `q_mdm_components`."""
+    from payor_linkage.dataops.dedup import minhash_lsh_pairs, neardup_components
+
+    docs = _docs(sf_dir)
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, shingle_k=5,
+                              num_perm=64, bands=16).materialize()
+    _dump_sidecar("neardup_pairs", pairs.select_columns(["id_a", "id_b"]))
+    return neardup_components(docs, pairs)
+
+
 def q_ngram_jaccard(sf_dir: str):
     from payor_linkage.dataops.dedup import ngram_jaccard_pairs
 
@@ -629,6 +645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ann_topk": q_ann_topk,
         "q_minhash_lsh": q_minhash_lsh,
         "q_simhash": q_simhash,
+        "q_neardup_components": q_neardup_components,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_ivf_ann": q_ivf_ann,
         "q_lsh_neardup": q_lsh_neardup,
@@ -910,6 +927,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         # connected components via recursive min-reachability over the
         # match edges — the clustering oracle
+        # near-dup clustering: recursive min-reachability CTE over the
+        # MinHash pair sidecar (same gate shape as q_mdm_components)
+        "q_neardup_components": f"""
+            WITH RECURSIVE
+            p AS (
+              SELECT id_a, id_b
+              FROM read_parquet('{_SIDECAR_DIR}/neardup_pairs/*.parquet')
+            ),
+            e AS (
+              SELECT id_a AS a, id_b AS b FROM p
+              UNION ALL
+              SELECT id_b, id_a FROM p
+            ),
+            reach(node, r) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT reach.node, e.b FROM reach JOIN e ON reach.r = e.a
+            )
+            SELECT node AS doc_id, min(r) AS cluster_id,
+                   node = min(r) AS is_canonical
+            FROM reach GROUP BY node
+        """,
         "q_mdm_components": f"""
             WITH RECURSIVE
             e AS (

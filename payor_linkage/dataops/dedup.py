@@ -429,6 +429,60 @@ def ngram_jaccard_pairs(ds: Dataset, block_cols: list[str], threshold: float,
     return pairs.map_batches(verify, batch_format="pyarrow")
 
 
+# ── near-dup clustering ────────────────────────────────────────────────────
+
+
+def neardup_components(ds: Dataset, pairs: Dataset,
+                       id_col: str = "doc_id") -> Dataset:
+    """Near-dup *clusters* from verified pair output (any of the pair
+    operators above): connected components reusing the linkage engine's
+    tiered CC — driver min-label kernel below the edge bound, distributed
+    label propagation above. Every document gets its component's
+    canonical (minimum) id; singletons are their own cluster.
+
+    Integer ids ride as zero-padded strings through the CC tiers (whose
+    labels are string-min) so string-min ≡ numeric min; the pad is
+    stripped on output."""
+    from payor_linkage.cluster import _propagate_local, propagate_labels
+
+    sch = ds.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+    is_int = pa.types.is_integer(id_type)
+    width = 20
+
+    def enc(col):
+        s = pc.cast(col, pa.string())
+        return pc.utf8_lpad(s, width, "0") if is_int else s
+
+    def as_edges(b: pa.Table) -> pa.Table:
+        return pa.table({"src": enc(b["id_a"]), "dst": enc(b["id_b"]),
+                         "score": pa.nulls(b.num_rows, pa.float64())})
+
+    def as_nodes(b: pa.Table) -> pa.Table:
+        return pa.table({"node": enc(b[id_col]),
+                         "source_trust_rank": pa.nulls(b.num_rows, pa.int32())})
+
+    edges = pairs.map_batches(as_edges, batch_format="pyarrow").materialize()
+    nodes = ds.map_batches(as_nodes, batch_format="pyarrow")
+    n_edges = edges.count()
+    if n_edges == 0:
+        labels = nodes.map_batches(
+            lambda b: pa.table({"node": b["node"], "label": b["node"]}),
+            batch_format="pyarrow")
+    elif n_edges <= 2_000_000:
+        labels, _ = _propagate_local(edges, nodes)
+    else:
+        labels, _ = propagate_labels(edges, nodes)
+
+    def out(b: pa.Table) -> pa.Table:
+        node = pc.cast(b["node"], id_type) if is_int else b["node"]
+        label = pc.cast(b["label"], id_type) if is_int else b["label"]
+        return pa.table({id_col: node, "cluster_id": label,
+                         "is_canonical": pc.equal(node, label)})
+
+    return labels.map_batches(out, batch_format="pyarrow")
+
+
 # ── embedding cosine near-dup ──────────────────────────────────────────────
 
 

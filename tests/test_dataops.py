@@ -324,3 +324,22 @@ def test_multimodal_plumbing(ray_session):
 
     with pytest.raises(NotImplementedError):
         FrameSampler(real=True)
+
+
+def test_neardup_components(ray_session):
+    """Pairs → components: transitive closure, min-id canonical,
+    singletons kept; int ids survive the zero-pad round trip."""
+    import ray.data as rd
+
+    from payor_linkage.dataops.dedup import neardup_components
+
+    docs = _doc_ds(["a", "b", "c", "d", "e"])          # ids 0..4
+    pairs = rd.from_items([
+        {"id_a": 0, "id_b": 3},
+        {"id_a": 3, "id_b": 1},                        # chain 0-3-1
+    ])
+    out = (neardup_components(docs, pairs).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out.doc_id.tolist() == [0, 1, 2, 3, 4]
+    assert out.cluster_id.tolist() == [0, 0, 2, 0, 4]
+    assert out.is_canonical.tolist() == [True, False, True, False, True]
