@@ -344,6 +344,24 @@ def q_simhash(sf_dir: str):
     return simhash_pairs_from_sigs(sigs, max_hamming=7, n_chunks=8)
 
 
+def q_token_topk(sf_dir: str):
+    """Corpus heavy hitters: top-50 tokens by instance count (partial
+    per-batch vocab counts → grouped sum → sort+limit); ties break
+    (count desc, token asc) on both sides."""
+    from payor_linkage.dataops.text import token_topk
+
+    return token_topk(_docs(sf_dir), k=50)
+
+
+def q_hash_sample(sf_dir: str):
+    """Deterministic md5-prefix sampling at rate 0.25 — reproducible
+    without RNG state; the oracle is a byte-exact hex-string compare."""
+    from payor_linkage.dataops.text import hash_sample
+
+    return hash_sample(_docs(sf_dir).select_columns(
+        ["doc_id", "lang", "source", "n_chars"]), rate=0.25)
+
+
 def q_neardup_components(sf_dir: str):
     """Near-dup clusters: MinHash-verified pairs → connected components
     over the document table (every doc labeled with its component's min
@@ -645,6 +663,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ann_topk": q_ann_topk,
         "q_minhash_lsh": q_minhash_lsh,
         "q_simhash": q_simhash,
+        "q_token_topk": q_token_topk,
+        "q_hash_sample": q_hash_sample,
         "q_neardup_components": q_neardup_components,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_ivf_ann": q_ivf_ann,
@@ -927,6 +947,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         # connected components via recursive min-reachability over the
         # match edges — the clustering oracle
+        "q_token_topk": """
+            SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT unnest(regexp_split_to_array(lower(text),
+                                                      '[^a-z0-9]+')) AS t
+                  FROM documents)
+            WHERE t != ''
+            GROUP BY t
+            ORDER BY n DESC, t ASC
+            LIMIT 50
+        """,
+        "q_hash_sample": """
+            SELECT doc_id, lang, source, n_chars
+            FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+        """,
         # near-dup clustering: recursive min-reachability CTE over the
         # MinHash pair sidecar (same gate shape as q_mdm_components)
         "q_neardup_components": f"""

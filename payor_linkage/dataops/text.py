@@ -142,3 +142,46 @@ def fingerprint(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> 
         })
 
     return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def token_topk(ds: Dataset, k: int = 50, text_col: str = "text") -> Dataset:
+    """Top-k most frequent tokens across the corpus (heavy hitters).
+
+    Tokenization: lowercase, split on runs of non-[a-z0-9] (ASCII word
+    chars — chosen so a SQL oracle's regexp_split reproduces it exactly).
+    Scale shape: per-batch partial counts (one small table per batch,
+    bounded by the batch vocabulary) → one grouped sum over tokens →
+    sort + limit k. The shuffle moves vocabularies, never token streams.
+    Ties break deterministically by (count desc, token asc)."""
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(b[text_col]), "[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.table({"token": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("token").aggregate(Sum("n", alias_name="n")))
+    return counts.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
+def hash_sample(ds: Dataset, rate: float, id_col: str = "doc_id") -> Dataset:
+    """Deterministic hash-based sampling: keep rows whose
+    md5(str(id)) 8-hex-digit prefix falls below ``rate`` of the space.
+    Reproducible across runs/processes (no RNG state — Python's hash()
+    is process-randomized, md5 is not) and expressible exactly in SQL as
+    a string compare on the md5 hex, so the oracle gate is byte-exact.
+    Pure per-batch filter — no shuffle, no driver work."""
+    bound = format(int(rate * (1 << 32)), "08x")
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_pylist()
+        mask = [hashlib.md5(str(i).encode()).hexdigest()[:8] < bound
+                for i in ids]
+        return b.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
