@@ -343,3 +343,24 @@ def test_neardup_components(ray_session):
     assert out.doc_id.tolist() == [0, 1, 2, 3, 4]
     assert out.cluster_id.tolist() == [0, 0, 2, 0, 4]
     assert out.is_canonical.tolist() == [True, False, True, False, True]
+
+
+def test_token_topk(ray_session):
+    from payor_linkage.dataops.text import token_topk
+
+    ds = _doc_ds(["b b a", "a c a", "A-a b!"])
+    out = token_topk(ds, k=2).to_pandas()
+    assert out.token.tolist() == ["a", "b"]
+    assert out.n.tolist() == [5, 3]
+
+
+def test_hash_sample_deterministic(ray_session):
+    from payor_linkage.dataops.text import hash_sample
+
+    ds = _doc_ds([f"t{i}" for i in range(200)])
+    a = hash_sample(ds, rate=0.25).to_pandas().doc_id.tolist()
+    b = hash_sample(ds, rate=0.25).to_pandas().doc_id.tolist()
+    assert a == b and 0 < len(a) < 200
+    # monotone: a larger rate strictly contains the smaller sample
+    c = set(hash_sample(ds, rate=0.5).to_pandas().doc_id.tolist())
+    assert set(a) <= c
