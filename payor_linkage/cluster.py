@@ -316,44 +316,41 @@ def _propagate_local(edges: Dataset, nodes: Dataset,
     rank = np.empty(len(sort_idx), dtype=np.int64)
     rank[sort_idx] = np.arange(len(sort_idx), dtype=np.int64)
     codes = rank[codes]
-    # sorted → min code = min id (object array: downstream batches binary-
-    # search it with np.searchsorted on their own string arrays)
-    uniques = dictionary.take(pa.array(sort_idx)).to_numpy(
-        zero_copy_only=False)
+    # sorted → min code = min id
+    uniques_arrow = dictionary.take(pa.array(sort_idx))
     n_edges_local = tbl.num_rows
     src_codes = codes[:n_edges_local]
     dst_codes = codes[n_edges_local:]
-    parent = _int_union_find(src_codes, dst_codes, len(uniques))
-    label_strs = uniques[parent]                    # label per unique node
-    ref = ray.put((uniques, label_strs))
+    parent = _int_union_find(src_codes, dst_codes, len(uniques_arrow))
+    # broadcast as Arrow arrays (plasma zero-copy); per-batch lookups run
+    # through pc.index_in — a C hash probe instead of np.searchsorted's
+    # per-element Python richcompare on object arrays
+    label_arrow = uniques_arrow.take(pa.array(parent))
+    ref = ray.put((uniques_arrow, label_arrow))
 
-    def _lookup(node_arr: np.ndarray) -> np.ndarray:
-        # uniques is sorted → binary search per batch (no per-task
-        # hash-table build, unlike pd.Index.get_indexer)
+    def _lookup(col) -> pa.Array:
         u, lbl = ray.get(ref)
-        pos = np.searchsorted(u, node_arr)
-        pos_c = np.minimum(pos, len(u) - 1)
-        hit = u[pos_c] == node_arr
-        out = node_arr.copy()
-        out[hit] = lbl[pos_c[hit]]
-        return out
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        pos = pc.index_in(col, value_set=u)
+        hit = pc.is_valid(pos)
+        taken = lbl.take(pc.fill_null(pos, 0))
+        return pc.if_else(hit, taken, col)
 
     def label_nodes(b: pa.Table) -> pa.Table:
-        nodes_np = b["node"].to_numpy(zero_copy_only=False)
         return pa.table({
             "node": b["node"],
-            "label": pa.array(_lookup(nodes_np), pa.string()),
+            "label": _lookup(b["node"]),
             "source_trust_rank": b["source_trust_rank"],
         })
 
     labels = nodes.map_batches(label_nodes, batch_format="pyarrow")
 
     def label_edges(b: pa.Table) -> pa.Table:
-        lab = _lookup(b["src"].to_numpy(zero_copy_only=False))
+        lab = _lookup(b["src"])
         return pa.table({
             "src": b["src"], "dst": b["dst"], "score": b["score"],
-            "label_a": pa.array(lab, pa.string()),
-            "label_b": pa.array(lab, pa.string()),
+            "label_a": lab, "label_b": lab,
         })
 
     el = edges.map_batches(label_edges, batch_format="pyarrow")

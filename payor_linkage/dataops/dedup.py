@@ -17,6 +17,25 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 from ray.data.aggregate import Count, Min
 
+def _pool_shape(ds: Dataset, rows_per_actor: int = 4096) -> tuple[int, int, int]:
+    """(cpus, rows-per-block, pool-max) for a signature actor pool.
+
+    Pool size scales with the DATA, capped at cluster CPUs: actor spawn
+    (~0.5s each) dwarfs the signature work on small corpora, while a
+    whole-corpus run wants every CPU. Blocks are row-balanced so pool
+    tasks (which consume whole upstream blocks) can't be starved by a
+    single-file read."""
+    import ray as _ray
+    try:
+        cpus = int(_ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    n = ds.count()
+    pool_max = max(2, min(cpus, n // rows_per_actor + 1))
+    rpb = max(64, n // (pool_max * 2) + 1)
+    return cpus, rpb, pool_max
+
+
 # ── exact dedup ────────────────────────────────────────────────────────────
 
 
@@ -140,11 +159,16 @@ def minhash_lsh_pairs(ds: Dataset, threshold: float = 0.5, num_perm: int = 64,
 
     k = shingle_k
 
-    band_rows = ds.map_batches(
+    # size the signature pool to the cluster and row-balance the input:
+    # actor-pool tasks consume whole upstream blocks, so a single-file
+    # read (1 block) would serialize the per-doc signature work no matter
+    # the pool size (CLAUDE.md block-skew note)
+    _cpus, rpb, pool_max = _pool_shape(ds)
+    band_rows = ds.repartition(target_num_rows_per_block=rpb).map_batches(
         MinHasher, batch_format="pyarrow",
         fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands, shingle_k=k,
                                    text_col=text_col, id_col=id_col),
-        concurrency=(1, 4), batch_size=1024)
+        concurrency=(1, pool_max), batch_size=None)
 
     def emit_pairs(g: pa.Table) -> pa.Table:
         n = g.num_rows
@@ -161,7 +185,16 @@ def minhash_lsh_pairs(ds: Dataset, threshold: float = 0.5, num_perm: int = 64,
             "id_b": pa.array(ids[bi]),
         })
 
-    pairs = band_rows.groupby("bucket").map_groups(emit_pairs, batch_format="pyarrow")
+    # grouped_apply, not groupby().map_groups: buckets are numerous and
+    # mostly singletons — the per-group map_groups harness (~1ms/group)
+    # dominates at bucket counts of bands×docs
+    from payor_linkage.rayutil import grouped_apply
+
+    sch = ds.schema()
+    idt = dict(zip(sch.names, sch.types))[id_col]
+    pair_schema = pa.schema([("pair", pa.string()), ("id_a", idt), ("id_b", idt)])
+    pairs = grouped_apply(band_rows, "bucket", group_fn=emit_pairs,
+                          out_schema=pair_schema)
     deduped = (pairs.groupby("pair")
                .aggregate(Min("id_a", alias_name="id_a"),
                           Min("id_b", alias_name="id_b"))
@@ -202,8 +235,13 @@ def minhash_lsh_pairs(ds: Dataset, threshold: float = 0.5, num_perm: int = 64,
         content_b = ds.map_batches(
             lambda b: pa.table({"id_b": b[id_col], "text_b": b[text_col]}),
             batch_format="pyarrow")
-    enriched = smart_join(smart_join(deduped, content_a, "id_a"),
-                          content_b, "id_b")
+    # content sides are unique-keyed and bounded (candidate-driven) →
+    # broadcast binary-search attach, no shuffle; lookup_join itself
+    # falls back to the hash join above its row bound
+    from payor_linkage.rayutil import lookup_join
+
+    enriched = lookup_join(lookup_join(deduped, content_a, "id_a"),
+                           content_b, "id_b")
 
     def verify(b: pa.Table) -> pa.Table:
         inter, union = [], []
@@ -266,10 +304,11 @@ class SimHasher:
 def simhash_signatures(ds: Dataset, text_col: str = "text",
                        id_col: str = "doc_id") -> Dataset:
     """64-bit SimHash per document: (id, sig:int64)."""
-    return ds.map_batches(SimHasher, batch_format="pyarrow",
-                          fn_constructor_kwargs=dict(text_col=text_col,
-                                                     id_col=id_col),
-                          concurrency=(1, 4), batch_size=2048)
+    _cpus, rpb, pool_max = _pool_shape(ds)
+    return ds.repartition(target_num_rows_per_block=rpb).map_batches(
+        SimHasher, batch_format="pyarrow",
+        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
+        concurrency=(1, pool_max), batch_size=None)
 
 
 def simhash_pairs_from_sigs(sig_ds: Dataset, max_hamming: int = 3,
@@ -324,7 +363,14 @@ def simhash_pairs_from_sigs(sig_ds: Dataset, max_hamming: int = 3,
             "hamming": pa.array(ham),
         })
 
-    pairs = band_rows.groupby("bucket").map_groups(emit, batch_format="pyarrow")
+    from payor_linkage.rayutil import grouped_apply
+
+    sig_sch = sig_ds.schema()
+    idt = dict(zip(sig_sch.names, sig_sch.types))["id"]
+    pair_schema = pa.schema([("pair", pa.string()), ("id_a", idt),
+                             ("id_b", idt), ("hamming", pa.int32())])
+    pairs = grouped_apply(band_rows, "bucket", group_fn=emit,
+                          out_schema=pair_schema)
     deduped = pairs.groupby("pair").aggregate(
         Min("id_a", alias_name="id_a"), Min("id_b", alias_name="id_b"),
         Min("hamming", alias_name="hamming"))
@@ -380,8 +426,17 @@ def blocked_pairs(ds: Dataset, block_cols: list[str], id_col: str = "doc_id",
             cols[f"{c}_b"] = arr.take(pa.array(bi))
         return pa.table(cols)
 
-    pairs = (ds.map_batches(keyed, batch_format="pyarrow")
-             .groupby("bkey").map_groups(emit, batch_format="pyarrow"))
+    from payor_linkage.rayutil import grouped_apply
+
+    sch = ds.schema()
+    types = dict(zip(sch.names, sch.types))
+    fields = [("pair", pa.string()), ("id_a", types[id_col]),
+              ("id_b", types[id_col])]
+    for c in carry:
+        fields += [(f"{c}_a", types[c]), (f"{c}_b", types[c])]
+    pairs = grouped_apply(ds.map_batches(keyed, batch_format="pyarrow"),
+                          "bkey", group_fn=emit,
+                          out_schema=pa.schema(fields))
     aggs = [Min("id_a", alias_name="id_a"), Min("id_b", alias_name="id_b")]
     for c in carry:
         aggs += [Min(f"{c}_a", alias_name=f"{c}_a"), Min(f"{c}_b", alias_name=f"{c}_b")]

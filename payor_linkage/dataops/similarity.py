@@ -196,13 +196,20 @@ def lsh_neardup_pairs(ds: Dataset, threshold: float = 0.4, n_planes: int = 12,
         ri, ci = np.nonzero(cos >= threshold)
         keep = ids[ri] < ids[ci]
         return pa.table({
-            "pair": pa.array([f"{a}|{b}" for a, b in zip(ids[ri][keep], ids[ci][keep])]),
-            "id_a": pa.array(ids[ri][keep]),
-            "id_b": pa.array(ids[ci][keep]),
+            "pair": pa.array([f"{a}|{b}" for a, b in
+                              zip(ids[ri][keep], ids[ci][keep])], pa.string()),
+            "id_a": pa.array(ids[ri][keep], g["id"].type),
+            "id_b": pa.array(ids[ci][keep], g["id"].type),
         })
 
-    pairs = (ds.map_batches(sig, batch_format="pyarrow")
-             .groupby("bucket").map_groups(emit, batch_format="pyarrow"))
+    from payor_linkage.rayutil import grouped_apply
+
+    sch = ds.schema()
+    idt = dict(zip(sch.names, sch.types))[id_col]
+    pair_schema = pa.schema([("pair", pa.string()), ("id_a", idt),
+                             ("id_b", idt)])
+    pairs = grouped_apply(ds.map_batches(sig, batch_format="pyarrow"),
+                          "bucket", group_fn=emit, out_schema=pair_schema)
     return (pairs.groupby("pair")
             .aggregate(Min("id_a", alias_name="id_a"), Min("id_b", alias_name="id_b"))
             .map_batches(lambda b: b.drop_columns(["pair"]), batch_format="pyarrow"))
