@@ -463,6 +463,8 @@ def _write_mdm_sidecars(res) -> None:
     _dump_sidecar("membership", res.groups)
     _dump_sidecar("quality_fields", res.unified.select_columns(
         ["source_system"] + _QUALITY_FIELDS))
+    _dump_sidecar("hier_edges", res.hierarchy.select_columns(
+        ["parent_master_id", "child_master_id"]))
     _dump_sidecar("golden_names", res.golden.select_columns(
         ["master_payor_id", "payor_name"]))
 
@@ -591,6 +593,37 @@ def q_mdm_source_completeness(sf_dir: str):
     return source_field_completeness(res.unified, _QUALITY_FIELDS)
 
 
+def q_mdm_children_count(sf_dir: str):
+    """Per-golden distinct-child count INCLUDING zeros — a left join
+    (broadcast `lookup_join(how="left")`): hierarchy edges → distinct
+    (parent, child) → per-parent count → left-attach to the golden grain
+    with null→0. The oracle keeps the correlated-subquery form."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from payor_linkage.rayutil import lookup_join
+
+    res = _mdm_result(sf_dir)
+    distinct = (res.hierarchy.select_columns(
+        ["parent_master_id", "child_master_id"])
+        .groupby(["parent_master_id", "child_master_id"]).count())
+    per_parent = distinct.groupby("parent_master_id").count()
+
+    def ren(b: pa.Table) -> pa.Table:
+        return pa.table({"master_payor_id": b["parent_master_id"],
+                         "n_children": pc.cast(b["count()"], pa.int64())})
+
+    counts = per_parent.map_batches(ren, batch_format="pyarrow")
+    golden = res.golden.select_columns(["master_payor_id", "payor_name"])
+    j = lookup_join(golden, counts, on="master_payor_id", how="left")
+
+    def fill(b: pa.Table) -> pa.Table:
+        return b.set_column(b.column_names.index("n_children"), "n_children",
+                            pc.fill_null(b["n_children"], 0))
+
+    return j.map_batches(fill, batch_format="pyarrow")
+
+
 def q_mdm_source_pair_match_rate(sf_dir: str):
     """Per-source-pair candidate volume + match count — the DataQuality
     UI aggregate (`app/src/pages/DataQuality.tsx:43-47`): GROUP BY
@@ -679,6 +712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mdm_xref": q_mdm_xref,
         "q_mdm_hierarchy": q_mdm_hierarchy,
         "q_mdm_hierarchy_edges": q_mdm_hierarchy_edges,
+        "q_mdm_children_count": q_mdm_children_count,
         "q_mdm_source_completeness": q_mdm_source_completeness,
         "q_mdm_source_pair_match_rate": q_mdm_source_pair_match_rate,
         "q_mdm_golden_source_count": q_mdm_golden_source_count,
@@ -1148,6 +1182,15 @@ def oracle_sql() -> dict[str, str]:
                        AS completeness_score,
                    source_count, confidence_score, survivor_record_id
             FROM g
+        """,
+        # per-golden distinct-child count with zeros — LEFT-join semantics
+        # checked via the correlated form over the hierarchy sidecar
+        "q_mdm_children_count": f"""
+            SELECT g.master_payor_id, g.payor_name,
+                   (SELECT COUNT(DISTINCT h.child_master_id)
+                    FROM read_parquet('{_SIDECAR_DIR}/hier_edges/*.parquet') h
+                    WHERE h.parent_master_id = g.master_payor_id) AS n_children
+            FROM read_parquet('{_SIDECAR_DIR}/golden_names/*.parquet') g
         """,
         # DataQuality.tsx:31-40 — per-source completeness as integer
         # non-null counts (COUNT(col) ≡ the UI's SUM(CASE col IS NOT

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 
@@ -123,24 +124,26 @@ def smart_join(left: Dataset, right: Dataset, on: str,
 
 
 def lookup_join(big: Dataset, small: Dataset, on: str,
-                max_rows: int = 5_000_000) -> Dataset:
-    """Inner equi-join where ``small`` has UNIQUE keys and provably
-    bounded size: collect it to sorted numpy arrays once, broadcast
-    (ray.put), and attach its columns to ``big`` with a binary-search map
-    — zero shuffle (vs two full-shuffle sides for a hash join). Rows of
-    ``big`` with no match are dropped (inner semantics). Falls back to
-    ``smart_join`` when ``small`` exceeds ``max_rows`` (a cluster-scale
-    side must shuffle, not broadcast)."""
+                max_rows: int = 5_000_000, how: str = "inner") -> Dataset:
+    """Equi-join where ``small`` has UNIQUE keys and provably bounded
+    size: collect it to sorted arrays once, broadcast (ray.put), and
+    attach its columns to ``big`` with a binary-search map — zero shuffle
+    (vs two full-shuffle sides for a hash join). ``how="inner"`` drops
+    unmatched ``big`` rows; ``how="left"`` keeps them with null payload.
+    Falls back to ``smart_join`` when ``small`` exceeds ``max_rows`` (a
+    cluster-scale side must shuffle, not broadcast; left fallback
+    unsupported there)."""
     import numpy as np
 
+    assert how in ("inner", "left")
     small = small.materialize()
     if small.count() > max_rows:
+        assert how == "inner", "left lookup_join requires a bounded small side"
         return smart_join(big, small, on)
     tbl = pa.concat_tables(
         ray.get(small.to_arrow_refs()), promote_options="default")
     # Arrow-native sort (C kernel) — np.argsort on an object-dtype key
     # array pays a Python richcompare per comparison (~1s/M keys)
-    import pyarrow.compute as pc
     tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[(on, "ascending")]))
     keys = tbl[on].to_numpy(zero_copy_only=False)
     payload_names = [c for c in tbl.column_names if c != on]
@@ -149,17 +152,34 @@ def lookup_join(big: Dataset, small: Dataset, on: str,
 
     def attach(b: pa.Table) -> pa.Table:
         k, pay = ray.get(ref)
-        if len(k) == 0:  # empty small side → inner join drops everything
-            m = b.slice(0, 0)
+        if len(k) == 0:
+            if how == "inner":  # empty small side → drops everything
+                m = b.slice(0, 0)
+                for c in payload_names:
+                    m = m.append_column(c, pay[c].slice(0, 0))
+                return m
+            m = b
             for c in payload_names:
-                m = m.append_column(c, pay[c].slice(0, 0))
+                if c not in m.column_names:
+                    m = m.append_column(
+                        c, pa.nulls(m.num_rows, pay[c].type))
             return m
         bk = b[on].to_numpy(zero_copy_only=False)
         pos = np.searchsorted(k, bk)
         pos_c = np.minimum(pos, len(k) - 1)
         hit = k[pos_c] == bk
-        m = b.filter(pa.array(hit))
-        idx = pa.array(pos_c[hit])
+        if how == "inner":
+            m = b.filter(pa.array(hit))
+            idx = pa.array(pos_c[hit])
+            for c in payload_names:
+                if c not in m.column_names:
+                    m = m.append_column(c, pay[c].take(idx))
+            return m
+        # left: misses keep the row with null payload (take(null) → null)
+        idx = pa.array(np.where(hit, pos_c, -1), pa.int64())
+        idx = pc.if_else(pc.equal(idx, -1), pa.nulls(len(idx), pa.int64()),
+                         idx)
+        m = b
         for c in payload_names:
             if c not in m.column_names:
                 m = m.append_column(c, pay[c].take(idx))

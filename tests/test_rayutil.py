@@ -46,3 +46,22 @@ def test_lookup_join_matches_hash_join_semantics(ray_session):
     b = (smart_join(big, small, "k").to_pandas()
          .sort_values(["k", "x"]).reset_index(drop=True))
     assert a[["k", "x", "y"]].equals(b[["k", "x", "y"]])
+
+
+def test_lookup_join_left(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from payor_linkage.rayutil import lookup_join
+
+    big = rd.from_arrow(pa.table({"k": ["a", "b", "c"], "x": [1, 2, 3]}))
+    small = rd.from_arrow(pa.table({"k": ["b"], "y": [9]}))
+    out = (lookup_join(big, small, on="k", how="left").to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    assert out.k.tolist() == ["a", "b", "c"]
+    assert out.y.fillna(-1).tolist() == [-1, 9, -1]
+    # empty small side: every row survives with null payload
+    empty = rd.from_arrow(pa.table({"k": pa.array([], pa.string()),
+                                    "y": pa.array([], pa.int64())}))
+    out2 = lookup_join(big, empty, on="k", how="left").to_pandas()
+    assert len(out2) == 3 and out2.y.isna().all()
