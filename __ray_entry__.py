@@ -160,6 +160,16 @@ def q_user_windows(sf_dir: str):
     return out.rename_columns({"count()": "n"})
 
 
+def q_hopping_windows(sf_dir: str):
+    """Hopping-window counts (10-minute window, 5-minute hop — every
+    event in exactly 2 windows); the oracle cross-joins a 2-element
+    offset list and recomputes the hop-aligned starts."""
+    from payor_linkage.dataops.temporal import hopping_window_counts
+
+    return hopping_window_counts(_events(sf_dir), window_us=600_000_000,
+                                 hop_us=300_000_000)
+
+
 def q_first_event(sf_dir: str):
     """Survivorship-style first-value per user by (ts, event_id) —
     via rayutil.grouped_apply (block-amortized; raw map_groups pays
@@ -684,6 +694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_by_type": q_events_by_type,
         "q_top_events": q_top_events,
         "q_user_windows": q_user_windows,
+        "q_hopping_windows": q_hopping_windows,
         "q_first_event": q_first_event,
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
@@ -771,6 +782,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(epoch(ts) / 600) AS BIGINT) AS win,
                    count(*) AS n
             FROM events GROUP BY 1, 2
+        """,
+        "q_hopping_windows": """
+            SELECT user_id,
+                   (CAST(floor(epoch_us(ts) / 300000000) AS BIGINT) - k)
+                       * 300000000 AS win_start,
+                   count(*) AS n
+            FROM events, (SELECT unnest([0, 1]) AS k)
+            GROUP BY 1, 2
         """,
         "q_first_event": """
             SELECT user_id, event_type AS first_event_type

@@ -177,3 +177,34 @@ def range_join_count(left: Dataset, right: Dataset, on: str = "user_id",
 
     return grouped_apply(lt.union(rt), on, out_schema=out_schema,
                          runs_fn=runs)
+
+
+def hopping_window_counts(events: Dataset, window_us: int, hop_us: int,
+                          ts_col: str = "ts",
+                          key_col: str = "user_id") -> Dataset:
+    """Hopping (overlapping/sliding) window counts per key.
+
+    Each event lands in exactly ``window_us // hop_us`` windows
+    (``window_us`` must be a multiple of ``hop_us``): window starts are
+    hop-aligned, window = [start, start + window_us). Emission is one
+    vectorized pass per cover offset — a compile-time constant, never a
+    per-event loop — followed by ONE groupby count (the only shuffle,
+    over (key, win_start) rows)."""
+    import pyarrow.compute as pc
+
+    assert window_us % hop_us == 0, "window must be a multiple of hop"
+    covers = window_us // hop_us
+
+    def emit(b: pa.Table) -> pa.Table:
+        us = pc.cast(b[ts_col], pa.int64())          # µs since epoch
+        base = pc.divide(us, hop_us)                  # hop index (ts ≥ 0)
+        parts = []
+        for off in range(covers):
+            start = pc.multiply(pc.subtract(base, off), hop_us)
+            parts.append(pa.table({key_col: b[key_col],
+                                   "win_start": pc.cast(start, pa.int64())}))
+        return pa.concat_tables(parts)
+
+    out = (events.map_batches(emit, batch_format="pyarrow")
+           .groupby([key_col, "win_start"]).count())
+    return out.rename_columns({"count()": "n"})

@@ -364,3 +364,18 @@ def test_hash_sample_deterministic(ray_session):
     # monotone: a larger rate strictly contains the smaller sample
     c = set(hash_sample(ds, rate=0.5).to_pandas().doc_id.tolist())
     assert set(a) <= c
+
+
+def test_hopping_window_counts(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from payor_linkage.dataops.temporal import hopping_window_counts
+
+    ts = pa.array([0, 4, 5, 11], pa.timestamp("us"))
+    ev = rd.from_arrow(pa.table({"user_id": ["u"] * 4, "ts": ts}))
+    out = (hopping_window_counts(ev, window_us=10, hop_us=5).to_pandas()
+           .sort_values("win_start").reset_index(drop=True))
+    # windows: [-5,5) has {0,4}; [0,10) has {0,4,5}; [5,15) has {5,11}; [10,20) has {11}
+    assert out.win_start.tolist() == [-5, 0, 5, 10]
+    assert out.n.tolist() == [2, 3, 2, 1]
