@@ -287,7 +287,6 @@ def _propagate_local(edges: Dataset, nodes: Dataset,
     factorizes and union-finds only the merged forests — cost bounded by
     distinct node count, not edge count. Pass ``reduced`` to reuse an
     already-contracted forest (the sort-contract tier)."""
-    import pandas as pd
     import ray
 
     if reduced is None:

@@ -24,7 +24,12 @@ def _pool_shape(ds: Dataset, rows_per_actor: int = 4096) -> tuple[int, int, int]
     (~0.5s each) dwarfs the signature work on small corpora, while a
     whole-corpus run wants every CPU. Blocks are row-balanced so pool
     tasks (which consume whole upstream blocks) can't be starved by a
-    single-file read."""
+    single-file read.
+
+    NOTE: ``ds.count()`` is metadata-cheap for read_parquet / already-
+    materialized inputs (the expected callers); composing these operators
+    onto a long UN-materialized pipeline would execute it twice — pass a
+    materialized Dataset there."""
     import ray as _ray
     try:
         cpus = int(_ray.cluster_resources().get("CPU", 4))
@@ -506,8 +511,14 @@ def neardup_components(ds: Dataset, pairs: Dataset,
     width = 20
 
     def enc(col):
-        s = pc.cast(col, pa.string())
-        return pc.utf8_lpad(s, width, "0") if is_int else s
+        if is_int:
+            # zero-pad only orders correctly for non-negative ids
+            # ('0…0-123' would break both ordering and the output cast)
+            if pc.any(pc.less(col, 0)).as_py():
+                raise ValueError("neardup_components requires non-negative "
+                                 "integer ids")
+            return pc.utf8_lpad(pc.cast(col, pa.string()), width, "0")
+        return pc.cast(col, pa.string())
 
     def as_edges(b: pa.Table) -> pa.Table:
         return pa.table({"src": enc(b["id_a"]), "dst": enc(b["id_b"]),

@@ -197,7 +197,14 @@ def hopping_window_counts(events: Dataset, window_us: int, hop_us: int,
 
     def emit(b: pa.Table) -> pa.Table:
         us = pc.cast(b[ts_col], pa.int64())          # µs since epoch
-        base = pc.divide(us, hop_us)                  # hop index (ts ≥ 0)
+        # FLOOR division (Arrow's integer divide truncates toward zero,
+        # which would put pre-1970 events in windows that don't contain
+        # them): q - 1 when negative with a nonzero remainder
+        q = pc.divide(us, hop_us)
+        r = pc.subtract(us, pc.multiply(q, hop_us))
+        base = pc.if_else(
+            pc.and_(pc.less(us, 0), pc.not_equal(r, 0)),
+            pc.subtract(q, 1), q)
         parts = []
         for off in range(covers):
             start = pc.multiply(pc.subtract(base, off), hop_us)

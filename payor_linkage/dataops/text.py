@@ -176,7 +176,10 @@ def hash_sample(ds: Dataset, rate: float, id_col: str = "doc_id") -> Dataset:
     is process-randomized, md5 is not) and expressible exactly in SQL as
     a string compare on the md5 hex, so the oracle gate is byte-exact.
     Pure per-batch filter — no shuffle, no driver work."""
-    bound = format(int(rate * (1 << 32)), "08x")
+    # clamp: at rate ≥ 1 the bound would overflow 8 hex digits ('1' +
+    # 8 zeros) and the fixed-width string compare would invert — 'g'
+    # sorts above every hex digit, keeping all rows
+    bound = "g" if rate >= 1.0 else format(max(0, int(rate * (1 << 32))), "08x")
 
     def keep(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_pylist()

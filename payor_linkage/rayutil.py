@@ -135,10 +135,14 @@ def lookup_join(big: Dataset, small: Dataset, on: str,
     unsupported there)."""
     import numpy as np
 
-    assert how in ("inner", "left")
+    if how not in ("inner", "left"):
+        raise ValueError(f"lookup_join: unknown how={how!r}")
     small = small.materialize()
     if small.count() > max_rows:
-        assert how == "inner", "left lookup_join requires a bounded small side"
+        if how != "inner":
+            # silently degrading to the hash join would turn left into
+            # inner semantics (dropping unmatched big rows)
+            raise ValueError("left lookup_join requires a bounded small side")
         return smart_join(big, small, on)
     tbl = pa.concat_tables(
         ray.get(small.to_arrow_refs()), promote_options="default")

@@ -379,3 +379,26 @@ def test_hopping_window_counts(ray_session):
     # windows: [-5,5) has {0,4}; [0,10) has {0,4,5}; [5,15) has {5,11}; [10,20) has {11}
     assert out.win_start.tolist() == [-5, 0, 5, 10]
     assert out.n.tolist() == [2, 3, 2, 1]
+
+
+def test_hash_sample_rate_edges(ray_session):
+    from payor_linkage.dataops.text import hash_sample
+
+    ds = _doc_ds([f"t{i}" for i in range(50)])
+    assert len(hash_sample(ds, rate=1.0).to_pandas()) == 50
+    assert len(hash_sample(ds, rate=0.0).to_pandas()) == 0
+
+
+def test_hopping_windows_pre_epoch(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from payor_linkage.dataops.temporal import hopping_window_counts
+
+    ts = pa.array([-1, -5, 3], pa.timestamp("us"))
+    ev = rd.from_arrow(pa.table({"user_id": ["u"] * 3, "ts": ts}))
+    out = (hopping_window_counts(ev, window_us=10, hop_us=5).to_pandas()
+           .sort_values("win_start").reset_index(drop=True))
+    # floor semantics: -1 → wins {-5,-10}; -5 → {-5,-10}; 3 → {0,-5}
+    assert out.win_start.tolist() == [-10, -5, 0]
+    assert out.n.tolist() == [2, 3, 1]
