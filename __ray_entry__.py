@@ -354,6 +354,20 @@ def q_simhash(sf_dir: str):
     return simhash_pairs_from_sigs(sigs, max_hamming=7, n_chunks=8)
 
 
+def q_read_filtered(sf_dir: str):
+    """Pruned scan (S8 read API): projection + row-group predicate pushed
+    into the parquet read — only 3 of 11 lineitem columns and matching
+    row groups leave storage."""
+    import pyarrow.dataset as pads
+
+    from payor_linkage.storage import read_filtered
+
+    return read_filtered(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity", "l_discount"],
+        predicate=(pads.field("l_quantity") > 45))
+
+
 def q_token_topk(sf_dir: str):
     """Corpus heavy hitters: top-50 tokens by instance count (partial
     per-batch vocab counts → grouped sum → sort+limit); ties break
@@ -707,6 +721,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ann_topk": q_ann_topk,
         "q_minhash_lsh": q_minhash_lsh,
         "q_simhash": q_simhash,
+        "q_read_filtered": q_read_filtered,
         "q_token_topk": q_token_topk,
         "q_hash_sample": q_hash_sample,
         "q_neardup_components": q_neardup_components,
@@ -1000,6 +1015,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         # connected components via recursive min-reachability over the
         # match edges — the clustering oracle
+        "q_read_filtered": """
+            SELECT l_orderkey, l_quantity, l_discount
+            FROM lineitem WHERE l_quantity > 45
+        """,
         "q_token_topk": """
             SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS n
             FROM (SELECT unnest(regexp_split_to_array(lower(text),

@@ -103,3 +103,12 @@ def checkpointed(path: str | None, name: str, fp: str):
             return read_stage(stage_dir)
         return write_stage(fn(), stage_dir, fp=fp)
     return runner
+
+
+def read_filtered(path: str, columns: list[str] | None = None,
+                  predicate=None):
+    """Pruned scan — the serving read API (S8): column projection and a
+    pyarrow row-group predicate are pushed INTO the parquet read, so only
+    the needed columns / matching row groups leave storage (never scan-
+    then-filter). ``predicate`` is a pyarrow dataset filter expression."""
+    return rd.read_parquet(path, columns=columns, filter=predicate)
