@@ -273,6 +273,23 @@ def q_anti_join(sf_dir: str):
     return ev.map_batches(anti, batch_format="pyarrow")
 
 
+def q_semi_join(sf_dir: str):
+    """Broadcast semi-join (EXISTS): customers with at least one order —
+    order keys collected once, broadcast, probed per batch with pc.is_in
+    (zero shuffle; `rayutil.broadcast_semi_join`)."""
+    import os as _os
+
+    import ray.data as rd
+
+    from payor_linkage.rayutil import broadcast_semi_join
+
+    customer = rd.read_parquet(_os.path.join(sf_dir, "customer.parquet"),
+                               columns=["c_custkey", "c_name"])
+    orders = rd.read_parquet(_os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey"])
+    return broadcast_semi_join(customer, orders, "c_custkey", "o_custkey")
+
+
 def q_distinct_source_lang(sf_dir: str):
     out = _docs(sf_dir).groupby(["source", "lang"]).count()
     return out.drop_columns(["count()"])
@@ -714,6 +731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_range_join": q_range_join,
         "q_sessionize": q_sessionize,
         "q_anti_join": q_anti_join,
+        "q_semi_join": q_semi_join,
         "q_distinct_source_lang": q_distinct_source_lang,
         "q_doc_stats": q_doc_stats,
         "q_fingerprint": q_fingerprint,
@@ -1015,6 +1033,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         # connected components via recursive min-reachability over the
         # match edges — the clustering oracle
+        "q_semi_join": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey)
+        """,
         "q_read_filtered": """
             SELECT l_orderkey, l_quantity, l_discount
             FROM lineitem WHERE l_quantity > 45

@@ -263,3 +263,32 @@ def nested_safe_join(left: Dataset, right: Dataset, on: str) -> Dataset:
         return pa.table(cols, schema=out_schema)
 
     return grouped_apply(u, on, runs_fn=merge_runs, out_schema=out_schema)
+
+
+def broadcast_semi_join(big: Dataset, keys: Dataset, big_on: str,
+                        keys_on: str | None = None, anti: bool = False,
+                        max_rows: int = 5_000_000) -> Dataset:
+    """Semi (``anti=False``) / anti (``anti=True``) join: keep rows of
+    ``big`` whose key is / is not present in ``keys``. The key column is
+    collected once (bounded by ``max_rows``; uniqueness not required),
+    broadcast via ray.put, and probed per batch with ``pc.is_in`` (a C
+    hash probe) — zero shuffle, ``big`` streams. The 100 TB shape for
+    existence filters against a bounded key set; an unbounded key set
+    must use a shuffle join instead (this raises rather than degrade)."""
+    keys_on = keys_on or big_on
+    keys = keys.select_columns([keys_on]).materialize()
+    if keys.count() > max_rows:
+        raise ValueError("broadcast_semi_join requires a bounded key set")
+    tbl = pa.concat_tables(ray.get(keys.to_arrow_refs()),
+                           promote_options="default")
+    value_set = pc.unique(tbl[keys_on].combine_chunks())
+    ref = ray.put(value_set)
+
+    def probe(b: pa.Table) -> pa.Table:
+        vs = ray.get(ref)
+        mask = pc.is_in(b[big_on], value_set=vs)
+        if anti:
+            mask = pc.invert(mask)
+        return b.filter(mask)
+
+    return big.map_batches(probe, batch_format="pyarrow")

@@ -65,3 +65,17 @@ def test_lookup_join_left(ray_session):
                                     "y": pa.array([], pa.int64())}))
     out2 = lookup_join(big, empty, on="k", how="left").to_pandas()
     assert len(out2) == 3 and out2.y.isna().all()
+
+
+def test_broadcast_semi_anti_join(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from payor_linkage.rayutil import broadcast_semi_join
+
+    big = rd.from_arrow(pa.table({"k": ["a", "b", "c", "b"], "x": [1, 2, 3, 4]}))
+    keys = rd.from_arrow(pa.table({"kk": ["b", "z", "b"]}))
+    semi = broadcast_semi_join(big, keys, "k", "kk").to_pandas()
+    assert sorted(semi.x.tolist()) == [2, 4]
+    anti = broadcast_semi_join(big, keys, "k", "kk", anti=True).to_pandas()
+    assert sorted(anti.x.tolist()) == [1, 3]
