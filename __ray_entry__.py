@@ -461,7 +461,12 @@ def q_lang_id(sf_dir: str):
 
 
 def q_media_decode(sf_dir: str):
-    """Multimodal plumbing: binary payload table → actor-pool decode."""
+    """Multimodal plumbing: binary payload table → actor-pool decode.
+    Oracle-checked in stub mode: the stub derives (width, height) from
+    the payload's sha1 — SQL reproduces the derivation from the
+    content_hash sidecar (hex-parse the first two bytes), gating the
+    whole synth→hash→decode plumbing chain. If a real codec (PIL) ever
+    lands, swap this for a real-decode dimensions oracle."""
     import pyarrow as pa
 
     from payor_linkage.dataops.multimodal import decode_images, synth_media
@@ -473,7 +478,10 @@ def q_media_decode(sf_dir: str):
 
     media = synth_media(
         _docs(sf_dir).limit(200).map_batches(as_ref, batch_format="pyarrow"))
-    return decode_images(media).drop_columns(["feature"])
+    media = media.materialize()
+    _dump_sidecar("media_meta",
+                  media.select_columns(["media_id", "content_hash"]))
+    return decode_images(media).drop_columns(["feature", "decoder"])
 
 
 _MDM_CACHE: dict = {}
@@ -1056,6 +1064,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, source, n_chars
             FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+        """,
+        # stub-mode decode: dims derive from the payload sha1 (carried as
+        # content_hash) — hex-parse the first two bytes in SQL. Gates the
+        # synth→hash→decode plumbing; swap for a real-dims oracle if a
+        # codec wheel ever lands.
+        "q_media_decode": f"""
+            SELECT media_id, content_hash,
+                   64 + (('0x' || substr(content_hash, 1, 2))::INT % 192)
+                       AS width,
+                   64 + (('0x' || substr(content_hash, 3, 2))::INT % 192)
+                       AS height
+            FROM read_parquet('{_SIDECAR_DIR}/media_meta/*.parquet')
         """,
         # near-dup clustering: recursive min-reachability CTE over the
         # MinHash pair sidecar (same gate shape as q_mdm_components)
