@@ -117,6 +117,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         queries["minhash_lsh"] = round(time.time() - t0, 2)
 
         t0 = time.time()
+        from payor_linkage.dataops.dedup import simhash_pairs
+
+        extra["simhash_pairs"] = simhash_pairs(
+            dd, max_hamming=7, n_chunks=8).count()
+        queries["simhash"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
         exact_dedup(dd).count()
         queries["exact_dedup"] = round(time.time() - t0, 2)
 
