@@ -273,6 +273,53 @@ def q_anti_join(sf_dir: str):
     return ev.map_batches(anti, batch_format="pyarrow")
 
 
+def q_order_enrich(sf_dir: str):
+    """Multi-join denormalization chain: orders ⋈ customer (broadcast
+    lookup — unique bounded keys) ⋈ nation (broadcast lookup). The
+    classic star-schema enrich with zero shuffles on the fact side."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from payor_linkage.rayutil import lookup_join
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    customer = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                               columns=["c_custkey", "c_name", "c_nationkey"])
+
+    def cust_grain(b: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": b["c_custkey"], "c_name": b["c_name"],
+                         "n_nationkey": b["c_nationkey"]})
+
+    nation = rd.read_parquet(os.path.join(sf_dir, "nation.parquet"),
+                             columns=["n_nationkey", "n_name"])
+    j = lookup_join(orders, customer.map_batches(cust_grain,
+                                                 batch_format="pyarrow"),
+                    on="o_custkey")
+    j = lookup_join(j, nation, on="n_nationkey")
+    return j.select_columns(["o_orderkey", "c_name", "n_name"])
+
+
+def q_lineitem_stats(sf_dir: str):
+    """Grouped Min/Max/Count per (returnflag, linestatus) — the TPC-H Q1
+    shape minus float SUMs (order-dependent; CLAUDE.md oracle-parity
+    trap). Min/Max on floats are order-independent, so parity is exact."""
+    from ray.data.aggregate import Count, Max, Min
+
+    import ray.data as rd
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_returnflag", "l_linestatus",
+                                  "l_quantity", "l_extendedprice"])
+    return (li.groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(Count(alias_name="n"),
+                       Min("l_quantity", alias_name="min_qty"),
+                       Max("l_quantity", alias_name="max_qty"),
+                       Min("l_extendedprice", alias_name="min_price"),
+                       Max("l_extendedprice", alias_name="max_price")))
+
+
 def q_semi_join(sf_dir: str):
     """Broadcast semi-join (EXISTS): customers with at least one order —
     order keys collected once, broadcast, probed per batch with pc.is_in
@@ -739,6 +786,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_range_join": q_range_join,
         "q_sessionize": q_sessionize,
         "q_anti_join": q_anti_join,
+        "q_order_enrich": q_order_enrich,
+        "q_lineitem_stats": q_lineitem_stats,
         "q_semi_join": q_semi_join,
         "q_distinct_source_lang": q_distinct_source_lang,
         "q_doc_stats": q_doc_stats,
@@ -1041,6 +1090,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         # connected components via recursive min-reachability over the
         # match edges — the clustering oracle
+        "q_order_enrich": """
+            SELECT o.o_orderkey, c.c_name, n.n_name
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+        """,
+        "q_lineitem_stats": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                   MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+                   MIN(l_extendedprice) AS min_price,
+                   MAX(l_extendedprice) AS max_price
+            FROM lineitem GROUP BY 1, 2
+        """,
         "q_semi_join": """
             SELECT c_custkey, c_name FROM customer c
             WHERE EXISTS (SELECT 1 FROM orders o
