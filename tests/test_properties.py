@@ -124,3 +124,66 @@ def test_spans_json_roundtrip(kinds):
     ser = _serialize_spans(arr)
     back = spans_from_json(ser)
     assert back.to_pylist()[0] == spans
+
+
+# ── round-3 kernels ─────────────────────────────────────────────────────────
+
+
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)),
+                min_size=0, max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_int_union_find_matches_reference(edges):
+    """Vectorized min-label CC == a plain python union-find, on random
+    multigraphs (self-loops, duplicates, isolated nodes included)."""
+    import numpy as np
+
+    from payor_linkage.cluster import _int_union_find
+
+    n = 31
+    src = np.array([a for a, _ in edges], dtype=np.int64)
+    dst = np.array([b for _, b in edges], dtype=np.int64)
+    got = _int_union_find(src, dst, n)
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    want = [find(i) for i in range(n)]
+    # reference roots are already the component minimum (union by min id)
+    assert got.tolist() == want
+
+
+@given(st.lists(st.integers(-1000, 1000), min_size=1, max_size=40),
+       st.sampled_from([(10, 5), (12, 4), (6, 6)]))
+@settings(max_examples=100, deadline=None)
+def test_hopping_windows_match_brute(ray_session, tss, wh):
+    """Every (key, win_start) count equals the brute per-event recompute
+    with floor semantics, including pre-epoch timestamps."""
+    import collections
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from payor_linkage.dataops.temporal import hopping_window_counts
+
+    window, hop = wh
+    ev = rd.from_arrow(pa.table({
+        "user_id": ["u"] * len(tss),
+        "ts": pa.array(tss, pa.timestamp("us"))}))
+    got = {(r["user_id"], r["win_start"]): r["n"]
+           for r in hopping_window_counts(ev, window, hop).take_all()}
+    want: dict = collections.defaultdict(int)
+    for t in tss:
+        base = t // hop  # python floor division
+        for off in range(window // hop):
+            want[("u", (base - off) * hop)] += 1
+    assert got == dict(want)
