@@ -770,6 +770,61 @@ def q_mdm_golden_source_count(sf_dir: str):
     return lookup_join(golden, counts, on="master_payor_id")
 
 
+def q_grouped_topk(sf_dir: str):
+    """Top-3 documents per source by (n_chars DESC, doc_id ASC) with a
+    rank column — distributed ROW_NUMBER-partition-limit (per-batch
+    combiner bounds the shuffle at k rows per key per batch)."""
+    from payor_linkage.dataops.aggregates import grouped_topk
+
+    return grouped_topk(_docs(sf_dir).select_columns(
+        ["doc_id", "source", "n_chars"]),
+        key="source", order_col="n_chars", k=3, tie_col="doc_id")
+
+
+def q_grouped_quantiles(sf_dir: str):
+    """Exact discrete quantiles (p25/p50/p75) of event value per event
+    type — quantile_disc semantics, the value is SELECTED from the input
+    (never computed) so float parity is byte-exact."""
+    from payor_linkage.dataops.aggregates import grouped_quantiles
+
+    return grouped_quantiles(_events(sf_dir), key="event_type",
+                             value_col="value")
+
+
+def q_pivot_counts(sf_dir: str):
+    """Documents pivoted source × lang → one count column per language
+    (fixed vocabulary) — conditional-aggregation FILTER semantics with a
+    per-batch pyarrow group_by combiner."""
+    from payor_linkage.dataops.aggregates import pivot_counts
+
+    return pivot_counts(_docs(sf_dir), "source", "lang",
+                        ["en", "de", "fr", "es", "zh"])
+
+
+def q_running_seq(sf_dir: str):
+    """Per-user event sequence numbers ordered by (ts, event_id) —
+    distributed ROW_NUMBER over every input row, numbering vectorized
+    across all runs in a block."""
+    from payor_linkage.dataops.aggregates import running_seq
+
+    return running_seq(
+        _events(sf_dir).select_columns(["user_id", "ts", "event_id"]),
+        key="user_id", order_cols=["ts", "event_id"])
+
+
+def q_hll_registers(sf_dir: str):
+    """HyperLogLog register table (event_type × bucket → max rho) for
+    distinct users per event type — the sketch's integer surface, so the
+    distributed register merge is oracle-gated byte-exact (the SQL
+    recomputes the 32-bit md5-prefix hash, bucket split and bit-length
+    with integer arithmetic + bin()). The float estimate is pytest-gated
+    against exact distinct counts (`test_hll_estimate_error_bound`)."""
+    from payor_linkage.dataops.sketch import hll_registers
+
+    return hll_registers(_events(sf_dir), key="event_type",
+                         value_col="user_id", p=10)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q_normalize_text": q_normalize_text,
@@ -817,6 +872,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mdm_source_completeness": q_mdm_source_completeness,
         "q_mdm_source_pair_match_rate": q_mdm_source_pair_match_rate,
         "q_mdm_golden_source_count": q_mdm_golden_source_count,
+        "q_grouped_topk": q_grouped_topk,
+        "q_grouped_quantiles": q_grouped_quantiles,
+        "q_pivot_counts": q_pivot_counts,
+        "q_running_seq": q_running_seq,
+        "q_hll_registers": q_hll_registers,
     }
 
 
@@ -1366,5 +1426,51 @@ def oracle_sql() -> dict[str, str]:
                     FROM read_parquet('{_SIDECAR_DIR}/membership/*.parquet') m
                     WHERE m.match_group_id = g.master_payor_id) AS source_count
             FROM read_parquet('{_SIDECAR_DIR}/golden_names/*.parquet') g
+        """,
+        "q_grouped_topk": """
+            SELECT source, CAST(rn AS BIGINT) AS rank, doc_id, n_chars FROM (
+                SELECT doc_id, source, n_chars,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY n_chars DESC, doc_id) AS rn
+                FROM documents) WHERE rn <= 3
+        """,
+        "q_grouped_quantiles": """
+            SELECT event_type,
+                   quantile_disc(value, 0.25) AS q25,
+                   quantile_disc(value, 0.5) AS q50,
+                   quantile_disc(value, 0.75) AS q75
+            FROM events GROUP BY 1
+        """,
+        "q_pivot_counts": """
+            SELECT source,
+                   count(*) FILTER (lang = 'en') AS n_en,
+                   count(*) FILTER (lang = 'de') AS n_de,
+                   count(*) FILTER (lang = 'fr') AS n_fr,
+                   count(*) FILTER (lang = 'es') AS n_es,
+                   count(*) FILTER (lang = 'zh') AS n_zh
+            FROM documents GROUP BY 1
+        """,
+        "q_running_seq": """
+            SELECT user_id, ts, event_id,
+                   CAST(row_number() OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS BIGINT)
+                       AS seq
+            FROM events
+        """,
+        # the HLL register surface: 32-bit md5-prefix hash, p=10 bucket
+        # split (>> 22 as // 4194304), rho = leading zeros of the low 22
+        # bits + 1 via exact integer bit-length (length(bin(x)))
+        "q_hll_registers": """
+            WITH h AS (
+              SELECT event_type,
+                     ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                         AS hv
+              FROM events
+            )
+            SELECT event_type, CAST(hv // 4194304 AS BIGINT) AS bucket,
+                   CAST(max(CASE WHEN hv % 4194304 = 0 THEN 23
+                            ELSE 22 - length(bin(CAST(hv % 4194304 AS INTEGER)))
+                                 + 1 END) AS BIGINT) AS max_rho
+            FROM h GROUP BY 1, 2
         """,
     }

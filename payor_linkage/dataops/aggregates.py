@@ -1,0 +1,190 @@
+"""Grouped analytical operators: per-key top-k, exact discrete
+quantiles, pivoted counts, per-key sequence numbers.
+
+Each operator is shuffle-minimal: per-batch partial aggregation (a
+combiner) shrinks what the one grouped exchange moves, and the final
+per-group work runs through ``rayutil.grouped_apply`` (block-amortized
+run slicing — raw ``map_groups`` pays ~1ms/group of harness overhead).
+All outputs are integers or *selected* (not computed) floats so the
+DuckDB oracles compare byte-exact (no float-arithmetic parity traps).
+
+Reference parity: the reference exposes these as SQL windows /
+conditional aggregation in its transform models (e.g.
+transform/payor_mdm/models/match – ROW_NUMBER / FILTER patterns);
+here they are first-class distributed operators.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+from payor_linkage.rayutil import grouped_apply
+
+
+def _run_ids(starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """Run index per row of the contiguous span [starts[0], ends[-1]).
+    grouped_apply's runs_fn contract: the given runs are consecutive and
+    tile exactly that sub-span of the block (edge runs are deferred to
+    the consolidation pass), so callers slice columns to the span."""
+    return np.repeat(np.arange(len(starts), dtype=np.int64), ends - starts)
+
+
+def grouped_topk(ds: Dataset, key: str, order_col: str, k: int,
+                 tie_col: str, keep_cols: list[str] | None = None) -> Dataset:
+    """Top-k rows per key by (order_col DESC, tie_col ASC), with a 1-based
+    ``rank`` column — the distributed form of
+    ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY order DESC, tie) <= k``.
+
+    Scale shape: a per-batch combiner keeps at most k rows per key per
+    batch (so the grouped exchange moves O(k · keys · blocks) rows, never
+    the corpus), then one ``grouped_apply`` emits the global top-k per
+    run. ``order_col`` must be numeric; ``tie_col`` must be a numeric
+    unique tiebreaker (ids)."""
+    keep_cols = keep_cols if keep_cols is not None else [tie_col, order_col]
+    proj = [key] + [c for c in dict.fromkeys([tie_col, order_col] + keep_cols)
+                    if c != key]
+
+    def _topk_indices(keyc: np.ndarray, order: np.ndarray, tie: np.ndarray,
+                      limit: int) -> tuple[np.ndarray, np.ndarray]:
+        """Row indices of the per-key top-`limit` plus their 0-based
+        within-key positions, for rows grouped by `keyc` codes."""
+        sel = np.lexsort((tie, -order, keyc))
+        ks = keyc[sel]
+        run_starts = np.nonzero(np.concatenate([[True], ks[1:] != ks[:-1]]))[0]
+        lens = np.diff(np.concatenate([run_starts, [len(ks)]]))
+        pos = np.arange(len(ks), dtype=np.int64) - np.repeat(run_starts, lens)
+        m = pos < limit
+        return sel[m], pos[m]
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        codes = pc.dictionary_encode(b[key]).combine_chunks().indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        order = b[order_col].to_numpy(zero_copy_only=False)
+        tie = b[tie_col].to_numpy(zero_copy_only=False)
+        idx, _ = _topk_indices(codes, order, tie, k)
+        return b.take(pa.array(np.sort(idx)))
+
+    pruned = ds.select_columns(proj).map_batches(partial, batch_format="pyarrow")
+
+    fields = [(key, ds.schema().base_schema.field(key).type),
+              ("rank", pa.int64())]
+    fields += [(c, ds.schema().base_schema.field(c).type)
+               for c in keep_cols if c != key]
+    out_schema = pa.schema(fields)
+
+    def final_runs(b: pa.Table, starts, ends) -> pa.Table:
+        lo, hi = starts[0], ends[-1]
+        rid = _run_ids(starts, ends)
+        order = b[order_col].to_numpy(zero_copy_only=False)[lo:hi]
+        tie = b[tie_col].to_numpy(zero_copy_only=False)[lo:hi]
+        idx, pos = _topk_indices(rid, order, tie, k)
+        take = pa.array(idx + lo)
+        cols = {key: b[key].take(take),
+                "rank": pa.array(pos + 1, pa.int64())}
+        for c in keep_cols:
+            if c != key:
+                cols[c] = b[c].take(take)
+        return pa.table(cols).cast(out_schema)
+
+    return grouped_apply(pruned, key, out_schema=out_schema, runs_fn=final_runs)
+
+
+def grouped_quantiles(ds: Dataset, key: str, value_col: str,
+                      qs: dict[str, Fraction] | None = None) -> Dataset:
+    """Exact discrete quantiles per key (one output row per key, one
+    column per quantile) — ``quantile_disc`` semantics: the element at
+    index ``ceil(q·n) - 1`` of the sorted run.
+
+    Quantiles are passed as exact ``Fraction``s and the index is computed
+    with integer ceil-division, so there is no float-rounding edge at
+    q·n ∈ ℤ; the emitted value is *selected* from the input (never
+    computed), so float columns compare byte-exact against DuckDB's
+    ``quantile_disc``. One sort-shuffle total (inside grouped_apply);
+    per-run selection is vectorized across every group in a block."""
+    qs = qs if qs is not None else {"q25": Fraction(1, 4),
+                                    "q50": Fraction(1, 2),
+                                    "q75": Fraction(3, 4)}
+    vt = ds.schema().base_schema.field(value_col).type
+    out_schema = pa.schema([(key, ds.schema().base_schema.field(key).type)]
+                           + [(name, vt) for name in qs])
+
+    def runs(b: pa.Table, starts, ends) -> pa.Table:
+        lo = starts[0]
+        rid = _run_ids(starts, ends)
+        vals = b[value_col].to_numpy(zero_copy_only=False)[lo:ends[-1]]
+        order = np.lexsort((vals, rid))
+        sv = vals[order]
+        n = (ends - starts).astype(np.int64)
+        cols = {key: b[key].take(pa.array(starts))}
+        for name, q in qs.items():
+            # ceil(n*q) - 1, exact in integers
+            in_run = -((-n * q.numerator) // q.denominator) - 1
+            cols[name] = pa.array(sv[(starts - lo) + in_run])
+        return pa.table(cols).cast(out_schema)
+
+    return grouped_apply(ds.select_columns([key, value_col]), key,
+                         out_schema=out_schema, runs_fn=runs)
+
+
+def pivot_counts(ds: Dataset, row_key: str, col_key: str,
+                 col_values: list[str]) -> Dataset:
+    """Pivot ``col_key`` into count columns (``n_<value>``) per
+    ``row_key`` — the distributed form of
+    ``count(*) FILTER (WHERE col_key = v)`` conditional aggregation.
+
+    ``col_values`` is the fixed, known-ahead vocabulary (schema must not
+    depend on data). Scale shape: each batch pre-aggregates to one row
+    per distinct row_key (pyarrow group_by — a combiner), then one
+    grouped Sum over at most |keys| · blocks rows."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        cols = {row_key: b[row_key]}
+        for v in col_values:
+            cols[f"n_{v}"] = pc.cast(pc.equal(b[col_key], v), pa.int64())
+        t = pa.table(cols)
+        # pyarrow group_by emits [key, <agg>_sum...]
+        return t.group_by(row_key).aggregate(
+            [(f"n_{v}", "sum") for v in col_values]).rename_columns(
+            [row_key] + [f"n_{v}" for v in col_values])
+
+    aggs = [Sum(f"n_{v}", alias_name=f"n_{v}") for v in col_values]
+    return (ds.select_columns([row_key, col_key])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(row_key).aggregate(*aggs))
+
+
+def running_seq(ds: Dataset, key: str, order_cols: list[str],
+                out_col: str = "seq") -> Dataset:
+    """1-based sequence number per key ordered by ``order_cols`` —
+    the distributed form of
+    ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY order_cols)``.
+
+    One grouped sort; numbering is vectorized across all runs in a block
+    (arange minus repeated run starts). Emits every input row."""
+    proj = [key] + [c for c in order_cols if c != key]
+    out_schema = pa.schema(
+        [(c, ds.schema().base_schema.field(c).type) for c in proj]
+        + [(out_col, pa.int64())])
+
+    def runs(b: pa.Table, starts, ends) -> pa.Table:
+        lo, hi = starts[0], ends[-1]
+        rid = _run_ids(starts, ends)
+        arrs = [b[c].to_numpy(zero_copy_only=False)[lo:hi] for c in order_cols]
+        order = np.lexsort(tuple(reversed(arrs)) + (rid,))
+        lens = ends - starts
+        pos = np.arange(len(rid), dtype=np.int64) - np.repeat(starts - lo, lens)
+        take = pa.array(order + lo)
+        cols = {c: b[c].take(take) for c in proj}
+        cols[out_col] = pa.array(pos + 1, pa.int64())
+        return pa.table(cols).cast(out_schema)
+
+    return grouped_apply(ds.select_columns(proj), key,
+                         out_schema=out_schema, runs_fn=runs)

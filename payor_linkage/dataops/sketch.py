@@ -1,0 +1,102 @@
+"""Distributed cardinality sketches: HyperLogLog per key.
+
+The register table (key, bucket, max_rho) is the *oracle-checkable*
+surface — pure integers, derived from a 32-bit md5-prefix hash that a
+DuckDB oracle reproduces exactly with
+``('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 8))::BIGINT`` plus
+``length(bin(...))`` for the bit-length, so the distributed register
+merge (the Ray-specific part) is gated byte-exact. The float estimate
+itself is pytest-gated against exact distinct counts (error bound),
+never oracle-hashed.
+
+Scale shape: per-batch partial register maxima (a combiner — at most
+|keys|·2^p rows leave each batch) → one grouped Max. The shuffle moves
+registers, never values. Estimation reads the bounded register table
+(≤ |keys|·2^p rows) on the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+from ray.data import Dataset
+
+HLL_P = 10  # 2^10 = 1024 registers per key
+
+
+def _hash32(values: list) -> np.ndarray:
+    """32-bit hash: first 8 hex digits of md5(str(v)) — matches the SQL
+    oracle's ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 8))::BIGINT."""
+    return np.array(
+        [int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) for v in values],
+        dtype=np.int64)
+
+
+def hll_registers(ds: Dataset, key: str, value_col: str,
+                  p: int = HLL_P) -> Dataset:
+    """Per-key HLL register table: (key, bucket, max_rho), all int64.
+
+    bucket = top p bits of the 32-bit hash; rho = 1 + number of leading
+    zeros in the remaining (32-p) bits (i.e. (32-p) - bit_length(rem) + 1,
+    with rem = 0 → 32-p+1)."""
+    from ray.data.aggregate import Max
+
+    w = 32 - p
+    mask = (1 << w) - 1
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({key: b[key], "bucket": pa.array([], pa.int64()),
+                             "rho": pa.array([], pa.int64())})
+        h = _hash32(b[value_col].to_pylist())
+        bucket = h >> w
+        rem = h & mask
+        # bit_length via log2-free integer path: count of bits = position
+        # of highest set bit + 1; vectorized with a float log2 would be
+        # inexact near powers of two — use the exact uint bit trick.
+        rho = np.full(len(rem), w + 1, dtype=np.int64)
+        nz = rem > 0
+        # np.log2 on exact integers < 2^22 is exact for the floor after
+        # float64 conversion EXCEPT at values just below a power of two;
+        # use frexp which is exact for integers in float64 range.
+        _, exp = np.frexp(rem[nz].astype(np.float64))
+        rho[nz] = w - exp + 1
+        t = pa.table({key: b[key],
+                      "bucket": pa.array(bucket, pa.int64()),
+                      "rho": pa.array(rho, pa.int64())})
+        # pyarrow group_by emits [keys..., rho_max]
+        return (t.group_by([key, "bucket"]).aggregate([("rho", "max")])
+                .rename_columns([key, "bucket", "rho"]))
+
+    return (ds.select_columns([key, value_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby([key, "bucket"]).aggregate(Max("rho", alias_name="max_rho")))
+
+
+def hll_estimate(registers: Dataset, p: int = HLL_P) -> "pa.Table":
+    """Cardinality estimate per key from a register table — standard HLL
+    harmonic mean with the small-range linear-counting correction.
+    Driver-side on a BOUNDED input (≤ |keys|·2^p rows by construction)."""
+    m = 1 << p
+    t = pa.Table.from_pylist(registers.take_all())
+    keys = t.column(0).to_pylist()
+    buckets = t["bucket"].to_numpy(zero_copy_only=False)
+    rhos = t["max_rho"].to_numpy(zero_copy_only=False)
+    key_col_name = t.schema.names[0]
+
+    alpha = 0.7213 / (1 + 1.079 / m)
+    out_keys, out_est = [], []
+    for k in sorted(set(keys)):
+        sel = np.array([kk == k for kk in keys])
+        regs = np.zeros(m, dtype=np.int64)
+        regs[buckets[sel]] = rhos[sel]
+        e = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+        zeros = int(np.sum(regs == 0))
+        if e <= 2.5 * m and zeros > 0:
+            e = m * np.log(m / zeros)
+        out_keys.append(k)
+        out_est.append(float(e))
+    return pa.table({key_col_name: out_keys,
+                     "est_distinct": pa.array(out_est, pa.float64())})

@@ -1,0 +1,154 @@
+"""Unit tests for the grouped analytical operators and the HLL sketch —
+each compared against a DuckDB recomputation on seeded random input."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _rand_events(n=2000, n_keys=37, seed=7):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, n_keys, n).astype(np.int64),
+        "ts": rng.integers(0, 10_000, n).astype(np.int64),
+        "value": np.round(rng.normal(50, 20, n), 6),
+    })
+
+
+def _ds(df):
+    import ray.data as rd
+    return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+
+def test_grouped_topk_matches_row_number(ray_session):
+    import duckdb
+
+    from payor_linkage.dataops.aggregates import grouped_topk
+
+    df = _rand_events()
+    out = (grouped_topk(_ds(df), key="user_id", order_col="value", k=3,
+                        tie_col="event_id")
+           .to_pandas().sort_values(["user_id", "rank"]).reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT user_id, CAST(rn AS BIGINT) AS rank, event_id, value FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY value DESC, event_id) AS rn
+            FROM df) WHERE rn <= 3
+        ORDER BY user_id, rn
+    """).df()
+    pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
+
+
+def test_grouped_topk_prune_smaller_than_input(ray_session):
+    # the per-batch combiner must bound what reaches the shuffle
+    from payor_linkage.dataops.aggregates import grouped_topk
+
+    df = _rand_events(n=5000, n_keys=5)
+    out = grouped_topk(_ds(df), key="user_id", order_col="value", k=2,
+                       tie_col="event_id")
+    assert out.count() == 10  # 5 keys × k=2
+
+
+def test_grouped_quantiles_match_quantile_disc(ray_session):
+    import duckdb
+
+    from payor_linkage.dataops.aggregates import grouped_quantiles
+
+    # include several group sizes incl. 1 and exact-multiple sizes
+    df = _rand_events(n=1777, n_keys=41, seed=11)
+    df = pd.concat([df, pd.DataFrame({"event_id": [99999], "user_id": [777],
+                                      "ts": [0], "value": [1.5]})],
+                   ignore_index=True)
+    out = (grouped_quantiles(_ds(df), key="user_id", value_col="value")
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT user_id, quantile_disc(value, 0.25) AS q25,
+               quantile_disc(value, 0.5) AS q50,
+               quantile_disc(value, 0.75) AS q75
+        FROM df GROUP BY 1 ORDER BY 1
+    """).df()
+    pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
+
+
+def test_pivot_counts_match_filter_agg(ray_session):
+    import duckdb
+
+    from payor_linkage.dataops.aggregates import pivot_counts
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "source": [f"s{i}" for i in rng.integers(0, 6, 900)],
+        "lang": [["en", "de", "fr"][i] for i in rng.integers(0, 3, 900)],
+    })
+    out = (pivot_counts(_ds(df), "source", "lang", ["en", "de", "fr"])
+           .to_pandas().sort_values("source").reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT source,
+               count(*) FILTER (lang = 'en') AS n_en,
+               count(*) FILTER (lang = 'de') AS n_de,
+               count(*) FILTER (lang = 'fr') AS n_fr
+        FROM df GROUP BY 1 ORDER BY 1
+    """).df()
+    pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
+
+
+def test_running_seq_matches_row_number(ray_session):
+    import duckdb
+
+    from payor_linkage.dataops.aggregates import running_seq
+
+    df = _rand_events(n=1500, n_keys=29, seed=5)
+    out = (running_seq(_ds(df), key="user_id", order_cols=["ts", "event_id"])
+           .to_pandas().sort_values(["user_id", "seq"]).reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT user_id, ts, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS seq
+        FROM df ORDER BY user_id, seq
+    """).df()
+    exp["seq"] = exp["seq"].astype(np.int64)
+    pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
+
+
+def test_hll_registers_match_sql(ray_session):
+    import duckdb
+
+    from payor_linkage.dataops.sketch import hll_registers
+
+    df = _rand_events(n=3000, n_keys=500, seed=13)
+    df["event_type"] = [["a", "b", "c"][i % 3] for i in range(len(df))]
+    out = (hll_registers(_ds(df), key="event_type", value_col="user_id", p=10)
+           .to_pandas().sort_values(["event_type", "bucket"])
+           .reset_index(drop=True))
+    exp = duckdb.sql("""
+        WITH h AS (
+          SELECT event_type,
+                 ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+          FROM df
+        )
+        SELECT event_type, CAST(hv // 4194304 AS BIGINT) AS bucket,
+               CAST(max(CASE WHEN hv % 4194304 = 0 THEN 23
+                        ELSE 22 - length(bin(CAST(hv % 4194304 AS INTEGER))) + 1
+                        END) AS BIGINT) AS max_rho
+        FROM h GROUP BY 1, 2 ORDER BY 1, 2
+    """).df()
+    pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
+
+
+def test_hll_estimate_error_bound(ray_session):
+    from payor_linkage.dataops.sketch import hll_estimate, hll_registers
+
+    rng = np.random.default_rng(21)
+    # three keys with known distinct cardinalities
+    parts = []
+    for k, card in (("lo", 80), ("mid", 1500), ("hi", 20000)):
+        vals = rng.choice(card * 3, size=card, replace=False)
+        parts.append(pd.DataFrame({"k": k, "v": np.repeat(vals, 2)}))
+    df = pd.concat(parts, ignore_index=True)
+    regs = hll_registers(_ds(df), key="k", value_col="v", p=10)
+    est = hll_estimate(regs, p=10).to_pandas().set_index("k")["est_distinct"]
+    for k, card in (("lo", 80), ("mid", 1500), ("hi", 20000)):
+        rel = abs(est[k] - card) / card
+        assert rel < 0.08, (k, est[k], card, rel)
