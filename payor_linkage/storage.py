@@ -105,6 +105,65 @@ def checkpointed(path: str | None, name: str, fp: str):
     return runner
 
 
+def write_partitioned(ds: Dataset, path: str, by: str,
+                      resume: bool = True) -> list:
+    """Resumable keyed-partition Parquet output: hive layout
+    (``<path>/<by>=<value>/``), one ``_done`` marker per finished
+    partition. A re-run after a failure skips every marked partition —
+    their rows are filtered out BEFORE the write (broadcast key-set
+    ``pc.is_in`` per batch, no shuffle) — and completes only the rest,
+    so a 100 TB job never rewrites finished output. Returns the list of
+    partition keys written this call.
+
+    The marker is written only after the whole remaining write finishes
+    (write_parquet is atomic per file, markers gate the partition), so a
+    crash mid-write re-processes only unmarked partitions."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    os.makedirs(path, exist_ok=True)
+    done = set()
+    if resume:
+        for d in os.listdir(path):
+            if d.startswith(f"{by}=") and os.path.exists(
+                    os.path.join(path, d, "_done")):
+                done.add(d.split("=", 1)[1])
+
+    # any partition dir WITHOUT a marker is garbage from a crashed run —
+    # clear it so the rewrite can't leave duplicate part files behind
+    for d in os.listdir(path):
+        if d.startswith(f"{by}=") and d.split("=", 1)[1] not in done:
+            shutil.rmtree(os.path.join(path, d))
+
+    if done:
+        done_arr = pa.array(sorted(done))
+
+        def drop_done(b: pa.Table) -> pa.Table:
+            keys = pc.cast(b[by], pa.string())
+            return b.filter(pc.invert(pc.is_in(keys, value_set=done_arr)))
+
+        ds = ds.map_batches(drop_done, batch_format="pyarrow")
+
+    ds.write_parquet(path, partition_cols=[by])
+    # one pass over the data total: newly-written partitions are exactly
+    # the dirs that exist without a marker afterwards
+    written = []
+    for d in os.listdir(path):
+        k = d.split("=", 1)[1] if d.startswith(f"{by}=") else None
+        if k is not None and k not in done:
+            open(os.path.join(path, d, "_done"), "w").close()
+            written.append(k)
+    return sorted(written)
+
+
+def read_partitioned(path: str, by: str) -> Dataset:
+    """Read a ``write_partitioned`` layout back (hive partitioning: the
+    key column is re-materialized from the directory names)."""
+    from ray.data.datasource.partitioning import Partitioning
+    return rd.read_parquet(path, partitioning=Partitioning("hive"),
+                           file_extensions=["parquet"])
+
+
 def read_filtered(path: str, columns: list[str] | None = None,
                   predicate=None):
     """Pruned scan — the serving read API (S8): column projection and a

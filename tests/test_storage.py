@@ -82,3 +82,40 @@ def test_pipeline_resume_from_checkpoints(ray_session, tmp_path):
     # stage dirs exist with lineage manifests
     for stage in ["unified", "pairs", "candidates", "groups", "golden", "xref"]:
         assert os.path.exists(tmp_path / "ckpt" / stage / "_lineage.json"), stage
+
+
+def test_write_partitioned_roundtrip_and_resume(ray_session, tmp_path):
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from payor_linkage.storage import read_partitioned, write_partitioned
+
+    def mk():
+        return rd.from_arrow(pa.table({
+            "k": pa.array(["a", "a", "b", "c", "c", "c"]),
+            "v": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        }))
+
+    root = str(tmp_path / "part")
+    written = write_partitioned(mk(), root, by="k")
+    assert written == ["a", "b", "c"]
+    back = read_partitioned(root, by="k").to_pandas().sort_values("v")
+    assert back.v.tolist() == [1, 2, 3, 4, 5, 6]
+    assert sorted(back.k.unique()) == ["a", "b", "c"]
+
+    # simulate a crash: partition b lost its marker (incomplete) — resume
+    # must rewrite ONLY b; finished partitions keep their files untouched
+    os.remove(os.path.join(root, "k=b", "_done"))
+    a_files = set(os.listdir(os.path.join(root, "k=a")))
+    written2 = write_partitioned(mk(), root, by="k")
+    assert written2 == ["b"]
+    assert set(os.listdir(os.path.join(root, "k=a"))) == a_files
+    back2 = read_partitioned(root, by="k").to_pandas().sort_values("v")
+    assert back2.v.tolist() == [1, 2, 3, 4, 5, 6]
+
+    # fully-done resume: nothing written, data unchanged
+    assert write_partitioned(mk(), root, by="k") == []
+    back3 = read_partitioned(root, by="k").to_pandas().sort_values("v")
+    assert back3.v.tolist() == [1, 2, 3, 4, 5, 6]
