@@ -825,6 +825,168 @@ def q_hll_registers(sf_dir: str):
                          value_col="user_id", p=10)
 
 
+def q_revenue_by_nation(sf_dir: str):
+    """Star-schema multi-join rollup (the TPC-H Q5 shape): lineitem is
+    pre-aggregated per order key FIRST (the combiner shuffle moves one
+    row per order, never the fact table), then orders → customer →
+    nation attach by broadcast ``lookup_join`` (zero further shuffles),
+    and the final 25-group aggregate is tiny. Quantity sums are integer
+    (quantities are integral doubles) so oracle parity is exact — no
+    float SUM crosses the compare (CLAUDE.md trap)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    import ray.data as rd
+
+    from payor_linkage.rayutil import lookup_join
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_quantity"])
+
+    def to_int(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "qty": pc.cast(b["l_quantity"], pa.int64()),
+        })
+
+    per_order = (li.map_batches(to_int, batch_format="pyarrow")
+                 .groupby("l_orderkey")
+                 .aggregate(Sum("qty", alias_name="qty"),
+                            Count(alias_name="items")))
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+
+    def order_grain(b: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": b["o_orderkey"],
+                         "o_custkey": b["o_custkey"]})
+
+    customer = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                               columns=["c_custkey", "c_nationkey"])
+
+    def cust_grain(b: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": b["c_custkey"],
+                         "n_nationkey": b["c_nationkey"]})
+
+    nation = rd.read_parquet(os.path.join(sf_dir, "nation.parquet"),
+                             columns=["n_nationkey", "n_name"])
+    j = lookup_join(per_order, orders.map_batches(order_grain,
+                                                  batch_format="pyarrow"),
+                    on="l_orderkey")
+    j = lookup_join(j, customer.map_batches(cust_grain,
+                                            batch_format="pyarrow"),
+                    on="o_custkey")
+    j = lookup_join(j, nation, on="n_nationkey")
+    return (j.groupby("n_name")
+            .aggregate(Sum("qty", alias_name="total_qty"),
+                       Sum("items", alias_name="n_items"),
+                       Count(alias_name="n_orders")))
+
+
+def q_supplier_by_region(sf_dir: str):
+    """Dimension chain rollup: supplier → nation → region broadcast
+    attach, grouped Min/Max/Count per region (floats are selected, not
+    computed — parity-exact)."""
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Max, Min
+
+    import ray.data as rd
+
+    from payor_linkage.rayutil import lookup_join
+
+    supplier = rd.read_parquet(os.path.join(sf_dir, "supplier.parquet"),
+                               columns=["s_suppkey", "s_nationkey",
+                                        "s_acctbal"])
+    nation = rd.read_parquet(os.path.join(sf_dir, "nation.parquet"),
+                             columns=["n_nationkey", "n_regionkey"])
+
+    def nat_grain(b: pa.Table) -> pa.Table:
+        return pa.table({"s_nationkey": b["n_nationkey"],
+                         "r_regionkey": b["n_regionkey"]})
+
+    region = rd.read_parquet(os.path.join(sf_dir, "region.parquet"))
+    j = lookup_join(supplier, nation.map_batches(nat_grain,
+                                                 batch_format="pyarrow"),
+                    on="s_nationkey")
+    j = lookup_join(j, region, on="r_regionkey")
+    return (j.groupby("r_name")
+            .aggregate(Count(alias_name="n_suppliers"),
+                       Min("s_acctbal", alias_name="min_bal"),
+                       Max("s_acctbal", alias_name="max_bal")))
+
+
+def q_part_brand_stats(sf_dir: str):
+    """Two-level distinct aggregation: (brand, type) partials in one
+    shuffle, then per-brand COUNT(DISTINCT type) + summed counts +
+    re-minimized extrema from the bounded first level."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    import ray.data as rd
+
+    part = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                           columns=["p_brand", "p_type", "p_size"])
+    lvl1 = (part.groupby(["p_brand", "p_type"])
+            .aggregate(Count(alias_name="n"),
+                       Min("p_size", alias_name="mn"),
+                       Max("p_size", alias_name="mx")))
+    return (lvl1.groupby("p_brand")
+            .aggregate(Sum("n", alias_name="n_parts"),
+                       Count(alias_name="n_types"),
+                       Min("mn", alias_name="min_size"),
+                       Max("mx", alias_name="max_size")))
+
+
+def q_lag_delta(sf_dir: str):
+    """Per-user LAG delta of event value ordered by (ts, event_id) —
+    window-function parity with the partition-leading NULL row dropped
+    (a single two-operand float subtraction is deterministic, so parity
+    is exact)."""
+    from payor_linkage.dataops.aggregates import grouped_lag_delta
+
+    return grouped_lag_delta(
+        _events(sf_dir).select_columns(
+            ["user_id", "ts", "event_id", "value"]),
+        key="user_id", order_cols=["ts", "event_id"], value_col="value")
+
+
+def q_string_agg(sf_dir: str):
+    """Ordered list-collect per (source, lang): doc ids serialized as a
+    comma-joined string in doc_id order — STRING_AGG ... ORDER BY
+    parity."""
+    from payor_linkage.dataops.aggregates import grouped_string_agg
+
+    return grouped_string_agg(_docs(sf_dir), keys=["source", "lang"],
+                              value_col="doc_id", order_col="doc_id",
+                              out_col="id_list")
+
+
+def q_rollup_counts(sf_dir: str):
+    """GROUP BY ROLLUP(source, lang) counts with rolled-up levels
+    encoded as 'ALL' — one distributed shuffle (the finest level);
+    coarser levels fold driver-side from the bounded aggregate."""
+    from payor_linkage.dataops.aggregates import rollup_counts
+
+    return rollup_counts(_docs(sf_dir), ["source", "lang"])
+
+
+def q_partitioned_roundtrip(sf_dir: str):
+    """Resumable keyed-partition output (S7/O-resume): documents written
+    hive-partitioned by lang with per-partition done markers, then read
+    back through the hive reader — the identity roundtrip is the oracle
+    (the write path is also crash/resume-tested in test_storage)."""
+    import shutil
+
+    from payor_linkage.storage import read_partitioned, write_partitioned
+
+    out = os.path.join("/tmp", "payor_linkage_partitioned",
+                       os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(out, ignore_errors=True)
+    write_partitioned(_docs(sf_dir), out, by="lang")
+    return (read_partitioned(out, by="lang")
+            .select_columns(["doc_id", "lang", "n_chars"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q_normalize_text": q_normalize_text,
@@ -877,6 +1039,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pivot_counts": q_pivot_counts,
         "q_running_seq": q_running_seq,
         "q_hll_registers": q_hll_registers,
+        "q_revenue_by_nation": q_revenue_by_nation,
+        "q_supplier_by_region": q_supplier_by_region,
+        "q_part_brand_stats": q_part_brand_stats,
+        "q_lag_delta": q_lag_delta,
+        "q_string_agg": q_string_agg,
+        "q_rollup_counts": q_rollup_counts,
+        "q_partitioned_roundtrip": q_partitioned_roundtrip,
     }
 
 
@@ -1472,5 +1641,55 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 22 - length(bin(CAST(hv % 4194304 AS INTEGER)))
                                  + 1 END) AS BIGINT) AS max_rho
             FROM h GROUP BY 1, 2
+        """,
+        "q_revenue_by_nation": """
+            SELECT n_name,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS total_qty,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS n_orders
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n_name
+        """,
+        "q_supplier_by_region": """
+            SELECT r_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+                   min(s_acctbal) AS min_bal, max(s_acctbal) AS max_bal
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r_name
+        """,
+        "q_part_brand_stats": """
+            SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+                   CAST(count(DISTINCT p_type) AS BIGINT) AS n_types,
+                   min(p_size) AS min_size, max(p_size) AS max_size
+            FROM part GROUP BY p_brand
+        """,
+        "q_lag_delta": """
+            SELECT user_id, ts, event_id, value, delta FROM (
+              SELECT user_id, ts, event_id, value,
+                     value - lag(value) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id)
+                         AS delta
+              FROM events)
+            WHERE delta IS NOT NULL
+        """,
+        "q_string_agg": """
+            SELECT source, lang,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS id_list
+            FROM documents GROUP BY source, lang
+        """,
+        "q_rollup_counts": """
+            SELECT coalesce(source, 'ALL') AS source,
+                   coalesce(lang, 'ALL') AS lang,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY ROLLUP(source, lang)
+        """,
+        "q_partitioned_roundtrip": """
+            SELECT doc_id, lang, n_chars FROM documents
         """,
     }

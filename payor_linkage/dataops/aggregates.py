@@ -133,6 +133,122 @@ def grouped_quantiles(ds: Dataset, key: str, value_col: str,
                          out_schema=out_schema, runs_fn=runs)
 
 
+def grouped_lag_delta(ds: Dataset, key: str, order_cols: list[str],
+                      value_col: str, out_col: str = "delta") -> Dataset:
+    """Per-key LAG delta: ``value - LAG(value) OVER (PARTITION BY key
+    ORDER BY order_cols)`` with the leading NULL row of each partition
+    dropped — emitting only rows that HAVE a predecessor keeps NULL/NaN
+    encoding out of the oracle compare, and a single subtraction of two
+    *stored* doubles is deterministic (no accumulation), so float parity
+    is exact. One grouped sort; diffs vectorized across every run in a
+    block (np.diff over the contiguous span, run firsts masked)."""
+    proj = [key] + [c for c in order_cols if c != key] + [value_col]
+    vt = ds.schema().base_schema.field(value_col).type
+    out_schema = pa.schema(
+        [(c, ds.schema().base_schema.field(c).type) for c in proj]
+        + [(out_col, vt)])
+
+    def runs(b: pa.Table, starts, ends) -> pa.Table:
+        lo, hi = starts[0], ends[-1]
+        rid = _run_ids(starts, ends)
+        arrs = [b[c].to_numpy(zero_copy_only=False)[lo:hi] for c in order_cols]
+        order = np.lexsort(tuple(reversed(arrs)) + (rid,))
+        vals = b[value_col].to_numpy(zero_copy_only=False)[lo:hi][order]
+        delta = np.empty_like(vals)
+        delta[1:] = vals[1:] - vals[:-1]
+        # after the (rid, order_cols) sort, runs stay contiguous with the
+        # same lengths, so run firsts sit at the original start offsets
+        keep = np.ones(len(vals), dtype=bool)
+        keep[starts - lo] = False
+        take = pa.array(order[keep] + lo)
+        cols = {c: b[c].take(take) for c in proj}
+        cols[out_col] = pa.array(delta[keep])
+        return pa.table(cols).cast(out_schema)
+
+    return grouped_apply(ds.select_columns(proj), key,
+                         out_schema=out_schema, runs_fn=runs)
+
+
+def grouped_string_agg(ds: Dataset, keys: list[str], value_col: str,
+                       order_col: str | list[str], sep: str = ",",
+                       out_col: str = "agg") -> Dataset:
+    """Ordered list-collect per key group, serialized as a separated
+    string — ``STRING_AGG(value, sep ORDER BY order_cols)`` semantics
+    (values cast to string first). ``order_col`` should be a total order
+    within each group (pass a list ending in a unique tiebreaker) or the
+    tie order is engine-defined, exactly as in SQL. One grouped sort over
+    a composite key; the per-run join is the only per-group step
+    (inherent: output IS one string per group). Output: the key columns
+    + ``out_col``."""
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    gk, vcol = "__gk", "__val"
+    ocols = [f"__ord{i}" for i in range(len(order_cols))]
+    out_schema = pa.schema(
+        [(k, ds.schema().base_schema.field(k).type) for k in keys]
+        + [(out_col, pa.string())])
+
+    def prep(b: pa.Table) -> pa.Table:
+        comp = b[keys[0]].cast(pa.string()) if len(keys) == 1 else \
+            pc.binary_join_element_wise(
+                *[pc.cast(b[k], pa.string()) for k in keys], "\x1f")
+        cols = {k: b[k] for k in keys}
+        cols[gk] = comp
+        # order columns stay in their native types (a string cast of a
+        # numeric value_col would make the ordering lexicographic)
+        for oc, c in zip(ocols, order_cols):
+            cols[oc] = b[c]
+        cols[vcol] = pc.cast(b[value_col], pa.string())
+        return pa.table(cols)
+
+    def runs(b: pa.Table, starts, ends) -> pa.Table:
+        lo, hi = starts[0], ends[-1]
+        rid = _run_ids(starts, ends)
+        ovs = tuple(b[oc].to_numpy(zero_copy_only=False)[lo:hi]
+                    for oc in reversed(ocols))
+        order = np.lexsort(ovs + (rid,))
+        vals = b[vcol].to_numpy(zero_copy_only=False)[lo:hi][order]
+        offs = np.concatenate([starts - lo, [hi - lo]])
+        joined = [sep.join(vals[offs[i]:offs[i + 1]])
+                  for i in range(len(starts))]
+        first = pa.array(starts)
+        cols = {k: b[k].take(first) for k in keys}
+        cols[out_col] = pa.array(joined, pa.string())
+        return pa.table(cols).cast(out_schema)
+
+    prepped = ds.select_columns(
+        list(dict.fromkeys(keys + order_cols + [value_col]))).map_batches(
+        prep, batch_format="pyarrow")
+    return grouped_apply(prepped, gk, out_schema=out_schema, runs_fn=runs)
+
+
+def rollup_counts(ds: Dataset, cols: list[str],
+                  total_label: str = "ALL"):
+    """Multi-level counts — ``GROUP BY ROLLUP(cols)`` semantics with the
+    rolled-up levels encoded as ``total_label`` (no NULL crosses the
+    oracle compare; key columns must be strings free of the label).
+
+    Scale shape: ONE distributed shuffle total — the finest-level
+    aggregate; every coarser level folds driver-side from that bounded
+    result (|distinct key combos| rows, orders of magnitude below the
+    corpus), the standard rollup-from-partials pattern. Returns a
+    pyarrow Table."""
+    base = ds.groupby(cols).count().rename_columns(
+        {"count()": "n"}).to_pandas()
+    frames = [base]
+    for level in range(len(cols) - 1, -1, -1):
+        keep = cols[:level]
+        f = (base.groupby(keep, as_index=False)["n"].sum() if keep
+             else base[["n"]].sum().to_frame().T)
+        for c in cols[level:]:
+            f[c] = total_label
+        frames.append(f[cols + ["n"]])
+    import pandas as pd
+
+    out = pd.concat(frames, ignore_index=True)
+    return pa.Table.from_pandas(out[cols + ["n"]], preserve_index=False) \
+        .cast(pa.schema([(c, pa.string()) for c in cols] + [("n", pa.int64())]))
+
+
 def pivot_counts(ds: Dataset, row_key: str, col_key: str,
                  col_values: list[str]) -> Dataset:
     """Pivot ``col_key`` into count columns (``n_<value>``) per

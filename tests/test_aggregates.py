@@ -152,3 +152,64 @@ def test_hll_estimate_error_bound(ray_session):
     for k, card in (("lo", 80), ("mid", 1500), ("hi", 20000)):
         rel = abs(est[k] - card) / card
         assert rel < 0.08, (k, est[k], card, rel)
+
+
+def test_grouped_lag_delta_matches_window(ray_session):
+    import duckdb
+
+    from payor_linkage.dataops.aggregates import grouped_lag_delta
+
+    df = _rand_events(n=3000, n_keys=29, seed=13)  # ts collisions included
+    out = (grouped_lag_delta(_ds(df), key="user_id",
+                             order_cols=["ts", "event_id"],
+                             value_col="value")
+           .to_pandas().sort_values(["user_id", "ts", "event_id"])
+           .reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT user_id, ts, event_id, value, delta FROM (
+            SELECT user_id, ts, event_id, value,
+                   value - lag(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS delta
+            FROM df) WHERE delta IS NOT NULL
+        ORDER BY user_id, ts, event_id
+    """).df()
+    pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
+
+
+def test_grouped_string_agg_matches_ordered(ray_session):
+    import duckdb
+
+    from payor_linkage.dataops.aggregates import grouped_string_agg
+
+    df = _rand_events(n=2000, n_keys=23, seed=17)
+    df["bucket"] = (df.user_id % 3).astype(np.int64)
+    out = (grouped_string_agg(_ds(df), keys=["user_id", "bucket"],
+                              value_col="event_id", order_col=["ts", "event_id"],
+                              sep="|", out_col="ids")
+           .to_pandas().sort_values(["user_id", "bucket"])
+           .reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT user_id, bucket,
+               string_agg(CAST(event_id AS VARCHAR), '|'
+                          ORDER BY ts, event_id) AS ids
+        FROM df GROUP BY user_id, bucket ORDER BY user_id, bucket
+    """).df()
+    pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
+
+
+def test_rollup_counts_matches_rollup(ray_session):
+    import duckdb
+
+    from payor_linkage.dataops.aggregates import rollup_counts
+
+    df = _rand_events(n=1500, n_keys=11, seed=19)
+    df["a"] = "a" + (df.user_id % 4).astype(str)
+    df["b"] = "b" + (df.user_id % 3).astype(str)
+    out = (rollup_counts(_ds(df), ["a", "b"]).to_pandas()
+           .sort_values(["a", "b"]).reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT coalesce(a, 'ALL') AS a, coalesce(b, 'ALL') AS b,
+               CAST(count(*) AS BIGINT) AS n
+        FROM df GROUP BY ROLLUP(a, b) ORDER BY a, b
+    """).df()
+    pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
