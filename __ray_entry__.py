@@ -987,6 +987,45 @@ def q_partitioned_roundtrip(sf_dir: str):
             .select_columns(["doc_id", "lang", "n_chars"]))
 
 
+def q_rolling_max(sf_dir: str):
+    """Per-user running maximum of event value ordered by (ts, event_id)
+    — the ROWS UNBOUNDED PRECEDING window frame; the emitted value is
+    selected, never computed, so float parity is exact."""
+    from payor_linkage.dataops.aggregates import running_cummax
+
+    return running_cummax(
+        _events(sf_dir).select_columns(
+            ["user_id", "ts", "event_id", "value"]),
+        key="user_id", order_cols=["ts", "event_id"], value_col="value")
+
+
+def q_token_explode(sf_dir: str):
+    """Explode / UNNEST WITH ORDINALITY: one row per token occurrence
+    with its 1-based in-document position — the row-multiplying flat_map
+    shape, fully vectorized through list offsets."""
+    from payor_linkage.dataops.text import token_explode
+
+    return token_explode(_docs(sf_dir))
+
+
+def q_value_histogram(sf_dir: str):
+    """Fixed-width histogram of event value (bin = floor(value/10)) —
+    per-batch bin-count combiner, one bounded grouped Sum."""
+    from payor_linkage.dataops.aggregates import value_histogram
+
+    return value_histogram(_events(sf_dir), "value", 10.0)
+
+
+def q_distinct_except(sf_dir: str):
+    """Set difference as aggregation (EXCEPT): n_chars values seen in
+    'en' documents but never in 'de' documents — membership flags
+    collapse per batch, one grouped Max, no side materialized."""
+    from payor_linkage.dataops.aggregates import distinct_except
+
+    return distinct_except(_docs(sf_dir), key_col="n_chars",
+                           part_col="lang", keep="en", drop="de")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q_normalize_text": q_normalize_text,
@@ -1046,6 +1085,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_string_agg": q_string_agg,
         "q_rollup_counts": q_rollup_counts,
         "q_partitioned_roundtrip": q_partitioned_roundtrip,
+        "q_rolling_max": q_rolling_max,
+        "q_token_explode": q_token_explode,
+        "q_value_histogram": q_value_histogram,
+        "q_distinct_except": q_distinct_except,
     }
 
 
@@ -1691,5 +1734,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_partitioned_roundtrip": """
             SELECT doc_id, lang, n_chars FROM documents
+        """,
+        "q_rolling_max": """
+            SELECT user_id, ts, event_id, value,
+                   max(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS run_max
+            FROM events
+        """,
+        "q_token_explode": """
+            SELECT doc_id, tok AS token,
+                   CAST(row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY pos) AS BIGINT) AS pos
+            FROM (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9]+')) AS tok,
+                     generate_subscripts(regexp_split_to_array(lower(text),
+                                         '[^a-z0-9]+'), 1) AS pos
+              FROM documents)
+            WHERE tok <> ''
+        """,
+        "q_value_histogram": """
+            SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        """,
+        "q_distinct_except": """
+            SELECT DISTINCT n_chars FROM documents WHERE lang = 'en'
+            EXCEPT
+            SELECT DISTINCT n_chars FROM documents WHERE lang = 'de'
         """,
     }

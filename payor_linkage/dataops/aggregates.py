@@ -221,6 +221,37 @@ def grouped_string_agg(ds: Dataset, keys: list[str], value_col: str,
     return grouped_apply(prepped, gk, out_schema=out_schema, runs_fn=runs)
 
 
+def running_cummax(ds: Dataset, key: str, order_cols: list[str],
+                   value_col: str, out_col: str = "run_max") -> Dataset:
+    """Per-key running maximum — ``max(value) OVER (PARTITION BY key
+    ORDER BY order_cols ROWS UNBOUNDED PRECEDING)``. The emitted value is
+    *selected* from the input (never computed), so float parity is
+    byte-exact. One grouped sort; the cumulative max runs through
+    pandas' Cython groupby-cummax across all runs in a block (no
+    per-group Python)."""
+    import pandas as pd
+
+    proj = [key] + [c for c in order_cols if c != key] + [value_col]
+    out_schema = pa.schema(
+        [(c, ds.schema().base_schema.field(c).type) for c in proj]
+        + [(out_col, ds.schema().base_schema.field(value_col).type)])
+
+    def runs(b: pa.Table, starts, ends) -> pa.Table:
+        lo, hi = starts[0], ends[-1]
+        rid = _run_ids(starts, ends)
+        arrs = [b[c].to_numpy(zero_copy_only=False)[lo:hi] for c in order_cols]
+        order = np.lexsort(tuple(reversed(arrs)) + (rid,))
+        vals = b[value_col].to_numpy(zero_copy_only=False)[lo:hi][order]
+        run_max = pd.Series(vals).groupby(rid).cummax().to_numpy()
+        take = pa.array(order + lo)
+        cols = {c: b[c].take(take) for c in proj}
+        cols[out_col] = pa.array(run_max)
+        return pa.table(cols).cast(out_schema)
+
+    return grouped_apply(ds.select_columns(proj), key,
+                         out_schema=out_schema, runs_fn=runs)
+
+
 def rollup_counts(ds: Dataset, cols: list[str],
                   total_label: str = "ALL"):
     """Multi-level counts — ``GROUP BY ROLLUP(cols)`` semantics with the
@@ -247,6 +278,59 @@ def rollup_counts(ds: Dataset, cols: list[str],
     out = pd.concat(frames, ignore_index=True)
     return pa.Table.from_pandas(out[cols + ["n"]], preserve_index=False) \
         .cast(pa.schema([(c, pa.string()) for c in cols] + [("n", pa.int64())]))
+
+
+def value_histogram(ds: Dataset, value_col: str, divisor: float) -> Dataset:
+    """Fixed-width histogram: ``bin = floor(value / divisor)`` → count.
+    The bin is a single IEEE divide + floor (identical in numpy and SQL,
+    no accumulation), so parity is exact. Scale shape: each batch
+    pre-aggregates to one row per distinct bin (pyarrow group_by — a
+    combiner), then one grouped Sum over at most |bins| · blocks rows."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        bins = pc.cast(pc.floor(pc.divide(
+            pc.cast(b[value_col], pa.float64()), float(divisor))), pa.int64())
+        t = pa.table({"bin": bins, "n": pa.array(
+            np.ones(len(bins), dtype=np.int64))})
+        return t.group_by("bin").aggregate([("n", "sum")]) \
+            .rename_columns(["bin", "n"])
+
+    return (ds.select_columns([value_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("bin").aggregate(Sum("n", alias_name="n")))
+
+
+def distinct_except(ds: Dataset, key_col: str, part_col: str,
+                    keep: str, drop: str) -> Dataset:
+    """Set difference as aggregation: DISTINCT ``key_col`` values present
+    in partition ``keep`` but absent from partition ``drop`` — EXCEPT
+    semantics without materializing either side. One shuffle: per-batch
+    membership flags collapse to one row per (key, flags) via a pyarrow
+    group_by combiner, then a grouped Max + filter."""
+    from ray.data.aggregate import Max
+
+    def flags(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            key_col: b[key_col],
+            "in_keep": pc.cast(pc.equal(b[part_col], keep), pa.int64()),
+            "in_drop": pc.cast(pc.equal(b[part_col], drop), pa.int64()),
+        })
+        return t.group_by(key_col).aggregate(
+            [("in_keep", "max"), ("in_drop", "max")]).rename_columns(
+            [key_col, "in_keep", "in_drop"])
+
+    agg = (ds.select_columns([key_col, part_col])
+           .map_batches(flags, batch_format="pyarrow")
+           .groupby(key_col)
+           .aggregate(Max("in_keep", alias_name="in_keep"),
+                      Max("in_drop", alias_name="in_drop")))
+
+    def sel(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(b["in_keep"], 1), pc.equal(b["in_drop"], 0))
+        return b.filter(m).select([key_col])
+
+    return agg.map_batches(sel, batch_format="pyarrow")
 
 
 def pivot_counts(ds: Dataset, row_key: str, col_key: str,

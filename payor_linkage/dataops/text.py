@@ -169,6 +169,41 @@ def token_topk(ds: Dataset, k: int = 50, text_col: str = "text") -> Dataset:
     return counts.sort(["n", "token"], descending=[True, False]).limit(k)
 
 
+def token_explode(ds: Dataset, id_col: str = "doc_id",
+                  text_col: str = "text") -> Dataset:
+    """Explode / flat_map / UNNEST WITH ORDINALITY: one output row per
+    token occurrence with its 1-based position among the document's
+    (non-empty) tokens. Same tokenization contract as ``token_topk``
+    (lowercase, split on runs of non-[a-z0-9]). Fully vectorized: list
+    offsets → parent repeat → run-relative arange; row counts multiply
+    but no Python loop ever touches a row."""
+    import numpy as np
+
+    def ex(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(b[text_col]), "[^a-z0-9]+").combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = pc.list_flatten(toks)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        parents = np.repeat(ids, lens)
+        mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        parents = parents[mask]
+        flat = flat.filter(pa.array(mask))
+        # positions among kept tokens: runs of equal parent are contiguous
+        starts = np.nonzero(np.concatenate(
+            [[True], parents[1:] != parents[:-1]]))[0]
+        run_lens = np.diff(np.concatenate([starts, [len(parents)]]))
+        pos = np.arange(len(parents), dtype=np.int64) - \
+            np.repeat(starts, run_lens) + 1
+        return pa.table({id_col: pa.array(parents),
+                         "token": flat,
+                         "pos": pa.array(pos, pa.int64())})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        ex, batch_format="pyarrow")
+
+
 def hash_sample(ds: Dataset, rate: float, id_col: str = "doc_id") -> Dataset:
     """Deterministic hash-based sampling: keep rows whose
     md5(str(id)) 8-hex-digit prefix falls below ``rate`` of the space.

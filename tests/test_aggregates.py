@@ -213,3 +213,61 @@ def test_rollup_counts_matches_rollup(ray_session):
         FROM df GROUP BY ROLLUP(a, b) ORDER BY a, b
     """).df()
     pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
+
+
+def test_running_cummax_matches_window(ray_session):
+    import duckdb
+
+    from payor_linkage.dataops.aggregates import running_cummax
+
+    df = _rand_events(n=2500, n_keys=31, seed=23)
+    out = (running_cummax(_ds(df), key="user_id",
+                          order_cols=["ts", "event_id"], value_col="value")
+           .to_pandas().sort_values(["user_id", "ts", "event_id"])
+           .reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT user_id, ts, event_id, value,
+               max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS run_max
+        FROM df ORDER BY user_id, ts, event_id
+    """).df()
+    pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
+
+
+def test_value_histogram_matches_floor_bins(ray_session):
+    import duckdb
+
+    from payor_linkage.dataops.aggregates import value_histogram
+
+    df = _rand_events(n=4000, seed=29)
+    df.loc[0, "value"] = -17.3  # negative bin
+    out = (value_histogram(_ds(df), "value", 10.0).to_pandas()
+           .sort_values("bin").reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n
+        FROM df GROUP BY 1 ORDER BY 1
+    """).df()
+    pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
+
+
+def test_distinct_except_matches_except(ray_session):
+    import duckdb
+
+    from payor_linkage.dataops.aggregates import distinct_except
+
+    df = _rand_events(n=3000, seed=31)
+    df["part"] = np.where(df.user_id % 2 == 0, "a", "b")
+    df["k"] = (df.value // 5).astype(np.int64)
+    # guarantee a nonempty difference: keys 900+i only ever in part 'a'
+    df.loc[df.index[:5], ["part", "k"]] = [
+        ["a", 900], ["a", 901], ["a", 902], ["a", 903], ["a", 904]]
+    out = (distinct_except(_ds(df), key_col="k", part_col="part",
+                           keep="a", drop="b")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT DISTINCT k FROM df WHERE part = 'a'
+        EXCEPT SELECT DISTINCT k FROM df WHERE part = 'b'
+        ORDER BY k
+    """).df()
+    pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)

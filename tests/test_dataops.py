@@ -402,3 +402,22 @@ def test_hopping_windows_pre_epoch(ray_session):
     # floor semantics: -1 → wins {-5,-10}; -5 → {-5,-10}; 3 → {0,-5}
     assert out.win_start.tolist() == [-10, -5, 0]
     assert out.n.tolist() == [2, 3, 1]
+
+
+def test_token_explode_positions_and_edges(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from payor_linkage.dataops.text import token_explode
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["  Hello, world! x2 ", "", "...", "one"]),
+    }))
+    out = token_explode(ds).to_pandas().sort_values(
+        ["doc_id", "pos"]).reset_index(drop=True)
+    assert out[out.doc_id == 1].token.tolist() == ["hello", "world", "x2"]
+    assert out[out.doc_id == 1].pos.tolist() == [1, 2, 3]
+    # empty / punctuation-only docs emit no rows
+    assert set(out.doc_id) == {1, 4}
+    assert out[out.doc_id == 4].token.tolist() == ["one"]
