@@ -720,6 +720,30 @@ def q_mdm_children_count(sf_dir: str):
     return j.map_batches(fill, batch_format="pyarrow")
 
 
+def q_mdm_hierarchy_orphans(sf_dir: str):
+    """HierarchyManager 'unassigned' panel
+    (`app/src/pages/HierarchyManager.tsx:54-58`): goldens that are
+    neither a parent nor a child in the hierarchy — the double NOT IN
+    executed as ONE broadcast anti-join against the unioned
+    (parent ∪ child) id set (bounded: hierarchy ids ⊆ goldens
+    post-merge; golden streams, zero shuffle)."""
+    import pyarrow as pa
+
+    from payor_linkage.rayutil import broadcast_semi_join
+
+    res = _mdm_result(sf_dir)
+    parents = res.hierarchy.map_batches(
+        lambda b: pa.table({"mid": b["parent_master_id"]}),
+        batch_format="pyarrow")
+    children = res.hierarchy.map_batches(
+        lambda b: pa.table({"mid": b["child_master_id"]}),
+        batch_format="pyarrow")
+    golden = res.golden.select_columns(["master_payor_id", "payor_name"])
+    return broadcast_semi_join(golden, parents.union(children),
+                               big_on="master_payor_id", keys_on="mid",
+                               anti=True)
+
+
 def q_mdm_source_pair_match_rate(sf_dir: str):
     """Per-source-pair candidate volume + match count — the DataQuality
     UI aggregate (`app/src/pages/DataQuality.tsx:43-47`): GROUP BY
@@ -1070,6 +1094,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mdm_hierarchy": q_mdm_hierarchy,
         "q_mdm_hierarchy_edges": q_mdm_hierarchy_edges,
         "q_mdm_children_count": q_mdm_children_count,
+        "q_mdm_hierarchy_orphans": q_mdm_hierarchy_orphans,
         "q_mdm_source_completeness": q_mdm_source_completeness,
         "q_mdm_source_pair_match_rate": q_mdm_source_pair_match_rate,
         "q_mdm_golden_source_count": q_mdm_golden_source_count,
@@ -1606,6 +1631,17 @@ def oracle_sql() -> dict[str, str]:
                     FROM read_parquet('{_SIDECAR_DIR}/hier_edges/*.parquet') h
                     WHERE h.parent_master_id = g.master_payor_id) AS n_children
             FROM read_parquet('{_SIDECAR_DIR}/golden_names/*.parquet') g
+        """,
+        # HierarchyManager.tsx:54-58 — goldens in neither hierarchy role
+        "q_mdm_hierarchy_orphans": f"""
+            SELECT g.master_payor_id, g.payor_name
+            FROM read_parquet('{_SIDECAR_DIR}/golden_names/*.parquet') g
+            WHERE g.master_payor_id NOT IN (
+                SELECT parent_master_id
+                FROM read_parquet('{_SIDECAR_DIR}/hier_edges/*.parquet'))
+              AND g.master_payor_id NOT IN (
+                SELECT child_master_id
+                FROM read_parquet('{_SIDECAR_DIR}/hier_edges/*.parquet'))
         """,
         # DataQuality.tsx:31-40 — per-source completeness as integer
         # non-null counts (COUNT(col) ≡ the UI's SUM(CASE col IS NOT

@@ -271,6 +271,17 @@ def minhash_lsh_pairs(ds: Dataset, threshold: float = 0.5, num_perm: int = 64,
 _SHIFTS = np.arange(64, dtype=np.uint64)
 
 
+_POP16 = np.array([bin(i).count("1") for i in range(1 << 16)], np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (16-bit lookup, 4 gathers per word) →
+    int32. Replaces a per-pair Python ``bin(int(v)).count('1')`` loop
+    (~100× slower); ~3× faster than SWAR bit-slicing's 7 temporaries."""
+    v = np.ascontiguousarray(x).view(np.uint16)
+    return _POP16[v].reshape(len(x), 4).sum(axis=1, dtype=np.int32)
+
+
 class SimHasher:
     """Actor-pool signature stage: token→hash memo persists per actor
     (stopword-heavy corpora repeat tokens massively — the md5 cost
@@ -330,57 +341,75 @@ def simhash_pairs_from_sigs(sig_ds: Dataset, max_hamming: int = 3,
     mask = (1 << width) - 1
 
     def explode(b: pa.Table) -> pa.Table:
-        ids = b["id"].to_pylist()
+        """Band rows with INTEGER bucket ids (chunk·2^width + part) —
+        vectorized per chunk, and the downstream grouped sort runs on
+        int64 keys instead of strings."""
+        ids = b["id"].combine_chunks()
         sigs = b["sig"].to_numpy(zero_copy_only=False).view(np.uint64)
-        rows_bucket, rows_id, rows_sig = [], [], []
-        for i, s in enumerate(sigs):
-            s_int = int(s)
-            for chunk in range(n_chunks):
-                part = (s_int >> (width * chunk)) & mask
-                rows_bucket.append(f"{chunk}|{part}")
-                rows_id.append(ids[i])
-                rows_sig.append(s_int)
-        return pa.table({"bucket": pa.array(rows_bucket, pa.string()),
-                         "id": pa.array(rows_id),
-                         "sig": pa.array(np.array(rows_sig, dtype=np.uint64).view(np.int64))})
+        n = len(sigs)
+        buckets = np.empty(n * n_chunks, dtype=np.int64)
+        for chunk in range(n_chunks):
+            part = ((sigs >> np.uint64(width * chunk))
+                    & np.uint64(mask)).astype(np.int64)
+            buckets[chunk * n:(chunk + 1) * n] = chunk * (mask + 1) + part
+        rep = pa.array(np.tile(np.arange(n, dtype=np.int64), n_chunks))
+        return pa.table({"bucket": pa.array(buckets),
+                         "id": ids.take(rep),
+                         "sig": pa.array(np.tile(sigs.view(np.int64),
+                                                 n_chunks))})
 
     band_rows = sig_ds.map_batches(explode, batch_format="pyarrow")
 
-    def emit(g: pa.Table) -> pa.Table:
-        n = g.num_rows
-        if n < 2 or n > max_bucket:
-            return pa.schema([("pair", pa.string()), ("id_a", g["id"].type),
-                              ("id_b", g["id"].type), ("hamming", pa.int32())]).empty_table()
-        ids = g["id"].to_numpy(zero_copy_only=False)
-        s = g["sig"].to_numpy(zero_copy_only=False).view(np.uint64)
-        order = np.argsort(ids)
-        iu, ju = np.triu_indices(n, k=1)
-        ai, bi = order[iu], order[ju]
-        x = s[ai] ^ s[bi]
-        ham = np.array([bin(int(v)).count("1") for v in x], dtype=np.int32)
+    sig_sch = sig_ds.schema()
+    idt = dict(zip(sig_sch.names, sig_sch.types))["id"]
+    pair_schema = pa.schema([("id_a", idt), ("id_b", idt),
+                             ("hamming", pa.int32())])
+
+    def emit_runs(b: pa.Table, starts, ends) -> pa.Table:
+        """All buckets in a block at once: per-run triu index assembly
+        (cached by run length — 2-member buckets dominate), then ONE
+        vectorized xor + SWAR popcount + threshold filter across every
+        candidate pair in the block."""
+        ids_arr = b["id"].combine_chunks()
+        ids_np = ids_arr.to_numpy(zero_copy_only=False)
+        sig_all = b["sig"].to_numpy(zero_copy_only=False).view(np.uint64)
+        tri_cache: dict = {}
+        ai_parts, bi_parts = [], []
+        for s_, e_ in zip(starts, ends):
+            n = e_ - s_
+            if n < 2 or n > max_bucket:
+                continue
+            tri = tri_cache.get(n)
+            if tri is None:
+                tri = tri_cache[n] = np.triu_indices(n, k=1)
+            # canonical a<b by id: order positions by id inside the run
+            order = np.argsort(ids_np[s_:e_], kind="stable") + s_
+            ai_parts.append(order[tri[0]])
+            bi_parts.append(order[tri[1]])
+        if not ai_parts:
+            return pair_schema.empty_table()
+        ai = np.concatenate(ai_parts)
+        bi = np.concatenate(bi_parts)
+        x = sig_all[ai] ^ sig_all[bi]
+        ham = _popcount64(x)
         # verify INSIDE the bucket — only pairs within threshold enter the
         # dedup shuffle (the candidate volume bound at scale)
         keep = ham <= max_hamming
         ai, bi, ham = ai[keep], bi[keep], ham[keep]
         return pa.table({
-            "pair": pa.array([f"{ids[a]}|{ids[b]}" for a, b in zip(ai, bi)], pa.string()),
-            "id_a": pa.array(ids[ai]), "id_b": pa.array(ids[bi]),
+            "id_a": ids_arr.take(pa.array(ai)),
+            "id_b": ids_arr.take(pa.array(bi)),
             "hamming": pa.array(ham),
-        })
+        }).cast(pair_schema)
 
     from payor_linkage.rayutil import grouped_apply
 
-    sig_sch = sig_ds.schema()
-    idt = dict(zip(sig_sch.names, sig_sch.types))["id"]
-    pair_schema = pa.schema([("pair", pa.string()), ("id_a", idt),
-                             ("id_b", idt), ("hamming", pa.int32())])
-    pairs = grouped_apply(band_rows, "bucket", group_fn=emit,
+    pairs = grouped_apply(band_rows, "bucket", runs_fn=emit_runs,
                           out_schema=pair_schema)
-    deduped = pairs.groupby("pair").aggregate(
-        Min("id_a", alias_name="id_a"), Min("id_b", alias_name="id_b"),
+    # a pair found in k shared chunks appears k times — two-column
+    # groupby dedup (no serialized pair-string key needed)
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
         Min("hamming", alias_name="hamming"))
-    return deduped.map_batches(
-        lambda b: b.drop_columns(["pair"]), batch_format="pyarrow")
 
 
 def simhash_pairs(ds: Dataset, max_hamming: int = 3, text_col: str = "text",

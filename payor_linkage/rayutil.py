@@ -53,7 +53,17 @@ def grouped_apply(ds: Dataset, key: str, group_fn=None, out_schema: pa.Schema = 
         cpus = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
         cpus = 4
-    s = ds.repartition(cpus * 2).sort(key).materialize()
+    # Size the sort width to the DATA, not just the cluster: Ray's sort
+    # fans out one reduce partition per input block, so cpus*2 is right
+    # for big inputs — but on a small input it makes hundreds-of-row
+    # blocks where any group larger than a block becomes a boundary run
+    # and funnels into the single consolidation task (observed: a 2.5s
+    # serial tail under 64×625-row blocks). Floor the partition size at
+    # ~8k rows so small inputs sort into few, fat blocks.
+    s0 = ds.materialize()
+    n_rows = s0.count()
+    blocks = max(1, min(cpus * 2, -(-n_rows // 8192)))
+    s = s0.repartition(blocks).sort(key).materialize()
     empty = out_schema.empty_table()
 
     def _runs(keys) -> tuple:
