@@ -175,35 +175,48 @@ def minhash_lsh_pairs(ds: Dataset, threshold: float = 0.5, num_perm: int = 64,
                                    text_col=text_col, id_col=id_col),
         concurrency=(1, pool_max), batch_size=None)
 
-    def emit_pairs(g: pa.Table) -> pa.Table:
-        n = g.num_rows
-        if n < 2 or n > max_bucket:
-            return pa.schema([("pair", pa.string()), ("id_a", g["id"].type),
-                              ("id_b", g["id"].type)]).empty_table()
-        ids = g["id"].to_numpy(zero_copy_only=False)
-        order = np.argsort(ids)
-        iu, ju = np.triu_indices(n, k=1)
-        ai, bi = order[iu], order[ju]
+    sch = ds.schema()
+    idt = dict(zip(sch.names, sch.types))[id_col]
+    pair_schema = pa.schema([("id_a", idt), ("id_b", idt)])
+
+    def emit_runs(b: pa.Table, starts, ends) -> pa.Table:
+        """All buckets in a block at once — singleton runs (the vast
+        majority at bands×docs bucket counts) are skipped by a vectorized
+        length filter; per-run work is only the triu index assembly
+        (cached by run length)."""
+        lens = ends - starts
+        live = np.nonzero((lens >= 2) & (lens <= max_bucket))[0]
+        if len(live) == 0:
+            return pair_schema.empty_table()
+        ids_arr = b["id"].combine_chunks()
+        ids_np = ids_arr.to_numpy(zero_copy_only=False)
+        tri_cache: dict = {}
+        ai_parts, bi_parts = [], []
+        for ri in live:
+            s_, n = starts[ri], lens[ri]
+            tri = tri_cache.get(n)
+            if tri is None:
+                tri = tri_cache[n] = np.triu_indices(n, k=1)
+            order = np.argsort(ids_np[s_:s_ + n], kind="stable") + s_
+            ai_parts.append(order[tri[0]])
+            bi_parts.append(order[tri[1]])
+        ai = np.concatenate(ai_parts)
+        bi = np.concatenate(bi_parts)
         return pa.table({
-            "pair": pa.array([f"{ids[x]}|{ids[y]}" for x, y in zip(ai, bi)], pa.string()),
-            "id_a": pa.array(ids[ai]),
-            "id_b": pa.array(ids[bi]),
-        })
+            "id_a": ids_arr.take(pa.array(ai)),
+            "id_b": ids_arr.take(pa.array(bi)),
+        }).cast(pair_schema)
 
     # grouped_apply, not groupby().map_groups: buckets are numerous and
     # mostly singletons — the per-group map_groups harness (~1ms/group)
     # dominates at bucket counts of bands×docs
     from payor_linkage.rayutil import grouped_apply
 
-    sch = ds.schema()
-    idt = dict(zip(sch.names, sch.types))[id_col]
-    pair_schema = pa.schema([("pair", pa.string()), ("id_a", idt), ("id_b", idt)])
-    pairs = grouped_apply(band_rows, "bucket", group_fn=emit_pairs,
+    pairs = grouped_apply(band_rows, "bucket", runs_fn=emit_runs,
                           out_schema=pair_schema)
-    deduped = (pairs.groupby("pair")
-               .aggregate(Min("id_a", alias_name="id_a"),
-                          Min("id_b", alias_name="id_b"))
-               .map_batches(lambda b: b.drop_columns(["pair"]),
+    # a pair sharing k bands appears k times — two-column groupby dedup
+    deduped = (pairs.groupby(["id_a", "id_b"]).count()
+               .map_batches(lambda b: b.drop_columns(["count()"]),
                             batch_format="pyarrow"))
 
     # second pass: content lookup per candidate pair. The candidate set is
