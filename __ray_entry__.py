@@ -1050,6 +1050,53 @@ def q_distinct_except(sf_dir: str):
                            part_col="lang", keep="en", drop="de")
 
 
+def q_grouped_mode(sf_dir: str):
+    """Most frequent event_type per user with deterministic tie-break
+    (count DESC, value ASC) — reproducible mode()."""
+    from payor_linkage.dataops.aggregates import grouped_mode
+
+    return grouped_mode(_events(sf_dir), key="user_id",
+                        value_col="event_type")
+
+
+def q_ntile(sf_dir: str):
+    """NTILE(4) per event type ordered by (value, event_id) — integer
+    quartile bucket per event, standard SQL fill (first n mod k buckets
+    one larger)."""
+    from payor_linkage.dataops.aggregates import grouped_ntile
+
+    return grouped_ntile(
+        _events(sf_dir).select_columns(["event_type", "value", "event_id"]),
+        key="event_type", order_cols=["value", "event_id"], k=4)
+
+
+def q_embedding_argmax(sf_dir: str):
+    """Per-vector list kernel: dimension count + 1-based argmax component
+    (first occurrence) — integer outputs over the list<float> column,
+    vectorized through list offsets (maximum.reduceat + first-hit scan),
+    no per-row Python."""
+    import numpy as np
+    import pyarrow as pa
+
+    def f(b: pa.Table) -> pa.Table:
+        emb = b["embedding"].combine_chunks()
+        lens = np.asarray(emb.value_lengths(), dtype=np.int64)
+        flat = emb.flatten().to_numpy(zero_copy_only=False)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        row_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        row_max = np.maximum.reduceat(flat, starts)
+        hits = np.nonzero(flat == row_max[row_of])[0]
+        _, first = np.unique(row_of[hits], return_index=True)
+        argmax0 = hits[first] - starts
+        return pa.table({
+            "vec_id": b["vec_id"],
+            "dim": pa.array(lens, pa.int64()),
+            "argmax1": pa.array(argmax0 + 1, pa.int64()),
+        })
+
+    return _emb(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q_normalize_text": q_normalize_text,
@@ -1114,6 +1161,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_token_explode": q_token_explode,
         "q_value_histogram": q_value_histogram,
         "q_distinct_except": q_distinct_except,
+        "q_grouped_mode": q_grouped_mode,
+        "q_ntile": q_ntile,
+        "q_embedding_argmax": q_embedding_argmax,
     }
 
 
@@ -1800,5 +1850,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT n_chars FROM documents WHERE lang = 'en'
             EXCEPT
             SELECT DISTINCT n_chars FROM documents WHERE lang = 'de'
+        """,
+        "q_grouped_mode": """
+            SELECT user_id, event_type AS mode_val, n FROM (
+              SELECT user_id, event_type,
+                     CAST(count(*) AS BIGINT) AS n,
+                     row_number() OVER (
+                         PARTITION BY user_id
+                         ORDER BY count(*) DESC, event_type) AS rn
+              FROM events GROUP BY user_id, event_type)
+            WHERE rn = 1
+        """,
+        "q_ntile": """
+            SELECT event_type, value, event_id,
+                   CAST(ntile(4) OVER (
+                       PARTITION BY event_type
+                       ORDER BY value, event_id) AS BIGINT) AS tile
+            FROM events
+        """,
+        "q_embedding_argmax": """
+            SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+                   CAST(list_position(embedding,
+                        list_aggregate(embedding, 'max')) AS BIGINT)
+                       AS argmax1
+            FROM embeddings
         """,
     }

@@ -280,6 +280,92 @@ def rollup_counts(ds: Dataset, cols: list[str],
         .cast(pa.schema([(c, pa.string()) for c in cols] + [("n", pa.int64())]))
 
 
+def grouped_mode(ds: Dataset, key: str, value_col: str,
+                 out_val: str = "mode_val", out_n: str = "n") -> Dataset:
+    """Most frequent value per key with deterministic tie-break
+    (count DESC, value ASC) — the ``mode()`` aggregate made reproducible.
+    Scale shape: one (key, value) count shuffle (per-batch pyarrow
+    group_by combiner), then a grouped argmax through ``grouped_apply``
+    over the bounded count table."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({key: b[key], value_col: b[value_col],
+                      out_n: pa.array(np.ones(b.num_rows, dtype=np.int64))})
+        return t.group_by([key, value_col]).aggregate(
+            [(out_n, "sum")]).rename_columns([key, value_col, out_n])
+
+    counts = (ds.select_columns([key, value_col])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby([key, value_col]).aggregate(Sum(out_n, alias_name=out_n)))
+
+    out_schema = pa.schema([
+        (key, ds.schema().base_schema.field(key).type),
+        (out_val, ds.schema().base_schema.field(value_col).type),
+        (out_n, pa.int64())])
+
+    def runs(b: pa.Table, starts, ends) -> pa.Table:
+        lo, hi = starts[0], ends[-1]
+        rid = _run_ids(starts, ends)
+        n = b[out_n].to_numpy(zero_copy_only=False)[lo:hi]
+        # value ASC tie-break needs a sortable numpy key: rank-encode the
+        # value column with an Arrow sort (object-dtype argsort pays a
+        # Python richcompare per comparison)
+        vals = b[value_col].combine_chunks().slice(lo, hi - lo)
+        vrank = np.empty(hi - lo, dtype=np.int64)
+        vrank[pc.sort_indices(vals).to_numpy(zero_copy_only=False)
+              .astype(np.int64)] = np.arange(hi - lo)
+        order = np.lexsort((vrank, -n, rid))
+        # run firsts in the (rid, -n, vrank) order sit at the run starts
+        first = order[starts - lo] + lo
+        take = pa.array(first)
+        return pa.table({
+            key: b[key].take(take),
+            out_val: b[value_col].take(take),
+            out_n: b[out_n].take(take),
+        }).cast(out_schema)
+
+    return grouped_apply(counts, key, out_schema=out_schema, runs_fn=runs)
+
+
+def grouped_ntile(ds: Dataset, key: str, order_cols: list[str], k: int,
+                  out_col: str = "tile") -> Dataset:
+    """NTILE(k) OVER (PARTITION BY key ORDER BY order_cols) — integer
+    bucket 1..k per row, first ``n mod k`` buckets one row larger
+    (standard SQL NTILE fill). Pass a total order (unique tiebreaker
+    last) for determinism. One grouped sort; bucket assignment is pure
+    integer arithmetic vectorized across all runs in a block."""
+    proj = [key] + [c for c in order_cols if c != key]
+    out_schema = pa.schema(
+        [(c, ds.schema().base_schema.field(c).type) for c in proj]
+        + [(out_col, pa.int64())])
+
+    def runs(b: pa.Table, starts, ends) -> pa.Table:
+        lo, hi = starts[0], ends[-1]
+        rid = _run_ids(starts, ends)
+        arrs = [b[c].to_numpy(zero_copy_only=False)[lo:hi] for c in order_cols]
+        order = np.lexsort(tuple(reversed(arrs)) + (rid,))
+        lens = (ends - starts).astype(np.int64)
+        pos = np.arange(hi - lo, dtype=np.int64) - np.repeat(starts - lo, lens)
+        n = np.repeat(lens, lens)
+        size_small = n // k
+        n_large = n % k
+        cut = n_large * (size_small + 1)
+        in_large = pos < cut
+        tile = np.where(
+            in_large,
+            pos // np.maximum(size_small + 1, 1),
+            n_large + np.where(size_small > 0,
+                               (pos - cut) // np.maximum(size_small, 1), 0))
+        take = pa.array(order + lo)
+        cols = {c: b[c].take(take) for c in proj}
+        cols[out_col] = pa.array(tile + 1, pa.int64())
+        return pa.table(cols).cast(out_schema)
+
+    return grouped_apply(ds.select_columns(proj), key,
+                         out_schema=out_schema, runs_fn=runs)
+
+
 def value_histogram(ds: Dataset, value_col: str, divisor: float) -> Dataset:
     """Fixed-width histogram: ``bin = floor(value / divisor)`` → count.
     The bin is a single IEEE divide + floor (identical in numpy and SQL,

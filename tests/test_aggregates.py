@@ -271,3 +271,66 @@ def test_distinct_except_matches_except(ray_session):
         ORDER BY k
     """).df()
     pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
+
+
+def test_grouped_mode_matches_window(ray_session):
+    import duckdb
+
+    from payor_linkage.dataops.aggregates import grouped_mode
+
+    df = _rand_events(n=3000, n_keys=29, seed=37)
+    # few distinct values per key -> guaranteed count ties exercising the
+    # value-ASC tie-break
+    df["etype"] = np.array(["x", "y", "z", "w"])[df.event_id % 4]
+    out = (grouped_mode(_ds(df), key="user_id", value_col="etype")
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT user_id, etype AS mode_val, n FROM (
+          SELECT user_id, etype, CAST(count(*) AS BIGINT) AS n,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY count(*) DESC, etype) AS rn
+          FROM df GROUP BY user_id, etype)
+        WHERE rn = 1 ORDER BY user_id
+    """).df()
+    pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
+
+
+def test_grouped_ntile_matches_window(ray_session):
+    import duckdb
+
+    from payor_linkage.dataops.aggregates import grouped_ntile
+
+    df = _rand_events(n=2000, n_keys=23, seed=41)
+    out = (grouped_ntile(_ds(df), key="user_id",
+                         order_cols=["value", "event_id"], k=4)
+           .to_pandas().sort_values(["user_id", "value", "event_id"])
+           .reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT user_id, value, event_id,
+               CAST(ntile(4) OVER (PARTITION BY user_id
+                                   ORDER BY value, event_id) AS BIGINT)
+                   AS tile
+        FROM df ORDER BY user_id, value, event_id
+    """).df()
+    pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
+
+
+def test_grouped_ntile_small_groups(ray_session):
+    """Groups with n < k: NTILE gives n nonempty buckets 1..n."""
+    import duckdb
+
+    from payor_linkage.dataops.aggregates import grouped_ntile
+
+    df = _rand_events(n=40, n_keys=17, seed=43)  # many keys with n < 7
+    out = (grouped_ntile(_ds(df), key="user_id",
+                         order_cols=["value", "event_id"], k=7)
+           .to_pandas().sort_values(["user_id", "value", "event_id"])
+           .reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT user_id, value, event_id,
+               CAST(ntile(7) OVER (PARTITION BY user_id
+                                   ORDER BY value, event_id) AS BIGINT)
+                   AS tile
+        FROM df ORDER BY user_id, value, event_id
+    """).df()
+    pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
