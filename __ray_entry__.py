@@ -1097,6 +1097,66 @@ def q_embedding_argmax(sf_dir: str):
     return _emb(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
+def q_melt(sf_dir: str):
+    """Unpivot the four lineitem measures into (metric, val) rows —
+    map-only UNPIVOT, values pass through unchanged (exact float
+    parity)."""
+    import ray.data as rd
+
+    from payor_linkage.dataops.reshape import melt
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax"])
+    return melt(li, id_cols=["l_orderkey", "l_linenumber"],
+                value_cols=["l_quantity", "l_extendedprice",
+                            "l_discount", "l_tax"])
+
+
+def q_interleave(sf_dir: str):
+    """Deterministic weighted round-robin corpus mixing: documents of
+    the five languages interleaved at 1:3:2:2:1 — each row's global
+    sequence position is pure arithmetic on its per-language rank."""
+    from payor_linkage.dataops.reshape import interleave_position
+
+    return interleave_position(
+        _docs(sf_dir).select_columns(["lang", "doc_id"]),
+        part_col="lang", order_cols=["doc_id"],
+        weights={"de": 1, "en": 3, "es": 2, "fr": 2, "zh": 1})
+
+
+def q_dense_rank(sf_dir: str):
+    """DENSE_RANK of event value within event type (gap-free rank,
+    ties share) — event_id carried for a deterministic surface."""
+    from payor_linkage.dataops.aggregates import grouped_dense_rank
+
+    return grouped_dense_rank(
+        _events(sf_dir).select_columns(["event_type", "value", "event_id"]),
+        key="event_type", value_col="value", carry_cols=["event_id"])
+
+
+def q_contamination(sf_dir: str):
+    """Train/test decontamination scan: per English document, its
+    distinct char-3-gram count and how many of those grams occur
+    anywhere in the German corpus (the bounded test-side gram set is
+    broadcast once; the train side streams with no shuffle)."""
+    import pyarrow.compute as _pc
+
+    from payor_linkage.dataops.text import contamination_counts
+
+    def side(lang):
+        def f(b):
+            keep = _pc.and_(_pc.equal(b["lang"], lang),
+                            _pc.greater_equal(
+                                _pc.utf8_length(b["text"]), 3))
+            return b.filter(keep)
+        return (_docs(sf_dir).select_columns(["doc_id", "text", "lang"])
+                .map_batches(f, batch_format="pyarrow"))
+
+    return contamination_counts(side("en"), side("de"), k=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q_normalize_text": q_normalize_text,
@@ -1164,6 +1224,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_grouped_mode": q_grouped_mode,
         "q_ntile": q_ntile,
         "q_embedding_argmax": q_embedding_argmax,
+        "q_melt": q_melt,
+        "q_interleave": q_interleave,
+        "q_dense_rank": q_dense_rank,
+        "q_contamination": q_contamination,
     }
 
 
@@ -1874,5 +1938,55 @@ def oracle_sql() -> dict[str, str]:
                         list_aggregate(embedding, 'max')) AS BIGINT)
                        AS argmax1
             FROM embeddings
+        """,
+        "q_melt": """
+            SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+                   l_quantity AS val FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+                   l_extendedprice FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+        """,
+        "q_interleave": """
+            WITH w(lang, wt, woff) AS (VALUES
+                ('de', 1, 0), ('en', 3, 1), ('es', 2, 4),
+                ('fr', 2, 6), ('zh', 1, 8)),
+            r AS (SELECT doc_id, lang,
+                         row_number() OVER (PARTITION BY lang
+                                            ORDER BY doc_id) - 1 AS r0
+                  FROM documents)
+            SELECT doc_id, lang, r0 + 1 AS src_rank,
+                   CAST((r0 // wt) * 9 + woff + (r0 % wt) AS BIGINT) AS pos
+            FROM r JOIN w USING (lang)
+        """,
+        "q_dense_rank": """
+            SELECT event_type, value, event_id,
+                   CAST(dense_rank() OVER (PARTITION BY event_type
+                                           ORDER BY value) AS BIGINT)
+                       AS drank
+            FROM events
+        """,
+        "q_contamination": """
+            WITH test_grams AS (
+              SELECT DISTINCT substr(text, CAST(i AS INT), 3) AS gram
+              FROM documents,
+                   LATERAL (SELECT unnest(range(1, length(text) - 1)) AS i) t
+              WHERE lang = 'de' AND length(text) >= 3
+            ),
+            train AS (
+              SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS gram
+              FROM documents,
+                   LATERAL (SELECT unnest(range(1, length(text) - 1)) AS i) t
+              WHERE lang = 'en' AND length(text) >= 3
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(count(*) FILTER (WHERE gram IN
+                        (SELECT gram FROM test_grams)) AS BIGINT)
+                       AS n_contaminated
+            FROM train GROUP BY doc_id
         """,
     }

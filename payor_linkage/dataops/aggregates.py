@@ -366,6 +366,44 @@ def grouped_ntile(ds: Dataset, key: str, order_cols: list[str], k: int,
                          out_schema=out_schema, runs_fn=runs)
 
 
+def grouped_dense_rank(ds: Dataset, key: str, value_col: str,
+                       carry_cols: list[str] | None = None,
+                       out_col: str = "drank") -> Dataset:
+    """DENSE_RANK() OVER (PARTITION BY key ORDER BY value_col) — 1-based
+    rank with no gaps; equal values share a rank. ``carry_cols`` ride
+    along unchanged (include a unique id for a deterministic output
+    surface). One grouped sort; rank assignment is a change-flag cumsum
+    vectorized across all runs in a block. Values are compared, never
+    computed on, so float parity with SQL is exact."""
+    proj = ([key, value_col]
+            + [c for c in (carry_cols or []) if c not in (key, value_col)])
+    out_schema = pa.schema(
+        [(c, ds.schema().base_schema.field(c).type) for c in proj]
+        + [(out_col, pa.int64())])
+
+    def runs(b: pa.Table, starts, ends) -> pa.Table:
+        lo, hi = starts[0], ends[-1]
+        rid = _run_ids(starts, ends)
+        val = b[value_col].to_numpy(zero_copy_only=False)[lo:hi]
+        tie = [b[c].to_numpy(zero_copy_only=False)[lo:hi]
+               for c in proj[2:]]
+        order = np.lexsort(tuple(reversed(tie)) + (val, rid))
+        v = val[order]
+        new = np.ones(hi - lo, dtype=bool)
+        new[1:] = v[1:] != v[:-1]
+        new[starts - lo] = True  # rank restarts at every run boundary
+        ranks = np.cumsum(new)
+        lens = (ends - starts).astype(np.int64)
+        dense = ranks - np.repeat(ranks[starts - lo] - 1, lens)
+        take = pa.array(order + lo)
+        cols = {c: b[c].take(take) for c in proj}
+        cols[out_col] = pa.array(dense, pa.int64())
+        return pa.table(cols).cast(out_schema)
+
+    return grouped_apply(ds.select_columns(proj), key,
+                         out_schema=out_schema, runs_fn=runs)
+
+
 def value_histogram(ds: Dataset, value_col: str, divisor: float) -> Dataset:
     """Fixed-width histogram: ``bin = floor(value / divisor)`` → count.
     The bin is a single IEEE divide + floor (identical in numpy and SQL,

@@ -223,3 +223,95 @@ def hash_sample(ds: Dataset, rate: float, id_col: str = "doc_id") -> Dataset:
         return b.filter(pa.array(mask, pa.bool_()))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+# ── cross-corpus n-gram decontamination ────────────────────────────────────
+
+def _char_kgram_ids(texts: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized char k-gram extraction for a whole batch: one string
+    join → UTF-32 codepoint array → per-doc window starts → pack the k
+    codepoints of each gram into one int64 (21 bits per codepoint —
+    injective for k ≤ 3, every Unicode codepoint < 2^21). Docs shorter
+    than k yield no grams. Returns (row_of, gram_ids)."""
+    assert k <= 3, "21-bit packing holds at most 3 codepoints per int64"
+    n = len(texts)
+    if n == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64))
+    cp = np.frombuffer("".join(texts).encode("utf-32-le"), dtype=np.uint32)
+    lens = np.fromiter((len(t) for t in texts), np.int64, n)
+    counts = np.maximum(lens - k + 1, 0)
+    doc_start = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    total = int(counts.sum())
+    cum = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    within = np.arange(total, dtype=np.int64) - np.repeat(cum, counts)
+    starts = np.repeat(doc_start, counts) + within
+    gram = np.zeros(total, dtype=np.int64)
+    for j in range(k):
+        gram = (gram << 21) | cp[starts + j].astype(np.int64)
+    row_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+    return row_of, gram
+
+
+def distinct_gram_set(ds: Dataset, text_col: str = "text",
+                      k: int = 3) -> np.ndarray:
+    """Global distinct packed char-k-gram ids of a corpus, as a sorted
+    int64 array. Per-batch distinct first (bounded emission), then a
+    global distinct aggregate; the result is bounded by the corpus'
+    alphabet^k, not its row count — safe to collect and broadcast."""
+    def per_batch(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        _, grams = _char_kgram_ids(texts, k)
+        return pa.table({"gram": pa.array(np.unique(grams), pa.int64())})
+
+    grams = (ds.select_columns([text_col])
+             .map_batches(per_batch, batch_format="pyarrow")
+             .unique("gram"))
+    # empty corpus → unique() yields None / [None]
+    grams = [g for g in (grams or []) if g is not None]
+    return np.sort(np.asarray(grams, dtype=np.int64))
+
+
+def contamination_counts(train_ds: Dataset, test_ds: Dataset,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         k: int = 3) -> Dataset:
+    """Train/test decontamination scan: for every train document of at
+    least ``k`` chars, count its distinct char k-grams and how many of
+    them occur anywhere in the test corpus.
+
+    Scale shape: the test side reduces to a bounded distinct-gram set
+    (alphabet^k), broadcast once via ``ray.put`` and probed per batch
+    with one ``searchsorted`` — the train side streams with no shuffle.
+    Integer outputs keep SQL oracle parity exact."""
+    import ray
+
+    test_grams = distinct_gram_set(test_ds, text_col=text_col, k=k)
+    ref = ray.put(test_grams)
+
+    def count(b: pa.Table) -> pa.Table:
+        tg = ray.get(ref)
+        texts = b[text_col].to_pylist()
+        row_of, grams = _char_kgram_ids(texts, k)
+        # per-doc distinct grams: sort by (row, gram), drop adjacent dups
+        order = np.lexsort((grams, row_of))
+        r, g = row_of[order], grams[order]
+        keep = np.ones(len(r), dtype=bool)
+        keep[1:] = (r[1:] != r[:-1]) | (g[1:] != g[:-1])
+        r, g = r[keep], g[keep]
+        if len(tg):
+            idx = np.searchsorted(tg, g)
+            np.clip(idx, 0, len(tg) - 1, out=idx)
+            member = tg[idx] == g
+        else:
+            member = np.zeros(len(g), dtype=bool)
+        n_rows = b.num_rows
+        n_grams = np.bincount(r, minlength=n_rows).astype(np.int64)
+        n_contam = np.bincount(r, weights=member, minlength=n_rows) \
+            .astype(np.int64)
+        mask = n_grams > 0  # docs shorter than k carry no grams
+        return pa.table({
+            id_col: b[id_col].filter(pa.array(mask)),
+            "n_grams": pa.array(n_grams[mask]),
+            "n_contaminated": pa.array(n_contam[mask]),
+        })
+
+    return (train_ds.select_columns([id_col, text_col])
+            .map_batches(count, batch_format="pyarrow"))

@@ -1,0 +1,140 @@
+"""Unit tests for the reshape (melt / interleave) and decontamination
+operators — DuckDB recomputations plus edge cases the sf tables don't
+cover (unicode grams, short docs, empty test corpus, exhausted parts)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _ds(df):
+    import ray.data as rd
+    return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+
+def test_melt_matches_union_all(ray_session):
+    import duckdb
+
+    from payor_linkage.dataops.reshape import melt
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "k": np.arange(500, dtype=np.int64),
+        "a": rng.normal(size=500), "b": rng.normal(size=500),
+    })
+    out = (melt(_ds(df), id_cols=["k"], value_cols=["a", "b"])
+           .to_pandas().sort_values(["k", "metric"]).reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT k, 'a' AS metric, a AS val FROM df
+        UNION ALL SELECT k, 'b', b FROM df
+        ORDER BY k, metric
+    """).df()
+    pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
+
+
+def test_interleave_positions_unique_and_ratio(ray_session):
+    """Positions are globally unique, and while every part still has
+    rows each epoch of W slots holds exactly the declared mix."""
+    from payor_linkage.dataops.reshape import interleave_position
+
+    rng = np.random.default_rng(11)
+    parts = rng.choice(["x", "y", "z"], 900, p=[0.5, 0.3, 0.2])
+    df = pd.DataFrame({"p": parts, "i": np.arange(900, dtype=np.int64)})
+    w = {"x": 3, "y": 2, "z": 1}
+    out = (interleave_position(_ds(df), part_col="p", order_cols=["i"],
+                               weights=w)
+           .to_pandas().sort_values("pos").reset_index(drop=True))
+    assert len(out) == 900
+    assert out.pos.is_unique
+    # per-part ranks follow the i order
+    for p, g in out.groupby("p"):
+        assert (g.sort_values("i").src_rank.values
+                == np.arange(1, len(g) + 1)).all()
+    # the first epoch (no part exhausted yet) carries the exact mix
+    W = sum(w.values())
+    first = out[out.pos < W].p.value_counts()
+    assert first["x"] == 3 and first["y"] == 2 and first["z"] == 1
+
+
+def test_interleave_matches_sql(ray_session):
+    import duckdb
+
+    from payor_linkage.dataops.reshape import interleave_position
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({"p": rng.choice(["x", "y"], 400),
+                       "i": np.arange(400, dtype=np.int64)})
+    out = (interleave_position(_ds(df), part_col="p", order_cols=["i"],
+                               weights={"x": 2, "y": 1})
+           .to_pandas().sort_values("pos").reset_index(drop=True))
+    exp = duckdb.sql("""
+        WITH w(p, wt, woff) AS (VALUES ('x', 2, 0), ('y', 1, 2)),
+        r AS (SELECT p, i, row_number() OVER (PARTITION BY p ORDER BY i)
+                     - 1 AS r0 FROM df)
+        SELECT p, i, r0 + 1 AS src_rank,
+               CAST((r0 // wt) * 3 + woff + (r0 % wt) AS BIGINT) AS pos
+        FROM r JOIN w USING (p) ORDER BY pos
+    """).df()
+    pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
+
+
+def test_dense_rank_matches_window(ray_session):
+    import duckdb
+
+    from payor_linkage.dataops.aggregates import grouped_dense_rank
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 19, 1500).astype(np.int64),
+        "v": rng.integers(0, 12, 1500).astype(np.int64) * 1.5,  # many ties
+        "id": np.arange(1500, dtype=np.int64),
+    })
+    out = (grouped_dense_rank(_ds(df), key="k", value_col="v",
+                              carry_cols=["id"])
+           .to_pandas().sort_values(["k", "v", "id"]).reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT k, v, id,
+               CAST(dense_rank() OVER (PARTITION BY k ORDER BY v)
+                    AS BIGINT) AS drank
+        FROM df ORDER BY k, v, id
+    """).df()
+    pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
+
+
+def test_contamination_unicode_and_short_docs(ray_session):
+    from payor_linkage.dataops.text import contamination_counts
+
+    train = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": ["abcdef",        # abc bcd cde def
+                 "ab",            # too short -> dropped
+                 "日本語のテキスト",   # unicode grams
+                 "abcabc",        # repeated grams counted once
+                 "zzzz"],         # zzz once
+    })
+    test = pd.DataFrame({
+        "doc_id": np.arange(2, dtype=np.int64) + 100,
+        "text": ["xxcdexx日本語xx", "zz"],
+    })
+    out = (contamination_counts(_ds(train), _ds(test), k=3)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert out.index.tolist() == [0, 2, 3, 4]  # doc 1 dropped (len < 3)
+    assert out.loc[0, "n_grams"] == 4
+    assert out.loc[0, "n_contaminated"] == 1      # 'cde'
+    assert out.loc[2, "n_grams"] == 6
+    assert out.loc[2, "n_contaminated"] == 1      # '日本語'
+    assert out.loc[3, "n_grams"] == 3             # abc bca cab (abc deduped)
+    assert out.loc[4, "n_grams"] == 1 and out.loc[4, "n_contaminated"] == 0
+
+
+def test_contamination_empty_test_side(ray_session):
+    from payor_linkage.dataops.text import contamination_counts
+
+    train = pd.DataFrame({"doc_id": np.array([1], np.int64),
+                          "text": ["hello world"]})
+    test = pd.DataFrame({"doc_id": np.array([], np.int64),
+                         "text": pd.array([], dtype="string")})
+    out = (contamination_counts(_ds(train), _ds(test), k=3)
+           .to_pandas())
+    assert out.n_contaminated.tolist() == [0]
+    assert out.n_grams.tolist() == [9]
