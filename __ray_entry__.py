@@ -1157,6 +1157,55 @@ def q_contamination(sf_dir: str):
     return contamination_counts(side("en"), side("de"), k=3)
 
 
+def q_sliding_max(sf_dir: str):
+    """Bounded-frame window max per user (ROWS BETWEEN 4 PRECEDING AND
+    CURRENT ROW over ts order) — max only, exact float parity."""
+    from payor_linkage.dataops.aggregates import sliding_max
+
+    return sliding_max(
+        _events(sf_dir).select_columns(["user_id", "ts", "event_id",
+                                        "value"]),
+        key="user_id", order_cols=["ts", "event_id"], value_col="value",
+        frame=5)
+
+
+def q_cumsum(sf_dir: str):
+    """Running total of the (exact-integral) lineitem quantity per order
+    in line-number sequence — integer running sum, exact parity."""
+    import ray.data as rd
+
+    from payor_linkage.dataops.aggregates import running_cumsum
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_linenumber",
+                                  "l_partkey", "l_suppkey", "l_quantity"])
+    # (orderkey, linenumber) is NOT unique in the synthetic table — the
+    # frame order needs the full unique tuple for determinism
+    return running_cumsum(li, key="l_orderkey",
+                          order_cols=["l_linenumber", "l_partkey",
+                                      "l_suppkey"],
+                          value_col="l_quantity")
+
+
+def q_distinct_intersect(sf_dir: str):
+    """INTERSECT as aggregation: distinct document lengths occurring in
+    BOTH the English and German corpora."""
+    from payor_linkage.dataops.aggregates import distinct_intersect
+
+    return distinct_intersect(
+        _docs(sf_dir).select_columns(["n_chars", "lang"]),
+        key_col="n_chars", part_col="lang", part_a="en", part_b="de")
+
+
+def q_top_term_df(sf_dir: str):
+    """Integer TF-IDF core: per-document top token (tf DESC, token ASC)
+    with that token's corpus document frequency attached by a broadcast
+    vocabulary lookup."""
+    from payor_linkage.dataops.text import top_term_df
+
+    return top_term_df(_docs(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q_normalize_text": q_normalize_text,
@@ -1228,6 +1277,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_interleave": q_interleave,
         "q_dense_rank": q_dense_rank,
         "q_contamination": q_contamination,
+        "q_sliding_max": q_sliding_max,
+        "q_cumsum": q_cumsum,
+        "q_distinct_intersect": q_distinct_intersect,
+        "q_top_term_df": q_top_term_df,
     }
 
 
@@ -1988,5 +2041,46 @@ def oracle_sql() -> dict[str, str]:
                         (SELECT gram FROM test_grams)) AS BIGINT)
                        AS n_contaminated
             FROM train GROUP BY doc_id
+        """,
+        "q_sliding_max": """
+            SELECT user_id, ts, event_id, value,
+                   max(value) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS BETWEEN 4 PRECEDING
+                                    AND CURRENT ROW) AS win_max
+            FROM events
+        """,
+        "q_cumsum": """
+            SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                   l_quantity,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
+                       PARTITION BY l_orderkey
+                       ORDER BY l_linenumber, l_partkey, l_suppkey
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_sum
+            FROM lineitem
+        """,
+        "q_distinct_intersect": """
+            SELECT DISTINCT n_chars FROM documents WHERE lang = 'en'
+            INTERSECT
+            SELECT DISTINCT n_chars FROM documents WHERE lang = 'de'
+        """,
+        "q_top_term_df": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9]+')) AS token
+              FROM documents),
+            tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                   FROM tok WHERE token <> '' GROUP BY 1, 2),
+            win AS (SELECT doc_id, token, tf,
+                           row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY tf DESC, token)
+                               AS rn
+                    FROM tf),
+            dfreq AS (SELECT token,
+                             CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                      FROM tok WHERE token <> '' GROUP BY 1)
+            SELECT w.doc_id, w.token AS top_token, w.tf, d.df
+            FROM win w JOIN dfreq d USING (token) WHERE rn = 1
         """,
     }

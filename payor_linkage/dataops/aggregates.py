@@ -457,6 +457,111 @@ def distinct_except(ds: Dataset, key_col: str, part_col: str,
     return agg.map_batches(sel, batch_format="pyarrow")
 
 
+def distinct_intersect(ds: Dataset, key_col: str, part_col: str,
+                       part_a: str, part_b: str) -> Dataset:
+    """Set intersection as aggregation: DISTINCT ``key_col`` values
+    present in BOTH partitions — INTERSECT semantics without
+    materializing either side. Same one-shuffle flag shape as
+    ``distinct_except``."""
+    from ray.data.aggregate import Max
+
+    def flags(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            key_col: b[key_col],
+            "in_a": pc.cast(pc.equal(b[part_col], part_a), pa.int64()),
+            "in_b": pc.cast(pc.equal(b[part_col], part_b), pa.int64()),
+        })
+        return t.group_by(key_col).aggregate(
+            [("in_a", "max"), ("in_b", "max")]).rename_columns(
+            [key_col, "in_a", "in_b"])
+
+    agg = (ds.select_columns([key_col, part_col])
+           .map_batches(flags, batch_format="pyarrow")
+           .groupby(key_col)
+           .aggregate(Max("in_a", alias_name="in_a"),
+                      Max("in_b", alias_name="in_b")))
+
+    def sel(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(b["in_a"], 1), pc.equal(b["in_b"], 1))
+        return b.filter(m).select([key_col])
+
+    return agg.map_batches(sel, batch_format="pyarrow")
+
+
+def sliding_max(ds: Dataset, key: str, order_cols: list[str],
+                value_col: str, frame: int,
+                out_col: str = "win_max") -> Dataset:
+    """Bounded-frame window max:
+    ``max(value) OVER (PARTITION BY key ORDER BY order_cols
+    ROWS BETWEEN frame-1 PRECEDING AND CURRENT ROW)``.
+
+    One grouped sort, then ``frame-1`` vectorized shift-max passes over
+    the whole block (run boundaries masked) — O(frame·n) with no Python
+    row loop; ``frame`` is a small constant by contract. Max only, no
+    arithmetic, so float parity with SQL is exact."""
+    proj = ([key] + [c for c in order_cols if c != key]
+            + ([value_col] if value_col not in order_cols
+               and value_col != key else []))
+    out_schema = pa.schema(
+        [(c, ds.schema().base_schema.field(c).type) for c in proj]
+        + [(out_col, ds.schema().base_schema.field(value_col).type)])
+
+    def runs(b: pa.Table, starts, ends) -> pa.Table:
+        lo, hi = starts[0], ends[-1]
+        rid = _run_ids(starts, ends)
+        arrs = [b[c].to_numpy(zero_copy_only=False)[lo:hi] for c in order_cols]
+        order = np.lexsort(tuple(reversed(arrs)) + (rid,))
+        v = b[value_col].to_numpy(zero_copy_only=False)[lo:hi][order]
+        lens = (ends - starts).astype(np.int64)
+        pos = np.arange(hi - lo, dtype=np.int64) - np.repeat(starts - lo, lens)
+        out = v.copy()
+        for s in range(1, frame):
+            idx = np.nonzero(pos >= s)[0]  # stay inside the run
+            out[idx] = np.maximum(out[idx], v[idx - s])
+        take = pa.array(order + lo)
+        cols = {c: b[c].take(take) for c in proj}
+        cols[out_col] = pa.array(out)
+        return pa.table(cols).cast(out_schema)
+
+    return grouped_apply(ds.select_columns(proj), key,
+                         out_schema=out_schema, runs_fn=runs)
+
+
+def running_cumsum(ds: Dataset, key: str, order_cols: list[str],
+                   value_col: str, out_col: str = "run_sum") -> Dataset:
+    """Running total of an INTEGER column:
+    ``sum(value) OVER (PARTITION BY key ORDER BY order_cols
+    ROWS UNBOUNDED PRECEDING)``. Integer-only by contract — float
+    running sums are order-dependent and break oracle parity; callers
+    cast exact-integral doubles down first. Vectorized: one block-wide
+    cumsum minus repeated run-start offsets."""
+    proj = ([key] + [c for c in order_cols if c != key]
+            + ([value_col] if value_col not in order_cols
+               and value_col != key else []))
+    out_schema = pa.schema(
+        [(c, ds.schema().base_schema.field(c).type) for c in proj]
+        + [(out_col, pa.int64())])
+
+    def runs(b: pa.Table, starts, ends) -> pa.Table:
+        lo, hi = starts[0], ends[-1]
+        rid = _run_ids(starts, ends)
+        arrs = [b[c].to_numpy(zero_copy_only=False)[lo:hi] for c in order_cols]
+        order = np.lexsort(tuple(reversed(arrs)) + (rid,))
+        v = b[value_col].to_numpy(zero_copy_only=False)[lo:hi][order] \
+            .astype(np.int64)
+        lens = (ends - starts).astype(np.int64)
+        total = np.cumsum(v)
+        base = total[starts - lo] - v[starts - lo]
+        run_sum = total - np.repeat(base, lens)
+        take = pa.array(order + lo)
+        cols = {c: b[c].take(take) for c in proj}
+        cols[out_col] = pa.array(run_sum, pa.int64())
+        return pa.table(cols).cast(out_schema)
+
+    return grouped_apply(ds.select_columns(proj), key,
+                         out_schema=out_schema, runs_fn=runs)
+
+
 def pivot_counts(ds: Dataset, row_key: str, col_key: str,
                  col_values: list[str]) -> Dataset:
     """Pivot ``col_key`` into count columns (``n_<value>``) per

@@ -315,3 +315,73 @@ def contamination_counts(train_ds: Dataset, test_ds: Dataset,
 
     return (train_ds.select_columns([id_col, text_col])
             .map_batches(count, batch_format="pyarrow"))
+
+# ── per-document top term + document frequency (integer TF-IDF core) ───────
+
+def _tokenize_flat(b: pa.Table, text_col: str):
+    """Shared tokenization contract (lowercase, split on runs of
+    non-[a-z0-9], drop empties): returns (row_of, tokens)."""
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(b[text_col]), "[^a-z0-9]+").combine_chunks()
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    flat = pc.list_flatten(toks)
+    row_of = np.repeat(np.arange(b.num_rows, dtype=np.int64), lens)
+    mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    return row_of[mask], flat.filter(pa.array(mask))
+
+
+def top_term_df(ds: Dataset, id_col: str = "doc_id",
+                text_col: str = "text") -> Dataset:
+    """Per-document top token (tf DESC, token ASC) with that token's
+    global document frequency — the integer core of TF-IDF scoring.
+
+    Scale shape: a document never spans batches, so term frequency and
+    the per-document winner are computed entirely inside each batch (no
+    shuffle); the only wide ops are the bounded-vocabulary df aggregate
+    and a broadcast lookup to attach df to the winners. Two streaming
+    passes over the text, no full materialization."""
+    import ray.data  # noqa: F401  (Dataset ops)
+    from ray.data.aggregate import Sum
+
+    from payor_linkage.rayutil import lookup_join
+
+    def winners(b: pa.Table) -> pa.Table:
+        row_of, flat = _tokenize_flat(b, text_col)
+        if len(row_of) == 0:
+            return pa.table({id_col: b[id_col].slice(0, 0),
+                             "top_token": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64())})
+        t = pa.table({"r": pa.array(row_of), "token": flat}) \
+            .group_by(["r", "token"]).aggregate([([], "count_all")])
+        r = t["r"].to_numpy(zero_copy_only=False)
+        n = t["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = t["token"].combine_chunks()
+        trank = np.empty(len(r), dtype=np.int64)
+        trank[pc.sort_indices(toks).to_numpy(zero_copy_only=False)
+              .astype(np.int64)] = np.arange(len(r))
+        order = np.lexsort((trank, -n, r))
+        rs = r[order]
+        first = order[np.concatenate([[True], rs[1:] != rs[:-1]])]
+        take = pa.array(first)
+        return pa.table({
+            id_col: b[id_col].take(pa.array(r[first])),
+            "top_token": toks.take(take),
+            "tf": pa.array(n[first], pa.int64()),
+        })
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        row_of, flat = _tokenize_flat(b, text_col)
+        t = pa.table({"r": pa.array(row_of), "token": flat})
+        # distinct (doc, token) then token→doc-count: docs are whole
+        # within a batch, so per-batch counts sum to the global df
+        d = t.group_by(["r", "token"]).aggregate([])
+        return d.group_by("token").aggregate([([], "count_all")]) \
+            .rename_columns(["token", "df"])
+
+    proj = ds.select_columns([id_col, text_col])
+    win = proj.map_batches(winners, batch_format="pyarrow")
+    df = (proj.map_batches(df_partial, batch_format="pyarrow")
+          .groupby("token").aggregate(Sum("df", alias_name="df")))
+    return lookup_join(win.rename_columns({"top_token": "token"}), df,
+                       on="token").rename_columns({"token": "top_token"})

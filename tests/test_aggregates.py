@@ -334,3 +334,74 @@ def test_grouped_ntile_small_groups(ray_session):
         FROM df ORDER BY user_id, value, event_id
     """).df()
     pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
+
+
+def test_sliding_max_matches_window(ray_session):
+    import duckdb
+
+    from payor_linkage.dataops.aggregates import sliding_max
+
+    df = _rand_events(n=3000, n_keys=13, seed=47)
+    out = (sliding_max(_ds(df), key="user_id",
+                       order_cols=["ts", "event_id"], value_col="value",
+                       frame=4)
+           .to_pandas().sort_values(["user_id", "ts", "event_id"])
+           .reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT user_id, ts, event_id, value,
+               max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                   AS win_max
+        FROM df ORDER BY user_id, ts, event_id
+    """).df()
+    pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
+
+
+def test_sliding_max_frame_one_is_identity(ray_session):
+    from payor_linkage.dataops.aggregates import sliding_max
+
+    df = _rand_events(n=500, seed=53)
+    out = (sliding_max(_ds(df), key="user_id",
+                       order_cols=["ts", "event_id"], value_col="value",
+                       frame=1).to_pandas())
+    assert (out.win_max == out.value).all()
+
+
+def test_running_cumsum_matches_window(ray_session):
+    import duckdb
+
+    from payor_linkage.dataops.aggregates import running_cumsum
+
+    df = _rand_events(n=2500, n_keys=19, seed=59)
+    df["q"] = (df.value.abs() // 1).astype(np.int64)
+    out = (running_cumsum(_ds(df), key="user_id",
+                          order_cols=["ts", "event_id"], value_col="q")
+           .to_pandas().sort_values(["user_id", "ts", "event_id"])
+           .reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT user_id, ts, event_id, q,
+               CAST(sum(q) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS run_sum
+        FROM df ORDER BY user_id, ts, event_id
+    """).df()
+    pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
+
+
+def test_distinct_intersect_matches_intersect(ray_session):
+    import duckdb
+
+    from payor_linkage.dataops.aggregates import distinct_intersect
+
+    df = _rand_events(n=3000, seed=61)
+    df["part"] = np.where(df.user_id % 2 == 0, "a", "b")
+    df["k"] = (df.value // 5).astype(np.int64)
+    out = (distinct_intersect(_ds(df), key_col="k", part_col="part",
+                              part_a="a", part_b="b")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT DISTINCT k FROM df WHERE part = 'a'
+        INTERSECT SELECT DISTINCT k FROM df WHERE part = 'b'
+        ORDER BY k
+    """).df()
+    pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)

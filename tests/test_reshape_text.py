@@ -138,3 +138,38 @@ def test_contamination_empty_test_side(ray_session):
            .to_pandas())
     assert out.n_contaminated.tolist() == [0]
     assert out.n_grams.tolist() == [9]
+
+
+def test_top_term_df_matches_sql(ray_session):
+    import duckdb
+
+    from payor_linkage.dataops.text import top_term_df
+
+    rng = np.random.default_rng(67)
+    vocab = np.array(["alpha", "beta", "gamma", "delta", "eps"])
+    texts = [" ".join(rng.choice(vocab, rng.integers(1, 12)))
+             for _ in range(300)] + ["", "!!!"]  # token-free docs dropped
+    df = pd.DataFrame({"doc_id": np.arange(302, dtype=np.int64),
+                       "text": texts})
+    out = (top_term_df(_ds(df)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    exp = duckdb.sql("""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(text),
+                                              '[^a-z0-9]+')) AS token
+          FROM df),
+        tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+               FROM tok WHERE token <> '' GROUP BY 1, 2),
+        win AS (SELECT doc_id, token, tf,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY tf DESC, token) AS rn
+                FROM tf),
+        dfreq AS (SELECT token,
+                         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                  FROM tok WHERE token <> '' GROUP BY 1)
+        SELECT w.doc_id, w.token AS top_token, w.tf, d.df
+        FROM win w JOIN dfreq d USING (token) WHERE rn = 1
+        ORDER BY doc_id
+    """).df()
+    pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
