@@ -1206,6 +1206,56 @@ def q_top_term_df(sf_dir: str):
     return top_term_df(_docs(sf_dir))
 
 
+def q_corpus_pipeline(sf_dir: str):
+    """End-to-end training-corpus curation, every stage a library
+    operator, the whole chain streaming: held-out eval split (md5 hash
+    sample, 25%) → exact dedup over the train split (md5 group, id-only
+    shuffle, keeper semi-join) → quality filter (n_chars ≥ 30) → token
+    3-gram decontamination vs the eval split (drop docs with > 50%
+    distinct-gram overlap — catches eval near-copies) → deterministic
+    weighted language interleave (1:3:2:2:1)."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+    from ray.data.aggregate import Min
+
+    from payor_linkage.dataops.reshape import interleave_position
+    from payor_linkage.dataops.text import (hash_sample,
+                                            token_ngram_contamination)
+    from payor_linkage.rayutil import lookup_join
+
+    docs = _docs(sf_dir)
+    test = hash_sample(docs.select_columns(["doc_id", "text"]), 0.25)
+    train = hash_sample(docs, 0.25, complement=True)
+
+    def add_md5(b: pa.Table) -> pa.Table:
+        h = [hashlib.md5(t.encode()).hexdigest()
+             for t in b["text"].to_pylist()]
+        return pa.table({"md5": pa.array(h, pa.string()),
+                         "doc_id": b["doc_id"]})
+
+    keepers = (train.select_columns(["doc_id", "text"])
+               .map_batches(add_md5, batch_format="pyarrow")
+               .groupby("md5").aggregate(Min("doc_id", alias_name="doc_id"))
+               .drop_columns(["md5"]))
+    kept = lookup_join(train.select_columns(
+        ["doc_id", "text", "lang", "n_chars"]), keepers, on="doc_id")
+    kept = kept.map_batches(
+        lambda b: b.filter(_pc.greater_equal(b["n_chars"], 30)),
+        batch_format="pyarrow")
+    scored = token_ngram_contamination(kept, test, n=3,
+                                       carry_cols=["lang"])
+    clean = scored.map_batches(
+        lambda b: b.filter(_pc.less_equal(
+            _pc.multiply(b["n_contaminated"], 2), b["n_grams"])),
+        batch_format="pyarrow")
+    return interleave_position(
+        clean.select_columns(["lang", "doc_id"]), part_col="lang",
+        order_cols=["doc_id"],
+        weights={"de": 1, "en": 3, "es": 2, "fr": 2, "zh": 1})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q_normalize_text": q_normalize_text,
@@ -1281,6 +1331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cumsum": q_cumsum,
         "q_distinct_intersect": q_distinct_intersect,
         "q_top_term_df": q_top_term_df,
+        "q_corpus_pipeline": q_corpus_pipeline,
     }
 
 
@@ -2082,5 +2133,52 @@ def oracle_sql() -> dict[str, str]:
                       FROM tok WHERE token <> '' GROUP BY 1)
             SELECT w.doc_id, w.token AS top_token, w.tf, d.df
             FROM win w JOIN dfreq d USING (token) WHERE rn = 1
+        """,
+        "q_corpus_pipeline": """
+            WITH test AS (
+              SELECT doc_id, text FROM documents
+              WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                    < '40000000'),
+            train AS (
+              SELECT * FROM documents
+              WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                    >= '40000000'),
+            keep AS (SELECT min(doc_id) AS doc_id FROM train
+                     GROUP BY md5(text)),
+            t1 AS (SELECT d.doc_id, d.text, d.lang FROM train d
+                   JOIN keep USING (doc_id) WHERE d.n_chars >= 30),
+            ttok AS (SELECT list_filter(regexp_split_to_array(
+                         lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+                     FROM test),
+            tg AS (SELECT DISTINCT
+                       ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT)+1]
+                       || ' ' || ts[CAST(i AS INT)+2] AS gram
+                   FROM ttok, LATERAL (SELECT unnest(range(1, len(ts) - 1))
+                                       AS i) t),
+            rtok AS (SELECT doc_id, lang, list_filter(
+                         regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS ts
+                     FROM t1),
+            tr AS (SELECT DISTINCT doc_id, lang,
+                       ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT)+1]
+                       || ' ' || ts[CAST(i AS INT)+2] AS gram
+                   FROM rtok, LATERAL (SELECT unnest(range(1, len(ts) - 1))
+                                       AS i) t),
+            cont AS (SELECT doc_id, lang, count(*) AS n_grams,
+                            count(*) FILTER (WHERE gram IN
+                                (SELECT gram FROM tg)) AS nc
+                     FROM tr GROUP BY doc_id, lang),
+            t2 AS (SELECT doc_id, lang FROM cont
+                   WHERE 2 * nc <= n_grams),
+            w(lang, wt, woff) AS (VALUES
+                ('de', 1, 0), ('en', 3, 1), ('es', 2, 4),
+                ('fr', 2, 6), ('zh', 1, 8)),
+            r AS (SELECT doc_id, lang,
+                         row_number() OVER (PARTITION BY lang
+                                            ORDER BY doc_id) - 1 AS r0
+                  FROM t2)
+            SELECT doc_id, lang, r0 + 1 AS src_rank,
+                   CAST((r0 // wt) * 9 + woff + (r0 % wt) AS BIGINT) AS pos
+            FROM r JOIN w USING (lang)
         """,
     }

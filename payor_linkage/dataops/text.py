@@ -204,7 +204,8 @@ def token_explode(ds: Dataset, id_col: str = "doc_id",
         ex, batch_format="pyarrow")
 
 
-def hash_sample(ds: Dataset, rate: float, id_col: str = "doc_id") -> Dataset:
+def hash_sample(ds: Dataset, rate: float, id_col: str = "doc_id",
+                complement: bool = False) -> Dataset:
     """Deterministic hash-based sampling: keep rows whose
     md5(str(id)) 8-hex-digit prefix falls below ``rate`` of the space.
     Reproducible across runs/processes (no RNG state — Python's hash()
@@ -218,8 +219,8 @@ def hash_sample(ds: Dataset, rate: float, id_col: str = "doc_id") -> Dataset:
 
     def keep(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_pylist()
-        mask = [hashlib.md5(str(i).encode()).hexdigest()[:8] < bound
-                for i in ids]
+        mask = [(hashlib.md5(str(i).encode()).hexdigest()[:8] < bound)
+                != complement for i in ids]
         return b.filter(pa.array(mask, pa.bool_()))
 
     return ds.map_batches(keep, batch_format="pyarrow")
@@ -272,7 +273,8 @@ def distinct_gram_set(ds: Dataset, text_col: str = "text",
 
 def contamination_counts(train_ds: Dataset, test_ds: Dataset,
                          text_col: str = "text", id_col: str = "doc_id",
-                         k: int = 3) -> Dataset:
+                         k: int = 3,
+                         carry_cols: list[str] | None = None) -> Dataset:
     """Train/test decontamination scan: for every train document of at
     least ``k`` chars, count its distinct char k-grams and how many of
     them occur anywhere in the test corpus.
@@ -307,14 +309,18 @@ def contamination_counts(train_ds: Dataset, test_ds: Dataset,
         n_contam = np.bincount(r, weights=member, minlength=n_rows) \
             .astype(np.int64)
         mask = n_grams > 0  # docs shorter than k carry no grams
-        return pa.table({
-            id_col: b[id_col].filter(pa.array(mask)),
-            "n_grams": pa.array(n_grams[mask]),
-            "n_contaminated": pa.array(n_contam[mask]),
-        })
+        pam = pa.array(mask)
+        cols = {id_col: b[id_col].filter(pam)}
+        for c in carry_cols or []:
+            cols[c] = b[c].filter(pam)
+        cols["n_grams"] = pa.array(n_grams[mask])
+        cols["n_contaminated"] = pa.array(n_contam[mask])
+        return pa.table(cols)
 
-    return (train_ds.select_columns([id_col, text_col])
-            .map_batches(count, batch_format="pyarrow"))
+    proj = [id_col, text_col] + [c for c in (carry_cols or [])
+                                 if c not in (id_col, text_col)]
+    return train_ds.select_columns(proj).map_batches(
+        count, batch_format="pyarrow")
 
 # ── per-document top term + document frequency (integer TF-IDF core) ───────
 
@@ -385,3 +391,82 @@ def top_term_df(ds: Dataset, id_col: str = "doc_id",
           .groupby("token").aggregate(Sum("df", alias_name="df")))
     return lookup_join(win.rename_columns({"top_token": "token"}), df,
                        on="token").rename_columns({"token": "top_token"})
+
+
+def _token_ngrams(b: pa.Table, text_col: str, n: int):
+    """Vectorized consecutive token n-grams per row: tokenize flat, then
+    align n shifted views of the flat token array and join with spaces —
+    one Arrow C-kernel concat, no per-row Python. Returns
+    (row_of, gram_strings) for rows with ≥ n tokens."""
+    row_of, flat = _tokenize_flat(b, text_col)
+    total = len(row_of)
+    if total < n:
+        return (np.empty(0, np.int64),
+                pa.array([], pa.string()))
+    cut = total - n + 1
+    valid = row_of[:cut] == row_of[n - 1:]
+    views = [flat.slice(j, cut) for j in range(n)]
+    grams = pc.binary_join_element_wise(*views, " ")
+    pam = pa.array(valid)
+    return row_of[:cut][valid], grams.filter(pam)
+
+
+def token_ngram_contamination(train_ds: Dataset, test_ds: Dataset,
+                              n: int = 3, text_col: str = "text",
+                              id_col: str = "doc_id",
+                              carry_cols: list[str] | None = None) -> Dataset:
+    """Train/test decontamination on consecutive TOKEN n-grams (the
+    published-decontamination shape — char grams saturate, token 3+-grams
+    discriminate): per train doc, its distinct token-n-gram count and how
+    many occur anywhere in the test corpus.
+
+    Scale shape: the test side reduces to a distinct gram-string set
+    (bounded by total test tokens — eval sets are small by contract),
+    broadcast once and probed with one ``pc.is_in`` C kernel per batch;
+    the train side streams with no shuffle."""
+    import ray
+
+    def test_partial(b: pa.Table) -> pa.Table:
+        _, grams = _token_ngrams(b, text_col, n)
+        return pa.table({"gram": grams.unique()})
+
+    grams = (test_ds.select_columns([text_col])
+             .map_batches(test_partial, batch_format="pyarrow")
+             .unique("gram"))
+    grams = [g for g in (grams or []) if g is not None]
+    ref = ray.put(pa.array(sorted(grams), pa.string()))
+
+    def count(b: pa.Table) -> pa.Table:
+        tg = ray.get(ref)
+        row_of, gram_arr = _token_ngrams(b, text_col, n)
+        # per-doc distinct via dictionary codes (int sort, no string cmp)
+        enc = gram_arr.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((codes, row_of))
+        r, g = row_of[order], codes[order]
+        keep = np.ones(len(r), dtype=bool)
+        keep[1:] = (r[1:] != r[:-1]) | (g[1:] != g[:-1])
+        r = r[keep]
+        kept_grams = gram_arr.take(pa.array(order[keep]))
+        member = pc.is_in(kept_grams, value_set=tg) \
+            .to_numpy(zero_copy_only=False) if len(tg) \
+            else np.zeros(len(r), dtype=bool)
+        n_rows = b.num_rows
+        n_grams = np.bincount(r, minlength=n_rows).astype(np.int64)
+        n_contam = np.bincount(r, weights=member, minlength=n_rows) \
+            .astype(np.int64)
+        mask = n_grams > 0  # rows with < n tokens carry no grams
+        pam = pa.array(mask)
+        cols = {id_col: b[id_col].filter(pam)}
+        for c in carry_cols or []:
+            cols[c] = b[c].filter(pam)
+        cols["n_grams"] = pa.array(n_grams[mask])
+        cols["n_contaminated"] = pa.array(n_contam[mask])
+        return pa.table(cols)
+
+    proj = [id_col, text_col] + [c for c in (carry_cols or [])
+                                 if c not in (id_col, text_col)]
+    return train_ds.select_columns(proj).map_batches(
+        count, batch_format="pyarrow")

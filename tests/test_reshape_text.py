@@ -173,3 +173,41 @@ def test_top_term_df_matches_sql(ray_session):
         ORDER BY doc_id
     """).df()
     pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
+
+
+def test_token_ngram_contamination_edges(ray_session):
+    from payor_linkage.dataops.text import token_ngram_contamination
+
+    train = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "lang": ["en"] * 4,
+        "text": ["the quick brown fox jumps",   # 3 trigrams, 1 hit
+                 "one two",                     # < 3 tokens -> dropped
+                 "a b c a b c a b c",          # repeats deduped: 3 grams
+                 "quick brown fox quick brown fox"],
+    })
+    test = pd.DataFrame({
+        "doc_id": np.array([99], np.int64),
+        "text": ["QUICK, brown... FOX!"],      # normalizes to 1 trigram
+    })
+    out = (token_ngram_contamination(_ds(train), _ds(test), n=3,
+                                     carry_cols=["lang"])
+           .to_pandas().set_index("doc_id").sort_index())
+    assert out.index.tolist() == [0, 2, 3]
+    assert out.loc[0, "n_grams"] == 3
+    assert out.loc[0, "n_contaminated"] == 1   # 'quick brown fox'
+    assert out.loc[2, "n_grams"] == 3          # abc bca cab patterns
+    assert out.loc[2, "n_contaminated"] == 0
+    assert out.loc[3, "n_grams"] == 3  # qbf bfq fqb (repeat deduped)
+    assert out.loc[3, "n_contaminated"] == 1
+    assert (out.lang == "en").all()
+
+
+def test_hash_sample_complement_partitions(ray_session):
+    from payor_linkage.dataops.text import hash_sample
+
+    df = pd.DataFrame({"doc_id": np.arange(1000, dtype=np.int64)})
+    a = hash_sample(_ds(df), 0.3).to_pandas().doc_id
+    b = hash_sample(_ds(df), 0.3, complement=True).to_pandas().doc_id
+    assert len(a) + len(b) == 1000
+    assert set(a).isdisjoint(set(b))
