@@ -1211,9 +1211,10 @@ def q_corpus_pipeline(sf_dir: str):
     operator, the whole chain streaming: held-out eval split (md5 hash
     sample, 25%) → exact dedup over the train split (md5 group, id-only
     shuffle, keeper semi-join) → quality filter (n_chars ≥ 30) → token
-    3-gram decontamination vs the eval split (drop docs with > 50%
-    distinct-gram overlap — catches eval near-copies) → deterministic
-    weighted language interleave (1:3:2:2:1)."""
+    5-gram decontamination vs the eval split (drop docs with > 50%
+    distinct-gram overlap — catches eval near-copies; 3-grams saturate
+    as the corpus grows, 5-grams stay discriminative at every sf) →
+    deterministic weighted language interleave (1:3:2:2:1)."""
     import hashlib
 
     import pyarrow as pa
@@ -1244,7 +1245,7 @@ def q_corpus_pipeline(sf_dir: str):
     kept = kept.map_batches(
         lambda b: b.filter(_pc.greater_equal(b["n_chars"], 30)),
         batch_format="pyarrow")
-    scored = token_ngram_contamination(kept, test, n=3,
+    scored = token_ngram_contamination(kept, test, n=5,
                                        carry_cols=["lang"])
     clean = scored.map_batches(
         lambda b: b.filter(_pc.less_equal(
@@ -2152,8 +2153,10 @@ def oracle_sql() -> dict[str, str]:
                      FROM test),
             tg AS (SELECT DISTINCT
                        ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT)+1]
-                       || ' ' || ts[CAST(i AS INT)+2] AS gram
-                   FROM ttok, LATERAL (SELECT unnest(range(1, len(ts) - 1))
+                       || ' ' || ts[CAST(i AS INT)+2] || ' ' ||
+                       ts[CAST(i AS INT)+3] || ' ' || ts[CAST(i AS INT)+4]
+                       AS gram
+                   FROM ttok, LATERAL (SELECT unnest(range(1, len(ts) - 3))
                                        AS i) t),
             rtok AS (SELECT doc_id, lang, list_filter(
                          regexp_split_to_array(lower(text), '[^a-z0-9]+'),
@@ -2161,8 +2164,10 @@ def oracle_sql() -> dict[str, str]:
                      FROM t1),
             tr AS (SELECT DISTINCT doc_id, lang,
                        ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT)+1]
-                       || ' ' || ts[CAST(i AS INT)+2] AS gram
-                   FROM rtok, LATERAL (SELECT unnest(range(1, len(ts) - 1))
+                       || ' ' || ts[CAST(i AS INT)+2] || ' ' ||
+                       ts[CAST(i AS INT)+3] || ' ' || ts[CAST(i AS INT)+4]
+                       AS gram
+                   FROM rtok, LATERAL (SELECT unnest(range(1, len(ts) - 3))
                                        AS i) t),
             cont AS (SELECT doc_id, lang, count(*) AS n_grams,
                             count(*) FILTER (WHERE gram IN

@@ -132,6 +132,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         fingerprint(dd).count()
         queries["text_stats"] = round(time.time() - t0, 2)
 
+        # composed training-corpus curation (dedup → quality →
+        # token-3-gram decontamination → weighted interleave)
+        t0 = time.time()
+        import __ray_entry__ as _entry
+
+        extra["corpus_rows"] = _entry.q_corpus_pipeline(sf_dir).count()
+        queries["corpus_pipeline"] = round(time.time() - t0, 2)
+
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     if os.path.exists(emb_path):
         ee = rd.read_parquet(emb_path)
