@@ -13,10 +13,6 @@ import numpy as np
 import pyarrow as pa
 from ray.data import Dataset
 
-from payor_linkage.rayutil import grouped_apply
-
-from .aggregates import _run_ids
-
 
 def melt(ds: Dataset, id_cols: list[str], value_cols: list[str],
          var_name: str = "metric", value_name: str = "val") -> Dataset:
@@ -61,8 +57,19 @@ def interleave_position(ds: Dataset, part_col: str, order_cols: list[str],
     arithmetic on its per-part rank ``r``:
     ``pos = (r // w) * W + off + (r % w)``.
 
-    One grouped sort (per-part ranking); every part must appear in
-    ``weights``. Emits 1-based ``src_rank`` and 0-based ``pos``."""
+    Every part must appear in ``weights``. Emits 1-based ``src_rank``
+    and 0-based ``pos``.
+
+    Scale shape: parts are FEW by nature (languages / sources), so a
+    per-part grouped apply would funnel nearly every row through the
+    single boundary-consolidation task. Instead this uses the standard
+    distributed ROW_NUMBER construction: ONE global sort by
+    (part, order), then a tiny (blocks × parts) count table collected to
+    the driver turns per-part ranking into pure per-block arithmetic —
+    no row ever leaves its block after the sort."""
+    import ray
+    import ray.data as rd
+
     parts = sorted(weights)
     w_of = {p: int(weights[p]) for p in parts}
     off_of, acc = {}, 0
@@ -76,23 +83,53 @@ def interleave_position(ds: Dataset, part_col: str, order_cols: list[str],
         [(c, ds.schema().base_schema.field(c).type) for c in proj]
         + [(out_rank, pa.int64()), (out_col, pa.int64())])
 
-    def runs(b: pa.Table, starts, ends) -> pa.Table:
-        lo, hi = starts[0], ends[-1]
-        rid = _run_ids(starts, ends)
-        arrs = [b[c].to_numpy(zero_copy_only=False)[lo:hi] for c in order_cols]
-        order = np.lexsort(tuple(reversed(arrs)) + (rid,))
-        lens = (ends - starts).astype(np.int64)
-        r = np.arange(hi - lo, dtype=np.int64) - np.repeat(starts - lo, lens)
-        run_keys = b[part_col].take(pa.array(starts)).to_pylist()
-        w = np.repeat(np.array([w_of[k] for k in run_keys], np.int64), lens)
-        off = np.repeat(np.array([off_of[k] for k in run_keys], np.int64),
+    sds = (ds.select_columns(proj)
+           .sort([part_col] + [c for c in order_cols if c != part_col])
+           .materialize())
+    refs = sds.to_arrow_refs()
+    if not refs:
+        return rd.from_arrow(out_schema.empty_table())
+
+    @ray.remote
+    def _part_counts(tbl: pa.Table) -> dict:
+        vc = tbl[part_col].combine_chunks().value_counts()
+        return dict(zip(vc.field("values").to_pylist(),
+                        vc.field("counts").to_pylist()))
+
+    counts = ray.get([_part_counts.remote(r) for r in refs])
+    # exclusive per-part prefix across blocks (blocks are in sorted
+    # order): base rank of each part at the start of each block
+    bases, acc2 = [], {p: 0 for p in parts}
+    for c in counts:
+        bases.append(dict(acc2))
+        for p, n in c.items():
+            acc2[p] += n
+
+    @ray.remote
+    def _emit(tbl: pa.Table, base: dict) -> pa.Table:
+        n_rows = tbl.num_rows
+        if n_rows == 0:
+            return out_schema.empty_table()
+        pv = tbl[part_col].combine_chunks()
+        enc = pv.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # runs of equal part are contiguous (block is sorted by part)
+        change = np.concatenate([[True], codes[1:] != codes[:-1]])
+        starts = np.nonzero(change)[0]
+        lens = np.diff(np.concatenate([starts, [n_rows]]))
+        run_parts = [enc.dictionary[int(codes[s])].as_py() for s in starts]
+        r0 = np.array([base[p] for p in run_parts], np.int64)
+        r = (np.arange(n_rows, dtype=np.int64)
+             - np.repeat(starts, lens) + np.repeat(r0, lens))
+        w = np.repeat(np.array([w_of[p] for p in run_parts], np.int64),
+                      lens)
+        off = np.repeat(np.array([off_of[p] for p in run_parts], np.int64),
                         lens)
         pos = (r // w) * total_w + off + (r % w)
-        take = pa.array(order + lo)
-        cols = {c: b[c].take(take) for c in proj}
+        cols = {c: tbl[c] for c in proj}
         cols[out_rank] = pa.array(r + 1, pa.int64())
         cols[out_col] = pa.array(pos, pa.int64())
         return pa.table(cols).cast(out_schema)
 
-    return grouped_apply(ds.select_columns(proj), part_col,
-                         out_schema=out_schema, runs_fn=runs)
+    return rd.from_arrow_refs(
+        [_emit.remote(ref, bases[i]) for i, ref in enumerate(refs)])
