@@ -1206,6 +1206,18 @@ def q_top_term_df(sf_dir: str):
     return top_term_df(_docs(sf_dir))
 
 
+def q_first_last_value(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE over the full partition frame per user
+    (ts, event_id order) attached to every row — values selected, never
+    computed."""
+    from payor_linkage.dataops.aggregates import grouped_first_last
+
+    return grouped_first_last(
+        _events(sf_dir).select_columns(["user_id", "ts", "event_id",
+                                        "value"]),
+        key="user_id", order_cols=["ts", "event_id"], value_col="value")
+
+
 def q_corpus_pipeline(sf_dir: str):
     """End-to-end training-corpus curation, every stage a library
     operator, the whole chain streaming: held-out eval split (md5 hash
@@ -1333,6 +1345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_distinct_intersect": q_distinct_intersect,
         "q_top_term_df": q_top_term_df,
         "q_corpus_pipeline": q_corpus_pipeline,
+        "q_first_last_value": q_first_last_value,
     }
 
 
@@ -2185,5 +2198,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, r0 + 1 AS src_rank,
                    CAST((r0 // wt) * 9 + woff + (r0 % wt) AS BIGINT) AS pos
             FROM r JOIN w USING (lang)
+        """,
+        "q_first_last_value": """
+            SELECT user_id, ts, event_id, value,
+                   first_value(value) OVER w AS first_val,
+                   last_value(value) OVER w AS last_val
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING)
         """,
     }

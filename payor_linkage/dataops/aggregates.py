@@ -404,6 +404,41 @@ def grouped_dense_rank(ds: Dataset, key: str, value_col: str,
                          out_schema=out_schema, runs_fn=runs)
 
 
+def grouped_first_last(ds: Dataset, key: str, order_cols: list[str],
+                       value_col: str, out_first: str = "first_val",
+                       out_last: str = "last_val") -> Dataset:
+    """FIRST_VALUE / LAST_VALUE OVER (PARTITION BY key ORDER BY
+    order_cols ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    attached to every row. Values are selected, never computed — exact
+    float parity. One grouped sort; the per-run first/last indices
+    broadcast via one ``np.repeat``."""
+    proj = ([key] + [c for c in order_cols if c != key]
+            + ([value_col] if value_col not in order_cols
+               and value_col != key else []))
+    vt = ds.schema().base_schema.field(value_col).type
+    out_schema = pa.schema(
+        [(c, ds.schema().base_schema.field(c).type) for c in proj]
+        + [(out_first, vt), (out_last, vt)])
+
+    def runs(b: pa.Table, starts, ends) -> pa.Table:
+        lo, hi = starts[0], ends[-1]
+        rid = _run_ids(starts, ends)
+        arrs = [b[c].to_numpy(zero_copy_only=False)[lo:hi] for c in order_cols]
+        order = np.lexsort(tuple(reversed(arrs)) + (rid,))
+        lens = (ends - starts).astype(np.int64)
+        first_pos = order[starts - lo] + lo
+        last_pos = order[ends - lo - 1] + lo
+        take = pa.array(order + lo)
+        cols = {c: b[c].take(take) for c in proj}
+        vcol = b[value_col]
+        cols[out_first] = vcol.take(pa.array(np.repeat(first_pos, lens)))
+        cols[out_last] = vcol.take(pa.array(np.repeat(last_pos, lens)))
+        return pa.table(cols).cast(out_schema)
+
+    return grouped_apply(ds.select_columns(proj), key,
+                         out_schema=out_schema, runs_fn=runs)
+
+
 def value_histogram(ds: Dataset, value_col: str, divisor: float) -> Dataset:
     """Fixed-width histogram: ``bin = floor(value / divisor)`` → count.
     The bin is a single IEEE divide + floor (identical in numpy and SQL,

@@ -40,6 +40,13 @@ def grouped_apply(ds: Dataset, key: str, group_fn=None, out_schema: pa.Schema = 
     pa.Table(out_schema)) or ``runs_fn`` (pa.Table block + starts/ends
     numpy arrays of complete runs → pa.Table(out_schema)) — runs_fn lets
     the caller vectorize ACROSS groups in a block.
+
+    Partitioning assumption: DISTINCT KEYS ≫ BLOCKS. With only a handful
+    of keys (e.g. a language column) almost every block boundary falls
+    inside a group and the whole dataset funnels through the single
+    consolidation task. For few-key per-group ranking use the
+    sort + per-block count-prefix pattern instead
+    (``dataops.reshape.interleave_position``).
     """
     import numpy as np
 

@@ -405,3 +405,27 @@ def test_distinct_intersect_matches_intersect(ray_session):
         ORDER BY k
     """).df()
     pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
+
+
+def test_grouped_first_last_matches_window(ray_session):
+    import duckdb
+
+    from payor_linkage.dataops.aggregates import grouped_first_last
+
+    df = _rand_events(n=2200, n_keys=17, seed=71)
+    out = (grouped_first_last(_ds(df), key="user_id",
+                              order_cols=["ts", "event_id"],
+                              value_col="value")
+           .to_pandas().sort_values(["user_id", "ts", "event_id"])
+           .reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT user_id, ts, event_id, value,
+               first_value(value) OVER w AS first_val,
+               last_value(value) OVER w AS last_val
+        FROM df
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND UNBOUNDED FOLLOWING)
+        ORDER BY user_id, ts, event_id
+    """).df()
+    pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
