@@ -1206,6 +1206,39 @@ def q_top_term_df(sf_dir: str):
     return top_term_df(_docs(sf_dir))
 
 
+def q_cms_registers(sf_dir: str):
+    """Count-Min Sketch register table over event user_ids — the
+    integer register surface is byte-checkable in SQL (salted md5
+    bucket hash + counts); the frequency estimate is pytest-gated."""
+    from payor_linkage.dataops.sketch import cms_registers
+
+    return cms_registers(_events(sf_dir), value_col="user_id",
+                         depth=4, width=256)
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sampling: the 8 highest-md5-hash docs
+    per language — reproducible across runs/processes (no RNG state) and
+    uniform per stratum. Reuses grouped_topk; the integer-parsed md5
+    prefix orders identically to SQL's lexicographic hex sort (fixed
+    width, lowercase)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from payor_linkage.dataops.aggregates import grouped_topk
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        hh = [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+              for i in b["doc_id"].to_pylist()]
+        return b.append_column("h", pa.array(hh, pa.int64()))
+
+    ds = (_docs(sf_dir).select_columns(["doc_id", "lang"])
+          .map_batches(add_hash, batch_format="pyarrow"))
+    return grouped_topk(ds, key="lang", order_col="h", k=8,
+                        tie_col="doc_id", keep_cols=["doc_id"])
+
+
 def q_first_last_value(sf_dir: str):
     """FIRST_VALUE / LAST_VALUE over the full partition frame per user
     (ts, event_id order) attached to every row — values selected, never
@@ -1346,6 +1379,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_top_term_df": q_top_term_df,
         "q_corpus_pipeline": q_corpus_pipeline,
         "q_first_last_value": q_first_last_value,
+        "q_stratified_sample": q_stratified_sample,
+        "q_cms_registers": q_cms_registers,
     }
 
 
@@ -2207,5 +2242,26 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING
                          AND UNBOUNDED FOLLOWING)
+        """,
+        "q_stratified_sample": """
+            SELECT lang, rn AS rank, doc_id FROM (
+              SELECT lang, doc_id,
+                     row_number() OVER (PARTITION BY lang
+                         ORDER BY substr(md5(CAST(doc_id AS VARCHAR)),
+                                         1, 8) DESC,
+                                  doc_id) AS rn
+              FROM documents)
+            WHERE rn <= 8
+        """,
+        "q_cms_registers": """
+            WITH d AS (SELECT unnest(range(4)) AS dd),
+            h AS (SELECT dd,
+                         ('0x' || substr(md5(CAST(dd AS VARCHAR) || ':' ||
+                                             CAST(user_id AS VARCHAR)),
+                                         1, 8))::BIGINT % 256 AS bucket
+                  FROM events, d)
+            SELECT CAST(dd AS BIGINT) AS depth, bucket,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM h GROUP BY 1, 2
         """,
     }

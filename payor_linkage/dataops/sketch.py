@@ -100,3 +100,63 @@ def hll_estimate(registers: Dataset, p: int = HLL_P) -> "pa.Table":
         out_est.append(float(e))
     return pa.table({key_col_name: out_keys,
                      "est_distinct": pa.array(out_est, pa.float64())})
+
+
+# ── Count-Min Sketch (frequency estimation) ────────────────────────────────
+
+def cms_registers(ds: Dataset, value_col: str, depth: int = 4,
+                  width: int = 256) -> Dataset:
+    """Count-Min Sketch register table: (depth, bucket, n), all int64 —
+    the oracle-checkable surface (pure integer counts from the same
+    salted md5-prefix hash a DuckDB oracle reproduces with
+    ``('0x' || substr(md5(d || ':' || v), 1, 8))::BIGINT % width``).
+
+    Scale shape: per-batch partial bucket counts (a combiner — at most
+    depth·width rows leave each batch) → one grouped Sum over the fixed
+    depth·width register space. The shuffle moves registers, never
+    values."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"depth": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        vals = [str(v) for v in b[value_col].to_pylist()]
+        dcol = np.repeat(np.arange(depth, dtype=np.int64), len(vals))
+        buckets = np.concatenate([
+            np.array([int(hashlib.md5(f"{d}:{v}".encode())
+                          .hexdigest()[:8], 16) % width for v in vals],
+                     dtype=np.int64)
+            for d in range(depth)])
+        t = pa.table({"depth": pa.array(dcol), "bucket": pa.array(buckets),
+                      "n": pa.array(np.ones(len(dcol), dtype=np.int64))})
+        return (t.group_by(["depth", "bucket"]).aggregate([("n", "sum")])
+                .rename_columns(["depth", "bucket", "n"]))
+
+    return (ds.select_columns([value_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["depth", "bucket"]).aggregate(Sum("n", alias_name="n")))
+
+
+def cms_estimate(registers: Dataset, item, depth: int = 4,
+                 width: int = 256) -> int:
+    """Point frequency estimate: min over rows the item hashes to.
+    One-sided error (never under-counts). Reads at most ``depth`` rows
+    of the bounded register table on the driver."""
+    import pyarrow.compute as pc
+
+    want = {(d, int(hashlib.md5(f"{d}:{item}".encode())
+                    .hexdigest()[:8], 16) % width) for d in range(depth)}
+
+    def pick(b: pa.Table) -> pa.Table:
+        dd = b["depth"].to_numpy(zero_copy_only=False)
+        bb = b["bucket"].to_numpy(zero_copy_only=False)
+        mask = np.fromiter(((d, w) in want for d, w in zip(dd, bb)),
+                           bool, len(dd))
+        return b.filter(pa.array(mask))
+
+    rows = registers.map_batches(pick, batch_format="pyarrow").take_all()
+    if len(rows) < depth:
+        return 0  # some row of the sketch never saw the item
+    return min(int(r["n"]) for r in rows)

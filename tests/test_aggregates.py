@@ -429,3 +429,21 @@ def test_grouped_first_last_matches_window(ray_session):
         ORDER BY user_id, ts, event_id
     """).df()
     pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
+
+
+def test_cms_estimate_one_sided_and_bounded(ray_session):
+    """CMS never under-counts; with depth 4 / width 256 the overcount
+    on this seeded corpus stays within a few expected-collision units."""
+    from payor_linkage.dataops.sketch import cms_estimate, cms_registers
+
+    df = _rand_events(n=6000, n_keys=200, seed=73)
+    reg = cms_registers(_ds(df), value_col="user_id",
+                        depth=4, width=256).materialize()
+    true = df.user_id.value_counts()
+    n_total = len(df)
+    for item in [0, 7, 42, 199]:
+        est = cms_estimate(reg, item, depth=4, width=256)
+        t = int(true.get(item, 0))
+        assert est >= t
+        assert est <= t + 5 * n_total // 256
+    assert cms_estimate(reg, 10**9, depth=4, width=256) <= 5 * n_total // 256
