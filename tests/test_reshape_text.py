@@ -211,3 +211,30 @@ def test_hash_sample_complement_partitions(ray_session):
     b = hash_sample(_ds(df), 0.3, complement=True).to_pandas().doc_id
     assert len(a) + len(b) == 1000
     assert set(a).isdisjoint(set(b))
+
+
+def test_interleave_many_blocks_matches_sql(ray_session):
+    """Multi-block stress for the block-prefix rank construction: the
+    input is shredded into many blocks so per-part runs straddle many
+    sorted blocks; ranks/positions must still be globally correct."""
+    import duckdb
+
+    from payor_linkage.dataops.reshape import interleave_position
+
+    rng = np.random.default_rng(79)
+    df = pd.DataFrame({"p": rng.choice(["x", "y", "z"], 20000),
+                       "i": rng.permutation(20000).astype(np.int64)})
+    ds = _ds(df).repartition(37)
+    out = (interleave_position(ds, part_col="p", order_cols=["i"],
+                               weights={"x": 1, "y": 2, "z": 3})
+           .to_pandas().sort_values("pos").reset_index(drop=True))
+    exp = duckdb.sql("""
+        WITH w(p, wt, woff) AS (VALUES ('x', 1, 0), ('y', 2, 1),
+                                       ('z', 3, 3)),
+        r AS (SELECT p, i, row_number() OVER (PARTITION BY p ORDER BY i)
+                     - 1 AS r0 FROM df)
+        SELECT p, i, r0 + 1 AS src_rank,
+               CAST((r0 // wt) * 6 + woff + (r0 % wt) AS BIGINT) AS pos
+        FROM r JOIN w USING (p) ORDER BY pos
+    """).df()
+    pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
