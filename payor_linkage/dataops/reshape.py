@@ -57,8 +57,9 @@ def interleave_position(ds: Dataset, part_col: str, order_cols: list[str],
     arithmetic on its per-part rank ``r``:
     ``pos = (r // w) * W + off + (r % w)``.
 
-    Every part must appear in ``weights``. Emits 1-based ``src_rank``
-    and 0-based ``pos``.
+    Every part must appear in ``weights``; pass a total order (unique
+    tiebreaker last in ``order_cols``) for a deterministic row↔position
+    assignment. Emits 1-based ``src_rank`` and 0-based ``pos``.
 
     Scale shape: parts are FEW by nature (languages / sources), so a
     per-part grouped apply would funnel nearly every row through the
