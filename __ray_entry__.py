@@ -1216,6 +1216,16 @@ def q_cms_registers(sf_dir: str):
                          depth=4, width=256)
 
 
+def q_bloom_bits(sf_dir: str):
+    """Bloom filter bit-set table over distinct document sources — the
+    integer (hash_i, bit) surface is byte-checkable in SQL; membership
+    (no false negatives) is pytest-gated."""
+    from payor_linkage.dataops.sketch import bloom_bits
+
+    return bloom_bits(_docs(sf_dir), value_col="source",
+                      n_hashes=3, m_bits=4096)
+
+
 def q_stratified_sample(sf_dir: str):
     """Deterministic stratified sampling: the 8 highest-md5-hash docs
     per language — reproducible across runs/processes (no RNG state) and
@@ -1381,6 +1391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_first_last_value": q_first_last_value,
         "q_stratified_sample": q_stratified_sample,
         "q_cms_registers": q_cms_registers,
+        "q_bloom_bits": q_bloom_bits,
     }
 
 
@@ -2263,5 +2274,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(dd AS BIGINT) AS depth, bucket,
                    CAST(count(*) AS BIGINT) AS n
             FROM h GROUP BY 1, 2
+        """,
+        "q_bloom_bits": """
+            WITH hh AS (SELECT unnest(range(3)) AS h)
+            SELECT DISTINCT CAST(h AS BIGINT) AS hash_i,
+                   ('0x' || substr(md5(CAST(h AS VARCHAR) || ':' ||
+                                       source), 1, 8))::BIGINT % 4096
+                       AS bit
+            FROM documents, hh
         """,
     }

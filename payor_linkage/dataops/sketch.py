@@ -160,3 +160,57 @@ def cms_estimate(registers: Dataset, item, depth: int = 4,
     if len(rows) < depth:
         return 0  # some row of the sketch never saw the item
     return min(int(r["n"]) for r in rows)
+
+
+# ── Bloom filter (membership) ──────────────────────────────────────────────
+
+def bloom_bits(ds: Dataset, value_col: str, n_hashes: int = 3,
+               m_bits: int = 4096) -> Dataset:
+    """Bloom filter as a distributed bit-set table: the DISTINCT
+    (hash_index, bit) pairs set by any value — the integer surface a
+    DuckDB oracle reproduces exactly (salted md5 bucket hash, DISTINCT).
+
+    Scale shape: per-batch distinct bits (a combiner — at most
+    n_hashes·m_bits rows leave each batch) → one grouped distinct over
+    the fixed bit space. The shuffle moves bit coordinates, never
+    values."""
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"hash_i": pa.array([], pa.int64()),
+                             "bit": pa.array([], pa.int64())})
+        vals = [str(v) for v in b[value_col].to_pylist()]
+        hcol = np.repeat(np.arange(n_hashes, dtype=np.int64), len(vals))
+        bits = np.concatenate([
+            np.array([int(hashlib.md5(f"{h}:{v}".encode())
+                          .hexdigest()[:8], 16) % m_bits for v in vals],
+                     dtype=np.int64)
+            for h in range(n_hashes)])
+        t = pa.table({"hash_i": pa.array(hcol), "bit": pa.array(bits)})
+        return t.group_by(["hash_i", "bit"]).aggregate([])
+
+    return (ds.select_columns([value_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["hash_i", "bit"]).count()
+            .drop_columns(["count()"]))
+
+
+def bloom_contains(bits: Dataset, item, n_hashes: int = 3,
+                   m_bits: int = 4096) -> bool:
+    """Membership probe: True iff every (hash, bit) the item maps to is
+    set. No false negatives; false-positive rate bounded by the standard
+    (1 - e^{-kn/m})^k. Reads at most ``n_hashes`` rows on the driver."""
+    import pyarrow.compute as pc
+
+    want = {(h, int(hashlib.md5(f"{h}:{item}".encode())
+                    .hexdigest()[:8], 16) % m_bits)
+            for h in range(n_hashes)}
+
+    def pick(b: pa.Table) -> pa.Table:
+        hh = b["hash_i"].to_numpy(zero_copy_only=False)
+        bb = b["bit"].to_numpy(zero_copy_only=False)
+        mask = np.fromiter(((h, w) in want for h, w in zip(hh, bb)),
+                           bool, len(hh))
+        return b.filter(pa.array(mask))
+
+    found = bits.map_batches(pick, batch_format="pyarrow").count()
+    return found == n_hashes

@@ -447,3 +447,20 @@ def test_cms_estimate_one_sided_and_bounded(ray_session):
         assert est >= t
         assert est <= t + 5 * n_total // 256
     assert cms_estimate(reg, 10**9, depth=4, width=256) <= 5 * n_total // 256
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(ray_session):
+    from payor_linkage.dataops.sketch import bloom_bits, bloom_contains
+
+    df = _rand_events(n=2000, n_keys=300, seed=83)
+    present = set(df.user_id.unique().tolist())
+    bits = bloom_bits(_ds(df), value_col="user_id",
+                      n_hashes=3, m_bits=4096).materialize()
+    for item in list(present)[:10]:
+        assert bloom_contains(bits, item, n_hashes=3, m_bits=4096)
+    # false-positive probe over definitely-absent items: with n=300,
+    # k=3, m=4096 the fp rate is ~ (1-e^{-900/4096})^3 ≈ 0.8% — allow
+    # a generous margin on 50 probes (deterministic: fixed hash/seed)
+    fps = sum(bloom_contains(bits, 10**6 + i, n_hashes=3, m_bits=4096)
+              for i in range(50))
+    assert fps <= 5
