@@ -1216,6 +1216,16 @@ def q_cms_registers(sf_dir: str):
                          depth=4, width=256)
 
 
+def q_funnel(sf_dir: str):
+    """Funnel conversion: per user, view events followed by ≥1 purchase
+    within 10 minutes (inclusive window — pure ts comparison). Non-funnel
+    event types are dropped before the one grouped sort."""
+    from payor_linkage.dataops.temporal import funnel_counts
+
+    return funnel_counts(_events(sf_dir), from_type="view",
+                         to_type="purchase", window_us=600_000_000)
+
+
 def q_bloom_bits(sf_dir: str):
     """Bloom filter bit-set table over distinct document sources — the
     integer (hash_i, bit) surface is byte-checkable in SQL; membership
@@ -1392,6 +1402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_stratified_sample": q_stratified_sample,
         "q_cms_registers": q_cms_registers,
         "q_bloom_bits": q_bloom_bits,
+        "q_funnel": q_funnel,
     }
 
 
@@ -2282,5 +2293,17 @@ def oracle_sql() -> dict[str, str]:
                                        source), 1, 8))::BIGINT % 4096
                        AS bit
             FROM documents, hh
+        """,
+        "q_funnel": """
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_from,
+                   CAST(count(*) FILTER (WHERE EXISTS (
+                       SELECT 1 FROM events b
+                       WHERE b.user_id = a.user_id
+                         AND b.event_type = 'purchase'
+                         AND b.ts >= a.ts
+                         AND epoch_us(b.ts) <= epoch_us(a.ts) + 600000000))
+                        AS BIGINT) AS n_converted
+            FROM events a WHERE a.event_type = 'view'
+            GROUP BY user_id
         """,
     }

@@ -215,3 +215,70 @@ def hopping_window_counts(events: Dataset, window_us: int, hop_us: int,
     out = (events.map_batches(emit, batch_format="pyarrow")
            .groupby([key_col, "win_start"]).count())
     return out.rename_columns({"count()": "n"})
+
+
+def funnel_counts(events: Dataset, on: str = "user_id",
+                  ts_col: str = "ts", type_col: str = "event_type",
+                  from_type: str = "view", to_type: str = "purchase",
+                  window_us: int = 600_000_000) -> Dataset:
+    """Funnel / conversion analysis: per key, how many ``from_type``
+    events were followed by at least one ``to_type`` event within
+    ``[ts, ts + window_us]`` (inclusive — pure timestamp comparison, so
+    equal-timestamp ordering never matters). Output one row per key
+    with ≥ 1 ``from_type`` event: (key, n_from, n_converted).
+
+    Scale shape: rows of other event types are dropped BEFORE the one
+    grouped sort; the conversion test is two vectorized ``searchsorted``
+    probes over the block's to-event positions (sorted (run, ts) rank
+    order doubles as the probe key) — no per-run Python loop."""
+    from .aggregates import _run_ids
+
+    import pyarrow.compute as pc
+
+    s = events.schema()
+    key_type = dict(zip(s.names, s.types))[on]
+    out_schema = pa.schema([(on, key_type), ("n_from", pa.int64()),
+                            ("n_converted", pa.int64())])
+
+    def slim(b: pa.Table) -> pa.Table:
+        is_a = pc.equal(b[type_col], from_type)
+        is_b = pc.equal(b[type_col], to_type)
+        t = pa.table({on: b[on], "_ts": pc.cast(b[ts_col], pa.int64()),
+                      "_a": is_a, "_b": is_b})
+        return t.filter(pc.or_(is_a, is_b))
+
+    def runs(b: pa.Table, starts, ends) -> pa.Table:
+        lo, hi = starts[0], ends[-1]
+        rid = _run_ids(starts, ends)
+        ts = b["_ts"].to_numpy(zero_copy_only=False)[lo:hi]
+        a_m = b["_a"].to_numpy(zero_copy_only=False)[lo:hi]
+        b_m = b["_b"].to_numpy(zero_copy_only=False)[lo:hi]
+        order = np.lexsort((ts, rid))
+        ts_s, a_s, b_s, r_s = ts[order], a_m[order], b_m[order], rid
+        pos_b = np.nonzero(b_s)[0]
+        ts_b, r_b = ts_s[pos_b], r_s[pos_b]
+        pos_a = np.nonzero(a_s)[0]
+        conv = np.zeros(len(pos_a), dtype=bool)
+        if len(pos_b) and len(pos_a):
+            # first to-event AFTER the from-event's sorted position: the
+            # minimal ts ≥ from-ts among later same-run to-events
+            j = np.searchsorted(pos_b, pos_a, side="right")
+            jc = np.minimum(j, len(pos_b) - 1)
+            conv |= ((j < len(pos_b)) & (r_b[jc] == r_s[pos_a])
+                     & (ts_b[jc] <= ts_s[pos_a] + window_us))
+            # an equal-ts to-event may sort BEFORE the from-event: the
+            # last earlier same-run to-event has the max earlier ts
+            jp = np.maximum(j - 1, 0)
+            conv |= ((j > 0) & (r_b[jp] == r_s[pos_a])
+                     & (ts_b[jp] == ts_s[pos_a]))
+        run_of_a = r_s[pos_a]
+        uniq, inv = np.unique(run_of_a, return_inverse=True)
+        n_from = np.bincount(inv).astype(np.int64)
+        n_conv = np.bincount(inv, weights=conv,
+                             minlength=len(uniq)).astype(np.int64)
+        keys = b[on].take(pa.array(starts[uniq]))
+        return pa.table({on: keys, "n_from": pa.array(n_from),
+                         "n_converted": pa.array(n_conv)}).cast(out_schema)
+
+    return grouped_apply(events.map_batches(slim, batch_format="pyarrow"),
+                         on, out_schema=out_schema, runs_fn=runs)

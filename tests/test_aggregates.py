@@ -464,3 +464,35 @@ def test_bloom_no_false_negatives_and_bounded_fp(ray_session):
     fps = sum(bloom_contains(bits, 10**6 + i, n_hashes=3, m_bits=4096)
               for i in range(50))
     assert fps <= 5
+
+
+def test_funnel_counts_matches_exists(ray_session):
+    """Random funnel data incl. equal-timestamp A/B pairs (the inclusive
+    window makes ties order-independent)."""
+    import duckdb
+
+    from payor_linkage.dataops.temporal import funnel_counts
+
+    rng = np.random.default_rng(89)
+    n = 4000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 97, n).astype(np.int64),
+        "ts": rng.integers(0, 500, n).astype(np.int64),  # dense -> ties
+        "event_type": rng.choice(["A", "B", "C"], n, p=[0.4, 0.3, 0.3]),
+    })
+    out = (funnel_counts(_ds(df), on="user_id", ts_col="ts",
+                         type_col="event_type", from_type="A",
+                         to_type="B", window_us=25)
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_from,
+               CAST(count(*) FILTER (WHERE EXISTS (
+                   SELECT 1 FROM df b
+                   WHERE b.user_id = a.user_id AND b.event_type = 'B'
+                     AND b.ts >= a.ts AND b.ts <= a.ts + 25))
+                    AS BIGINT) AS n_converted
+        FROM df a WHERE a.event_type = 'A'
+        GROUP BY user_id ORDER BY user_id
+    """).df()
+    pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
