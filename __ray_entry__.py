@@ -1216,6 +1216,19 @@ def q_cms_registers(sf_dir: str):
                          depth=4, width=256)
 
 
+def q_moments(sf_dir: str):
+    """Integer moment sketch (n, Σv, Σv²) of lineitem quantity per
+    return flag — exact int64 surface; mean/variance derive downstream
+    without a float sum ever crossing the shuffle."""
+    import ray.data as rd
+
+    from payor_linkage.dataops.aggregates import grouped_moments
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_returnflag", "l_quantity"])
+    return grouped_moments(li, key="l_returnflag", value_col="l_quantity")
+
+
 def q_funnel(sf_dir: str):
     """Funnel conversion: per user, view events followed by ≥1 purchase
     within 10 minutes (inclusive window — pure ts comparison). Non-funnel
@@ -1403,6 +1416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cms_registers": q_cms_registers,
         "q_bloom_bits": q_bloom_bits,
         "q_funnel": q_funnel,
+        "q_moments": q_moments,
     }
 
 
@@ -2305,5 +2319,14 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_converted
             FROM events a WHERE a.event_type = 'view'
             GROUP BY user_id
+        """,
+        "q_moments": """
+            SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS sum_v,
+                   CAST(sum(CAST(l_quantity AS BIGINT)
+                            * CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS sum_sq
+            FROM lineitem GROUP BY l_returnflag
         """,
     }

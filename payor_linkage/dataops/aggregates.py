@@ -404,6 +404,33 @@ def grouped_dense_rank(ds: Dataset, key: str, value_col: str,
                          out_schema=out_schema, runs_fn=runs)
 
 
+def grouped_moments(ds: Dataset, key: str, value_col: str) -> Dataset:
+    """Integer moment sketch per key: (n, sum_v, sum_sq) — the algebraic
+    aggregate from which mean/variance/stddev derive downstream, kept as
+    EXACT int64 so no order-dependent float sum ever rides the shuffle
+    (the repo's float-parity rule). ``value_col`` must be exact-integral
+    (casts with truncation). Per-batch pyarrow combiner → one grouped
+    Sum over the key grain."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({key: b[key],
+                      "n": pa.array(np.ones(len(v), dtype=np.int64)),
+                      "sum_v": pa.array(v),
+                      "sum_sq": pa.array(v * v)})
+        return (t.group_by(key)
+                .aggregate([("n", "sum"), ("sum_v", "sum"),
+                            ("sum_sq", "sum")])
+                .rename_columns([key, "n", "sum_v", "sum_sq"]))
+
+    return (ds.select_columns([key, value_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(key).aggregate(Sum("n", alias_name="n"),
+                                    Sum("sum_v", alias_name="sum_v"),
+                                    Sum("sum_sq", alias_name="sum_sq")))
+
+
 def grouped_first_last(ds: Dataset, key: str, order_cols: list[str],
                        value_col: str, out_first: str = "first_val",
                        out_last: str = "last_val") -> Dataset:

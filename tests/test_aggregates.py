@@ -496,3 +496,21 @@ def test_funnel_counts_matches_exists(ray_session):
         GROUP BY user_id ORDER BY user_id
     """).df()
     pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
+
+
+def test_grouped_moments_derive_variance(ray_session):
+    """The int64 (n, Σv, Σv²) surface reproduces pandas variance when
+    derived downstream."""
+    from payor_linkage.dataops.aggregates import grouped_moments
+
+    df = _rand_events(n=3000, n_keys=11, seed=97)
+    df["q"] = (df.value.abs() // 1).astype(np.int64)
+    out = (grouped_moments(_ds(df), key="user_id", value_col="q")
+           .to_pandas().set_index("user_id").sort_index())
+    for k, g in df.groupby("user_id"):
+        r = out.loc[k]
+        assert r.n == len(g)
+        assert r.sum_v == g.q.sum()
+        assert r.sum_sq == (g.q ** 2).sum()
+        var = r.sum_sq / r.n - (r.sum_v / r.n) ** 2
+        assert abs(var - g.q.var(ddof=0)) < 1e-9
