@@ -1216,6 +1216,16 @@ def q_cms_registers(sf_dir: str):
                          depth=4, width=256)
 
 
+def q_json_extract(sf_dir: str):
+    """Schema-on-read: integer field k extracted from the JSON props
+    column — one vectorized RE2 kernel per batch with a real json.loads
+    fallback on regex misses."""
+    from payor_linkage.dataops.text import json_int_field
+
+    return json_int_field(_events(sf_dir), col="props", field="k",
+                          id_col="event_id")
+
+
 def q_moments(sf_dir: str):
     """Integer moment sketch (n, Σv, Σv²) of lineitem quantity per
     return flag — exact int64 surface; mean/variance derive downstream
@@ -1417,6 +1427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bloom_bits": q_bloom_bits,
         "q_funnel": q_funnel,
         "q_moments": q_moments,
+        "q_json_extract": q_json_extract,
     }
 
 
@@ -2328,5 +2339,10 @@ def oracle_sql() -> dict[str, str]:
                             * CAST(l_quantity AS BIGINT)) AS BIGINT)
                        AS sum_sq
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "q_json_extract": """
+            SELECT event_id,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events
         """,
     }

@@ -470,3 +470,38 @@ def token_ngram_contamination(train_ds: Dataset, test_ds: Dataset,
                                  if c not in (id_col, text_col)]
     return train_ds.select_columns(proj).map_batches(
         count, batch_format="pyarrow")
+
+
+def json_int_field(ds: Dataset, col: str, field: str,
+                   id_col: str = "event_id",
+                   out_col: str | None = None) -> Dataset:
+    """Extract an integer field from a JSON string column — the
+    schema-on-read ETL step. Fast path: ONE vectorized RE2
+    ``extract_regex`` kernel per batch; rows the pattern misses
+    (unusual spacing / nesting) fall back to a real ``json.loads`` so
+    exactness never depends on the regex. Missing field → null."""
+    import json
+    import re
+
+    out = out_col or field
+    pat = rf'"{re.escape(field)}"\s*:\s*(?P<v>-?\d+)'
+
+    def f(b: pa.Table) -> pa.Table:
+        s = b[col].combine_chunks()
+        ex = pc.extract_regex(s, pat)
+        vals = pc.cast(pc.struct_field(ex, "v"), pa.int64())
+        miss = pc.invert(pc.is_valid(ex)).to_numpy(zero_copy_only=False)
+        if miss.any():
+            fixed = vals.to_pylist()
+            py = s.to_pylist()
+            for i in np.nonzero(miss)[0]:
+                try:
+                    v = json.loads(py[i]).get(field)
+                    fixed[i] = int(v) if v is not None else None
+                except (ValueError, TypeError, AttributeError):
+                    fixed[i] = None
+            vals = pa.array(fixed, pa.int64())
+        return pa.table({id_col: b[id_col], out: vals})
+
+    return ds.select_columns([id_col, col]).map_batches(
+        f, batch_format="pyarrow")

@@ -238,3 +238,22 @@ def test_interleave_many_blocks_matches_sql(ray_session):
         FROM r JOIN w USING (p) ORDER BY pos
     """).df()
     pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
+
+
+def test_json_int_field_fallback_paths(ray_session):
+    """Regex fast path, spacing variants, missing field, and broken
+    JSON all resolve via the json.loads fallback."""
+    from payor_linkage.dataops.text import json_int_field
+
+    df = pd.DataFrame({
+        "event_id": np.arange(5, dtype=np.int64),
+        "props": ['{"k": 7}', '{ "k" :42}', '{"other": 1}',
+                  'not json', '{"k": -3, "z": 9}'],
+    })
+    out = (json_int_field(_ds(df), col="props", field="k")
+           .to_pandas().set_index("event_id").sort_index())
+    assert out.loc[0, "k"] == 7
+    assert out.loc[1, "k"] == 42
+    assert pd.isna(out.loc[2, "k"])
+    assert pd.isna(out.loc[3, "k"])
+    assert out.loc[4, "k"] == -3
