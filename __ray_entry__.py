@@ -1216,6 +1216,29 @@ def q_cms_registers(sf_dir: str):
                          depth=4, width=256)
 
 
+def q_gap_histogram(sf_dir: str):
+    """Operator composition: per-user inter-arrival deltas
+    (grouped_lag_delta over int64 ts) → fixed-width histogram of
+    minute-bucketed gaps. No new kernel — two library operators chained,
+    both shuffles bounded."""
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    from payor_linkage.dataops.aggregates import (grouped_lag_delta,
+                                                  value_histogram)
+
+    ev = _events(sf_dir).map_batches(
+        lambda b: pa.table({"user_id": b["user_id"],
+                            "event_id": b["event_id"],
+                            "ts_us": _pc.cast(b["ts"], pa.int64()),
+                            "ts_v": _pc.cast(b["ts"], pa.int64())}),
+        batch_format="pyarrow")
+    deltas = grouped_lag_delta(ev, key="user_id",
+                               order_cols=["ts_us", "event_id"],
+                               value_col="ts_v")
+    return value_histogram(deltas, "delta", 60_000_000.0)
+
+
 def q_json_extract(sf_dir: str):
     """Schema-on-read: integer field k extracted from the JSON props
     column — one vectorized RE2 kernel per batch with a real json.loads
@@ -1428,6 +1451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_funnel": q_funnel,
         "q_moments": q_moments,
         "q_json_extract": q_json_extract,
+        "q_gap_histogram": q_gap_histogram,
     }
 
 
@@ -2344,5 +2368,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    CAST(json_extract(props, '$.k') AS BIGINT) AS k
             FROM events
+        """,
+        "q_gap_histogram": """
+            SELECT CAST(floor(delta / 60000000.0) AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM (
+              SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                         PARTITION BY user_id
+                         ORDER BY epoch_us(ts), event_id) AS delta
+              FROM events)
+            WHERE delta IS NOT NULL
+            GROUP BY 1
         """,
     }
