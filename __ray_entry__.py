@@ -1368,6 +1368,74 @@ def q_corpus_pipeline(sf_dir: str):
         weights={"de": 1, "en": 3, "es": 2, "fr": 2, "zh": 1})
 
 
+def q_regex_redact(sf_dir: str):
+    """PII-scrubbing pass: redact every digit run in the JSON props
+    column and count redactions — two vectorized RE2 kernels per batch,
+    map-only. pyarrow and DuckDB both compile RE2, so the oracle's
+    regexp_replace matches byte-for-byte."""
+    from payor_linkage.dataops.text import regex_redact
+
+    return regex_redact(_events(sf_dir), "props", "[0-9]+", "#")
+
+
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition / boilerplate signals per document
+    (total tokens, distinct tokens, most-frequent token + count) — all
+    integers, winner tie-break count DESC then token ASC."""
+    from payor_linkage.dataops.text import repetition_stats
+
+    return repetition_stats(_docs(sf_dir))
+
+
+def q_pack_positions(sf_dir: str):
+    """Sequence packing into 2048-char context windows: global running
+    length cumsum (distributed prefix-sum — per-block subtotals only
+    reach the driver) + contiguous-fill window index."""
+    from payor_linkage.dataops.reshape import pack_positions
+
+    return pack_positions(_docs(sf_dir), "n_chars", ["doc_id"], 2048,
+                          out_cum="cum_chars", out_bin="bin_id")
+
+
+def _event_type_counts(sf_dir: str, event_type: str):
+    ev = _events(sf_dir)
+    return (ev.filter(expr=f"event_type == '{event_type}'")
+            .groupby("user_id").count()
+            .rename_columns({"count()": "n"}))
+
+
+def q_snapshot_diff(sf_dir: str):
+    """CDC diff of two keyed snapshot versions (per-user view counts vs
+    click counts): added / removed / changed / unchanged, one
+    tagged-union grouped aggregate — the FULL OUTER JOIN + CASE shape
+    with a single shuffle."""
+    from payor_linkage.dataops.cdc import snapshot_diff
+
+    return snapshot_diff(_event_type_counts(sf_dir, "view"),
+                         _event_type_counts(sf_dir, "click"),
+                         "user_id", "n", out_old="old_n", out_new="new_n")
+
+
+def q_upsert(sf_dir: str):
+    """MERGE / last-writer-wins upsert of a delta snapshot onto a base
+    snapshot (same one-shuffle tagged-union shape)."""
+    from payor_linkage.dataops.cdc import apply_upsert
+
+    return apply_upsert(_event_type_counts(sf_dir, "view"),
+                        _event_type_counts(sf_dir, "click"),
+                        "user_id", "n")
+
+
+def q_rank(sf_dir: str):
+    """RANK + PERCENT_RANK window over (user, event_type) — ties share
+    the first peer's rank with gaps; pct is one IEEE division on exact
+    integers so float parity with the SQL window is bit-exact."""
+    from payor_linkage.dataops.aggregates import grouped_rank
+
+    return grouped_rank(_events(sf_dir), "user_id", "event_type",
+                        carry_cols=["event_id"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q_normalize_text": q_normalize_text,
@@ -1452,6 +1520,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_moments": q_moments,
         "q_json_extract": q_json_extract,
         "q_gap_histogram": q_gap_histogram,
+        "q_regex_redact": q_regex_redact,
+        "q_repetition_stats": q_repetition_stats,
+        "q_pack_positions": q_pack_positions,
+        "q_snapshot_diff": q_snapshot_diff,
+        "q_upsert": q_upsert,
+        "q_rank": q_rank,
     }
 
 
@@ -2379,5 +2453,71 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             WHERE delta IS NOT NULL
             GROUP BY 1
+        """,
+        "q_regex_redact": """
+            SELECT event_id,
+                   regexp_replace(props, '[0-9]+', '#', 'g') AS redacted,
+                   CAST(len(regexp_extract_all(props, '[0-9]+'))
+                        AS BIGINT) AS n_redacted
+            FROM events
+        """,
+        "q_repetition_stats": """
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(text),
+                                               '[^a-z0-9]+')) AS word
+              FROM documents),
+            w2 AS (SELECT doc_id, word FROM w WHERE word <> ''),
+            c AS (SELECT doc_id, word, count(*) AS n
+                  FROM w2 GROUP BY 1, 2),
+            m AS (SELECT doc_id, word, n,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY n DESC, word) AS rn,
+                         sum(n) OVER (PARTITION BY doc_id) AS tot,
+                         count(*) OVER (PARTITION BY doc_id) AS nd
+                  FROM c)
+            SELECT doc_id, CAST(tot AS BIGINT) AS n_words,
+                   CAST(nd AS BIGINT) AS n_distinct,
+                   n AS top_count, word AS top_token
+            FROM m WHERE rn = 1
+        """,
+        "q_pack_positions": """
+            WITH o AS (
+              SELECT doc_id, n_chars,
+                     sum(n_chars) OVER (ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING) AS cum
+              FROM documents)
+            SELECT doc_id, n_chars, CAST(cum AS BIGINT) AS cum_chars,
+                   CAST((cum - n_chars) // 2048 AS BIGINT) AS bin_id
+            FROM o
+        """,
+        "q_snapshot_diff": """
+            WITH o AS (SELECT user_id, count(*) AS n FROM events
+                       WHERE event_type = 'view' GROUP BY 1),
+                 n AS (SELECT user_id, count(*) AS n FROM events
+                       WHERE event_type = 'click' GROUP BY 1)
+            SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+                   COALESCE(o.n, 0) AS old_n, COALESCE(n.n, 0) AS new_n,
+                   CASE WHEN o.user_id IS NULL THEN 'added'
+                        WHEN n.user_id IS NULL THEN 'removed'
+                        WHEN o.n <> n.n THEN 'changed'
+                        ELSE 'unchanged' END AS change
+            FROM o FULL OUTER JOIN n ON o.user_id = n.user_id
+        """,
+        "q_upsert": """
+            WITH b AS (SELECT user_id, count(*) AS n FROM events
+                       WHERE event_type = 'view' GROUP BY 1),
+                 d AS (SELECT user_id, count(*) AS n FROM events
+                       WHERE event_type = 'click' GROUP BY 1)
+            SELECT COALESCE(d.user_id, b.user_id) AS user_id,
+                   COALESCE(d.n, b.n) AS n
+            FROM b FULL OUTER JOIN d ON b.user_id = d.user_id
+        """,
+        "q_rank": """
+            SELECT user_id, event_type, event_id,
+                   CAST(rank() OVER w AS BIGINT) AS rnk,
+                   percent_rank() OVER w AS pct_rank
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY event_type)
         """,
     }

@@ -679,3 +679,69 @@ def running_seq(ds: Dataset, key: str, order_cols: list[str],
 
     return grouped_apply(ds.select_columns(proj), key,
                          out_schema=out_schema, runs_fn=runs)
+
+
+def grouped_rank(ds: Dataset, key: str, value_col: str,
+                 carry_cols: list[str] | None = None,
+                 out_rank: str = "rnk",
+                 out_pct: str = "pct_rank") -> Dataset:
+    """RANK() + PERCENT_RANK() OVER (PARTITION BY key ORDER BY
+    value_col) — 1-based rank with gaps (ties share the rank of their
+    first peer; the next distinct value jumps past the peer group).
+    ``pct_rank = (rank - 1) / (n - 1)`` (0.0 for single-row partitions)
+    is ONE IEEE double division on two exact integers, so it is
+    bit-identical to the SQL engine's — no accumulated float crosses the
+    compare. ``carry_cols`` ride along (include a unique id for a
+    deterministic output surface).
+
+    One grouped sort; rank assignment is vectorized across all runs in
+    a block: peer-group anchors (value-change positions, forced at run
+    starts) forward-fill through a global-position ``maximum.accumulate``
+    — monotone positions make cross-run carry impossible."""
+    proj = ([key, value_col]
+            + [c for c in (carry_cols or []) if c not in (key, value_col)])
+    out_schema = pa.schema(
+        [(c, ds.schema().base_schema.field(c).type) for c in proj]
+        + [(out_rank, pa.int64()), (out_pct, pa.float64())])
+
+    def runs(b: pa.Table, starts, ends) -> pa.Table:
+        lo, hi = starts[0], ends[-1]
+        rid = _run_ids(starts, ends)
+        vcol = b[value_col].combine_chunks()
+        if pa.types.is_string(vcol.type) or \
+                pa.types.is_large_string(vcol.type):
+            # no object-dtype lexsort (Python richcompare per element):
+            # dictionary codes remapped to the dictionary's sort ranks
+            # order AND compare exactly like the strings
+            enc = vcol.dictionary_encode()
+            drank = np.empty(len(enc.dictionary), dtype=np.int64)
+            drank[pc.sort_indices(enc.dictionary)
+                  .to_numpy(zero_copy_only=False).astype(np.int64)] = \
+                np.arange(len(enc.dictionary))
+            val = drank[enc.indices.to_numpy(zero_copy_only=False)
+                        .astype(np.int64)[lo:hi]]
+        else:
+            val = vcol.to_numpy(zero_copy_only=False)[lo:hi]
+        tie = [b[c].to_numpy(zero_copy_only=False)[lo:hi]
+               for c in proj[2:]]
+        order = np.lexsort(tuple(reversed(tie)) + (val, rid))
+        v = val[order]
+        span = hi - lo
+        new = np.ones(span, dtype=bool)
+        new[1:] = v[1:] != v[:-1]
+        new[starts - lo] = True  # peer groups restart at run boundaries
+        idx = np.arange(span, dtype=np.int64)
+        anchor = np.maximum.accumulate(np.where(new, idx, -1))
+        lens = (ends - starts).astype(np.int64)
+        run_start = np.repeat((starts - lo).astype(np.int64), lens)
+        rank = anchor - run_start + 1
+        n = np.repeat(lens, lens)
+        pct = np.where(n > 1, (rank - 1) / np.maximum(n - 1, 1), 0.0)
+        take = pa.array(order + lo)
+        cols = {c: b[c].take(take) for c in proj}
+        cols[out_rank] = pa.array(rank, pa.int64())
+        cols[out_pct] = pa.array(pct, pa.float64())
+        return pa.table(cols).cast(out_schema)
+
+    return grouped_apply(ds.select_columns(proj), key,
+                         out_schema=out_schema, runs_fn=runs)

@@ -134,3 +134,65 @@ def interleave_position(ds: Dataset, part_col: str, order_cols: list[str],
 
     return rd.from_arrow_refs(
         [_emit.remote(ref, bases[i]) for i, ref in enumerate(refs)])
+
+
+def pack_positions(ds: Dataset, length_col: str, order_cols: list[str],
+                   budget: int, out_cum: str = "cum",
+                   out_bin: str = "bin_id") -> Dataset:
+    """Sequence packing: assign every document a global running length
+    total and the index of the fixed-capacity context window its FIRST
+    token lands in — the "pack documents into ``budget``-token training
+    sequences" step of an LLM data pipeline, with contiguous-fill
+    semantics (documents are laid end-to-end in the global order; a
+    document may straddle a window boundary, as token-level packing
+    does).
+
+    ``cum`` is the inclusive running sum of ``length_col`` over the
+    total order given by ``order_cols``; ``bin_id = (cum - len) //
+    budget`` — pure integer arithmetic, so a SQL window-cumsum oracle
+    matches bit-for-bit.
+
+    Scale shape: the distributed prefix-sum construction (same as
+    ``interleave_position``'s distributed ROW_NUMBER): ONE global sort,
+    then only the per-block subtotals (one int per block) are collected
+    to the driver; each block turns its exclusive base into per-row
+    cumsums with one vectorized ``np.cumsum`` — no row ever leaves its
+    block after the sort, and no single task sees more than a block."""
+    import ray
+    import ray.data as rd
+
+    proj = list(dict.fromkeys(order_cols + [length_col]))
+    out_schema = pa.schema(
+        [(c, ds.schema().base_schema.field(c).type) for c in proj]
+        + [(out_cum, pa.int64()), (out_bin, pa.int64())])
+
+    sds = ds.select_columns(proj).sort(order_cols).materialize()
+    refs = sds.to_arrow_refs()
+    if not refs:
+        return rd.from_arrow(out_schema.empty_table())
+
+    @ray.remote
+    def _subtotal(tbl: pa.Table) -> int:
+        if tbl.num_rows == 0:
+            return 0
+        import pyarrow.compute as _pc
+        return int(_pc.sum(tbl[length_col]).as_py() or 0)
+
+    subtotals = ray.get([_subtotal.remote(r) for r in refs])
+    bases = np.concatenate([[0], np.cumsum(subtotals[:-1], dtype=np.int64)]) \
+        if len(subtotals) > 1 else np.zeros(1, dtype=np.int64)
+
+    @ray.remote
+    def _emit(tbl: pa.Table, base: int) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        lens = tbl[length_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cum = np.cumsum(lens) + base
+        cols = {c: tbl[c] for c in proj}
+        cols[out_cum] = pa.array(cum, pa.int64())
+        cols[out_bin] = pa.array((cum - lens) // budget, pa.int64())
+        return pa.table(cols).cast(out_schema)
+
+    return rd.from_arrow_refs(
+        [_emit.remote(ref, int(bases[i])) for i, ref in enumerate(refs)])

@@ -505,3 +505,84 @@ def json_int_field(ds: Dataset, col: str, field: str,
 
     return ds.select_columns([id_col, col]).map_batches(
         f, batch_format="pyarrow")
+
+
+def regex_redact(ds: Dataset, col: str, pattern: str,
+                 replacement: str = "#",
+                 id_col: str = "event_id") -> Dataset:
+    """PII / sensitive-token scrubbing: replace every match of an RE2
+    pattern in ``col`` and report the per-row redaction count — the
+    standard pre-training privacy pass (emails, phone numbers, ids).
+
+    Map-only (no shuffle), two vectorized RE2 C kernels per batch
+    (``replace_substring_regex`` + ``count_substring_regex``). Both
+    pyarrow and DuckDB compile RE2, so an oracle's ``regexp_replace(...,
+    'g')`` reproduces the replacement byte-for-byte — no dialect skew."""
+    def f(b: pa.Table) -> pa.Table:
+        s = b[col]
+        return pa.table({
+            id_col: b[id_col],
+            "redacted": pc.replace_substring_regex(s, pattern, replacement),
+            "n_redacted": pc.cast(
+                pc.count_substring_regex(s, pattern), pa.int64()),
+        })
+
+    return ds.select_columns([id_col, col]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def repetition_stats(ds: Dataset, id_col: str = "doc_id",
+                     text_col: str = "text") -> Dataset:
+    """Gopher-style repetition / boilerplate quality signals per
+    document, all integers (oracle-parity-safe): total token count,
+    distinct token count, and the most-frequent token with its count
+    (count DESC, token ASC tie-break). High ``top_count / n_words`` or
+    low ``n_distinct / n_words`` flags repetitious documents for corpus
+    filtering — the ratio itself is left to the consumer so no computed
+    float crosses the compare.
+
+    Same tokenization contract as ``token_topk`` (lowercase, split on
+    runs of non-[a-z0-9]). A document never spans batches, so everything
+    is computed inside the batch — no shuffle. The per-(doc, token)
+    counts come from one Arrow ``group_by`` C kernel; the winner pick is
+    a lexsort over (doc, -count, token-rank) with token order remapped
+    through ``pc.sort_indices`` so no object-dtype string compare runs
+    in Python."""
+    out_schema = pa.schema([
+        (id_col, ds.schema().base_schema.field(id_col).type),
+        ("n_words", pa.int64()), ("n_distinct", pa.int64()),
+        ("top_count", pa.int64()), ("top_token", pa.string()),
+    ])
+
+    def stats(b: pa.Table) -> pa.Table:
+        row_of, flat = _tokenize_flat(b, text_col)
+        if len(row_of) == 0:
+            return out_schema.empty_table()
+        t = pa.table({"r": pa.array(row_of), "token": flat}) \
+            .group_by(["r", "token"]).aggregate([([], "count_all")])
+        r = t["r"].to_numpy(zero_copy_only=False)
+        n = t["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = t["token"].combine_chunks()
+        trank = np.empty(len(r), dtype=np.int64)
+        trank[pc.sort_indices(toks).to_numpy(zero_copy_only=False)
+              .astype(np.int64)] = np.arange(len(r))
+        order = np.lexsort((trank, -n, r))
+        rs = r[order]
+        first = order[np.concatenate([[True], rs[1:] != rs[:-1]])]
+        n_rows = b.num_rows
+        n_words = np.bincount(row_of, minlength=n_rows).astype(np.int64)
+        n_distinct = np.bincount(r, minlength=n_rows).astype(np.int64)
+        mask = n_words > 0  # token-free docs carry no stats row
+        docs = np.nonzero(mask)[0]
+        # `first` rows are in doc order over exactly the docs with tokens
+        take = pa.array(first)
+        return pa.table({
+            id_col: b[id_col].take(pa.array(r[first])),
+            "n_words": pa.array(n_words[docs], pa.int64()),
+            "n_distinct": pa.array(n_distinct[docs], pa.int64()),
+            "top_count": pa.array(n[first], pa.int64()),
+            "top_token": toks.take(take),
+        }).cast(out_schema)
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        stats, batch_format="pyarrow")

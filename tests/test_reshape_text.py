@@ -257,3 +257,130 @@ def test_json_int_field_fallback_paths(ray_session):
     assert pd.isna(out.loc[2, "k"])
     assert pd.isna(out.loc[3, "k"])
     assert out.loc[4, "k"] == -3
+
+
+def test_regex_redact_edges(ray_session):
+    """Rows with no match pass through untouched with count 0; multiple
+    matches are all replaced and counted."""
+    from payor_linkage.dataops.text import regex_redact
+
+    df = pd.DataFrame({
+        "event_id": np.arange(4, dtype=np.int64),
+        "props": ["call 555-1234 x89", "no digits here", "", "7 8 9"],
+    })
+    out = (regex_redact(_ds(df), "props", "[0-9]+", "<N>")
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    assert out.redacted.tolist() == [
+        "call <N>-<N> x<N>", "no digits here", "", "<N> <N> <N>"]
+    assert out.n_redacted.tolist() == [3, 0, 0, 3]
+
+
+def test_repetition_stats_edges(ray_session):
+    """Tie on top count breaks to the lexicographically smaller token;
+    token-free docs emit no row; case folds before counting."""
+    from payor_linkage.dataops.text import repetition_stats
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["b b a a c",          # tie 2-2 → 'a' wins
+                 "The the THE ok",     # case folds → the×3
+                 "!!! ...",            # no tokens → dropped
+                 "solo"],
+    })
+    out = (repetition_stats(_ds(df))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out.doc_id.tolist() == [0, 1, 3]
+    assert out.loc[0, ["n_words", "n_distinct", "top_count",
+                       "top_token"]].tolist() == [5, 3, 2, "a"]
+    assert out.loc[1, ["n_words", "n_distinct", "top_count",
+                       "top_token"]].tolist() == [4, 2, 3, "the"]
+    assert out.loc[2, ["n_words", "n_distinct", "top_count",
+                       "top_token"]].tolist() == [1, 1, 1, "solo"]
+
+
+def test_pack_positions_matches_window_cumsum(ray_session):
+    """Distributed prefix-sum over many blocks == single-node window
+    cumsum; bin boundaries land documents by their FIRST token."""
+    import duckdb
+
+    from payor_linkage.dataops.reshape import pack_positions
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "id": np.arange(3000, dtype=np.int64),
+        "n": rng.integers(1, 400, 3000).astype(np.int64),
+    })
+    ds = _ds(df).repartition(23)  # force many blocks through the sort
+    out = (pack_positions(ds, "n", ["id"], budget=1000)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    exp = duckdb.sql("""
+        WITH o AS (SELECT id, n,
+                          sum(n) OVER (ORDER BY id
+                                       ROWS UNBOUNDED PRECEDING) AS c
+                   FROM df)
+        SELECT id, n, CAST(c AS BIGINT) AS cum,
+               CAST((c - n) // 1000 AS BIGINT) AS bin_id
+        FROM o ORDER BY id
+    """).df()
+    pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp,
+                                  check_dtype=False)
+    # contiguity: bin ids are non-decreasing and start at 0
+    assert out.bin_id.iloc[0] == 0
+    assert (np.diff(out.bin_id.values) >= 0).all()
+
+
+def test_snapshot_diff_all_classes(ray_session):
+    """Every change class appears and classifies correctly."""
+    from payor_linkage.dataops.cdc import snapshot_diff
+
+    old = pd.DataFrame({"k": np.array([1, 2, 3], np.int64),
+                        "v": np.array([10, 20, 30], np.int64)})
+    new = pd.DataFrame({"k": np.array([2, 3, 4], np.int64),
+                        "v": np.array([20, 99, 40], np.int64)})
+    out = (snapshot_diff(_ds(old), _ds(new), "k", "v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out.change.tolist() == ["removed", "unchanged", "changed",
+                                   "added"]
+    assert out.old_val.tolist() == [10, 20, 30, 0]
+    assert out.new_val.tolist() == [0, 20, 99, 40]
+
+
+def test_apply_upsert_delta_wins(ray_session):
+    from payor_linkage.dataops.cdc import apply_upsert
+
+    base = pd.DataFrame({"k": np.array([1, 2], np.int64),
+                         "v": np.array([10, 20], np.int64)})
+    delta = pd.DataFrame({"k": np.array([2, 3], np.int64),
+                          "v": np.array([77, 30], np.int64)})
+    out = (apply_upsert(_ds(base), _ds(delta), "k", "v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out.k.tolist() == [1, 2, 3]
+    assert out.v.tolist() == [10, 77, 30]
+
+
+def test_grouped_rank_matches_window(ray_session):
+    """RANK with gaps + PERCENT_RANK vs DuckDB, heavy ties, both a
+    numeric and a string order column; single-row partitions give 0."""
+    import duckdb
+
+    from payor_linkage.dataops.aggregates import grouped_rank
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 40, 2000).astype(np.int64),
+        "v": rng.integers(0, 5, 2000).astype(np.int64),
+        "i": np.arange(2000, dtype=np.int64),
+    })
+    df = pd.concat([df, pd.DataFrame(
+        {"g": [999], "v": [1], "i": [2000]})], ignore_index=True)
+    out = (grouped_rank(_ds(df), "g", "v", carry_cols=["i"])
+           .to_pandas().sort_values("i").reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT g, v, i, CAST(rank() OVER w AS BIGINT) AS rnk,
+               percent_rank() OVER w AS pct_rank
+        FROM df WINDOW w AS (PARTITION BY g ORDER BY v)
+        ORDER BY i
+    """).df()
+    pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp,
+                                  check_dtype=False)
+    assert out.loc[out.g == 999, "pct_rank"].item() == 0.0
