@@ -1427,13 +1427,56 @@ def q_upsert(sf_dir: str):
 
 
 def q_rank(sf_dir: str):
-    """RANK + PERCENT_RANK window over (user, event_type) — ties share
-    the first peer's rank with gaps; pct is one IEEE division on exact
-    integers so float parity with the SQL window is bit-exact."""
+    """RANK + PERCENT_RANK + CUME_DIST window over (user, event_type) —
+    ties share the first peer's rank with gaps; each float is one IEEE
+    division on exact integers so parity with the SQL windows is
+    bit-exact."""
     from payor_linkage.dataops.aggregates import grouped_rank
 
     return grouped_rank(_events(sf_dir), "user_id", "event_type",
                         carry_cols=["event_id"])
+
+
+def q_keyed_sample(sf_dir: str):
+    """Per-key deterministic downsampling (corpus mixing: keep 75% of
+    en, 25% of de, 50% of everything else) — md5-prefix threshold per
+    language, byte-exact against a SQL CASE compare."""
+    from payor_linkage.dataops.text import keyed_hash_sample
+
+    return keyed_hash_sample(_docs(sf_dir), "lang",
+                             {"en": 0.75, "de": 0.25},
+                             default_rate=0.5)
+
+
+def q_doc_chunks(sf_dir: str):
+    """Fixed-width character chunking (chunk-for-embedding): one row per
+    64-char chunk. All-ASCII batches rebuild the output string column
+    ZERO-COPY from the input Arrow value buffer with a new vectorized
+    offsets vector."""
+    from payor_linkage.dataops.text import chunk_documents
+
+    return chunk_documents(_docs(sf_dir), size=64)
+
+
+def q_big_orders(sf_dir: str):
+    """GROUP BY + HAVING (TPC-H Q18 shape): orders whose total quantity
+    exceeds 100. l_quantity is whole-numbered, so the double sum is
+    order-independent and parity-exact; the HAVING filter runs as a
+    vectorized post-aggregate map_batches (Dataset.filter(expr=...)
+    cannot parse aggregate column names)."""
+    import pyarrow.compute as _pc
+    from ray.data.aggregate import Count, Sum
+
+    import ray.data as rd
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_quantity"])
+    agg = li.groupby("l_orderkey").aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Count("l_quantity", alias_name="n_lines"))
+    return agg.map_batches(
+        lambda b: b.filter(_pc.greater(b["sum_qty"], 100.0)),
+        batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1526,6 +1569,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_snapshot_diff": q_snapshot_diff,
         "q_upsert": q_upsert,
         "q_rank": q_rank,
+        "q_keyed_sample": q_keyed_sample,
+        "q_doc_chunks": q_doc_chunks,
+        "q_big_orders": q_big_orders,
     }
 
 
@@ -2516,8 +2562,28 @@ def oracle_sql() -> dict[str, str]:
         "q_rank": """
             SELECT user_id, event_type, event_id,
                    CAST(rank() OVER w AS BIGINT) AS rnk,
-                   percent_rank() OVER w AS pct_rank
+                   percent_rank() OVER w AS pct_rank,
+                   cume_dist() OVER w AS cume_dist
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY event_type)
+        """,
+        "q_keyed_sample": """
+            SELECT * FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+                  CASE lang WHEN 'en' THEN 'c0000000'
+                            WHEN 'de' THEN '40000000'
+                            ELSE '80000000' END
+        """,
+        "q_doc_chunks": """
+            SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+                   substr(text, CAST(k * 64 + 1 AS BIGINT), 64) AS chunk
+            FROM documents,
+                 unnest(generate_series(0, (length(text) - 1) // 64))
+                 AS t(k)
+        """,
+        "q_big_orders": """
+            SELECT l_orderkey, sum(l_quantity) AS sum_qty,
+                   count(*) AS n_lines
+            FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 100
         """,
     }

@@ -684,12 +684,14 @@ def running_seq(ds: Dataset, key: str, order_cols: list[str],
 def grouped_rank(ds: Dataset, key: str, value_col: str,
                  carry_cols: list[str] | None = None,
                  out_rank: str = "rnk",
-                 out_pct: str = "pct_rank") -> Dataset:
+                 out_pct: str = "pct_rank",
+                 out_cume: str = "cume_dist") -> Dataset:
     """RANK() + PERCENT_RANK() OVER (PARTITION BY key ORDER BY
     value_col) — 1-based rank with gaps (ties share the rank of their
     first peer; the next distinct value jumps past the peer group).
     ``pct_rank = (rank - 1) / (n - 1)`` (0.0 for single-row partitions)
-    is ONE IEEE double division on two exact integers, so it is
+    and ``cume_dist`` (peers through the END of the tie group over n)
+    are each ONE IEEE double division on two exact integers, so they are
     bit-identical to the SQL engine's — no accumulated float crosses the
     compare. ``carry_cols`` ride along (include a unique id for a
     deterministic output surface).
@@ -702,7 +704,8 @@ def grouped_rank(ds: Dataset, key: str, value_col: str,
             + [c for c in (carry_cols or []) if c not in (key, value_col)])
     out_schema = pa.schema(
         [(c, ds.schema().base_schema.field(c).type) for c in proj]
-        + [(out_rank, pa.int64()), (out_pct, pa.float64())])
+        + [(out_rank, pa.int64()), (out_pct, pa.float64()),
+           (out_cume, pa.float64())])
 
     def runs(b: pa.Table, starts, ends) -> pa.Table:
         lo, hi = starts[0], ends[-1]
@@ -737,10 +740,20 @@ def grouped_rank(ds: Dataset, key: str, value_col: str,
         rank = anchor - run_start + 1
         n = np.repeat(lens, lens)
         pct = np.where(n > 1, (rank - 1) / np.maximum(n - 1, 1), 0.0)
+        # last index of each tie group: backward-min over next-change
+        # markers (monotone indices make cross-run carry impossible —
+        # a run's own closing marker bounds anything later)
+        is_last = np.empty(span, dtype=bool)
+        is_last[:-1] = new[1:]
+        is_last[-1] = True
+        mark = np.where(is_last, idx, span)
+        last = np.minimum.accumulate(mark[::-1])[::-1]
+        cume = (last - run_start + 1) / n
         take = pa.array(order + lo)
         cols = {c: b[c].take(take) for c in proj}
         cols[out_rank] = pa.array(rank, pa.int64())
         cols[out_pct] = pa.array(pct, pa.float64())
+        cols[out_cume] = pa.array(cume, pa.float64())
         return pa.table(cols).cast(out_schema)
 
     return grouped_apply(ds.select_columns(proj), key,

@@ -586,3 +586,99 @@ def repetition_stats(ds: Dataset, id_col: str = "doc_id",
 
     return ds.select_columns([id_col, text_col]).map_batches(
         stats, batch_format="pyarrow")
+
+
+def keyed_hash_sample(ds: Dataset, key_col: str, rates: dict[str, float],
+                      default_rate: float = 1.0,
+                      id_col: str = "doc_id") -> Dataset:
+    """Per-key deterministic downsampling — the corpus-mixing primitive
+    "keep 10% of web, 100% of books": each row keeps iff its
+    md5(str(id)) 8-hex prefix falls below ITS KEY'S rate of the space.
+    Same hashing contract as ``hash_sample`` (md5, never Python's
+    process-randomized ``hash()``), so a SQL ``CASE key`` oracle compares
+    byte-exact. Pure per-batch filter — no shuffle, no driver work, and
+    the key→bound map is a tiny per-batch dictionary lookup."""
+    def bound_of(rate: float) -> str:
+        return "g" if rate >= 1.0 else \
+            format(max(0, int(rate * (1 << 32))), "08x")
+
+    bounds = {k: bound_of(r) for k, r in rates.items()}
+    default_bound = bound_of(default_rate)
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_pylist()
+        keys = b[key_col].to_pylist()
+        mask = [hashlib.md5(str(i).encode()).hexdigest()[:8]
+                < bounds.get(k, default_bound)
+                for i, k in zip(ids, keys)]
+        return b.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def chunk_documents(ds: Dataset, size: int, text_col: str = "text",
+                    id_col: str = "doc_id") -> Dataset:
+    """Split every document into fixed-width character chunks (the
+    chunk-for-embedding step): one output row per chunk with its 0-based
+    index. Chunks tile the document exactly (last one short); empty
+    documents emit no rows.
+
+    Scale shape: map-only (rows multiply but nothing shuffles). Fast
+    path for all-ASCII batches is ZERO-COPY: consecutive chunks of
+    consecutive documents tile the Arrow value buffer, so the output
+    string array is rebuilt from the SAME data buffer with a new
+    vectorized offsets vector (``StringArray.from_buffers``) — no chunk
+    string is ever materialized in Python. Non-ASCII batches fall back
+    to per-row codepoint slicing (character semantics match SQL's
+    ``substr``)."""
+    out_schema_fields = [
+        (id_col, None), ("chunk_idx", pa.int64()), ("chunk", pa.string())]
+
+    def chunks(b: pa.Table) -> pa.Table:
+        id_arr = b[id_col]
+        txt = b[text_col].combine_chunks()
+        if txt.null_count:
+            raise ValueError("chunk_documents: null text")
+        nchars = pc.utf8_length(txt).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n_chunks = (nchars + size - 1) // size  # 0 for empty docs
+        total = int(n_chunks.sum())
+        parent = np.repeat(np.arange(b.num_rows, dtype=np.int64), n_chunks)
+        cum = np.concatenate([[0], np.cumsum(n_chunks)[:-1]])
+        within = np.arange(total, dtype=np.int64) - np.repeat(cum, n_chunks)
+        if total == 0:
+            return pa.table({
+                id_col: id_arr.slice(0, 0),
+                "chunk_idx": pa.array([], pa.int64()),
+                "chunk": pa.array([], pa.string()),
+            })
+        nbytes = pc.binary_length(txt).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if (nchars == nbytes).all():
+            # all-ASCII: chunk boundaries are byte offsets into the
+            # existing value buffer — rebuild offsets, share the data
+            arr = txt
+            old_off = np.frombuffer(arr.buffers()[1], dtype=np.int32,
+                                    count=len(arr) + 1,
+                                    offset=arr.offset * 4).astype(np.int64)
+            doc_start = old_off[:-1]
+            ends = (doc_start[parent]
+                    + np.minimum((within + 1) * size, nchars[parent]))
+            first_start = doc_start[parent[0]] if total else 0
+            new_off = np.concatenate(
+                [[first_start], ends]).astype(np.int32)
+            chunk_arr = pa.StringArray.from_buffers(
+                total, pa.py_buffer(new_off.tobytes()), arr.buffers()[2])
+        else:
+            texts = txt.to_pylist()
+            chunk_arr = pa.array(
+                [texts[p][w * size:(w + 1) * size]
+                 for p, w in zip(parent, within)], pa.string())
+        return pa.table({
+            id_col: id_arr.take(pa.array(parent)),
+            "chunk_idx": pa.array(within, pa.int64()),
+            "chunk": chunk_arr,
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        chunks, batch_format="pyarrow")

@@ -377,10 +377,77 @@ def test_grouped_rank_matches_window(ray_session):
            .to_pandas().sort_values("i").reset_index(drop=True))
     exp = duckdb.sql("""
         SELECT g, v, i, CAST(rank() OVER w AS BIGINT) AS rnk,
-               percent_rank() OVER w AS pct_rank
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume_dist
         FROM df WINDOW w AS (PARTITION BY g ORDER BY v)
         ORDER BY i
     """).df()
     pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp,
                                   check_dtype=False)
     assert out.loc[out.g == 999, "pct_rank"].item() == 0.0
+    assert out.loc[out.g == 999, "cume_dist"].item() == 1.0
+
+
+def test_chunk_documents_edges(ray_session):
+    """Exact-multiple lengths, short docs, empty docs (no rows), and
+    the non-ASCII fallback path (character semantics, not bytes)."""
+    from payor_linkage.dataops.text import chunk_documents
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["abcdefgh",        # exactly 2×4
+                 "xyz",             # one short chunk
+                 "",                # no chunks
+                 "aébcdéfgh"],      # multibyte → fallback, 9 chars
+    })
+    out = (chunk_documents(_ds(df), size=4)
+           .to_pandas().sort_values(["doc_id", "chunk_idx"])
+           .reset_index(drop=True))
+    got = list(zip(out.doc_id, out.chunk_idx, out.chunk))
+    assert got == [(0, 0, "abcd"), (0, 1, "efgh"),
+                   (1, 0, "xyz"),
+                   (3, 0, "aébc"), (3, 1, "défg"), (3, 2, "h")]
+
+
+def test_chunk_documents_zero_copy_many_blocks(ray_session):
+    """ASCII zero-copy path reassembles exactly across blocks and the
+    concatenation of a doc's chunks reproduces the doc."""
+    from payor_linkage.dataops.text import chunk_documents
+
+    rng = np.random.default_rng(13)
+    texts = ["".join(rng.choice(list("abcdef "), rng.integers(0, 300)))
+             for _ in range(400)]
+    df = pd.DataFrame({"doc_id": np.arange(400, dtype=np.int64),
+                       "text": texts})
+    out = (chunk_documents(_ds(df).repartition(7), size=32)
+           .to_pandas().sort_values(["doc_id", "chunk_idx"]))
+    rebuilt = out.groupby("doc_id").chunk.apply("".join)
+    for i, t in enumerate(texts):
+        if t:
+            assert rebuilt[i] == t
+        else:
+            assert i not in rebuilt.index
+    assert (out.chunk.str.len() <= 32).all()
+
+
+def test_keyed_hash_sample_partitions_by_rate(ray_session):
+    """Same id keeps/drops per its key's rate; rate 1.0 keeps all and
+    rate 0.0 drops all; default rate applies to unlisted keys."""
+    from payor_linkage.dataops.text import hash_sample, keyed_hash_sample
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(2000, dtype=np.int64),
+        "lang": np.tile(["en", "de", "fr", "zh"], 500),
+    })
+    out = keyed_hash_sample(
+        _ds(df), "lang", {"en": 1.0, "de": 0.0, "fr": 0.4},
+        default_rate=0.4).to_pandas()
+    assert (out[out.doc_id % 4 == 0].lang == "en").all()
+    assert len(out[out.lang == "en"]) == 500
+    assert len(out[out.lang == "de"]) == 0
+    # fr (listed 0.4) and zh (default 0.4) keep exactly the rows the
+    # global 0.4 hash_sample keeps among their ids
+    flat = hash_sample(_ds(df), 0.4).to_pandas()
+    for lang in ["fr", "zh"]:
+        assert set(out[out.lang == lang].doc_id) == \
+            set(flat[flat.lang == lang].doc_id)
