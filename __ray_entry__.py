@@ -1479,6 +1479,82 @@ def q_big_orders(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_transitions(sf_dir: str):
+    """Markov transition matrix over per-user event sequences — the
+    LEAD() + GROUP BY shape: one grouped sort, per-block shifted
+    comparison, (state,state,n) partials through the final exchange."""
+    from payor_linkage.dataops.temporal import transition_counts
+
+    return transition_counts(_events(sf_dir))
+
+
+def q_fill_forward(sf_dir: str):
+    """LOCF imputation: click values carried forward over non-click
+    events per user (last_value IGNORE NULLS window). Values are
+    selected, never computed — float parity exact."""
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    from payor_linkage.dataops.temporal import fill_forward
+
+    def null_non_clicks(b: pa.Table) -> pa.Table:
+        v = _pc.if_else(_pc.equal(b["event_type"], "click"), b["value"],
+                        pa.scalar(None, pa.float64()))
+        return pa.table({"user_id": b["user_id"], "ts": b["ts"],
+                         "event_id": b["event_id"], "value": v})
+
+    ev = _events(sf_dir).map_batches(null_non_clicks,
+                                     batch_format="pyarrow")
+    return fill_forward(ev)
+
+
+def q_range_lookup(sf_dir: str):
+    """Broadcast range lookup: label every event value with its tier
+    from a boundary table — one searchsorted probe per batch, no join,
+    no shuffle."""
+    from payor_linkage.dataops.enrich import range_lookup
+
+    return range_lookup(
+        _events(sf_dir).select_columns(["event_id", "value"]),
+        "value", [10.0, 100.0, 500.0], ["t0", "t1", "t2", "t3"])
+
+
+def q_cooccurrence(sf_dir: str):
+    """Within-user event-type co-occurrence counts (market-basket
+    pairs) — the DISTINCT self-join + GROUP BY shape without a
+    self-join: vectorized pair emission inside one grouped sort with
+    per-block pre-counts."""
+    from payor_linkage.dataops.enrich import cooccurrence_counts
+
+    return cooccurrence_counts(_events(sf_dir), "user_id", "event_type")
+
+
+def q_inverted_index(sf_dir: str):
+    """Inverted index (token → ordered posting list of doc ids + df),
+    built purely by composing library operators: token explode →
+    distinct postings → ordered string_agg. The posting-list string is
+    ordered by doc_id so parity with STRING_AGG ... ORDER BY is exact;
+    df rides along as an integer."""
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    from payor_linkage.dataops.aggregates import grouped_string_agg
+    from payor_linkage.dataops.text import token_explode
+
+    toks = token_explode(_docs(sf_dir)).drop_columns(["pos"])
+    postings = toks.groupby(["token", "doc_id"]).count() \
+        .drop_columns(["count()"])
+    agg = grouped_string_agg(postings, ["token"], "doc_id",
+                             order_col="doc_id", sep=",",
+                             out_col="postings")
+
+    def add_df(b: pa.Table) -> pa.Table:
+        df = _pc.add(_pc.count_substring(b["postings"], ","), 1)
+        return b.append_column("df", _pc.cast(df, pa.int64()))
+
+    return agg.map_batches(add_df, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q_normalize_text": q_normalize_text,
@@ -1572,6 +1648,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_keyed_sample": q_keyed_sample,
         "q_doc_chunks": q_doc_chunks,
         "q_big_orders": q_big_orders,
+        "q_transitions": q_transitions,
+        "q_fill_forward": q_fill_forward,
+        "q_range_lookup": q_range_lookup,
+        "q_cooccurrence": q_cooccurrence,
+        "q_inverted_index": q_inverted_index,
     }
 
 
@@ -2585,5 +2666,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, sum(l_quantity) AS sum_qty,
                    count(*) AS n_lines
             FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 100
+        """,
+        "q_transitions": """
+            WITH o AS (
+              SELECT event_type,
+                     lead(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS nxt
+              FROM events)
+            SELECT event_type AS from_state, nxt AS to_state,
+                   count(*) AS n
+            FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2
+        """,
+        "q_fill_forward": """
+            WITH i AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN event_type = 'click' THEN value END AS v
+              FROM events)
+            SELECT user_id, ts, event_id, v AS value,
+                   last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS filled
+            FROM i
+        """,
+        "q_range_lookup": """
+            SELECT event_id, value,
+                   CASE WHEN value < 10 THEN 't0'
+                        WHEN value < 100 THEN 't1'
+                        WHEN value < 500 THEN 't2'
+                        ELSE 't3' END AS tier
+            FROM events
+        """,
+        "q_cooccurrence": """
+            WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+            SELECT a.event_type AS item_a, b.event_type AS item_b,
+                   count(*) AS n
+            FROM d a JOIN d b ON a.user_id = b.user_id
+                             AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        """,
+        "q_inverted_index": """
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(text),
+                                               '[^a-z0-9]+')) AS token
+              FROM documents),
+            p AS (SELECT DISTINCT token, doc_id FROM t
+                  WHERE token <> '')
+            SELECT token,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS postings,
+                   count(*) AS df
+            FROM p GROUP BY token
         """,
     }

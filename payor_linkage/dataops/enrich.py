@@ -1,0 +1,119 @@
+"""Enrichment / association operators: broadcast range lookup (map a
+numeric column to a labeled tier by boundary table — the IP-to-geo /
+price-band ETL step) and within-key item co-occurrence counts (the
+market-basket / association-mining primitive).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+from payor_linkage.rayutil import grouped_apply
+
+
+def range_lookup(ds: Dataset, value_col: str, boundaries: list[float],
+                 labels: list[str], out_col: str = "tier") -> Dataset:
+    """Attach the label of the half-open range a value falls in:
+    ``labels[i]`` covers ``boundaries[i-1] <= v < boundaries[i]``
+    (``labels[0]`` below the first boundary, ``labels[-1]`` at/above the
+    last; ``len(labels) == len(boundaries) + 1``). Nulls stay null.
+
+    Map-only: the (tiny, driver-held) boundary table rides the closure;
+    each batch is ONE ``np.searchsorted`` probe + a dictionary take —
+    never a join, never a shuffle. The 100 TB shape for any bounded
+    lookup keyed by range rather than equality."""
+    if len(labels) != len(boundaries) + 1:
+        raise ValueError("need len(labels) == len(boundaries) + 1")
+    bounds = np.asarray(boundaries, dtype=np.float64)
+    if (np.diff(bounds) <= 0).any():
+        raise ValueError("boundaries must be strictly increasing")
+    lab_arr = pa.array(labels, pa.string())
+
+    def f(b: pa.Table) -> pa.Table:
+        col = b[value_col].combine_chunks()
+        v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.searchsorted(bounds, v, side="right")
+        tier = pa.DictionaryArray.from_arrays(
+            pa.array(idx.astype(np.int32)), lab_arr).cast(pa.string())
+        if col.null_count:
+            tier = pc.if_else(pc.is_valid(col), tier,
+                              pa.scalar(None, pa.string()))
+        return b.append_column(out_col, tier)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def cooccurrence_counts(ds: Dataset, key: str, item_col: str) -> Dataset:
+    """Global co-occurrence counts: for every unordered pair of DISTINCT
+    items appearing under the same key, the number of keys where both
+    appear (``item_a < item_b``) — the self-join + GROUP BY
+    market-basket shape without a self-join.
+
+    Partitioning assumption (document per the build guide): distinct
+    items per key are bounded by the item vocabulary (event types,
+    tags), so per-key pair fan-out is O(vocab²) — tiny — while keys are
+    many. One grouped sort; within-block pair emission is pure index
+    arithmetic vectorized across all runs (no per-run Python loop), and
+    a per-block Arrow ``group_by`` pre-count bounds the final exchange
+    at (vocab² × blocks) rows."""
+    out_schema = pa.schema([("item_a", pa.string()),
+                            ("item_b", pa.string()),
+                            ("n", pa.int64())])
+
+    def runs(b: pa.Table, starts, ends) -> pa.Table:
+        lo, hi = starts[0], ends[-1]
+        rid = np.repeat(np.arange(len(starts), dtype=np.int64),
+                        ends - starts)
+        items = b[item_col].combine_chunks()
+        enc = items.dictionary_encode() if not pa.types.is_dictionary(
+            items.type) else items
+        codes = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[lo:hi]
+        # code order must equal string order for the a<b contract
+        drank = np.empty(len(enc.dictionary), dtype=np.int64)
+        drank[pc.sort_indices(enc.dictionary)
+              .to_numpy(zero_copy_only=False).astype(np.int64)] = \
+            np.arange(len(enc.dictionary))
+        codes = drank[codes]
+        order = np.lexsort((codes, rid))
+        r, g = rid[order], codes[order]
+        keep = np.ones(len(r), dtype=bool)
+        keep[1:] = (r[1:] != r[:-1]) | (g[1:] != g[:-1])
+        r, g = r[keep], g[keep]  # distinct (key, item), item-sorted
+        # per-run m_i distinct items → m_i² index pairs, mask to i<j
+        run_starts = np.nonzero(
+            np.concatenate([[True], r[1:] != r[:-1]]))[0]
+        m = np.diff(np.concatenate([run_starts, [len(r)]]))
+        sq = m * m
+        total = int(sq.sum())
+        if total == 0:
+            return out_schema.empty_table()
+        cum = np.concatenate([[0], np.cumsum(sq)[:-1]])
+        p = np.arange(total, dtype=np.int64) - np.repeat(cum, sq)
+        mrep = np.repeat(m, sq)
+        srep = np.repeat(run_starts, sq)
+        i = srep + p // mrep
+        j = srep + p % mrep
+        mask = i < j
+        ia, ib = g[i[mask]], g[j[mask]]
+        inv = np.empty(len(drank), dtype=np.int64)
+        inv[drank] = np.arange(len(drank))
+        dict_sorted = enc.dictionary.take(pa.array(inv))
+        part = pa.table({
+            "item_a": dict_sorted.take(pa.array(ia)),
+            "item_b": dict_sorted.take(pa.array(ib)),
+        }).group_by(["item_a", "item_b"]).aggregate([([], "count_all")])
+        return pa.table({
+            "item_a": part["item_a"], "item_b": part["item_b"],
+            "n": pc.cast(part["count_all"], pa.int64()),
+        }).cast(out_schema)
+
+    partials = grouped_apply(ds.select_columns([key, item_col]), key,
+                             out_schema=out_schema, runs_fn=runs)
+    from ray.data.aggregate import Sum
+
+    return partials.groupby(["item_a", "item_b"]).aggregate(
+        Sum("n", alias_name="n"))

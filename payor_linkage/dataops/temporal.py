@@ -282,3 +282,109 @@ def funnel_counts(events: Dataset, on: str = "user_id",
 
     return grouped_apply(events.map_batches(slim, batch_format="pyarrow"),
                          on, out_schema=out_schema, runs_fn=runs)
+
+
+def transition_counts(events: Dataset, on: str = "user_id",
+                      ts_col: str = "ts", id_col: str = "event_id",
+                      state_col: str = "event_type") -> Dataset:
+    """Markov transition matrix over event sequences: global counts of
+    (state → next state) for consecutive events within each partition
+    key — the ``LEAD() OVER`` + GROUP BY shape as a distributed
+    operator (user-journey / n-gram-over-sessions analytics).
+
+    One grouped sort; transitions are a single shifted comparison
+    vectorized across every run in a block (run-crossing positions
+    masked), pre-counted per block with one Arrow ``group_by`` C kernel
+    so the final exchange moves (state, state, n) partials bounded by
+    the state vocabulary squared — never the event stream."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    proj = [on, ts_col, id_col, state_col]
+    out_schema = pa.schema([("from_state", pa.string()),
+                            ("to_state", pa.string()),
+                            ("n", pa.int64())])
+
+    def runs(b: pa.Table, starts, ends) -> pa.Table:
+        lo, hi = starts[0], ends[-1]
+        rid = _run_ids_local(starts, ends)
+        ts = b[ts_col].to_numpy(zero_copy_only=False)[lo:hi]
+        eid = b[id_col].to_numpy(zero_copy_only=False)[lo:hi]
+        order = np.lexsort((eid, ts, rid))
+        st = b[state_col].combine_chunks().take(
+            pa.array(order + lo))
+        same_run = rid[order][1:] == rid[order][:-1]
+        mask = pa.array(same_run)
+        frm = st.slice(0, len(st) - 1).filter(mask)
+        to = st.slice(1).filter(mask)
+        if len(frm) == 0:
+            return out_schema.empty_table()
+        part = pa.table({"from_state": frm, "to_state": to}) \
+            .group_by(["from_state", "to_state"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({
+            "from_state": part["from_state"],
+            "to_state": part["to_state"],
+            "n": pc.cast(part["count_all"], pa.int64()),
+        }).cast(out_schema)
+
+    partials = grouped_apply(events.select_columns(proj), on,
+                             out_schema=out_schema, runs_fn=runs)
+    return partials.groupby(["from_state", "to_state"]).aggregate(
+        Sum("n", alias_name="n"))
+
+
+def fill_forward(events: Dataset, on: str = "user_id",
+                 order_cols: list[str] | None = None,
+                 value_col: str = "value",
+                 out_col: str = "filled") -> Dataset:
+    """LOCF imputation: carry the last non-null ``value_col`` forward
+    within each partition, ordered by ``order_cols`` — the
+    ``last_value(... IGNORE NULLS) OVER (... ROWS UNBOUNDED PRECEDING)``
+    window as a distributed operator. Leading nulls stay null. Values
+    are *selected*, never computed, so float parity with SQL is exact.
+
+    One grouped sort; the fill is one ``np.maximum.accumulate`` over
+    global source indices (monotone, so a fill can never leak across
+    run boundaries: any index carried from an earlier run is < the
+    row's own run start and is masked back to null)."""
+    import pyarrow.compute as pc
+
+    order_cols = order_cols or ["ts", "event_id"]
+    proj = [on] + [c for c in order_cols if c != on] + [value_col]
+    vt = events.schema().base_schema.field(value_col).type
+    out_schema = pa.schema(
+        [(c, events.schema().base_schema.field(c).type) for c in proj]
+        + [(out_col, vt)])
+
+    def runs(b: pa.Table, starts, ends) -> pa.Table:
+        lo, hi = starts[0], ends[-1]
+        rid = _run_ids_local(starts, ends)
+        arrs = [b[c].to_numpy(zero_copy_only=False)[lo:hi]
+                for c in order_cols]
+        order = np.lexsort(tuple(reversed(arrs)) + (rid,))
+        vcol = b[value_col].combine_chunks()
+        valid = pc.is_valid(vcol).to_numpy(zero_copy_only=False)[lo:hi][order]
+        span = hi - lo
+        idx = np.arange(span, dtype=np.int64)
+        src = np.maximum.accumulate(np.where(valid, idx, -1))
+        lens = (ends - starts).astype(np.int64)
+        run_start = np.repeat((starts - lo).astype(np.int64), lens)
+        has_src = src >= run_start
+        take_idx = np.where(has_src, src, 0)
+        take = pa.array(order + lo)
+        filled = vcol.take(pa.array(order[take_idx] + lo))
+        filled = pc.if_else(pa.array(has_src), filled,
+                            pa.scalar(None, vt))
+        cols = {c: b[c].take(take) for c in proj}
+        cols[out_col] = filled
+        return pa.table(cols).cast(out_schema)
+
+    return grouped_apply(events.select_columns(proj), on,
+                         out_schema=out_schema, runs_fn=runs)
+
+
+def _run_ids_local(starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """Run index per row of the span [starts[0], ends[-1]) — same
+    contract as dataops.aggregates._run_ids."""
+    return np.repeat(np.arange(len(starts), dtype=np.int64), ends - starts)

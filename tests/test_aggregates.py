@@ -514,3 +514,107 @@ def test_grouped_moments_derive_variance(ray_session):
         assert r.sum_sq == (g.q ** 2).sum()
         var = r.sum_sq / r.n - (r.sum_v / r.n) ** 2
         assert abs(var - g.q.var(ddof=0)) < 1e-9
+
+
+def test_transition_counts_matches_lead(ray_session):
+    """Single-event keys emit nothing; counts match the LEAD window over
+    many blocks."""
+    import duckdb
+
+    from payor_linkage.dataops.temporal import transition_counts
+
+    rng = np.random.default_rng(17)
+    n = 4000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 300, n).astype(np.int64),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, n), unit="s"),
+        "event_id": np.arange(n, dtype=np.int64),
+        "event_type": rng.choice(["a", "b", "c"], n),
+    })
+    df = pd.concat([df, pd.DataFrame({
+        "user_id": [9999], "ts": [pd.Timestamp("2020-01-01")],
+        "event_id": [n], "event_type": ["a"]})], ignore_index=True)
+    out = (transition_counts(_ds(df).repartition(9))
+           .to_pandas().sort_values(["from_state", "to_state"])
+           .reset_index(drop=True))
+    exp = duckdb.sql("""
+        WITH o AS (SELECT event_type,
+                          lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nxt
+                   FROM df)
+        SELECT event_type AS from_state, nxt AS to_state, count(*) AS n
+        FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2
+        ORDER BY 1, 2
+    """).df()
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+    # transitions per key = rows - 1 → total = rows - distinct keys
+    assert out.n.sum() == len(df) - df.user_id.nunique()
+
+
+def test_fill_forward_leading_nulls_and_blocks(ray_session):
+    """Leading nulls stay null; fills never leak across keys even when
+    a key's run spans block boundaries."""
+    import duckdb
+
+    from payor_linkage.dataops.temporal import fill_forward
+
+    rng = np.random.default_rng(23)
+    n = 3000
+    v = rng.normal(size=n)
+    v[rng.random(n) < 0.6] = np.nan
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 50, n).astype(np.int64),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, n), unit="s"),
+        "event_id": np.arange(n, dtype=np.int64),
+        "value": v,
+    })
+    out = (fill_forward(_ds(df).repartition(11))
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT user_id, ts, event_id, value,
+               last_value(value IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS filled
+        FROM df ORDER BY event_id
+    """).df()
+    pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp,
+                                  check_dtype=False)
+
+
+def test_range_lookup_boundaries_and_nulls(ray_session):
+    from payor_linkage.dataops.enrich import range_lookup
+
+    df = pd.DataFrame({
+        "id": np.arange(6, dtype=np.int64),
+        "v": [-5.0, 0.0, 9.999, 10.0, 500.0, None],
+    })
+    out = (range_lookup(_ds(df), "v", [0.0, 10.0, 500.0],
+                        ["neg", "low", "mid", "high"])
+           .to_pandas().sort_values("id"))
+    assert out.tier.tolist() == ["neg", "low", "low", "mid", "high",
+                                 None]
+
+
+def test_cooccurrence_pairs_exact(ray_session):
+    """Duplicate (key,item) rows count once; singleton keys contribute
+    nothing; runs split across blocks still pair correctly."""
+    import duckdb
+
+    from payor_linkage.dataops.enrich import cooccurrence_counts
+
+    rng = np.random.default_rng(29)
+    n = 5000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 400, n).astype(np.int64),
+        "item": rng.choice(["w", "x", "y", "z"], n),
+    })
+    out = (cooccurrence_counts(_ds(df).repartition(13), "k", "item")
+           .to_pandas().sort_values(["item_a", "item_b"])
+           .reset_index(drop=True))
+    exp = duckdb.sql("""
+        WITH d AS (SELECT DISTINCT k, item FROM df)
+        SELECT a.item AS item_a, b.item AS item_b, count(*) AS n
+        FROM d a JOIN d b ON a.k = b.k AND a.item < b.item
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """).df()
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
