@@ -1555,6 +1555,61 @@ def q_inverted_index(sf_dir: str):
     return agg.map_batches(add_df, batch_format="pyarrow")
 
 
+def q_sliding_sum(sf_dir: str):
+    """Bounded-frame window SUM over the integer props field k (ROWS 4
+    PRECEDING) — one block-wide cumsum, window starts clipped at run
+    boundaries so cross-run contributions cancel exactly; O(n)
+    regardless of frame."""
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    from payor_linkage.dataops.aggregates import sliding_sum
+
+    def extract_k(b: pa.Table) -> pa.Table:
+        ex = _pc.extract_regex(b["props"], r'"k"\s*:\s*(?P<v>-?\d+)')
+        return pa.table({
+            "user_id": b["user_id"], "ts": b["ts"],
+            "event_id": b["event_id"],
+            "k": _pc.cast(_pc.struct_field(ex, "v"), pa.int64()),
+        })
+
+    base = _events(sf_dir).map_batches(extract_k, batch_format="pyarrow")
+    return sliding_sum(base, "user_id", ["ts", "event_id"], "k", frame=5)
+
+
+def q_global_ntile(sf_dir: str):
+    """Global ROW_NUMBER + NTILE(4) over the whole events table ordered
+    by (value, event_id) — equi-depth banding via the distributed
+    prefix construction (per-block counts to the driver; no row moves
+    after the one sort)."""
+    from payor_linkage.dataops.reshape import global_ntile
+
+    return global_ntile(
+        _events(sf_dir).select_columns(["event_id", "value"]),
+        ["value", "event_id"], k=4)
+
+
+def q_profile(sf_dir: str):
+    """Column completeness profile over a null-bearing projection
+    (click-only values): per-column total + null counts read straight
+    off Arrow validity bitmaps, partials collapsed by one tiny grouped
+    Sum."""
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    from payor_linkage.dataops.aggregates import profile_nulls
+
+    def null_non_clicks(b: pa.Table) -> pa.Table:
+        v = _pc.if_else(_pc.equal(b["event_type"], "click"), b["value"],
+                        pa.scalar(None, pa.float64()))
+        return pa.table({"event_id": b["event_id"],
+                         "event_type": b["event_type"], "value": v})
+
+    ev = _events(sf_dir).map_batches(null_non_clicks,
+                                     batch_format="pyarrow")
+    return profile_nulls(ev)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q_normalize_text": q_normalize_text,
@@ -1653,6 +1708,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_range_lookup": q_range_lookup,
         "q_cooccurrence": q_cooccurrence,
         "q_inverted_index": q_inverted_index,
+        "q_sliding_sum": q_sliding_sum,
+        "q_global_ntile": q_global_ntile,
+        "q_profile": q_profile,
     }
 
 
@@ -2717,5 +2775,34 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY doc_id) AS postings,
                    count(*) AS df
             FROM p GROUP BY token
+        """,
+        "q_sliding_sum": """
+            SELECT user_id, ts, event_id,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+                   sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                       AS win_sum
+            FROM events
+        """,
+        "q_global_ntile": """
+            SELECT event_id, value,
+                   CAST(row_number() OVER w AS BIGINT) AS rn,
+                   CAST(ntile(4) OVER w AS BIGINT) AS bucket
+            FROM events
+            WINDOW w AS (ORDER BY value, event_id)
+        """,
+        "q_profile": """
+            WITH i AS (
+              SELECT event_id, event_type,
+                     CASE WHEN event_type = 'click' THEN value END AS value
+              FROM events)
+            SELECT 'event_id' AS col_name, count(*) AS n,
+                   count(*) - count(event_id) AS n_null FROM i
+            UNION ALL
+            SELECT 'event_type', count(*), count(*) - count(event_type)
+            FROM i
+            UNION ALL
+            SELECT 'value', count(*), count(*) - count(value) FROM i
         """,
     }

@@ -758,3 +758,75 @@ def grouped_rank(ds: Dataset, key: str, value_col: str,
 
     return grouped_apply(ds.select_columns(proj), key,
                          out_schema=out_schema, runs_fn=runs)
+
+
+def sliding_sum(ds: Dataset, key: str, order_cols: list[str],
+                value_col: str, frame: int,
+                out_col: str = "win_sum") -> Dataset:
+    """Bounded-frame window sum over an INTEGER column:
+    ``sum(value) OVER (PARTITION BY key ORDER BY order_cols
+    ROWS BETWEEN frame-1 PRECEDING AND CURRENT ROW)``. The integer-only
+    contract keeps float order-dependence out of the oracle compare
+    (same rule as ``running_cumsum``).
+
+    One grouped sort, then ONE block-wide cumsum: the window sum is
+    ``cum[i] - cum[window_start - 1]`` with the start clipped to the
+    run boundary — cross-run cumsum contributions cancel exactly, so
+    no per-frame pass and no Python row loop (O(n) regardless of
+    frame)."""
+    proj = ([key] + [c for c in order_cols if c != key]
+            + ([value_col] if value_col not in order_cols
+               and value_col != key else []))
+    out_schema = pa.schema(
+        [(c, ds.schema().base_schema.field(c).type) for c in proj]
+        + [(out_col, pa.int64())])
+
+    def runs(b: pa.Table, starts, ends) -> pa.Table:
+        lo, hi = starts[0], ends[-1]
+        rid = _run_ids(starts, ends)
+        arrs = [b[c].to_numpy(zero_copy_only=False)[lo:hi]
+                for c in order_cols]
+        order = np.lexsort(tuple(reversed(arrs)) + (rid,))
+        v = b[value_col].to_numpy(zero_copy_only=False)[lo:hi][order] \
+            .astype(np.int64)
+        lens = (ends - starts).astype(np.int64)
+        run_start = np.repeat(
+            np.cumsum(np.concatenate([[0], lens[:-1]])), lens)
+        pos = np.arange(hi - lo, dtype=np.int64) - run_start
+        c = np.cumsum(v)
+        wstart = run_start + np.maximum(pos - frame + 1, 0)
+        win = c - np.where(wstart > 0, c[wstart - 1], 0)
+        take = pa.array(order + lo)
+        cols = {col: b[col].take(take) for col in proj}
+        cols[out_col] = pa.array(win, pa.int64())
+        return pa.table(cols).cast(out_schema)
+
+    return grouped_apply(ds.select_columns(proj), key,
+                         out_schema=out_schema, runs_fn=runs)
+
+
+def profile_nulls(ds: Dataset, columns: list[str] | None = None) -> Dataset:
+    """Column-level completeness profile: one row per column with total
+    and null counts — the data-quality scan that decides which fields a
+    pipeline can trust. ONE streaming pass: each batch emits a
+    (col_name, n, n_null) micro-table straight off the Arrow validity
+    bitmaps (no value ever inspected), and a tiny grouped Sum collapses
+    the partials — the exchange moves columns × blocks rows, never
+    data."""
+    from ray.data.aggregate import Sum
+
+    cols = columns or [f.name for f in ds.schema().base_schema]
+    name_arr = pa.array(sorted(cols), pa.string())
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "col_name": name_arr,
+            "n": pa.array([b.num_rows] * len(name_arr), pa.int64()),
+            "n_null": pa.array([b[c].null_count for c in sorted(cols)],
+                               pa.int64()),
+        })
+
+    parts = ds.select_columns(cols).map_batches(
+        partial, batch_format="pyarrow")
+    return parts.groupby("col_name").aggregate(
+        Sum("n", alias_name="n"), Sum("n_null", alias_name="n_null"))

@@ -196,3 +196,62 @@ def pack_positions(ds: Dataset, length_col: str, order_cols: list[str],
 
     return rd.from_arrow_refs(
         [_emit.remote(ref, int(bases[i])) for i, ref in enumerate(refs)])
+
+
+def global_ntile(ds: Dataset, order_cols: list[str], k: int,
+                 out_rn: str = "rn", out_bucket: str = "bucket") -> Dataset:
+    """Global (un-partitioned) ROW_NUMBER + NTILE(k) over a total order
+    — equi-depth bucketing of a whole table (train/val/test splits by
+    rank, percentile banding). SQL-exact NTILE fill: the first
+    ``n mod k`` buckets get ``floor(n/k) + 1`` rows.
+
+    Scale shape: the same distributed prefix construction as
+    ``pack_positions`` — ONE global sort, per-block row counts (one int
+    each) to the driver, then both the row number and the bucket are
+    pure per-block integer arithmetic. The grouped-apply alternative
+    would funnel every row through one task (a single group); this
+    never moves a row after the sort."""
+    import ray
+    import ray.data as rd
+
+    proj = list(dict.fromkeys(order_cols))
+    out_schema = pa.schema(
+        [(c, ds.schema().base_schema.field(c).type) for c in proj]
+        + [(out_rn, pa.int64()), (out_bucket, pa.int64())])
+
+    sds = ds.select_columns(proj).sort(order_cols).materialize()
+    refs = sds.to_arrow_refs()
+    if not refs:
+        return rd.from_arrow(out_schema.empty_table())
+
+    @ray.remote
+    def _count(tbl: pa.Table) -> int:
+        return tbl.num_rows
+
+    counts = np.array(ray.get([_count.remote(r) for r in refs]),
+                      dtype=np.int64)
+    bases = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    n_total = int(counts.sum())
+    size, rem = divmod(n_total, k)
+    split = rem * (size + 1)  # rows in the first `rem` (bigger) buckets
+
+    @ray.remote
+    def _emit(tbl: pa.Table, base: int) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        rn = np.arange(tbl.num_rows, dtype=np.int64) + base + 1
+        r0 = rn - 1
+        if size == 0:
+            bucket = r0 + 1  # n < k: one row per leading bucket
+        else:
+            bucket = np.where(
+                r0 < split,
+                r0 // (size + 1) + 1,
+                rem + (r0 - split) // size + 1)
+        cols = {c: tbl[c] for c in proj}
+        cols[out_rn] = pa.array(rn, pa.int64())
+        cols[out_bucket] = pa.array(bucket, pa.int64())
+        return pa.table(cols).cast(out_schema)
+
+    return rd.from_arrow_refs(
+        [_emit.remote(ref, int(bases[i])) for i, ref in enumerate(refs)])

@@ -618,3 +618,72 @@ def test_cooccurrence_pairs_exact(ray_session):
         GROUP BY 1, 2 ORDER BY 1, 2
     """).df()
     pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+def test_sliding_sum_matches_window(ray_session):
+    """Integer bounded-frame sum vs DuckDB across many blocks; frame
+    larger than some runs; negative values."""
+    import duckdb
+
+    from payor_linkage.dataops.aggregates import sliding_sum
+
+    rng = np.random.default_rng(31)
+    n = 4000
+    df = pd.DataFrame({
+        "g": rng.integers(0, 97, n).astype(np.int64),
+        "i": np.arange(n, dtype=np.int64),
+        "v": rng.integers(-50, 50, n).astype(np.int64),
+    })
+    out = (sliding_sum(_ds(df).repartition(9), "g", ["i"], "v", frame=7)
+           .to_pandas().sort_values("i").reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT g, i, v,
+               sum(v) OVER (PARTITION BY g ORDER BY i
+                            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                   AS win_sum
+        FROM df ORDER BY i
+    """).df()
+    pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp,
+                                  check_dtype=False)
+
+
+def test_global_ntile_fill_and_row_numbers(ray_session):
+    """SQL NTILE fill (first n%k buckets one bigger), unique row
+    numbers, and the n<k edge."""
+    import duckdb
+
+    from payor_linkage.dataops.reshape import global_ntile
+
+    rng = np.random.default_rng(37)
+    df = pd.DataFrame({"i": np.arange(1003, dtype=np.int64),
+                       "v": rng.normal(size=1003)})
+    out = (global_ntile(_ds(df).repartition(8), ["v", "i"], k=7)
+           .to_pandas().sort_values("rn").reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT v, i, CAST(row_number() OVER w AS BIGINT) AS rn,
+               CAST(ntile(7) OVER w AS BIGINT) AS bucket
+        FROM df WINDOW w AS (ORDER BY v, i) ORDER BY rn
+    """).df()
+    pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp,
+                                  check_dtype=False)
+    # n < k edge: every row its own leading bucket
+    small = pd.DataFrame({"i": np.arange(3, dtype=np.int64),
+                          "v": [3.0, 1.0, 2.0]})
+    o2 = (global_ntile(_ds(small), ["v", "i"], k=5)
+          .to_pandas().sort_values("rn"))
+    assert o2.bucket.tolist() == [1, 2, 3]
+
+
+def test_profile_nulls_counts(ray_session):
+    from payor_linkage.dataops.aggregates import profile_nulls
+
+    df = pd.DataFrame({
+        "a": [1.0, None, 3.0, None],
+        "b": ["x", "y", None, "w"],
+        "c": [1, 2, 3, 4],
+    })
+    out = (profile_nulls(_ds(df))
+           .to_pandas().sort_values("col_name").reset_index(drop=True))
+    assert out.col_name.tolist() == ["a", "b", "c"]
+    assert out.n.tolist() == [4, 4, 4]
+    assert out.n_null.tolist() == [2, 1, 0]
