@@ -1610,6 +1610,16 @@ def q_profile(sf_dir: str):
     return profile_nulls(ev)
 
 
+def q_substring_dup(sf_dir: str):
+    """Exact shared-substring dedup pairs (fixed-width suffix-array
+    signal, k=24): every distinct (window, doc) through one grouped
+    shuffle, vectorized sliding-window extraction over the Arrow value
+    buffer, bucket pair kernel with two-column dedup."""
+    from payor_linkage.dataops.dedup import substring_dup_pairs
+
+    return substring_dup_pairs(_docs(sf_dir), k=24)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q_normalize_text": q_normalize_text,
@@ -1711,6 +1721,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sliding_sum": q_sliding_sum,
         "q_global_ntile": q_global_ntile,
         "q_profile": q_profile,
+        "q_substring_dup": q_substring_dup,
     }
 
 
@@ -2804,5 +2815,16 @@ def oracle_sql() -> dict[str, str]:
             FROM i
             UNION ALL
             SELECT 'value', count(*), count(*) - count(value) FROM i
+        """,
+        "q_substring_dup": """
+            WITH g AS (
+              SELECT DISTINCT doc_id,
+                     substr(text, CAST(s AS BIGINT), 24) AS gram
+              FROM documents,
+                   unnest(generate_series(1, length(text) - 23)) AS t(s)
+            )
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM g a JOIN g b ON a.gram = b.gram
+                             AND a.doc_id < b.doc_id
         """,
     }

@@ -622,3 +622,97 @@ def embedding_neardup_pairs(ds: Dataset, threshold: float = 0.4,
         })
 
     return ds.map_batches(batch_pairs, batch_format="pyarrow")
+
+
+def substring_dup_pairs(ds: Dataset, k: int = 24, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        max_bucket: int = 256) -> Dataset:
+    """Pairs of documents sharing ANY exact k-character substring — the
+    fixed-width form of suffix-array exact-substring dedup (the
+    "deduplicating training data" signal): any repeated span of length
+    ≥ k guarantees a shared k-window, so window-bucketing is complete
+    at width k.
+
+    Exact-complete mode: EVERY distinct (window, doc) rides the one
+    grouped shuffle (window strings of k bytes — the honest cost of
+    completeness; the scale path winnows each document's windows to a
+    min-hash sample per neighborhood before bucketing, trading
+    completeness for a ~2/(w+1) shuffle rate). ASCII batches extract
+    all windows with ONE numpy sliding-window view over the Arrow value
+    buffer and rebuild the gram column from the windowed bytes with
+    arithmetic offsets — no per-row Python; non-ASCII batches fall back
+    to codepoint slicing. Pair emission reuses the bucket kernel
+    (singleton runs skipped vectorized, triu indices cached by run
+    length, two-column dedup after)."""
+    from payor_linkage.rayutil import grouped_apply
+
+    pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+
+    def grams(b: pa.Table) -> pa.Table:
+        txt = b[text_col].combine_chunks()
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        nchars = pc.utf8_length(txt).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nbytes = pc.binary_length(txt).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        counts = np.maximum(nchars - k + 1, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "id": pa.array([], pa.int64())})
+        parent = np.repeat(np.arange(b.num_rows, dtype=np.int64), counts)
+        if (nchars == nbytes).all():
+            off = np.frombuffer(txt.buffers()[1], dtype=np.int32,
+                                count=len(txt) + 1,
+                                offset=txt.offset * 4).astype(np.int64)
+            data = np.frombuffer(txt.buffers()[2], dtype=np.uint8)
+            cum = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            within = np.arange(total, dtype=np.int64) \
+                - np.repeat(cum, counts)
+            starts = off[:-1][parent] + within
+            win = data[starts[:, None] + np.arange(k, dtype=np.int64)]
+            new_off = (np.arange(total + 1, dtype=np.int32) * k)
+            gram_arr = pa.StringArray.from_buffers(
+                total, pa.py_buffer(new_off.tobytes()),
+                pa.py_buffer(win.tobytes()))
+        else:
+            texts = txt.to_pylist()
+            gram_arr = pa.array(
+                [t[w:w + k] for t, c in zip(texts, counts)
+                 for w in range(int(c))], pa.string())
+        t = pa.table({"gram": gram_arr,
+                      "id": pa.array(ids[parent], pa.int64())})
+        return t.group_by(["gram", "id"]).aggregate([])
+
+    band_rows = ds.select_columns([id_col, text_col]).map_batches(
+        grams, batch_format="pyarrow")
+
+    def emit_runs(b: pa.Table, starts, ends) -> pa.Table:
+        lens = ends - starts
+        live = np.nonzero((lens >= 2) & (lens <= max_bucket))[0]
+        if len(live) == 0:
+            return pair_schema.empty_table()
+        ids_arr = b["id"].combine_chunks()
+        ids_np = ids_arr.to_numpy(zero_copy_only=False)
+        tri_cache: dict = {}
+        ai_parts, bi_parts = [], []
+        for ri in live:
+            s_, n = starts[ri], lens[ri]
+            tri = tri_cache.get(n)
+            if tri is None:
+                tri = tri_cache[n] = np.triu_indices(n, k=1)
+            order = np.argsort(ids_np[s_:s_ + n], kind="stable") + s_
+            ai_parts.append(order[tri[0]])
+            bi_parts.append(order[tri[1]])
+        ai = np.concatenate(ai_parts)
+        bi = np.concatenate(bi_parts)
+        return pa.table({
+            "id_a": ids_arr.take(pa.array(ai)),
+            "id_b": ids_arr.take(pa.array(bi)),
+        }).cast(pair_schema)
+
+    pairs = grouped_apply(band_rows, "gram", runs_fn=emit_runs,
+                          out_schema=pair_schema)
+    return (pairs.groupby(["id_a", "id_b"]).count()
+            .map_batches(lambda b: b.drop_columns(["count()"]),
+                         batch_format="pyarrow"))

@@ -421,3 +421,60 @@ def test_token_explode_positions_and_edges(ray_session):
     # empty / punctuation-only docs emit no rows
     assert set(out.doc_id) == {1, 4}
     assert out[out.doc_id == 4].token.tolist() == ["one"]
+
+
+def _ds(df):
+    import ray.data as rd
+    return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+
+def test_substring_dup_pairs_detects_shared_spans(ray_session):
+    """Docs sharing an exact ≥k-char span pair up; disjoint docs don't;
+    the non-ASCII fallback path agrees with character semantics."""
+    import pandas as pd
+
+    from payor_linkage.dataops.dedup import substring_dup_pairs
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    df = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": [
+            "prefix one " + shared,
+            shared + " suffix two",
+            "totally different content with no overlap at all here",
+            "short",
+            "ünïcode décor " + shared,   # multibyte → fallback path
+        ],
+    })
+    out = (substring_dup_pairs(_ds(df), k=24)
+           .to_pandas().sort_values(["id_a", "id_b"])
+           .reset_index(drop=True))
+    got = set(zip(out.id_a, out.id_b))
+    assert got == {(0, 1), (0, 4), (1, 4)}
+
+
+def test_substring_dup_pairs_matches_sql_many_blocks(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from payor_linkage.dataops.dedup import substring_dup_pairs
+
+    rng = np.random.default_rng(41)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    texts = [" ".join(rng.choice(vocab, 12)) for _ in range(300)]
+    df = pd.DataFrame({"doc_id": np.arange(300, dtype=np.int64),
+                       "text": texts})
+    out = (substring_dup_pairs(_ds(df).repartition(7), k=24,
+                               max_bucket=1 << 20)
+           .to_pandas().sort_values(["id_a", "id_b"])
+           .reset_index(drop=True))
+    exp = duckdb.sql("""
+        WITH g AS (
+          SELECT DISTINCT doc_id,
+                 substr(text, CAST(s AS BIGINT), 24) AS gram
+          FROM df, unnest(generate_series(1, length(text) - 23)) AS t(s))
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        ORDER BY 1, 2
+    """).df()
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
