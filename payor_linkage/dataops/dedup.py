@@ -626,18 +626,23 @@ def embedding_neardup_pairs(ds: Dataset, threshold: float = 0.4,
 
 def substring_dup_pairs(ds: Dataset, k: int = 24, text_col: str = "text",
                         id_col: str = "doc_id",
-                        max_bucket: int = 256) -> Dataset:
+                        max_bucket: int = 256,
+                        winnow_w: int = 1) -> Dataset:
     """Pairs of documents sharing ANY exact k-character substring — the
     fixed-width form of suffix-array exact-substring dedup (the
     "deduplicating training data" signal): any repeated span of length
     ≥ k guarantees a shared k-window, so window-bucketing is complete
     at width k.
 
-    Exact-complete mode: EVERY distinct (window, doc) rides the one
-    grouped shuffle (window strings of k bytes — the honest cost of
-    completeness; the scale path winnows each document's windows to a
-    min-hash sample per neighborhood before bucketing, trading
-    completeness for a ~2/(w+1) shuffle rate). ASCII batches extract
+    ``winnow_w=1`` is the exact-complete mode: EVERY distinct
+    (window, doc) rides the one grouped shuffle (window strings of k
+    bytes — the honest cost of completeness). ``winnow_w=w > 1`` is the
+    100 TB scale path — Schleimer-style winnowing: each document ships
+    only the min-rolling-hash window of every w-neighborhood (expected
+    ~2/(w+1) of its windows) with the HARD guarantee that any shared
+    span of length ≥ k + w - 1 still shares a selected window; shorter
+    overlaps may be missed (gated by the winnowing-guarantee pytest,
+    not a SQL oracle). ASCII batches extract
     all windows with ONE numpy sliding-window view over the Arrow value
     buffer and rebuild the gram column from the windowed bytes with
     arithmetic offsets — no per-row Python; non-ASCII batches fall back
@@ -647,6 +652,38 @@ def substring_dup_pairs(ds: Dataset, k: int = 24, text_col: str = "text",
     from payor_linkage.rayutil import grouped_apply
 
     pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+
+    def _winnow_mask(counts: np.ndarray, hashes: np.ndarray,
+                     w: int) -> np.ndarray:
+        """Boolean mask over the flat window array (docs concatenated,
+        ``counts`` windows each): keep the argmin-hash window of every
+        w-neighborhood. Doc boundaries are isolated by w-1 sentinel
+        (max-uint64) pads so one vectorized sliding argmin serves the
+        whole batch — a neighborhood that straddles the pad can only
+        select real windows of the preceding doc (supersets of the
+        per-doc guarantee, never misses)."""
+        n_docs = len(counts)
+        pad = w - 1
+        padded_len = int(counts.sum()) + pad * n_docs
+        padded = np.full(padded_len, np.uint64(0xFFFFFFFFFFFFFFFF))
+        # position of each doc's windows inside the padded array
+        doc_pad_start = np.concatenate(
+            [[0], np.cumsum(counts[:-1] + pad)])
+        cum = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        flat_pos = (np.repeat(doc_pad_start, counts)
+                    + np.arange(int(counts.sum()), dtype=np.int64)
+                    - np.repeat(cum, counts))
+        padded[flat_pos] = hashes
+        win_view = np.lib.stride_tricks.sliding_window_view(padded, w)
+        sel_padded = np.unique(
+            np.arange(len(win_view), dtype=np.int64)
+            + win_view.argmin(axis=1))
+        back = np.full(padded_len, -1, dtype=np.int64)
+        back[flat_pos] = np.arange(len(flat_pos), dtype=np.int64)
+        orig = back[sel_padded]
+        mask = np.zeros(len(flat_pos), dtype=bool)
+        mask[orig[orig >= 0]] = True
+        return mask
 
     def grams(b: pa.Table) -> pa.Table:
         txt = b[text_col].combine_chunks()
@@ -671,6 +708,14 @@ def substring_dup_pairs(ds: Dataset, k: int = 24, text_col: str = "text",
                 - np.repeat(cum, counts)
             starts = off[:-1][parent] + within
             win = data[starts[:, None] + np.arange(k, dtype=np.int64)]
+            if winnow_w > 1:
+                pw = (np.uint64(257)
+                      ** np.arange(k - 1, -1, -1, dtype=np.uint64))
+                hashes = (win.astype(np.uint64) * pw).sum(
+                    axis=1, dtype=np.uint64)
+                keep = _winnow_mask(counts, hashes, winnow_w)
+                win, parent = win[keep], parent[keep]
+                total = len(parent)
             new_off = (np.arange(total + 1, dtype=np.int32) * k)
             gram_arr = pa.StringArray.from_buffers(
                 total, pa.py_buffer(new_off.tobytes()),
@@ -680,6 +725,18 @@ def substring_dup_pairs(ds: Dataset, k: int = 24, text_col: str = "text",
             gram_arr = pa.array(
                 [t[w:w + k] for t, c in zip(texts, counts)
                  for w in range(int(c))], pa.string())
+            if winnow_w > 1:
+                enc = np.frombuffer(
+                    "".join(g.as_py().ljust(k, chr(0))[:k]
+                            for g in gram_arr).encode("utf-32-le"),
+                    dtype=np.uint32).reshape(-1, k)
+                pw = (np.uint64(257)
+                      ** np.arange(k - 1, -1, -1, dtype=np.uint64))
+                hashes = (enc.astype(np.uint64) * pw).sum(
+                    axis=1, dtype=np.uint64)
+                keep = _winnow_mask(counts, hashes, winnow_w)
+                gram_arr = gram_arr.filter(pa.array(keep))
+                parent = parent[keep]
         t = pa.table({"gram": gram_arr,
                       "id": pa.array(ids[parent], pa.int64())})
         return t.group_by(["gram", "id"]).aggregate([])

