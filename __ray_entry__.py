@@ -1620,6 +1620,31 @@ def q_substring_dup(sf_dir: str):
     return substring_dup_pairs(_docs(sf_dir), k=24)
 
 
+def q_window_distinct(sf_dir: str):
+    """Distinct users per 10-minute tumbling window (streaming
+    COUNT(DISTINCT)): per-batch (win, user) dedup partials → one
+    grouped exchange carrying already-distinct pairs → per-window
+    count. The two-level-distinct shape applied to event-time
+    windows."""
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+    from ray.data.aggregate import Count
+
+    def win_user(b: pa.Table) -> pa.Table:
+        win = _pc.floor(_pc.divide(
+            _pc.cast(b["ts"], pa.int64()), 600_000_000))
+        t = pa.table({"win": _pc.cast(win, pa.int64()),
+                      "user_id": b["user_id"]})
+        return t.group_by(["win", "user_id"]).aggregate([])
+
+    pairs = _events(sf_dir).select_columns(["ts", "user_id"]) \
+        .map_batches(win_user, batch_format="pyarrow")
+    dedup = pairs.groupby(["win", "user_id"]).count() \
+        .drop_columns(["count()"])
+    return dedup.groupby("win").aggregate(
+        Count("user_id", alias_name="n_users"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q_normalize_text": q_normalize_text,
@@ -1722,6 +1747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_global_ntile": q_global_ntile,
         "q_profile": q_profile,
         "q_substring_dup": q_substring_dup,
+        "q_window_distinct": q_window_distinct,
     }
 
 
@@ -2826,5 +2852,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM g a JOIN g b ON a.gram = b.gram
                              AND a.doc_id < b.doc_id
+        """,
+        "q_window_distinct": """
+            SELECT CAST(floor(epoch_us(ts) / 600000000) AS BIGINT) AS win,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1
         """,
     }

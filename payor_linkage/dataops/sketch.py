@@ -214,3 +214,30 @@ def bloom_contains(bits: Dataset, item, n_hashes: int = 3,
 
     found = bits.map_batches(pick, batch_format="pyarrow").count()
     return found == n_hashes
+
+
+def histogram_quantile(ds, value_col: str, divisor: float,
+                       qs: list[float]) -> dict[float, float]:
+    """Approximate quantiles from the fixed-width histogram sketch —
+    the mergeable, one-pass, bounded-state alternative to an exact
+    distributed sort when ±divisor error is acceptable (the 100 TB
+    shape: the exchange moves (bin, count) partials, never values).
+
+    Returns the LEFT EDGE of the bin containing each requested quantile
+    (error ≤ divisor by construction, gated by pytest, not a SQL
+    oracle). Driver reads only the bounded histogram."""
+    import numpy as np
+
+    from payor_linkage.dataops.aggregates import value_histogram
+
+    hist = value_histogram(ds, value_col, divisor).to_pandas() \
+        .sort_values("bin").reset_index(drop=True)
+    counts = hist.n.to_numpy()
+    total = counts.sum()
+    cum = np.cumsum(counts)
+    out = {}
+    for q in qs:
+        target = max(1, int(np.ceil(q * total)))
+        i = int(np.searchsorted(cum, target))
+        out[q] = float(hist.bin.iloc[i] * divisor)
+    return out

@@ -687,3 +687,19 @@ def test_profile_nulls_counts(ray_session):
     assert out.col_name.tolist() == ["a", "b", "c"]
     assert out.n.tolist() == [4, 4, 4]
     assert out.n_null.tolist() == [2, 1, 0]
+
+
+def test_histogram_quantile_error_bound(ray_session):
+    """Histogram quantile estimates land within one bin width of the
+    exact quantile."""
+    from payor_linkage.dataops.sketch import histogram_quantile
+
+    rng = np.random.default_rng(53)
+    v = rng.normal(50, 20, 20000)
+    df = pd.DataFrame({"v": v})
+    d = 2.0
+    est = histogram_quantile(_ds(df).repartition(9), "v", d,
+                             [0.1, 0.5, 0.9])
+    for q, e in est.items():
+        exact = np.quantile(v, q)
+        assert abs(e - exact) <= d, (q, e, exact)
