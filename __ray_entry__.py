@@ -1620,6 +1620,17 @@ def q_substring_dup(sf_dir: str):
     return substring_dup_pairs(_docs(sf_dir), k=24)
 
 
+def q_substring_dup_winnow(sf_dir: str):
+    """The 100 TB scale path of q_substring_dup: Schleimer winnowing
+    ships ~2/(w+1) of each document's windows with a hard guarantee on
+    spans ≥ k+w-1. Approximate by design below that span length →
+    rows-only here; the guarantee + subset-of-exact properties are
+    pytest-gated (test_substring_dup_winnow_guarantee_and_subset)."""
+    from payor_linkage.dataops.dedup import substring_dup_pairs
+
+    return substring_dup_pairs(_docs(sf_dir), k=24, winnow_w=4)
+
+
 def q_window_distinct(sf_dir: str):
     """Distinct users per 10-minute tumbling window (streaming
     COUNT(DISTINCT)): per-batch (win, user) dedup partials → one
@@ -1748,6 +1759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_profile": q_profile,
         "q_substring_dup": q_substring_dup,
         "q_window_distinct": q_window_distinct,
+        "q_substring_dup_winnow": q_substring_dup_winnow,
     }
 
 
