@@ -1631,6 +1631,17 @@ def q_substring_dup_winnow(sf_dir: str):
     return substring_dup_pairs(_docs(sf_dir), k=24, winnow_w=4)
 
 
+def q_knn_join(sf_dir: str):
+    """kNN graph: top-5 cosine neighbors for EVERY vector, run in the
+    exact-complete IVF configuration (one partition — every pair
+    verified, the same trick as q_ivf_ann) and checked against the
+    all-pairs window oracle. The multi-centroid approximate scale path
+    is recall-gated by pytest (test_knn_join_recall)."""
+    from payor_linkage.dataops.similarity import knn_join
+
+    return knn_join(_emb(sf_dir), k=5, n_centroids=1, nprobe=1)
+
+
 def q_window_distinct(sf_dir: str):
     """Distinct users per 10-minute tumbling window (streaming
     COUNT(DISTINCT)): per-batch (win, user) dedup partials → one
@@ -1760,6 +1771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_substring_dup": q_substring_dup,
         "q_window_distinct": q_window_distinct,
         "q_substring_dup_winnow": q_substring_dup_winnow,
+        "q_knn_join": q_knn_join,
     }
 
 
@@ -2869,5 +2881,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(floor(epoch_us(ts) / 600000000) AS BIGINT) AS win,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1
+        """,
+        "q_knn_join": """
+            SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
+            FROM (
+                SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(
+                               CAST(q.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) DESC,
+                           b.vec_id) AS rank
+                FROM embeddings q JOIN embeddings b
+                  ON b.vec_id != q.vec_id
+            ) WHERE rank <= 5
         """,
     }

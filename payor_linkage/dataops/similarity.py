@@ -213,3 +213,96 @@ def lsh_neardup_pairs(ds: Dataset, threshold: float = 0.4, n_planes: int = 12,
     return (pairs.groupby("pair")
             .aggregate(Min("id_a", alias_name="id_a"), Min("id_b", alias_name="id_b"))
             .map_batches(lambda b: b.drop_columns(["pair"]), batch_format="pyarrow"))
+
+
+def knn_join(ds: Dataset, k: int = 5, n_centroids: int = 16,
+             nprobe: int = 4, sample_size: int = 4096,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             max_partition: int = 100_000) -> Dataset:
+    """kNN self-join / kNN-graph construction: top-k cosine neighbors
+    for EVERY vector (self excluded, ties by neighbor id) — the
+    all-rows generalization of ``ann_topk`` that never broadcasts a
+    query matrix (that broadcast is the thing that cannot scale when
+    every row is a query).
+
+    IVF partitioning: each vector's data copy lives in exactly ONE
+    partition (its nearest centroid — so a (query, neighbor) candidate
+    is emitted at most once and needs no dedup), while its query role
+    probes its ``nprobe`` nearest partitions. Per-partition work is one
+    dense f64 matmul + vectorized per-query partial top-k; a final
+    ``grouped_topk`` (cos DESC, id ASC) merges partials per query.
+    Normalized vectors ship through the one grouped shuffle as raw
+    float64 bytes (fixed width, zero-copy decode — same trick as
+    ``lsh_neardup_pairs``).
+
+    ``n_centroids=1`` is the exact-complete configuration (every pair
+    verified — the oracle-checked mode; the whole corpus must then fit
+    one partition, enforced by ``max_partition``); multi-centroid is
+    the approximate scale path (recall pytest-gated)."""
+    from payor_linkage.dataops.aggregates import grouped_topk
+    from payor_linkage.rayutil import grouped_apply
+
+    sample = _to_matrix(
+        pa.chunked_array([pa.array([r[vec_col] for r in
+                                    ds.limit(sample_size).take_all()])]))
+    C = _mini_kmeans(sample, n_centroids)
+    cref = ray.put(C)
+
+    def emit_roles(b: pa.Table) -> pa.Table:
+        Cm = ray.get(cref)
+        bid = np.asarray(b[id_col].to_pylist(), dtype=np.int64)
+        B = _normalize(_to_matrix(b[vec_col]))
+        sims = B @ Cm.T
+        p = min(nprobe, Cm.shape[0])
+        probes = np.argsort(-sims, axis=1)[:, :p]      # col 0 == argmax
+        n = len(bid)
+        part = probes.reshape(-1)
+        rid = np.repeat(np.arange(n), p)
+        is_data = np.zeros(n * p, dtype=bool)
+        is_data[::p] = True                            # nearest = data copy
+        return pa.table({
+            "part": pa.array(part.astype(np.int64)),
+            "id": pa.array(bid[rid]),
+            "is_data": pa.array(is_data),
+            "vec": pa.array([B[i].tobytes() for i in rid], pa.binary()),
+        })
+
+    cand_schema = pa.schema([("query_id", pa.int64()),
+                             ("neighbor_id", pa.int64()),
+                             ("cos", pa.float64())])
+
+    def partition_topk(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n < 2:
+            return cand_schema.empty_table()
+        if n > max_partition:
+            raise ValueError(
+                f"knn_join partition of {n} rows exceeds max_partition="
+                f"{max_partition}; raise n_centroids")
+        ids = np.asarray(g["id"].to_pylist(), dtype=np.int64)
+        V = np.stack([np.frombuffer(v, dtype=np.float64)
+                      for v in g["vec"].to_pylist()])
+        dmask = np.asarray(g["is_data"].to_pylist(), dtype=bool)
+        if not dmask.any():
+            return cand_schema.empty_table()
+        D, did = V[dmask], ids[dmask]
+        cos = V @ D.T                                  # (queries, data)
+        kk = min(k + 1, cos.shape[1])                  # +1 survives self
+        top = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
+        qi = np.repeat(np.arange(len(ids)), kk)
+        ni = top.reshape(-1)
+        qid, nid = ids[qi], did[ni]
+        keep = qid != nid
+        return pa.table({
+            "query_id": pa.array(qid[keep]),
+            "neighbor_id": pa.array(nid[keep]),
+            "cos": pa.array(cos[qi, ni][keep], pa.float64()),
+        })
+
+    cands = grouped_apply(
+        ds.select_columns([id_col, vec_col])
+        .map_batches(emit_roles, batch_format="pyarrow"),
+        "part", group_fn=partition_topk, out_schema=cand_schema)
+    out = grouped_topk(cands, "query_id", "cos", k,
+                       tie_col="neighbor_id", keep_cols=["neighbor_id"])
+    return out

@@ -529,3 +529,50 @@ def test_substring_dup_winnow_rate(ray_session):
     sa = set(map(tuple, exact_pairs.values.tolist()))
     sw = set(map(tuple, win_pairs.values.tolist()))
     assert sw <= sa
+
+
+def test_knn_join_exact_matches_bruteforce(ray_session):
+    """Exact-complete configuration (one partition) equals brute-force
+    per-query ann_topk over every id."""
+    from payor_linkage.dataops.similarity import ann_topk, knn_join
+
+    rng = np.random.RandomState(7)
+    V = rng.randn(120, 12)
+    exact = ann_topk(_emb_ds(V), query_ids=list(range(120)), k=4) \
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    graph = knn_join(_emb_ds(V), k=4, n_centroids=1, nprobe=1) \
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(graph[exact.columns.tolist()], exact,
+                                  check_dtype=False)
+
+
+def test_knn_join_recall(ray_session):
+    """Approximate multi-centroid mode keeps reasonable neighbor overlap
+    with the exact graph on clustered data."""
+    from payor_linkage.dataops.similarity import knn_join
+
+    rng = np.random.RandomState(9)
+    centers = rng.randn(6, 16) * 4
+    V = np.concatenate([c + rng.randn(40, 16) * 0.5 for c in centers])
+    exact = knn_join(_emb_ds(V), k=5, n_centroids=1, nprobe=1).to_pandas()
+    approx = knn_join(_emb_ds(V), k=5, n_centroids=8, nprobe=3).to_pandas()
+    hits = total = 0
+    eg = exact.groupby("query_id").neighbor_id.apply(set)
+    ag = approx.groupby("query_id").neighbor_id.apply(set)
+    for q in eg.index:
+        total += len(eg[q])
+        hits += len(eg[q] & ag.get(q, set()))
+    assert hits / total >= 0.6, hits / total
+
+
+def test_knn_join_partition_guard(ray_session):
+    import pytest as _pytest
+
+    from payor_linkage.dataops.similarity import knn_join
+
+    rng = np.random.RandomState(11)
+    V = rng.randn(50, 8)
+    with _pytest.raises(Exception, match="max_partition"):
+        knn_join(_emb_ds(V), k=3, n_centroids=1, nprobe=1,
+                 max_partition=10).to_pandas()
