@@ -1631,6 +1631,49 @@ def q_substring_dup_winnow(sf_dir: str):
     return substring_dup_pairs(_docs(sf_dir), k=24, winnow_w=4)
 
 
+def q_token_spectrum(sf_dir: str):
+    """Token frequency-of-frequency spectrum (the Zipf curve corpus
+    statistic): token → global count (one vocabulary-bounded shuffle)
+    then count-of-counts (a second tiny aggregate over the vocab)."""
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+    from ray.data.aggregate import Count, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = _pc.split_pattern_regex(
+            _pc.utf8_lower(b["text"]), "[^a-z0-9]+")
+        flat = _pc.list_flatten(toks)
+        flat = flat.filter(_pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.table({"token": vc.field("values"),
+                         "n": _pc.cast(vc.field("counts"), pa.int64())})
+
+    counts = (_docs(sf_dir).select_columns(["text"])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("token").aggregate(Sum("n", alias_name="n")))
+    return counts.groupby("n").aggregate(
+        Count("token", alias_name="n_tokens"))
+
+
+def q_global_median(sf_dir: str):
+    """Global exact discrete median of event values — composed from the
+    distributed global rank (global_ntile's row numbers; no row moves
+    after the one sort) + a driver-known total count: the element at
+    rank ceil(n/2), quantile_disc semantics (value selected, never
+    computed — float parity byte-exact)."""
+    import pyarrow.compute as _pc
+
+    from payor_linkage.dataops.reshape import global_ntile
+
+    ev = _events(sf_dir).select_columns(["event_id", "value"])
+    n = ev.count()
+    target = (n + 1) // 2  # ceil(0.5 * n)
+    ranked = global_ntile(ev, ["value", "event_id"], k=2)
+    return (ranked.filter(expr=f"rn == {target}")
+            .map_batches(lambda b: b.select(["value"]),
+                         batch_format="pyarrow"))
+
+
 def q_knn_join(sf_dir: str):
     """kNN graph: top-5 cosine neighbors for EVERY vector, run in the
     exact-complete IVF configuration (one partition — every pair
@@ -1772,6 +1815,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_window_distinct": q_window_distinct,
         "q_substring_dup_winnow": q_substring_dup_winnow,
         "q_knn_join": q_knn_join,
+        "q_token_spectrum": q_token_spectrum,
+        "q_global_median": q_global_median,
     }
 
 
@@ -2895,5 +2940,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings q JOIN embeddings b
                   ON b.vec_id != q.vec_id
             ) WHERE rank <= 5
+        """,
+        "q_token_spectrum": """
+            WITH t AS (
+              SELECT unnest(string_split_regex(lower(text),
+                                               '[^a-z0-9]+')) AS token
+              FROM documents),
+            c AS (SELECT token, count(*) AS n FROM t
+                  WHERE token <> '' GROUP BY 1)
+            SELECT n, count(*) AS n_tokens FROM c GROUP BY n
+        """,
+        "q_global_median": """
+            SELECT quantile_disc(value, 0.5) AS value FROM events
         """,
     }
