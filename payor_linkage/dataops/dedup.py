@@ -624,6 +624,41 @@ def embedding_neardup_pairs(ds: Dataset, threshold: float = 0.4,
     return ds.map_batches(batch_pairs, batch_format="pyarrow")
 
 
+_HASH_PRIME = np.uint64(0x100000001B3)  # FNV-64 prime
+
+
+def _chunk_hash_matrix(win: np.ndarray) -> np.ndarray:
+    """Content hash per row of a (n, k) uint8 byte matrix: fold the row
+    as little-endian uint64 chunks, ``h = h * FNV_PRIME + chunk`` in
+    wraparound uint64 — ceil(k/8) vector multiply-adds instead of k
+    (and no (n, k) uint64 intermediate). Rows are zero-padded to the
+    chunk width; the same function over the same bytes gives the same
+    hash in every batch, which is all winnowing selection needs."""
+    n, k = win.shape
+    padk = -k % 8
+    if padk:
+        win = np.concatenate(
+            [win, np.zeros((n, padk), dtype=np.uint8)], axis=1)
+    chunks = np.ascontiguousarray(win).view(np.uint64)
+    h = np.zeros(n, dtype=np.uint64)
+    for j in range(chunks.shape[1]):
+        h = h * _HASH_PRIME + chunks[:, j]
+    return h
+
+
+def _chunk_hash_bytes(bs: bytes) -> int:
+    """Python mirror of ``_chunk_hash_matrix`` for one byte string (the
+    non-ASCII fallback path) — bit-identical for the same bytes so a
+    gram shared between an ASCII and a non-ASCII batch selects
+    consistently."""
+    bs = bs + b"\x00" * (-len(bs) % 8)
+    h = 0
+    for j in range(0, len(bs), 8):
+        h = (h * 0x100000001B3
+             + int.from_bytes(bs[j:j + 8], "little")) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
 def substring_dup_pairs(ds: Dataset, k: int = 24, text_col: str = "text",
                         id_col: str = "doc_id",
                         max_bucket: int = 256,
@@ -707,12 +742,12 @@ def substring_dup_pairs(ds: Dataset, k: int = 24, text_col: str = "text",
             within = np.arange(total, dtype=np.int64) \
                 - np.repeat(cum, counts)
             starts = off[:-1][parent] + within
-            win = data[starts[:, None] + np.arange(k, dtype=np.int64)]
+            # one row-gather on a zero-copy sliding view — never a
+            # (n_grams × k) index matrix (8× the window bytes in int64)
+            win = np.lib.stride_tricks.sliding_window_view(
+                data, k)[starts]
             if winnow_w > 1:
-                pw = (np.uint64(257)
-                      ** np.arange(k - 1, -1, -1, dtype=np.uint64))
-                hashes = (win.astype(np.uint64) * pw).sum(
-                    axis=1, dtype=np.uint64)
+                hashes = _chunk_hash_matrix(win)
                 keep = _winnow_mask(counts, hashes, winnow_w)
                 win, parent = win[keep], parent[keep]
                 total = len(parent)
@@ -726,14 +761,9 @@ def substring_dup_pairs(ds: Dataset, k: int = 24, text_col: str = "text",
                 [t[w:w + k] for t, c in zip(texts, counts)
                  for w in range(int(c))], pa.string())
             if winnow_w > 1:
-                enc = np.frombuffer(
-                    "".join(g.as_py().ljust(k, chr(0))[:k]
-                            for g in gram_arr).encode("utf-32-le"),
-                    dtype=np.uint32).reshape(-1, k)
-                pw = (np.uint64(257)
-                      ** np.arange(k - 1, -1, -1, dtype=np.uint64))
-                hashes = (enc.astype(np.uint64) * pw).sum(
-                    axis=1, dtype=np.uint64)
+                hashes = np.array(
+                    [_chunk_hash_bytes(g.as_py().encode())
+                     for g in gram_arr], dtype=np.uint64)
                 keep = _winnow_mask(counts, hashes, winnow_w)
                 gram_arr = gram_arr.filter(pa.array(keep))
                 parent = parent[keep]
