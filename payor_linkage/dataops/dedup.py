@@ -733,7 +733,8 @@ def substring_dup_pairs(ds: Dataset, k: int = 24, text_col: str = "text",
             return pa.table({"gram": pa.array([], pa.string()),
                              "id": pa.array([], pa.int64())})
         parent = np.repeat(np.arange(b.num_rows, dtype=np.int64), counts)
-        if (nchars == nbytes).all():
+        if (nchars == nbytes).all() and not pa.types.is_large_string(
+                txt.type):  # large_string has int64 offsets — fallback
             off = np.frombuffer(txt.buffers()[1], dtype=np.int32,
                                 count=len(txt) + 1,
                                 offset=txt.offset * 4).astype(np.int64)

@@ -654,7 +654,8 @@ def chunk_documents(ds: Dataset, size: int, text_col: str = "text",
             })
         nbytes = pc.binary_length(txt).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        if (nchars == nbytes).all():
+        if (nchars == nbytes).all() and not pa.types.is_large_string(
+                txt.type):  # large_string has int64 offsets — fallback
             # all-ASCII: chunk boundaries are byte offsets into the
             # existing value buffer — rebuild offsets, share the data
             arr = txt

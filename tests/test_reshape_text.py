@@ -451,3 +451,27 @@ def test_keyed_hash_sample_partitions_by_rate(ray_session):
     for lang in ["fr", "zh"]:
         assert set(out[out.lang == lang].doc_id) == \
             set(flat[flat.lang == lang].doc_id)
+
+
+def test_chunk_and_substring_large_string_fallback(ray_session):
+    """large_string columns (int64 offsets — what Arrow promotes to for
+    >2GB blocks) must route around the int32 zero-copy path and still
+    produce identical results."""
+    import ray.data as rd
+
+    from payor_linkage.dataops.dedup import substring_dup_pairs
+    from payor_linkage.dataops.text import chunk_documents
+
+    shared = "a shared span long enough to pair on twenty-four chars"
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["xx " + shared, shared + " yy", "unrelated"],
+                         pa.large_string()),
+    })
+    ds = rd.from_arrow(t)
+    chunks = (chunk_documents(ds, size=16)
+              .to_pandas().sort_values(["doc_id", "chunk_idx"]))
+    rebuilt = chunks.groupby("doc_id").chunk.apply("".join)
+    assert rebuilt[0] == "xx " + shared
+    pairs = substring_dup_pairs(ds, k=24).to_pandas()
+    assert (0, 1) in set(zip(pairs.id_a, pairs.id_b))
