@@ -507,28 +507,44 @@ def q_lang_id(sf_dir: str):
     return lang_id(_docs(sf_dir), emit_counts=True)
 
 
-def q_media_decode(sf_dir: str):
-    """Multimodal plumbing: binary payload table → actor-pool decode.
-    Oracle-checked in stub mode: the stub derives (width, height) from
-    the payload's sha1 — SQL reproduces the derivation from the
-    content_hash sidecar (hex-parse the first two bytes), gating the
-    whole synth→hash→decode plumbing chain. If a real codec (PIL) ever
-    lands, swap this for a real-decode dimensions oracle."""
+def _media_refs(sf_dir: str):
     import pyarrow as pa
-
-    from payor_linkage.dataops.multimodal import decode_images, synth_media
 
     def as_ref(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         return pa.table({"media_ref": pc.cast(b["doc_id"], pa.string())})
 
-    media = synth_media(
-        _docs(sf_dir).limit(200).map_batches(as_ref, batch_format="pyarrow"))
-    media = media.materialize()
+    return _docs(sf_dir).limit(200).map_batches(as_ref,
+                                                batch_format="pyarrow")
+
+
+def q_media_decode(sf_dir: str):
+    """Multimodal decode, REAL end to end: payloads are actual binary
+    PPM images and the engine's pure-numpy parser reads the dimensions
+    off the pixels' own header — the SQL oracle parses the SAME header
+    straight from the payload blob (fixed-width ASCII dims), so the
+    gate is a true decode-vs-decode compare, not a stub derivation."""
+    from payor_linkage.dataops.multimodal import decode_images, synth_media
+
+    media = synth_media(_media_refs(sf_dir)).materialize()
     _dump_sidecar("media_meta",
-                  media.select_columns(["media_id", "content_hash"]))
+                  media.select_columns(["media_id", "content_hash",
+                                        "payload"]))
     return decode_images(media).drop_columns(["feature", "decoder"])
+
+
+def q_audio_decode(sf_dir: str):
+    """Audio decode, REAL: payloads are actual RIFF/WAV PCM files, the
+    engine reads frame counts via the stdlib wave module, and the SQL
+    oracle recomputes them as pure arithmetic on the canonical 44-byte
+    header ((octet_length - 44) / 2 for 16-bit mono)."""
+    from payor_linkage.dataops.multimodal import decode_audio, synth_media
+
+    media = synth_media(_media_refs(sf_dir), kind="audio").materialize()
+    _dump_sidecar("audio_meta",
+                  media.select_columns(["media_id", "payload"]))
+    return decode_audio(media)
 
 
 _MDM_CACHE: dict = {}
@@ -1745,6 +1761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lsh_neardup": q_lsh_neardup,
         "q_lang_id": q_lang_id,
         "q_media_decode": q_media_decode,
+        "q_audio_decode": q_audio_decode,
         "q_mdm_golden": q_mdm_golden,
         "q_mdm_candidates": q_mdm_candidates,
         "q_mdm_decisions": q_mdm_decisions,
@@ -2127,17 +2144,22 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
         """,
-        # stub-mode decode: dims derive from the payload sha1 (carried as
-        # content_hash) — hex-parse the first two bytes in SQL. Gates the
-        # synth→hash→decode plumbing; swap for a real-dims oracle if a
-        # codec wheel ever lands.
+        # REAL decode-vs-decode gate: the oracle parses the PPM
+        # header's fixed-width ASCII dims straight off the payload blob
         "q_media_decode": f"""
             SELECT media_id, content_hash,
-                   64 + (('0x' || substr(content_hash, 1, 2))::INT % 192)
-                       AS width,
-                   64 + (('0x' || substr(content_hash, 3, 2))::INT % 192)
-                       AS height
+                   CAST(decode(from_hex(substr(hex(payload), 7, 10)))
+                        AS INT) AS width,
+                   CAST(decode(from_hex(substr(hex(payload), 19, 10)))
+                        AS INT) AS height
             FROM read_parquet('{_SIDECAR_DIR}/media_meta/*.parquet')
+        """,
+        # WAV frame count is pure arithmetic on the canonical header
+        "q_audio_decode": f"""
+            SELECT media_id, CAST(8000 AS BIGINT) AS sample_rate,
+                   CAST((octet_length(payload) - 44) / 2 AS BIGINT)
+                       AS n_samples
+            FROM read_parquet('{_SIDECAR_DIR}/audio_meta/*.parquet')
         """,
         # near-dup clustering: recursive min-reachability CTE over the
         # MinHash pair sidecar (same gate shape as q_mdm_components)

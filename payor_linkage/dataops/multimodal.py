@@ -1,13 +1,18 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal column plumbing: binary payloads + typed metadata.
 
 Images/audio/video are `binary` columns with sidecar metadata; every
 media transform is an actor-pool `map_batches` stage (decoder state built
-once per actor). The image/audio codecs aren't installed in this
-container, so the *decode kernel* is stubbed: each stage tries the real
-library (`PIL` / `soundfile`) and otherwise uses a clearly-marked
-deterministic fake — the Ray-side plumbing (schemas, batch sizing, actor
-signatures, output layout) is real and tested. Media rows are large →
-small `batch_size` so a batch × pool fits worker heaps.
+once per actor). Media rows are large → small `batch_size` so a
+batch × pool fits worker heaps.
+
+The synthetic payloads are REAL formats decodable with zero external
+dependencies: images are binary PPM (P6) decoded by a pure-numpy
+parser (header dims + a real mean-pool grayscale thumbnail), audio is
+RIFF/WAV PCM decoded by the stdlib ``wave`` module. The PIL path is
+still tried first for foreign formats; the deterministic stub remains
+only as the clearly-marked last resort for payloads no decoder
+recognizes. Video frame EXTRACTION stays honestly stubbed (no codec
+in this container).
 """
 
 from __future__ import annotations
@@ -26,19 +31,49 @@ MEDIA_SCHEMA = pa.schema([
 ])
 
 
-def synth_media(ds: Dataset, ref_col: str = "media_ref") -> Dataset:
-    """Deterministic synthetic payloads for a media_ref column (test/bench
-    stand-in for a real object-store fetch)."""
+def _ppm_bytes(rng: np.random.RandomState, w: int, h: int) -> bytes:
+    """A real binary-PPM (P6) image: fixed-width ASCII header (so even a
+    SQL engine can parse the dims straight off the blob) + RGB bytes."""
+    header = b"P6\n" + f"{w:05d} {h:05d}\n255\n".encode()
+    return header + rng.bytes(w * h * 3)
+
+
+def _wav_bytes(rng: np.random.RandomState, n_samples: int,
+               rate: int = 8000) -> bytes:
+    """A real RIFF/WAV file (PCM 16-bit mono) via the stdlib wave
+    module — canonical 44-byte header, so duration is also pure
+    arithmetic on the byte length."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(rng.bytes(n_samples * 2))
+    return buf.getvalue()
+
+
+def synth_media(ds: Dataset, ref_col: str = "media_ref",
+                kind: str = "image") -> Dataset:
+    """Deterministic synthetic payloads for a media_ref column (test/
+    bench stand-in for a real object-store fetch) — REAL formats:
+    binary PPM images / RIFF-WAV audio, seeded per ref."""
     def gen(b: pa.Table) -> pa.Table:
         refs = [r for r in b[ref_col].to_pylist() if r]
         payloads = []
         for r in refs:
-            seed = int(hashlib.sha1(r.encode()).hexdigest()[:8], 16)
-            rng = np.random.RandomState(seed)
-            payloads.append(rng.bytes(256 + seed % 512))
+            h = hashlib.sha1(r.encode()).digest()
+            rng = np.random.RandomState(int.from_bytes(h[:4], "big"))
+            if kind == "audio":
+                payloads.append(_wav_bytes(rng, 500 + h[0] * 16))
+            else:
+                payloads.append(_ppm_bytes(rng, 16 + h[0] % 48,
+                                           16 + h[1] % 48))
         return pa.table({
             "media_id": pa.array(refs, pa.string()),
-            "kind": pa.array(["image"] * len(refs), pa.string()),
+            "kind": pa.array([kind] * len(refs), pa.string()),
             "payload": pa.array(payloads, pa.binary()),
             "content_hash": pa.array(
                 [hashlib.sha1(p).hexdigest() for p in payloads], pa.string()),
@@ -47,10 +82,12 @@ def synth_media(ds: Dataset, ref_col: str = "media_ref") -> Dataset:
 
 
 class ImageDecoder:
-    """Actor stage: payload → (width, height, mode) metadata + thumbnail
-    feature vector. Real decode via PIL when available; else a
-    STUB — deterministic fake dimensions derived from the content hash
-    (clearly marked in the `decoder` column)."""
+    """Actor stage: payload → (width, height) metadata + thumbnail
+    feature vector. Decode order: PIL (foreign formats, when the wheel
+    exists) → the pure-numpy binary-PPM parser (REAL decode, no
+    dependencies — parses the header and mean-pools a real grayscale
+    thumbnail) → a clearly-marked deterministic stub for unrecognized
+    payloads (`decoder` column says which path ran)."""
 
     def __init__(self, thumb_dim: int = 8):
         self.thumb_dim = thumb_dim
@@ -59,6 +96,35 @@ class ImageDecoder:
             self._pil = Image
         except ImportError:
             self._pil = None
+
+    def _decode_ppm(self, payload: bytes):
+        """Pure-numpy binary-PPM (P6) decode: whitespace-tokenized
+        header → (w, h, maxval), then a REAL mean-pooled grayscale
+        thumbnail (edge pixels beyond the divisible crop dropped)."""
+        # header = magic, width, height, maxval tokens, then raw RGB
+        tokens, i, tok = [], 2, b""
+        while len(tokens) < 3 and i < min(len(payload), 64):
+            c = payload[i:i + 1]
+            if c.isspace():
+                if tok:
+                    tokens.append(int(tok))
+                    tok = b""
+            else:
+                tok += c
+            i += 1
+        w, h, maxval = tokens[0], tokens[1], tokens[2]
+        rgb = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3,
+                            offset=i).reshape(h, w, 3)
+        gray = rgb.mean(axis=2, dtype=np.float32)
+        t = self.thumb_dim
+        ch, cw = (h // t) * t, (w // t) * t
+        if ch and cw:
+            pooled = gray[:ch, :cw].reshape(
+                t, ch // t, t, cw // t).mean(axis=(1, 3))
+        else:  # image smaller than the thumbnail grid: pad instead
+            pooled = np.zeros((t, t), dtype=np.float32)
+            pooled[:min(h, t), :min(w, t)] = gray[:min(h, t), :min(w, t)]
+        return w, h, pooled.astype(np.float32).flatten()
 
     def _decode_real(self, payload: bytes):  # pragma: no cover
         import io
@@ -78,26 +144,32 @@ class ImageDecoder:
         return w, ht, feat
 
     def __call__(self, b: pa.Table) -> pa.Table:
-        widths, heights, feats = [], [], []
+        widths, heights, feats, decs = [], [], [], []
         for payload in b["payload"].to_pylist():
-            if self._pil is not None:  # pragma: no cover
+            if payload[:3] == b"P6\n":
+                w, h, f = self._decode_ppm(payload)
+                dec = "ppm"
+            elif self._pil is not None:  # pragma: no cover
                 try:
                     w, h, f = self._decode_real(payload)
+                    dec = "pil"
                 except Exception:
                     w, h, f = self._decode_stub(payload)
+                    dec = "stub"
             else:
                 w, h, f = self._decode_stub(payload)
+                dec = "stub"
             widths.append(w)
             heights.append(h)
             feats.append(f.tolist())
+            decs.append(dec)
         return pa.table({
             "media_id": b["media_id"],
             "content_hash": b["content_hash"],
             "width": pa.array(widths, pa.int32()),
             "height": pa.array(heights, pa.int32()),
             "feature": pa.array(feats, pa.list_(pa.float32())),
-            "decoder": pa.array(
-                ["pil" if self._pil else "stub"] * b.num_rows, pa.string()),
+            "decoder": pa.array(decs, pa.string()),
         })
 
 
@@ -107,6 +179,35 @@ def decode_images(media: Dataset, concurrency=(1, 4), batch_size: int = 64) -> D
     return media.map_batches(ImageDecoder, batch_format="pyarrow",
                              concurrency=concurrency, batch_size=batch_size,
                              num_cpus=1)
+
+
+class AudioDecoder:
+    """Actor stage: RIFF/WAV payload → (sample_rate, n_samples,
+    duration_ms) via the stdlib ``wave`` module — a REAL decode, no
+    external codec. Non-WAV payloads raise (the caller routes by
+    ``kind``)."""
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        import io
+        import wave
+
+        rates, counts = [], []
+        for payload in b["payload"].to_pylist():
+            with wave.open(io.BytesIO(payload), "rb") as wf:
+                rates.append(wf.getframerate())
+                counts.append(wf.getnframes())
+        return pa.table({
+            "media_id": b["media_id"],
+            "sample_rate": pa.array(rates, pa.int64()),
+            "n_samples": pa.array(counts, pa.int64()),
+        })
+
+
+def decode_audio(media: Dataset, concurrency=(1, 4),
+                 batch_size: int = 64) -> Dataset:
+    return media.map_batches(AudioDecoder, batch_format="pyarrow",
+                             concurrency=concurrency,
+                             batch_size=batch_size, num_cpus=1)
 
 
 class FrameSampler:

@@ -312,9 +312,16 @@ def test_multimodal_plumbing(ray_session):
     assert media.count() == 10
     decoded = decode_images(media).to_pandas()
     assert len(decoded) == 10
-    assert set(decoded.decoder) <= {"pil", "stub"}
-    assert ((decoded.width >= 64) & (decoded.width < 256)).all()
+    # payloads are real binary PPMs → the pure-numpy parser runs
+    assert set(decoded.decoder) == {"ppm"}
+    assert ((decoded.width >= 16) & (decoded.width < 64)).all()
     assert decoded.feature.map(len).eq(64).all()
+    # the decoded dims equal the dims encoded in the payload header
+    import re
+    pay = media.to_pandas().set_index("media_id").payload
+    for _, row in decoded.iterrows():
+        m = re.match(rb"P6\n(\d{5}) (\d{5})\n", bytes(pay[row.media_id]))
+        assert (int(m.group(1)), int(m.group(2))) == (row.width, row.height)
     # determinism: same ref → same decode
     d2 = decode_images(synth_media(refs)).to_pandas()
     assert sorted(decoded.content_hash) == sorted(d2.content_hash)
@@ -324,6 +331,22 @@ def test_multimodal_plumbing(ray_session):
 
     with pytest.raises(NotImplementedError):
         FrameSampler(real=True)
+
+
+def test_audio_decode_real_wav(ray_session):
+    """WAV payloads decode via the stdlib wave module; frame counts
+    equal the canonical-header arithmetic the SQL oracle uses."""
+    import ray.data as rd
+
+    from payor_linkage.dataops.multimodal import decode_audio, synth_media
+
+    refs = rd.from_items([{"media_ref": f"aud-{i}"} for i in range(8)])
+    media = synth_media(refs, kind="audio").materialize()
+    out = decode_audio(media).to_pandas()
+    pay = media.to_pandas().set_index("media_id").payload
+    assert (out.sample_rate == 8000).all()
+    for _, row in out.iterrows():
+        assert row.n_samples == (len(pay[row.media_id]) - 44) // 2
 
 
 def test_neardup_components(ray_session):
