@@ -534,6 +534,24 @@ def q_media_decode(sf_dir: str):
     return decode_images(media).drop_columns(["feature", "decoder"])
 
 
+def q_media_resize(sf_dir: str):
+    """REAL image resize: nearest-neighbor resample (pure numpy) emits
+    new binary PPMs; the engine re-DECODES its own output and the SQL
+    oracle parses the resized payload headers — gating that the resize
+    stage produces well-formed images of the target dims (pixel
+    exactness is pytest-gated against a numpy reference)."""
+    from payor_linkage.dataops.multimodal import (decode_images,
+                                                  resize_images,
+                                                  synth_media)
+
+    media = synth_media(_media_refs(sf_dir)).materialize()
+    small = resize_images(media, width=12, height=10).materialize()
+    _dump_sidecar("media_resized",
+                  small.select_columns(["media_id", "payload"]))
+    return decode_images(small).drop_columns(
+        ["feature", "decoder", "content_hash"])
+
+
 def q_audio_decode(sf_dir: str):
     """Audio decode, REAL: payloads are actual RIFF/WAV PCM files, the
     engine reads frame counts via the stdlib wave module, and the SQL
@@ -1762,6 +1780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lang_id": q_lang_id,
         "q_media_decode": q_media_decode,
         "q_audio_decode": q_audio_decode,
+        "q_media_resize": q_media_resize,
         "q_mdm_golden": q_mdm_golden,
         "q_mdm_candidates": q_mdm_candidates,
         "q_mdm_decisions": q_mdm_decisions,
@@ -2153,6 +2172,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(decode(from_hex(substr(hex(payload), 19, 10)))
                         AS INT) AS height
             FROM read_parquet('{_SIDECAR_DIR}/media_meta/*.parquet')
+        """,
+        "q_media_resize": f"""
+            SELECT media_id,
+                   CAST(decode(from_hex(substr(hex(payload), 7, 10)))
+                        AS INT) AS width,
+                   CAST(decode(from_hex(substr(hex(payload), 19, 10)))
+                        AS INT) AS height
+            FROM read_parquet('{_SIDECAR_DIR}/media_resized/*.parquet')
         """,
         # WAV frame count is pure arithmetic on the canonical header
         "q_audio_decode": f"""

@@ -181,6 +181,64 @@ def decode_images(media: Dataset, concurrency=(1, 4), batch_size: int = 64) -> D
                              num_cpus=1)
 
 
+class ImageResizer:
+    """Actor stage: REAL image resize (nearest-neighbor resample, pure
+    numpy) — binary-PPM in, binary-PPM out, so resized payloads flow
+    back through the same decode stages. Non-PPM payloads pass through
+    unchanged with ``resized=False``."""
+
+    def __init__(self, width: int = 16, height: int = 16):
+        self.w, self.h = width, height
+
+    def _resize_ppm(self, payload: bytes) -> bytes:
+        tokens, i, tok = [], 2, b""
+        while len(tokens) < 3 and i < min(len(payload), 64):
+            c = payload[i:i + 1]
+            if c.isspace():
+                if tok:
+                    tokens.append(int(tok))
+                    tok = b""
+            else:
+                tok += c
+            i += 1
+        w, h, _ = tokens
+        rgb = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3,
+                            offset=i).reshape(h, w, 3)
+        yi = (np.arange(self.h) * h) // self.h
+        xi = (np.arange(self.w) * w) // self.w
+        out = rgb[yi][:, xi]
+        header = b"P6\n" + f"{self.w:05d} {self.h:05d}\n255\n".encode()
+        return header + out.tobytes()
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        payloads, flags = [], []
+        for payload in b["payload"].to_pylist():
+            if payload[:3] == b"P6\n":
+                payloads.append(self._resize_ppm(payload))
+                flags.append(True)
+            else:
+                payloads.append(payload)
+                flags.append(False)
+        return pa.table({
+            "media_id": b["media_id"],
+            "kind": b["kind"],
+            "payload": pa.array(payloads, pa.binary()),
+            "content_hash": pa.array(
+                [hashlib.sha1(p).hexdigest() for p in payloads],
+                pa.string()),
+            "resized": pa.array(flags, pa.bool_()),
+        })
+
+
+def resize_images(media: Dataset, width: int = 16, height: int = 16,
+                  concurrency=(1, 4), batch_size: int = 64) -> Dataset:
+    return media.map_batches(ImageResizer, batch_format="pyarrow",
+                             fn_constructor_kwargs=dict(width=width,
+                                                        height=height),
+                             concurrency=concurrency,
+                             batch_size=batch_size, num_cpus=1)
+
+
 class AudioDecoder:
     """Actor stage: RIFF/WAV payload → (sample_rate, n_samples,
     duration_ms) via the stdlib ``wave`` module — a REAL decode, no

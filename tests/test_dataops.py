@@ -599,3 +599,32 @@ def test_knn_join_partition_guard(ray_session):
     with _pytest.raises(Exception, match="max_partition"):
         knn_join(_emb_ds(V), k=3, n_centroids=1, nprobe=1,
                  max_partition=10).to_pandas()
+
+
+def test_resize_images_real_roundtrip(ray_session):
+    """Resize emits REAL PPMs: re-decoding gives the target dims, and
+    the resampled pixels equal the numpy nearest-neighbor reference."""
+    import re
+
+    import ray.data as rd
+
+    from payor_linkage.dataops.multimodal import (decode_images,
+                                                  resize_images,
+                                                  synth_media)
+
+    refs = rd.from_items([{"media_ref": f"img-{i}"} for i in range(6)])
+    media = synth_media(refs).materialize()
+    small = resize_images(media, width=12, height=10).materialize()
+    dec = decode_images(small).to_pandas()
+    assert (dec.width == 12).all() and (dec.height == 10).all()
+    # pixel-exact vs a direct numpy reference on one payload
+    src = bytes(media.to_pandas().payload[0])
+    out = bytes(small.to_pandas().payload[0])
+    m = re.match(rb"P6\n(\d{5}) (\d{5})\n255\n", src)
+    w, h = int(m.group(1)), int(m.group(2))
+    rgb = np.frombuffer(src[len(m.group(0)):], dtype=np.uint8) \
+        .reshape(h, w, 3)
+    yi = (np.arange(10) * h) // 10
+    xi = (np.arange(12) * w) // 12
+    ref = rgb[yi][:, xi].tobytes()
+    assert out[19:] == ref
