@@ -552,6 +552,23 @@ def q_media_resize(sf_dir: str):
         ["feature", "decoder", "content_hash"])
 
 
+def q_video_frames(sf_dir: str):
+    """REAL video frame sampling: payloads are actual YUV4MPEG2
+    streams (uncompressed — the one video format that needs no codec);
+    the engine parses the stream header, locates every sampled frame by
+    byte arithmetic, VERIFIES its FRAME marker and touches the real Y
+    plane. The SQL oracle recomputes frame geometry (count, sampled
+    indices, data offsets) from the payload blob's own header — a true
+    container-parse-vs-container-parse gate; the pixel-touching
+    sum_luma kernel is pytest-gated (test_video_frames_real)."""
+    from payor_linkage.dataops.multimodal import sample_frames, synth_media
+
+    media = synth_media(_media_refs(sf_dir), kind="video").materialize()
+    _dump_sidecar("video_meta",
+                  media.select_columns(["media_id", "payload"]))
+    return sample_frames(media, n_frames=3).drop_columns(["sum_luma"])
+
+
 def q_audio_decode(sf_dir: str):
     """Audio decode, REAL: payloads are actual RIFF/WAV PCM files, the
     engine reads frame counts via the stdlib wave module, and the SQL
@@ -1781,6 +1798,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_media_decode": q_media_decode,
         "q_audio_decode": q_audio_decode,
         "q_media_resize": q_media_resize,
+        "q_video_frames": q_video_frames,
         "q_mdm_golden": q_mdm_golden,
         "q_mdm_candidates": q_mdm_candidates,
         "q_mdm_decisions": q_mdm_decisions,
@@ -2180,6 +2198,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(decode(from_hex(substr(hex(payload), 19, 10)))
                         AS INT) AS height
             FROM read_parquet('{_SIDECAR_DIR}/media_resized/*.parquet')
+        """,
+        # Y4M geometry recomputed from the stream header in the blob:
+        # dims at fixed header offsets, frame count and sampled offsets
+        # by pure byte arithmetic (6-byte FRAME marker + w*h*3/2 data)
+        "q_video_frames": f"""
+            WITH m AS (
+              SELECT media_id, octet_length(payload) AS len,
+                     CAST(decode(from_hex(substr(hex(payload), 23, 10)))
+                          AS BIGINT) AS w,
+                     CAST(decode(from_hex(substr(hex(payload), 37, 10)))
+                          AS BIGINT) AS h
+              FROM read_parquet('{_SIDECAR_DIR}/video_meta/*.parquet')),
+            g AS (
+              SELECT media_id, w * h * 3 // 2 AS fsize,
+                     (len - 35) // (6 + w * h * 3 // 2) AS total
+              FROM m),
+            k AS (SELECT unnest([0, 1, 2]) AS k)
+            SELECT media_id,
+                   k * greatest(total // 3, 1) AS frame_idx,
+                   35 + k * greatest(total // 3, 1) * (6 + fsize) + 6
+                       AS frame_offset
+            FROM g, k
+            WHERE k < least(3, total)
         """,
         # WAV frame count is pure arithmetic on the canonical header
         "q_audio_decode": f"""

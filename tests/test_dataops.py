@@ -329,8 +329,13 @@ def test_multimodal_plumbing(ray_session):
     frames = sample_frames(media, n_frames=3).to_pandas()
     assert len(frames) == 30
 
+    # real=True refuses non-Y4M payloads (compressed codecs can't exist
+    # here); Y4M itself decodes for real — see test_video_frames_real
+    sampler = FrameSampler(n_frames=2, real=True)
+    one = pa.Table.from_pandas(media.limit(1).to_pandas(),
+                               preserve_index=False)
     with pytest.raises(NotImplementedError):
-        FrameSampler(real=True)
+        sampler(one)
 
 
 def test_audio_decode_real_wav(ray_session):
@@ -628,3 +633,26 @@ def test_resize_images_real_roundtrip(ray_session):
     xi = (np.arange(12) * w) // 12
     ref = rgb[yi][:, xi].tobytes()
     assert out[19:] == ref
+
+
+def test_video_frames_real(ray_session):
+    """Y4M video decodes for REAL: sampled frame offsets point at
+    actual FRAME markers, and sum_luma equals a direct numpy sum over
+    the payload's own Y plane."""
+    import ray.data as rd
+
+    from payor_linkage.dataops.multimodal import sample_frames, synth_media
+
+    refs = rd.from_items([{"media_ref": f"vid-{i}"} for i in range(6)])
+    media = synth_media(refs, kind="video").materialize()
+    frames = sample_frames(media, n_frames=3).to_pandas()
+    pay = media.to_pandas().set_index("media_id").payload
+    assert (frames.sum_luma >= 0).all()  # real path ran everywhere
+    for _, row in frames.iterrows():
+        payload = bytes(pay[row.media_id])
+        hdr = payload[:35].decode()
+        w, h = int(hdr[11:16]), int(hdr[18:23])
+        assert payload[row.frame_offset - 6:row.frame_offset] == b"FRAME\n"
+        y = np.frombuffer(payload, dtype=np.uint8, count=w * h,
+                          offset=int(row.frame_offset))
+        assert int(y.sum()) == row.sum_luma
