@@ -703,3 +703,61 @@ def test_histogram_quantile_error_bound(ray_session):
     for q, e in est.items():
         exact = np.quantile(v, q)
         assert abs(e - exact) <= d, (q, e, exact)
+
+
+def test_session_operators_empty_inputs(ray_session):
+    """Every operator added this session survives an EMPTY (but typed)
+    input and yields zero rows — empty blocks are routine at scale."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from payor_linkage.dataops.aggregates import (grouped_rank,
+                                                  profile_nulls,
+                                                  sliding_sum)
+    from payor_linkage.dataops.cdc import apply_upsert, snapshot_diff
+    from payor_linkage.dataops.dedup import substring_dup_pairs
+    from payor_linkage.dataops.enrich import (cooccurrence_counts,
+                                              range_lookup)
+    from payor_linkage.dataops.reshape import global_ntile, pack_positions
+    from payor_linkage.dataops.temporal import (fill_forward,
+                                                transition_counts)
+    from payor_linkage.dataops.text import (chunk_documents,
+                                            keyed_hash_sample,
+                                            regex_redact,
+                                            repetition_stats)
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+        "lang": pa.array([], pa.string()),
+    }))
+    ev = rd.from_arrow(pa.table({
+        "user_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "event_id": pa.array([], pa.int64()),
+        "event_type": pa.array([], pa.string()),
+        "value": pa.array([], pa.float64()),
+        "k": pa.array([], pa.int64()),
+    }))
+    kv = rd.from_arrow(pa.table({"k": pa.array([], pa.int64()),
+                                 "v": pa.array([], pa.int64())}))
+
+    assert repetition_stats(docs).count() == 0
+    assert regex_redact(docs, "text", "[0-9]+", id_col="doc_id").count() == 0
+    assert chunk_documents(docs, 16).count() == 0
+    assert keyed_hash_sample(docs, "lang", {"en": 0.5}).count() == 0
+    assert substring_dup_pairs(docs, k=8).count() == 0
+    assert substring_dup_pairs(docs, k=8, winnow_w=4).count() == 0
+    assert pack_positions(docs, "doc_id", ["doc_id"], 100).count() == 0
+    assert global_ntile(docs, ["doc_id"], 4).count() == 0
+    assert snapshot_diff(kv, kv, "k", "v").count() == 0
+    assert apply_upsert(kv, kv, "k", "v").count() == 0
+    assert grouped_rank(ev, "user_id", "event_type",
+                        carry_cols=["event_id"]).count() == 0
+    assert sliding_sum(ev, "user_id", ["event_id"], "k", 3).count() == 0
+    assert fill_forward(ev).count() == 0
+    assert transition_counts(ev).count() == 0
+    assert cooccurrence_counts(ev, "user_id", "event_type").count() == 0
+    assert range_lookup(ev, "value", [1.0], ["a", "b"]).count() == 0
+    prof = profile_nulls(ev).to_pandas()
+    assert (prof.n == 0).all() if len(prof) else True
