@@ -292,7 +292,15 @@ def knn_join(ds: Dataset, k: int = 5, n_centroids: int = 16,
         B = _normalize(_to_matrix(b[vec_col]))
         sims = B @ Cm.T
         p = min(nprobe, Cm.shape[0])
-        probes = np.argsort(-sims, axis=1)[:, :p]      # col 0 == argmax
+        if p < Cm.shape[0]:
+            # top-p centroids via argpartition (O(C) not O(C log C)),
+            # then order those p so col 0 is the argmax (the data copy)
+            part = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+            rows = np.arange(len(part))[:, None]
+            order = np.argsort(-sims[rows, part], axis=1)
+            probes = part[rows, order]
+        else:
+            probes = np.argsort(-sims, axis=1)[:, :p]  # col 0 == argmax
         n = len(bid)
         part = probes.reshape(-1)
         rid = np.repeat(np.arange(n), p)
