@@ -569,6 +569,67 @@ def q_video_frames(sf_dir: str):
     return sample_frames(media, n_frames=3).drop_columns(["sum_luma"])
 
 
+def q_media_pipeline(sf_dir: str):
+    """End-to-end multimodal curation, EVERY stage real: 200 images (50
+    exact duplicates by construction) → pure-numpy PPM decode →
+    per-image centered thumbnail features → exact-complete cosine
+    near-dup (the LSH machinery, one verified bucket) → connected
+    components via the linkage engine's tiered CC. Centering makes the
+    separation categorical (identical images → cosine 1.0, independent
+    noise → ≈0), so the float threshold never sits near a boundary.
+    Oracle: SQL recomputes the pairs from the centered-feature sidecar
+    (brute all-pairs cosine) and the components with the recursive
+    min-reachability CTE — the same gate shape as the text near-dup
+    pipeline."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from payor_linkage.dataops.dedup import neardup_components
+    from payor_linkage.dataops.multimodal import decode_images, synth_media
+    from payor_linkage.dataops.similarity import lsh_neardup_pairs
+
+    base = synth_media(rd.from_items(
+        [{"media_ref": f"m{i}"} for i in range(150)]))
+    dupes = synth_media(rd.from_items(
+        [{"media_ref": f"m{i}"} for i in range(50)]))
+
+    def as_dup(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        # duplicate PAYLOAD under a distinct id: m{i} copy becomes d{i}
+        return b.set_column(
+            b.schema.get_field_index("media_id"), "media_id",
+            _pc.binary_join_element_wise(
+                "d", _pc.utf8_slice_codeunits(b["media_id"], 1, 99), ""))
+
+    media = base.union(dupes.map_batches(as_dup, batch_format="pyarrow"))
+
+    def center(b: pa.Table) -> pa.Table:
+        import numpy as _np
+        import pyarrow.compute as _pc
+
+        num = _pc.cast(_pc.utf8_slice_codeunits(b["media_id"], 1, 99),
+                       pa.int64()).to_numpy(zero_copy_only=False)
+        is_dup = _pc.equal(_pc.utf8_slice_codeunits(b["media_id"], 0, 1),
+                           "d").to_numpy(zero_copy_only=False)
+        vec_id = num + _np.where(is_dup, 1000, 0)
+        feats = _np.stack([_np.asarray(f, dtype=_np.float64)
+                           for f in b["feature"].to_pylist()])
+        feats = feats - feats.mean(axis=1, keepdims=True)
+        return pa.table({
+            "vec_id": pa.array(vec_id, pa.int64()),
+            "embedding": pa.array(feats.tolist(),
+                                  pa.list_(pa.float64())),
+        })
+
+    feats = (decode_images(media.materialize())
+             .map_batches(center, batch_format="pyarrow").materialize())
+    _dump_sidecar("media_feats", feats)
+    pairs = lsh_neardup_pairs(feats, threshold=0.5, n_planes=0,
+                              n_tables=1, max_bucket=1 << 31)
+    return neardup_components(feats, pairs, id_col="vec_id")
+
+
 def q_audio_decode(sf_dir: str):
     """Audio decode, REAL: payloads are actual RIFF/WAV PCM files, the
     engine reads frame counts via the stdlib wave module, and the SQL
@@ -1799,6 +1860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_audio_decode": q_audio_decode,
         "q_media_resize": q_media_resize,
         "q_video_frames": q_video_frames,
+        "q_media_pipeline": q_media_pipeline,
         "q_mdm_golden": q_mdm_golden,
         "q_mdm_candidates": q_mdm_candidates,
         "q_mdm_decisions": q_mdm_decisions,
@@ -2198,6 +2260,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(decode(from_hex(substr(hex(payload), 19, 10)))
                         AS INT) AS height
             FROM read_parquet('{_SIDECAR_DIR}/media_resized/*.parquet')
+        """,
+        # full multimodal chain: pairs from the centered-feature
+        # sidecar (brute all-pairs cosine), then components via the
+        # recursive min-reachability CTE
+        "q_media_pipeline": f"""
+            WITH RECURSIVE
+            v AS (SELECT vec_id, embedding
+                  FROM read_parquet('{_SIDECAR_DIR}/media_feats/*.parquet')),
+            p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM v a JOIN v b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(
+                        CAST(a.embedding AS DOUBLE[]),
+                        CAST(b.embedding AS DOUBLE[])) >= 0.5),
+            e AS (
+              SELECT id_a AS a, id_b AS b FROM p
+              UNION ALL
+              SELECT id_b, id_a FROM p
+            ),
+            reach(node, r) AS (
+              SELECT vec_id, vec_id FROM v
+              UNION
+              SELECT reach.node, e.b FROM reach JOIN e ON reach.r = e.a
+            )
+            SELECT node AS vec_id, min(r) AS cluster_id,
+                   node = min(r) AS is_canonical
+            FROM reach GROUP BY node
         """,
         # Y4M geometry recomputed from the stream header in the blob:
         # dims at fixed header offsets, frame count and sampled offsets
