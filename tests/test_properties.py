@@ -187,3 +187,72 @@ def test_hopping_windows_match_brute(ray_session, tss, wh):
         for off in range(window // hop):
             want[("u", (base - off) * hop)] += 1
     assert got == dict(want)
+
+
+@given(st.binary(min_size=1, max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_chunk_hash_paths_bit_identical(bs):
+    """The numpy matrix hash and its python byte-string mirror must be
+    bit-identical for the same bytes — winnowing selection consistency
+    across the ASCII and non-ASCII extraction paths depends on it."""
+    import numpy as np
+
+    from payor_linkage.dataops.dedup import (_chunk_hash_bytes,
+                                             _chunk_hash_matrix)
+
+    row = np.frombuffer(bs, dtype=np.uint8).reshape(1, -1)
+    assert int(_chunk_hash_matrix(row)[0]) == _chunk_hash_bytes(bs)
+
+
+@given(st.lists(st.text(alphabet=string.ascii_lowercase + " ",
+                        min_size=0, max_size=120),
+                min_size=1, max_size=20),
+       st.integers(min_value=1, max_value=30))
+@settings(max_examples=25, deadline=None)
+def test_chunk_documents_matches_slicing(ray_session, texts, size):
+    """Zero-copy chunking equals naive python slicing for any ASCII
+    corpus and chunk size."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from payor_linkage.dataops import text as t_mod
+
+    df_tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                       "text": pa.array(texts, pa.string())})
+    out_df = t_mod.chunk_documents(rd.from_arrow(df_tbl),
+                                   size=size).to_pandas()
+    want = [(i, j, t[j * size:(j + 1) * size])
+            for i, t in enumerate(texts)
+            for j in range((len(t) + size - 1) // size)]
+    if not want:
+        assert len(out_df) == 0
+        return
+    out_df = out_df.sort_values(["doc_id", "chunk_idx"])
+    got = list(zip(out_df.doc_id, out_df.chunk_idx, out_df.chunk))
+    assert got == want
+
+
+@given(st.integers(min_value=0, max_value=5),
+       st.integers(min_value=2, max_value=8))
+@settings(max_examples=12, deadline=None)
+def test_winnow_guarantee_boundary_span(ray_session, extra, w):
+    """The winnowing guarantee at its EXACT boundary: a shared span of
+    length k + w - 1 (+extra) must always produce the pair, for any
+    neighborhood width w."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from payor_linkage.dataops.dedup import substring_dup_pairs
+
+    k = 16
+    span = "".join("abcdefghij"[(i * 7) % 10] for i in range(k + w - 1 + extra))
+    df = pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["xxxx " + span + " oneoneone",
+                 "yy " + span + " twotwotwotwo"],
+    })
+    out = substring_dup_pairs(
+        rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)),
+        k=k, winnow_w=w).to_pandas()
+    assert (0, 1) in set(zip(out.id_a, out.id_b))
