@@ -569,6 +569,36 @@ def q_video_frames(sf_dir: str):
     return sample_frames(media, n_frames=3).drop_columns(["sum_luma"])
 
 
+def q_pagerank(sf_dir: str):
+    """Iterative numeric algorithm (PageRank) over the document
+    similarity graph (shared-substring pairs, symmetrized): N rounds of
+    one broadcast rank attach + one grouped sum, dangling mass
+    redistributed uniformly. Grouped float sums are order-dependent →
+    rows-only here; correctness is pytest-gated against a dense numpy
+    power iteration at 1e-9 (test_pagerank_matches_dense_reference)."""
+    import pyarrow as pa
+
+    from payor_linkage.dataops.dedup import substring_dup_pairs
+    from payor_linkage.dataops.graph import pagerank
+
+    docs = _docs(sf_dir)
+    pairs = substring_dup_pairs(docs, k=24).materialize()
+
+    def sym(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pa.concat_arrays([b["id_a"].combine_chunks(),
+                                     b["id_b"].combine_chunks()]),
+            "dst": pa.concat_arrays([b["id_b"].combine_chunks(),
+                                     b["id_a"].combine_chunks()]),
+        })
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow")
+    nodes = docs.select_columns(["doc_id"]).map_batches(
+        lambda b: pa.table({"node": b["doc_id"]}),
+        batch_format="pyarrow")
+    return pagerank(edges, nodes, n_iter=8)
+
+
 def q_media_pipeline(sf_dir: str):
     """End-to-end multimodal curation, EVERY stage real: 200 images (50
     exact duplicates by construction) → pure-numpy PPM decode →
@@ -1861,6 +1891,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_media_resize": q_media_resize,
         "q_video_frames": q_video_frames,
         "q_media_pipeline": q_media_pipeline,
+        "q_pagerank": q_pagerank,
         "q_mdm_golden": q_mdm_golden,
         "q_mdm_candidates": q_mdm_candidates,
         "q_mdm_decisions": q_mdm_decisions,

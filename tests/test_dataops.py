@@ -656,3 +656,40 @@ def test_video_frames_real(ray_session):
         y = np.frombuffer(payload, dtype=np.uint8, count=w * h,
                           offset=int(row.frame_offset))
         assert int(y.sum()) == row.sum_luma
+
+
+def test_pagerank_matches_dense_reference(ray_session):
+    """Distributed PageRank equals a dense numpy power iteration with
+    the same damping / rounds / uniform-dangling semantics (1e-9 —
+    float sums differ only by association order)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from payor_linkage.dataops.graph import pagerank
+
+    rng = np.random.RandomState(13)
+    n = 200
+    src = rng.randint(0, n, 800).astype(np.int64)
+    dst = rng.randint(0, n, 800).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    edges = rd.from_arrow(__import__("pyarrow").table(
+        {"src": src, "dst": dst}))
+    nodes = rd.from_arrow(__import__("pyarrow").table(
+        {"node": np.arange(n, dtype=np.int64)}))
+    out = (pagerank(edges, nodes, n_iter=12, damping=0.85)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+
+    # dense reference, identical semantics
+    d = 0.85
+    A = np.zeros((n, n))
+    for s, t in zip(src, dst):
+        A[s, t] += 1.0
+    deg = A.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(12):
+        dangling = r[deg == 0].sum()
+        share = np.divide(r, deg, out=np.zeros_like(r), where=deg > 0)
+        r = (1 - d) / n + d * (share @ A) + d * dangling / n
+    assert np.allclose(out["rank"].to_numpy(), r, atol=1e-9)
+    assert abs(out["rank"].sum() - 1.0) < 1e-9  # mass conserved
