@@ -599,6 +599,21 @@ def q_pagerank(sf_dir: str):
     return pagerank(edges, nodes, n_iter=8)
 
 
+def q_triangle_counts(sf_dir: str):
+    """Per-node triangle counts over the document shared-substring
+    similarity graph — the degree-oriented node-iterator (orient each
+    edge low→high by (degree, id); every triangle then has exactly one
+    wedge vertex, so wedge-emission + edge-match finds each once with
+    per-node fan-out capped at O(sqrt(m))). The oracle recomputes the
+    SAME graph from the documents table and counts triangles with the
+    classic 3-way edge self-join — algorithm-independent parity."""
+    from payor_linkage.dataops.dedup import substring_dup_pairs
+    from payor_linkage.dataops.graph import triangle_counts
+
+    pairs = substring_dup_pairs(_docs(sf_dir), k=24)
+    return triangle_counts(pairs)
+
+
 def q_media_pipeline(sf_dir: str):
     """End-to-end multimodal curation, EVERY stage real: 200 images (50
     exact duplicates by construction) → pure-numpy PPM decode →
@@ -1892,6 +1907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_video_frames": q_video_frames,
         "q_media_pipeline": q_media_pipeline,
         "q_pagerank": q_pagerank,
+        "q_triangle_counts": q_triangle_counts,
         "q_mdm_golden": q_mdm_golden,
         "q_mdm_candidates": q_mdm_candidates,
         "q_mdm_decisions": q_mdm_decisions,
@@ -3162,5 +3178,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_global_median": """
             SELECT quantile_disc(value, 0.5) AS value FROM events
+        """,
+        # triangles via the classic 3-way edge self-join over the same
+        # shared-substring graph q_substring_dup's oracle derives —
+        # each triangle x<y<z found once, then credited to all three
+        "q_triangle_counts": """
+            WITH g AS (
+              SELECT DISTINCT doc_id,
+                     substr(text, CAST(s AS BIGINT), 24) AS gram
+              FROM documents,
+                   unnest(generate_series(1, length(text) - 23)) AS t(s)
+            ),
+            e AS (
+              SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+              FROM g a JOIN g b ON a.gram = b.gram
+                               AND a.doc_id < b.doc_id
+            ),
+            tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM e e1 JOIN e e2 ON e2.a = e1.b
+                        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+            )
+            SELECT node, count(*) AS n_triangles
+            FROM (SELECT x AS node FROM tri
+                  UNION ALL SELECT y FROM tri
+                  UNION ALL SELECT z FROM tri)
+            GROUP BY node
         """,
     }

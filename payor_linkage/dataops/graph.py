@@ -1,4 +1,4 @@
-"""Iterative graph algorithms beyond connected components: PageRank.
+"""Graph algorithms beyond connected components: PageRank, triangles.
 
 The canonical iterative-numeric distributed algorithm — each round is
 ONE broadcast/lookup join (rank → edge source) plus ONE grouped sum
@@ -113,3 +113,168 @@ def pagerank(edges: Dataset, nodes: Dataset, n_iter: int = 10,
                 batch_format="pyarrow").materialize()
 
     return ranks.drop_columns(["out_deg"])
+
+
+def triangle_counts(edges: Dataset, src_col: str = "id_a",
+                    dst_col: str = "id_b") -> Dataset:
+    """Per-node triangle counts over an undirected graph — the standard
+    degree-oriented node-iterator, distributed.
+
+    Shape (reference semantics: a 3-way edge self-join; here expressed
+    without any self-join): canonicalize + distinct the edge list, then
+    ORIENT every edge from its (degree, id)-smaller endpoint to the
+    larger. The orientation is acyclic, so every triangle has exactly
+    ONE vertex with two out-edges — emitting the out-neighbor pairs
+    ("wedges") of each vertex and matching them against the edge set
+    finds each triangle exactly once, and a vertex's wedge fan-out is
+    bounded by its out-degree, which degree-orientation caps at
+    O(sqrt(m)) for any graph (the classic total-work bound m^1.5).
+
+    Stages: one bounded groupby for degrees, one broadcast degree
+    attach (`lookup_join`, hash-join fallback above its bound), one
+    grouped wedge emission (index arithmetic vectorized across runs —
+    no per-run Python), one tagged-union groupby matching wedges to
+    edges, and a final per-node count aggregate. Returns (node,
+    n_triangles) for nodes in at least one triangle.
+    """
+    from ray.data.aggregate import Sum
+
+    from payor_linkage.rayutil import grouped_apply, lookup_join
+
+    node_t = pa.int64()
+
+    def canon(b: pa.Table) -> pa.Table:
+        a = pc.cast(b[src_col], node_t)
+        c = pc.cast(b[dst_col], node_t)
+        lo = pc.min_element_wise(a, c)
+        hi = pc.max_element_wise(a, c)
+        keep = pc.not_equal(lo, hi)  # drop self-loops
+        return pa.table({"a": lo.filter(keep), "b": hi.filter(keep)})
+
+    # materialized: the distinct edge list is read three times below
+    # (degrees, the degree attach, the edge-tag side of the match)
+    dedges = (edges.map_batches(canon, batch_format="pyarrow")
+              .groupby(["a", "b"]).count()
+              .drop_columns(["count()"])).materialize()
+    if dedges.count() == 0:  # empty groupby output is schema-less
+        import ray.data as rd
+
+        return rd.from_arrow(pa.schema(
+            [("node", node_t), ("n_triangles", pa.int64())]).empty_table())
+
+    def sym(b: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [b["a"].combine_chunks(), b["b"].combine_chunks()])})
+
+    deg = (dedges.map_batches(sym, batch_format="pyarrow")
+           .groupby("node").count()
+           .map_batches(lambda b: pa.table({
+               "node": b["node"],
+               "deg": pc.cast(b["count()"], pa.int64())}),
+               batch_format="pyarrow"))
+
+    # attach both endpoint degrees; the degree table is one row per
+    # node (bounded), so each attach is a broadcast binary search
+    with_da = lookup_join(
+        dedges, deg.map_batches(lambda b: pa.table({
+            "a": b["node"], "deg_a": b["deg"]}), batch_format="pyarrow"),
+        on="a")
+    with_deg = lookup_join(
+        with_da, deg.map_batches(lambda b: pa.table({
+            "b": b["node"], "deg_b": b["deg"]}), batch_format="pyarrow"),
+        on="b")
+
+    def orient(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False)
+        c = b["b"].to_numpy(zero_copy_only=False)
+        da = b["deg_a"].to_numpy(zero_copy_only=False)
+        db = b["deg_b"].to_numpy(zero_copy_only=False)
+        a_first = (da < db) | ((da == db) & (a < c))
+        return pa.table({
+            "u": pa.array(np.where(a_first, a, c), node_t),
+            "w": pa.array(np.where(a_first, c, a), node_t)})
+
+    oriented = with_deg.map_batches(orient, batch_format="pyarrow")
+
+    wedge_schema = pa.schema([("pair", pa.string()),
+                              ("center", node_t), ("kind", pa.int8())])
+
+    def wedge_runs(b: pa.Table, starts, ends) -> pa.Table:
+        lo, hi = int(starts[0]), int(ends[-1])
+        rid = np.repeat(np.arange(len(starts), dtype=np.int64),
+                        ends - starts)
+        u = b["u"].to_numpy(zero_copy_only=False)[lo:hi]
+        w = b["w"].to_numpy(zero_copy_only=False)[lo:hi]
+        order = np.lexsort((w, rid))
+        rs, ws = rid[order], w[order]
+        run_starts = np.nonzero(
+            np.concatenate([[True], rs[1:] != rs[:-1]]))[0]
+        m = np.diff(np.concatenate([run_starts, [len(rs)]]))
+        sq = m * m
+        total = int(sq.sum())
+        if total == 0:
+            return wedge_schema.empty_table()
+        cum = np.concatenate([[0], np.cumsum(sq)[:-1]])
+        p = np.arange(total, dtype=np.int64) - np.repeat(cum, sq)
+        mrep = np.repeat(m, sq)
+        srep = np.repeat(run_starts, sq)
+        i = srep + p // mrep
+        j = srep + p % mrep
+        mask = i < j  # ws sorted per run → ws[i] < ws[j] (ids distinct)
+        wi, wj = ws[i[mask]], ws[j[mask]]
+        centers = u[order][i[mask]]
+        pair = pc.binary_join_element_wise(
+            pc.cast(pa.array(wi, node_t), pa.string()),
+            pc.cast(pa.array(wj, node_t), pa.string()), ":")
+        return pa.table({"pair": pair,
+                         "center": pa.array(centers, node_t),
+                         "kind": pa.array(
+                             np.zeros(len(wi), dtype=np.int8), pa.int8())})
+
+    wedges = grouped_apply(oriented, "u", out_schema=wedge_schema,
+                           runs_fn=wedge_runs)
+
+    def edge_tag(b: pa.Table) -> pa.Table:
+        pair = pc.binary_join_element_wise(
+            pc.cast(b["a"], pa.string()), pc.cast(b["b"], pa.string()),
+            ":")
+        return pa.table({
+            "pair": pair,
+            "center": pa.array(np.full(b.num_rows, -1), node_t),
+            "kind": pa.array(np.ones(b.num_rows, dtype=np.int8),
+                             pa.int8())})
+
+    tagged = wedges.union(dedges.map_batches(edge_tag,
+                                             batch_format="pyarrow"))
+
+    count_schema = pa.schema([("node", node_t), ("n", pa.int64())])
+
+    def match_runs(b: pa.Table, starts, ends) -> pa.Table:
+        lo, hi = int(starts[0]), int(ends[-1])
+        kind = b["kind"].to_numpy(zero_copy_only=False)[lo:hi]
+        centers = b["center"].to_numpy(zero_copy_only=False)[lo:hi]
+        rs = (starts - lo).astype(np.int64)
+        has_edge = np.add.reduceat(
+            (kind == 1).astype(np.int64), rs) > 0
+        rid = np.repeat(np.arange(len(starts), dtype=np.int64),
+                        ends - starts)
+        tri_mask = has_edge[rid] & (kind == 0)
+        if not tri_mask.any():
+            return count_schema.empty_table()
+        # matched wedge (center, u, w) is one triangle: credit all
+        # three vertices; the endpoints are parsed back from the pair
+        # key of only the matched rows (bounded by triangle count)
+        idx = np.nonzero(tri_mask)[0]
+        matched = b["pair"].slice(lo, hi - lo).take(pa.array(idx))
+        endpoints = pc.cast(
+            pc.list_flatten(pc.split_pattern(matched, ":")), node_t)
+        nodes = pa.concat_arrays(
+            [pa.array(centers[idx], node_t), endpoints.combine_chunks()])
+        part = pa.table({"node": nodes}) \
+            .group_by("node").aggregate([([], "count_all")])
+        return pa.table({"node": part["node"],
+                         "n": pc.cast(part["count_all"], pa.int64())})
+
+    partials = grouped_apply(tagged, "pair", out_schema=count_schema,
+                             runs_fn=match_runs)
+    return partials.groupby("node").aggregate(Sum("n", alias_name="n_triangles"))
