@@ -599,6 +599,17 @@ def q_pagerank(sf_dir: str):
     return pagerank(edges, nodes, n_iter=8)
 
 
+def q_interval_coverage(sf_dir: str):
+    """Interval merge (gaps-and-islands): each event opens
+    [ts, ts + max(floor(value*1e6),0)] µs; per user, overlapping
+    intervals merge and the output is (n_intervals, n_islands,
+    covered_us) — integers, so the SQL window-function oracle (MAX OVER
+    preceding → island flag → SUM OVER) compares byte-exact."""
+    from payor_linkage.dataops.temporal import interval_coverage
+
+    return interval_coverage(_events(sf_dir))
+
+
 def q_triangle_counts(sf_dir: str):
     """Per-node triangle counts over the document shared-substring
     similarity graph — the degree-oriented node-iterator (orient each
@@ -1908,6 +1919,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_media_pipeline": q_media_pipeline,
         "q_pagerank": q_pagerank,
         "q_triangle_counts": q_triangle_counts,
+        "q_interval_coverage": q_interval_coverage,
         "q_mdm_golden": q_mdm_golden,
         "q_mdm_candidates": q_mdm_candidates,
         "q_mdm_decisions": q_mdm_decisions,
@@ -3178,6 +3190,38 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_global_median": """
             SELECT quantile_disc(value, 0.5) AS value FROM events
+        """,
+        # gaps-and-islands in its classic SQL-window form: running MAX
+        # over strictly-preceding ends flags island starts, a running
+        # SUM numbers them; all outputs integer µs
+        "q_interval_coverage": """
+            WITH iv AS (
+              SELECT user_id, epoch_us(ts) AS s,
+                     epoch_us(ts)
+                     + GREATEST(CAST(floor(value * 1000000) AS BIGINT), 0)
+                         AS e
+              FROM events),
+            m AS (
+              SELECT user_id, s, e,
+                     MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING) AS pm
+              FROM iv),
+            isl AS (
+              SELECT user_id, s, e,
+                     SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS UNBOUNDED PRECEDING) AS island
+              FROM m),
+            agg AS (
+              SELECT user_id, island, MIN(s) AS i_s, MAX(e) AS i_e
+              FROM isl GROUP BY 1, 2)
+            SELECT i.user_id, i.n_intervals, a.n_islands, a.covered_us
+            FROM (SELECT user_id, count(*) AS n_intervals
+                  FROM iv GROUP BY 1) i
+            JOIN (SELECT user_id, count(*) AS n_islands,
+                         CAST(SUM(i_e - i_s) AS BIGINT) AS covered_us
+                  FROM agg GROUP BY 1) a USING (user_id)
         """,
         # triangles via the classic 3-way edge self-join over the same
         # shared-substring graph q_substring_dup's oracle derives —

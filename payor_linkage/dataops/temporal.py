@@ -388,3 +388,74 @@ def _run_ids_local(starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
     """Run index per row of the span [starts[0], ends[-1]) — same
     contract as dataops.aggregates._run_ids."""
     return np.repeat(np.arange(len(starts), dtype=np.int64), ends - starts)
+
+
+def interval_coverage(events: Dataset, on: str = "user_id",
+                      ts_col: str = "ts", dur_col: str = "value") -> Dataset:
+    """Gaps-and-islands interval merge: each event opens an interval
+    ``[ts, ts + max(floor(dur*1e6), 0)]`` (microseconds, duration
+    clamped non-negative); per key, overlapping/touching intervals merge
+    into islands. Output one row per key: (key, n_intervals, n_islands,
+    covered_us) — all integers, so the SQL-window oracle compares
+    byte-exact (no order-dependent float sums).
+
+    One grouped sort; island detection is vectorized ACROSS runs with a
+    segmented running-max built on end-RANKS (rank + run_id*(n+1) keeps
+    ``np.maximum.accumulate`` overflow-safe where raw epoch values ×
+    run index would not be). The non-negative clamp is load-bearing:
+    with e >= s, a new island's start strictly exceeds the previous
+    running max, so the run-wide running max IS the island-local max."""
+    s = events.schema()
+    key_type = dict(zip(s.names, s.types))[on]
+    out_schema = pa.schema([(on, key_type), ("n_intervals", pa.int64()),
+                            ("n_islands", pa.int64()),
+                            ("covered_us", pa.int64())])
+
+    def slim(b: pa.Table) -> pa.Table:
+        start = pa.compute.cast(b[ts_col], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        dur = np.maximum(np.floor(
+            b[dur_col].to_numpy(zero_copy_only=False) * 1_000_000
+        ).astype(np.int64), 0)
+        return pa.table({on: b[on],
+                         "_s": pa.array(start, pa.int64()),
+                         "_e": pa.array(start + dur, pa.int64())})
+
+    def runs(b: pa.Table, starts, ends) -> pa.Table:
+        lo, hi = int(starts[0]), int(ends[-1])
+        rid = np.repeat(np.arange(len(starts), dtype=np.int64),
+                        ends - starts)
+        sarr = b["_s"].to_numpy(zero_copy_only=False)[lo:hi]
+        earr = b["_e"].to_numpy(zero_copy_only=False)[lo:hi]
+        order = np.lexsort((earr, sarr, rid))
+        r_, s_, e_ = rid[order], sarr[order], earr[order]
+        n = len(s_)
+        se = np.sort(e_)
+        rk = np.searchsorted(se, e_).astype(np.int64)
+        cm = np.maximum.accumulate(rk + r_ * (n + 1)) - r_ * (n + 1)
+        cme = se[cm]  # running max end within run, inclusive
+        first = np.concatenate([[True], r_[1:] != r_[:-1]])
+        new = first.copy()
+        nf = np.nonzero(~first)[0]
+        new[nf] = s_[nf] > cme[nf - 1]
+        isl_start = np.nonzero(new)[0]
+        isl_last = np.concatenate([isl_start[1:], [n]]) - 1
+        covered = se[cm[isl_last]] - s_[isl_start]
+        isl_rid = r_[isl_start]
+        run_first = np.nonzero(np.concatenate(
+            [[True], isl_rid[1:] != isl_rid[:-1]]))[0]
+        n_islands = np.diff(np.concatenate([run_first,
+                                            [len(isl_start)]]))
+        covered_run = np.add.reduceat(covered, run_first)
+        keys = b[on].take(pa.array(starts.astype(np.int64)))
+        return pa.table({
+            on: keys,
+            "n_intervals": pa.array((ends - starts).astype(np.int64),
+                                    pa.int64()),
+            "n_islands": pa.array(n_islands, pa.int64()),
+            "covered_us": pa.array(covered_run, pa.int64())})
+
+    from payor_linkage.rayutil import grouped_apply
+
+    return grouped_apply(events.map_batches(slim, batch_format="pyarrow"),
+                         on, out_schema=out_schema, runs_fn=runs)

@@ -736,3 +736,59 @@ def test_triangle_counts_empty(ray_session):
         "id_a": pa.array([], pa.int64()),
         "id_b": pa.array([], pa.int64())}))
     assert triangle_counts(edges).count() == 0
+
+
+def test_interval_coverage_matches_brute(ray_session):
+    """Vectorized gaps-and-islands equals a per-key brute-force sweep
+    (integer outputs, exact compare), including negative-duration
+    clamping and duplicate timestamps."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from payor_linkage.dataops.temporal import interval_coverage
+
+    rng = np.random.RandomState(11)
+    n = 3000
+    key = rng.randint(0, 40, n).astype(np.int64)
+    base = np.int64(1_700_000_000_000_000)
+    ts = base + rng.randint(0, 5_000_000_000, n).astype(np.int64)
+    ts[::17] = ts[0]  # force duplicate timestamps
+    dur = rng.uniform(-100.0, 900.0, n)  # seconds, some negative
+    events = rd.from_arrow(pa.table({
+        "user_id": key,
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "value": dur}))
+    out = interval_coverage(events).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+
+    import collections
+    per = collections.defaultdict(list)
+    for k, t, d in zip(key, ts, dur):
+        e = t + max(int(np.floor(d * 1e6)), 0)
+        per[k].append((int(t), int(e)))
+    for k, iv in sorted(per.items()):
+        iv.sort()
+        islands = []
+        for s, e in iv:
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+            else:
+                islands.append([s, e])
+        row = out[out.user_id == k].iloc[0]
+        assert row.n_intervals == len(iv)
+        assert row.n_islands == len(islands)
+        assert row.covered_us == sum(e - s for s, e in islands)
+    assert len(out) == len(per)
+
+
+def test_interval_coverage_empty(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from payor_linkage.dataops.temporal import interval_coverage
+
+    events = rd.from_arrow(pa.table({
+        "user_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "value": pa.array([], pa.float64())}))
+    assert interval_coverage(events).count() == 0
