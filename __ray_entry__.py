@@ -599,6 +599,35 @@ def q_pagerank(sf_dir: str):
     return pagerank(edges, nodes, n_iter=8)
 
 
+def q_prefix_jaccard(sf_dir: str):
+    """Global exact-complete token-Jaccard self-join via PPJoin-style
+    prefix filtering — no blocking column: word-BIGRAM sets (unigrams
+    don't separate this corpus), rarity-ordered prefixes of length
+    m - ceil(t·m) + 1 are the only tokens shuffled, candidates verified
+    by the shared content pass. The oracle is the quadratic definition:
+    the token self-join + integer set sizes, unrounded ratio
+    threshold."""
+    from payor_linkage.dataops.dedup import prefix_jaccard_pairs
+
+    return prefix_jaccard_pairs(_docs(sf_dir), threshold=0.5,
+                                word_ngram=2)
+
+
+def q_edit_distance_join(sf_dir: str):
+    """Exact-complete edit-distance-≤1 self-join over customer names
+    via deletion neighborhoods (FastSS): each string emits its
+    single-deletion variants, one grouped shuffle on the variant
+    buckets, verified candidates, distinct-pair aggregate — linear
+    blocking where the oracle is the n² all-pairs `levenshtein`."""
+    import ray.data as rd
+
+    from payor_linkage.dataops.dedup import edit_distance_join
+
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_name"])
+    return edit_distance_join(cust, "c_name", "c_custkey")
+
+
 def q_interval_coverage(sf_dir: str):
     """Interval merge (gaps-and-islands): each event opens
     [ts, ts + max(floor(value*1e6),0)] µs; per user, overlapping
@@ -1920,6 +1949,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pagerank": q_pagerank,
         "q_triangle_counts": q_triangle_counts,
         "q_interval_coverage": q_interval_coverage,
+        "q_edit_distance_join": q_edit_distance_join,
+        "q_prefix_jaccard": q_prefix_jaccard,
         "q_mdm_golden": q_mdm_golden,
         "q_mdm_candidates": q_mdm_candidates,
         "q_mdm_decisions": q_mdm_decisions,
@@ -3190,6 +3221,43 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_global_median": """
             SELECT quantile_disc(value, 0.5) AS value FROM events
+        """,
+        # the quadratic definition the prefix filter replaces: word-
+        # bigram sets via the token self-join, integer set sizes, same
+        # IEEE ratio threshold
+        "q_prefix_jaccard": """
+            WITH s AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x != '') AS ts
+              FROM documents),
+            tok AS (
+              SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i + 1] AS token
+              FROM s, LATERAL unnest(generate_series(1, len(ts) - 1))
+                       AS t(i)
+            ),
+            sz AS (SELECT doc_id, count(*) AS m FROM tok GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS n_inter
+              FROM tok a JOIN tok b ON a.token = b.token
+                                   AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b, n_inter,
+                   sa.m + sb.m - n_inter AS n_union
+            FROM inter JOIN sz sa ON sa.doc_id = id_a
+                       JOIN sz sb ON sb.doc_id = id_b
+            WHERE CAST(n_inter AS DOUBLE) / (sa.m + sb.m - n_inter)
+                  >= 0.5
+        """,
+        # the oracle is the quadratic definition the linear deletion-
+        # neighborhood blocking replaces: all-pairs levenshtein
+        "q_edit_distance_join": """
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                   CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS lev
+            FROM customer a JOIN customer b
+              ON a.c_custkey < b.c_custkey
+            WHERE levenshtein(a.c_name, b.c_name) <= 1
         """,
         # gaps-and-islands in its classic SQL-window form: running MAX
         # over strictly-preceding ends flags island starts, a running

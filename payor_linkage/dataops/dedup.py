@@ -219,11 +219,23 @@ def minhash_lsh_pairs(ds: Dataset, threshold: float = 0.5, num_perm: int = 64,
                .map_batches(lambda b: b.drop_columns(["count()"]),
                             batch_format="pyarrow"))
 
-    # second pass: content lookup per candidate pair. The candidate set is
-    # bounded by the near-dup rate (≪ corpus), so when provably small we
-    # broadcast the id set, filter the corpus in ONE scan (no shuffle) and
-    # join the two now-tiny sides; the size-aware hash join is the
-    # fallback for degenerate corpora where candidates stay large.
+    return _content_verify(ds, deduped, lambda t: set(_shingles(t, k).tolist()),
+                           threshold, text_col, id_col)
+
+
+def _content_verify(ds: Dataset, deduped: Dataset, set_of, threshold: float,
+                    text_col: str, id_col: str) -> Dataset:
+    """Exact set-Jaccard verification of candidate (id_a, id_b) pairs:
+    content moves once per surviving candidate. ``set_of(text)`` builds
+    the comparison set (shingle hashes, whitespace tokens, …); output is
+    integer (n_inter, n_union) with an unrounded ratio threshold — the
+    same IEEE division the DuckDB oracles perform.
+
+    The candidate set is bounded by the near-dup rate (≪ corpus), so
+    when provably small we broadcast the id set, filter the corpus in
+    ONE scan (no shuffle) and join the two now-tiny sides; the
+    size-aware hash join is the fallback for degenerate corpora where
+    candidates stay large."""
     deduped = deduped.materialize()
     n_cand = deduped.count()
     if n_cand <= 1_000_000:
@@ -264,8 +276,8 @@ def minhash_lsh_pairs(ds: Dataset, threshold: float = 0.5, num_perm: int = 64,
     def verify(b: pa.Table) -> pa.Table:
         inter, union = [], []
         for ta, tb in zip(b["text_a"].to_pylist(), b["text_b"].to_pylist()):
-            sa = set(_shingles(ta, k).tolist())
-            sb = set(_shingles(tb, k).tolist())
+            sa = set_of(ta)
+            sb = set_of(tb)
             inter.append(len(sa & sb))
             union.append(len(sa | sb))
         out = pa.table({"id_a": b["id_a"], "id_b": b["id_b"],
@@ -804,3 +816,231 @@ def substring_dup_pairs(ds: Dataset, k: int = 24, text_col: str = "text",
     return (pairs.groupby(["id_a", "id_b"]).count()
             .map_batches(lambda b: b.drop_columns(["count()"]),
                          batch_format="pyarrow"))
+
+
+# ── edit-distance-≤1 similarity join (deletion neighborhoods) ──────────────
+
+
+def _lev_le1(x: str, y: str):
+    """Levenshtein distance if ≤ 1, else None — O(len) two-pointer, no
+    DP table (the verifier only ever sees deletion-bucket candidates)."""
+    if x == y:
+        return 0
+    lx, ly = len(x), len(y)
+    if abs(lx - ly) > 1:
+        return None
+    if lx == ly:
+        diff = sum(1 for a, b in zip(x, y) if a != b)
+        return 1 if diff == 1 else None
+    if lx > ly:
+        x, y, lx, ly = y, x, ly, lx
+    i = 0
+    while i < lx and x[i] == y[i]:
+        i += 1
+    return 1 if x[i:] == y[i + 1:] else None
+
+
+def edit_distance_join(ds: Dataset, text_col: str, id_col: str) -> Dataset:
+    """EXACT-COMPLETE similarity self-join at edit distance ≤ 1 via
+    deletion neighborhoods (the FastSS family): every string emits
+    itself plus its len(s) single-deletion variants; two strings are
+    within one edit iff they share a variant (u = v; del(u,i) = v;
+    u = del(v,i); del(u,i) = del(v,i)), so bucketing by variant string
+    is a complete blocking scheme — candidates are then verified with a
+    real distance check (same-bucket different-position deletions can
+    be distance 2). Returns distinct (id_a < id_b, lev).
+
+    Scale shape: variant emission is map-only O(n·L) rows; ONE grouped
+    shuffle on the variant string (bounded-width keys); per-bucket pair
+    fan-out is the neighborhood's own size (alphabet-bounded for
+    near-unique corpora); a final (id_a, id_b) aggregate dedups pairs
+    found in several buckets. No n² anywhere — the SQL oracle IS the n²
+    all-pairs levenshtein, which is the point of the comparison."""
+    from ray.data.aggregate import Min
+
+    from payor_linkage.rayutil import grouped_apply
+
+    pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                             ("lev", pa.int64())])
+
+    def variants(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        texts = b[text_col].to_pylist()
+        out_key, out_id, out_txt = [], [], []
+        for i, t in zip(ids, texts):
+            if t is None:
+                continue
+            out_key.append(t)
+            out_id.append(i)
+            out_txt.append(t)
+            for p in range(len(t)):
+                out_key.append(t[:p] + t[p + 1:])
+                out_id.append(i)
+                out_txt.append(t)
+        return pa.table({"vkey": pa.array(out_key, pa.string()),
+                         "vid": pa.array(out_id, pa.int64()),
+                         "vtxt": pa.array(out_txt, pa.string())})
+
+    vrows = ds.select_columns([id_col, text_col]).map_batches(
+        variants, batch_format="pyarrow")
+
+    def runs(b: pa.Table, starts, ends) -> pa.Table:
+        lo, hi = int(starts[0]), int(ends[-1])
+        rid = np.repeat(np.arange(len(starts), dtype=np.int64),
+                        ends - starts)
+        vid = b["vid"].to_numpy(zero_copy_only=False)[lo:hi]
+        txt = b["vtxt"].slice(lo, hi - lo).to_pylist()
+        m = (ends - starts).astype(np.int64)
+        sq = m * m
+        total = int(sq.sum())
+        if total == 0:
+            return pair_schema.empty_table()
+        cum = np.concatenate([[0], np.cumsum(sq)[:-1]])
+        p = np.arange(total, dtype=np.int64) - np.repeat(cum, sq)
+        mrep = np.repeat(m, sq)
+        srep = np.repeat((starts - lo).astype(np.int64), sq)
+        i = srep + p // mrep
+        j = srep + p % mrep
+        mask = (vid[i] < vid[j])
+        i, j = i[mask], j[mask]
+        # drop same-pair duplicates inside this bucket run before the
+        # python verifier (identical variants repeat per position)
+        seen = set()
+        oa, ob, ol = [], [], []
+        for ii, jj in zip(i, j):
+            key = (vid[ii], vid[jj])
+            if key in seen:
+                continue
+            seen.add(key)
+            lev = _lev_le1(txt[ii], txt[jj])
+            if lev is not None:
+                oa.append(key[0])
+                ob.append(key[1])
+                ol.append(lev)
+        return pa.table({"id_a": pa.array(oa, pa.int64()),
+                         "id_b": pa.array(ob, pa.int64()),
+                         "lev": pa.array(ol, pa.int64())})
+
+    partials = grouped_apply(vrows, "vkey", out_schema=pair_schema,
+                             runs_fn=runs)
+    return partials.groupby(["id_a", "id_b"]).aggregate(
+        Min("lev", alias_name="lev"))
+
+
+# ── prefix-filtered exact token-Jaccard join (PPJoin family) ───────────────
+
+
+def _word_ngrams(text: str, n: int) -> set:
+    toks = (text or "").lower().split()
+    if n == 1:
+        return set(toks)
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def prefix_jaccard_pairs(ds: Dataset, threshold: float = 0.5,
+                         text_col: str = "text",
+                         id_col: str = "doc_id",
+                         word_ngram: int = 1) -> Dataset:
+    """EXACT-COMPLETE global token-Jaccard self-join via prefix
+    filtering (the PPJoin family) — no blocking column, no n²: with
+    every document's distinct whitespace tokens sorted by a GLOBAL
+    rarity order (df asc, token asc), two documents with
+    J ≥ t MUST share a token inside their first
+    ``m - ceil(t·m) + 1`` tokens (if they shared none, the
+    intersection would be < ceil(t·m) ≤ required). Only those prefix
+    tokens are shuffled — the frequent tokens that would create
+    quadratic buckets sort to the END of each document and stay home.
+
+    Stages: one vocab-bounded df groupby, one df attach onto the token
+    rows (broadcast below `lookup_join`'s bound, hash join above), one
+    grouped prefix emission + one grouped candidate emission, then the
+    shared `_content_verify` pass (content moves once per surviving
+    candidate). Output (id_a, id_b, n_inter, n_union) integers."""
+    import math
+
+    from ray.data.aggregate import Count
+
+    from payor_linkage.rayutil import grouped_apply, lookup_join
+
+    sch = ds.schema()
+    idt = dict(zip(sch.names, sch.types))[id_col]
+
+    def tok_rows(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_pylist()
+        out_id, out_tok = [], []
+        for i, t in zip(ids, b[text_col].to_pylist()):
+            for tok in sorted(_word_ngrams(t, word_ngram)):
+                out_id.append(i)
+                out_tok.append(tok)
+        return pa.table({id_col: pa.array(out_id, idt),
+                         "token": pa.array(out_tok, pa.string())})
+
+    toks = ds.select_columns([id_col, text_col]).map_batches(
+        tok_rows, batch_format="pyarrow").materialize()
+    df = toks.groupby("token").aggregate(Count(alias_name="df"))
+    with_df = lookup_join(toks, df, on="token")
+
+    prefix_schema = pa.schema([("token", pa.string()), ("id", idt)])
+
+    def prefix_runs(b: pa.Table, starts, ends) -> pa.Table:
+        lo, hi = int(starts[0]), int(ends[-1])
+        rid = np.repeat(np.arange(len(starts), dtype=np.int64),
+                        ends - starts)
+        dfv = b["df"].to_numpy(zero_copy_only=False)[lo:hi]
+        tok = b["token"].combine_chunks().slice(lo, hi - lo)
+        # rarity rank (df asc, token asc) via dictionary codes so the
+        # within-run sort never string-compares in Python
+        enc = tok.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        drank = np.empty(len(enc.dictionary), dtype=np.int64)
+        drank[pc.sort_indices(enc.dictionary)
+              .to_numpy(zero_copy_only=False).astype(np.int64)] = \
+            np.arange(len(enc.dictionary))
+        order = np.lexsort((drank[codes], dfv, rid))
+        m = (ends - starts).astype(np.int64)
+        plen = m - np.ceil(threshold * m).astype(np.int64) + 1
+        # first plen positions of each (sorted) run
+        within = np.arange(hi - lo, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(m)[:-1]]), m)
+        keep = order[within < np.repeat(plen, m)]
+        ids = b[id_col].slice(lo, hi - lo)
+        return pa.table({"token": tok.take(pa.array(keep)),
+                         "id": ids.take(pa.array(keep))})
+
+    prefixes = grouped_apply(with_df, id_col, out_schema=prefix_schema,
+                             runs_fn=prefix_runs)
+
+    pair_schema = pa.schema([("id_a", idt), ("id_b", idt)])
+
+    def emit_runs(b: pa.Table, starts, ends) -> pa.Table:
+        lens = ends - starts
+        live = np.nonzero(lens >= 2)[0]
+        if len(live) == 0:
+            return pair_schema.empty_table()
+        ids_arr = b["id"].combine_chunks()
+        ids_np = ids_arr.to_numpy(zero_copy_only=False)
+        tri_cache: dict = {}
+        ai_parts, bi_parts = [], []
+        for ri in live:
+            s_, n = starts[ri], lens[ri]
+            tri = tri_cache.get(n)
+            if tri is None:
+                tri = tri_cache[n] = np.triu_indices(n, k=1)
+            order = np.argsort(ids_np[s_:s_ + n], kind="stable") + s_
+            ai_parts.append(order[tri[0]])
+            bi_parts.append(order[tri[1]])
+        ai = np.concatenate(ai_parts)
+        bi = np.concatenate(bi_parts)
+        return pa.table({
+            "id_a": ids_arr.take(pa.array(ai)),
+            "id_b": ids_arr.take(pa.array(bi)),
+        }).cast(pair_schema)
+
+    pairs = grouped_apply(prefixes, "token", runs_fn=emit_runs,
+                          out_schema=pair_schema)
+    deduped = (pairs.groupby(["id_a", "id_b"]).count()
+               .map_batches(lambda b: b.drop_columns(["count()"]),
+                            batch_format="pyarrow"))
+    return _content_verify(ds, deduped,
+                           lambda t: _word_ngrams(t, word_ngram),
+                           threshold, text_col, id_col)

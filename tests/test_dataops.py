@@ -792,3 +792,81 @@ def test_interval_coverage_empty(ray_session):
         "ts": pa.array([], pa.timestamp("us")),
         "value": pa.array([], pa.float64())}))
     assert interval_coverage(events).count() == 0
+
+
+def test_edit_distance_join_exact_complete(ray_session):
+    """Deletion-neighborhood join equals brute-force all-pairs lev<=1
+    on a corpus with substitutions, insertions, deletions, exact dups
+    and unicode strings."""
+    import itertools
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from payor_linkage.dataops.dedup import edit_distance_join
+
+    words = ["alpha", "alpho", "alpa", "alphas", "beta", "betta", "bta",
+             "gamma", "gamma", "gámma", "delta", "delt", "deltaa",
+             "epsilon", "", "a", "b", "ab"]
+    ds = rd.from_arrow(pa.table({
+        "wid": pa.array(range(len(words)), pa.int64()),
+        "w": pa.array(words, pa.string())}))
+    out = edit_distance_join(ds, "w", "wid").to_pandas()
+    got = {(r.id_a, r.id_b): r.lev for r in out.itertuples()}
+
+    def lev(x, y):
+        import numpy as _np
+        d = _np.arange(len(y) + 1)
+        for i, cx in enumerate(x, 1):
+            prev, d[0] = d[0], i
+            for j, cy in enumerate(y, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                       prev + (cx != cy))
+        return d[len(y)]
+
+    exp = {}
+    for i, j in itertools.combinations(range(len(words)), 2):
+        l = lev(words[i], words[j])
+        if l <= 1:
+            exp[(i, j)] = l
+    assert got == exp
+
+
+def test_prefix_jaccard_exact_complete(ray_session):
+    """Prefix-filtered global token-Jaccard join equals brute-force
+    all-pairs at the threshold — completeness of the prefix filter on a
+    corpus with heavy shared (frequent) tokens."""
+    import itertools
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from payor_linkage.dataops.dedup import prefix_jaccard_pairs
+
+    rng = np.random.RandomState(5)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = []
+    for i in range(80):
+        base = ["the", "and"] + [vocab[j] for j in
+                                 rng.choice(30, rng.randint(3, 9),
+                                            replace=False)]
+        texts.append(" ".join(base))
+        if i % 4 == 0:  # near-dup: drop one word
+            texts.append(" ".join(base[:-1]))
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    t = 0.5
+    out = prefix_jaccard_pairs(ds, threshold=t).to_pandas()
+    got = {(r.id_a, r.id_b): (r.n_inter, r.n_union)
+           for r in out.itertuples()}
+
+    exp = {}
+    sets = [set(x.lower().split()) for x in texts]
+    for i, j in itertools.combinations(range(len(texts)), 2):
+        inter = len(sets[i] & sets[j])
+        union = len(sets[i] | sets[j])
+        if union > 0 and inter / union >= t:
+            exp[(i, j)] = (inter, union)
+    assert got == exp
+    assert len(exp) > 10  # the fixture actually exercises the filter
