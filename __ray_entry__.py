@@ -599,6 +599,69 @@ def q_pagerank(sf_dir: str):
     return pagerank(edges, nodes, n_iter=8)
 
 
+def q_term_match_topk(sf_dir: str):
+    """Retrieval core: top-20 documents by total query-term occurrences
+    (integer scores → byte-exact oracle; ties score desc / id asc on
+    both sides). Per-block partial top-k then one tiny merge — the
+    corpus is never globally sorted. The float-weighted sibling
+    (bm25_topk) is pytest-gated against a numpy reference."""
+    from payor_linkage.dataops.text import term_match_topk
+
+    return term_match_topk(_docs(sf_dir), ["merge", "spark", "vector"],
+                           k=20)
+
+
+def q_bm25_topk(sf_dir: str):
+    """BM25 retrieval (float idf/length weighting) — rows-only: the
+    per-doc score is a fixed-order sum in the engine but SQL's SUM
+    carries no order guarantee, so the gate is
+    test_bm25_topk_matches_dense_reference (1e-12 vs dense numpy);
+    the integer sibling q_term_match_topk is the oracle-checked one."""
+    from payor_linkage.dataops.text import bm25_topk
+
+    return bm25_topk(_docs(sf_dir), ["merge", "spark", "vector"], k=20)
+
+
+def q_jsonl_roundtrip(sf_dir: str):
+    """JSONL sink + source (S5/S6 format breadth): project documents →
+    `write_json` one file per block → stream back with `read_json` →
+    grouped integer aggregates. The oracle aggregates the ORIGINAL
+    parquet table, so the gate proves the round-trip lost nothing."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from payor_linkage.storage import read_jsonl, write_jsonl
+
+    d = os.path.join(_SIDECAR_DIR, "jsonl_docs")
+    write_jsonl(_docs(sf_dir).select_columns(
+        ["doc_id", "lang", "source", "n_chars"]), d)
+    back = read_jsonl(d)
+    return back.groupby(["source", "lang"]).aggregate(
+        Count(alias_name="n"),
+        Sum("n_chars", alias_name="sum_chars"),
+        Min("doc_id", alias_name="min_id"),
+        Max("doc_id", alias_name="max_id"))
+
+
+def q_csv_roundtrip(sf_dir: str):
+    """CSV sink + source: integer/string projection of events through
+    `write_csv` / `read_csv`, aggregated per type; oracle aggregates
+    the original parquet — round-trip fidelity, not self-consistency."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from payor_linkage.storage import read_csv_dir, write_csv_dir
+
+    d = os.path.join(_SIDECAR_DIR, "csv_events")
+    write_csv_dir(_events(sf_dir).select_columns(
+        ["event_id", "user_id", "event_type"]), d)
+    back = read_csv_dir(d)
+    return back.groupby("event_type").aggregate(
+        Count(alias_name="n"),
+        Min("user_id", alias_name="min_user"),
+        Max("user_id", alias_name="max_user"),
+        Min("event_id", alias_name="min_event"),
+        Max("event_id", alias_name="max_event"))
+
+
 def q_prefix_jaccard(sf_dir: str):
     """Global exact-complete token-Jaccard self-join via PPJoin-style
     prefix filtering — no blocking column: word-BIGRAM sets (unigrams
@@ -1951,6 +2014,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_interval_coverage": q_interval_coverage,
         "q_edit_distance_join": q_edit_distance_join,
         "q_prefix_jaccard": q_prefix_jaccard,
+        "q_term_match_topk": q_term_match_topk,
+        "q_bm25_topk": q_bm25_topk,
+        "q_jsonl_roundtrip": q_jsonl_roundtrip,
+        "q_csv_roundtrip": q_csv_roundtrip,
         "q_mdm_golden": q_mdm_golden,
         "q_mdm_candidates": q_mdm_candidates,
         "q_mdm_decisions": q_mdm_decisions,
@@ -3221,6 +3288,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_global_median": """
             SELECT quantile_disc(value, 0.5) AS value FROM events
+        """,
+        "q_term_match_topk": """
+            WITH toks AS (
+              SELECT doc_id, t.tok
+              FROM documents d,
+                   LATERAL unnest(list_filter(
+                       string_split_regex(lower(d.text), '\\s+'),
+                       x -> x != '')) AS t(tok)),
+            sc AS (SELECT doc_id, count(*) AS score FROM toks
+                   WHERE tok IN ('merge', 'spark', 'vector')
+                   GROUP BY 1)
+            SELECT doc_id, score FROM sc
+            ORDER BY score DESC, doc_id LIMIT 20
+        """,
+        # both round-trip oracles aggregate the ORIGINAL parquet table
+        # (not the sidecar): the gate proves write_json/read_json and
+        # write_csv/read_csv preserved every row and value
+        "q_jsonl_roundtrip": """
+            SELECT source, lang, count(*) AS n,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+            FROM documents GROUP BY 1, 2
+        """,
+        "q_csv_roundtrip": """
+            SELECT event_type, count(*) AS n,
+                   MIN(user_id) AS min_user, MAX(user_id) AS max_user,
+                   MIN(event_id) AS min_event, MAX(event_id) AS max_event
+            FROM events GROUP BY 1
         """,
         # the quadratic definition the prefix filter replaces: word-
         # bigram sets via the token self-join, integer set sizes, same

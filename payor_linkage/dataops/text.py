@@ -683,3 +683,123 @@ def chunk_documents(ds: Dataset, size: int, text_col: str = "text",
 
     return ds.select_columns([id_col, text_col]).map_batches(
         chunks, batch_format="pyarrow")
+
+
+# ── retrieval: query-term scoring + top-k ──────────────────────────────────
+
+
+def _term_counts(b: pa.Table, text_col: str, terms: list[str]) -> np.ndarray:
+    """(n_rows, n_terms) occurrence counts, vectorized: one split per
+    batch, one is_in per term over the flattened tokens."""
+    toks = pc.split_pattern_regex(pc.utf8_lower(b[text_col]), r"\s+")
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    out = np.zeros((b.num_rows, len(terms)), dtype=np.int64)
+    for ti, t in enumerate(terms):
+        hit = pc.equal(flat, t)
+        idx = parent[hit.to_numpy(zero_copy_only=False)]
+        np.add.at(out[:, ti], idx, 1)
+    return out
+
+
+def term_match_topk(ds: Dataset, terms: list[str], k: int = 20,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> Dataset:
+    """Top-k documents by total query-term occurrences (the integer
+    retrieval core — BM25 without the float weighting, so the SQL
+    oracle compares byte-exact). Per-block partial top-k (score > 0,
+    ties broken score desc / id asc) then one tiny final merge — no
+    global sort of the corpus."""
+    terms = sorted(set(t.lower() for t in terms))
+
+    def partial(b: pa.Table) -> pa.Table:
+        score = _term_counts(b, text_col, terms).sum(axis=1)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        live = score > 0
+        ids, score = ids[live], score[live]
+        if len(ids) > k:
+            order = np.lexsort((ids, -score))[:k]
+            ids, score = ids[order], score[order]
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "score": pa.array(score, pa.int64())})
+
+    def final(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        score = b["score"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -score))[:k]
+        return pa.table({id_col: pa.array(ids[order], pa.int64()),
+                         "score": pa.array(score[order], pa.int64())})
+
+    return (ds.select_columns([id_col, text_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(final, batch_format="pyarrow", batch_size=None))
+
+
+def bm25_topk(ds: Dataset, terms: list[str], k: int = 20, k1: float = 1.5,
+              b: float = 0.75, text_col: str = "text",
+              id_col: str = "doc_id") -> Dataset:
+    """BM25 top-k: the float-weighted sibling of `term_match_topk`.
+    Two bounded driver scalars (N, avg doc length) + one per-query-term
+    df aggregate feed the idf weights; scoring is one vectorized pass
+    (per-block partial top-k, tiny final merge). Float scores are
+    order-INDEPENDENT here (each doc's score is a fixed-order sum over
+    the query terms), but SQL would still recompute logs differently →
+    pytest-gated against a numpy reference instead of DuckDB."""
+    import math
+
+    terms = sorted(set(t.lower() for t in terms))
+
+    slim = ds.select_columns([id_col, text_col]).materialize()
+
+    def len_tbl(bt: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(bt[text_col]), r"\s+")
+        nt = pc.list_value_length(toks)
+        return pa.table({"n": pc.cast(nt, pa.int64())})
+
+    lens = slim.map_batches(len_tbl, batch_format="pyarrow")
+    n_docs = slim.count()
+    if n_docs == 0:
+        return slim.map_batches(lambda bt: pa.table({
+            id_col: pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64())}), batch_format="pyarrow")
+    avg_len = (lens.sum("n") or 0) / n_docs
+
+    def df_tbl(bt: pa.Table) -> pa.Table:
+        cnt = _term_counts(bt, text_col, terms)
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "df": pa.array((cnt > 0).sum(axis=0), pa.int64())})
+
+    df_rows = slim.map_batches(df_tbl, batch_format="pyarrow") \
+        .groupby("term").sum("df")
+    dfm = {r["term"]: r["sum(df)"] for r in df_rows.take_all()}
+    idf = np.array([math.log(1.0 + (n_docs - dfm.get(t, 0) + 0.5)
+                             / (dfm.get(t, 0) + 0.5)) for t in terms])
+
+    def partial(bt: pa.Table) -> pa.Table:
+        tf = _term_counts(bt, text_col, terms).astype(np.float64)
+        toks = pc.split_pattern_regex(pc.utf8_lower(bt[text_col]), r"\s+")
+        dl = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        norm = k1 * (1.0 - b + b * dl / avg_len)
+        score = (idf[None, :] * tf * (k1 + 1.0)
+                 / (tf + norm[:, None])).sum(axis=1)
+        ids = bt[id_col].to_numpy(zero_copy_only=False)
+        live = score > 0
+        ids, score = ids[live], score[live]
+        if len(ids) > k:
+            order = np.lexsort((ids, -score))[:k]
+            ids, score = ids[order], score[order]
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "score": pa.array(score, pa.float64())})
+
+    def final(bt: pa.Table) -> pa.Table:
+        ids = bt[id_col].to_numpy(zero_copy_only=False)
+        score = bt["score"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -score))[:k]
+        return pa.table({id_col: pa.array(ids[order], pa.int64()),
+                         "score": pa.array(score[order], pa.float64())})
+
+    return (slim.map_batches(partial, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(final, batch_format="pyarrow", batch_size=None))

@@ -171,3 +171,40 @@ def read_filtered(path: str, columns: list[str] | None = None,
     the needed columns / matching row groups leave storage (never scan-
     then-filter). ``predicate`` is a pyarrow dataset filter expression."""
     return rd.read_parquet(path, columns=columns, filter=predicate)
+
+
+def write_jsonl(ds: Dataset, path: str) -> str:
+    """JSONL sink: one newline-delimited-JSON file per block (Ray's
+    native `write_json`), directory truncated first so re-runs are
+    idempotent. Returns the directory path."""
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    ds.write_json(path)
+    return path
+
+
+def read_jsonl(path: str) -> Dataset:
+    """JSONL source (Ray's streaming `read_json` over the directory)."""
+    import ray.data as rd
+
+    return rd.read_json(path)
+
+
+def write_csv_dir(ds: Dataset, path: str) -> str:
+    """CSV sink: one file per block via Ray's `write_csv`; idempotent
+    directory semantics as `write_jsonl`."""
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    ds.write_csv(path)
+    return path
+
+
+def read_csv_dir(path: str) -> Dataset:
+    """CSV source (Ray's streaming `read_csv`)."""
+    import ray.data as rd
+
+    return rd.read_csv(path)

@@ -870,3 +870,45 @@ def test_prefix_jaccard_exact_complete(ray_session):
             exp[(i, j)] = (inter, union)
     assert got == exp
     assert len(exp) > 10  # the fixture actually exercises the filter
+
+
+def test_bm25_topk_matches_dense_reference(ray_session):
+    """Distributed BM25 equals a dense numpy computation (same idf
+    formulation, k1/b, length normalization) at 1e-12 — per-doc scores
+    are fixed-order sums over query terms, so only the partial-top-k
+    plumbing is under test."""
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from payor_linkage.dataops.text import bm25_topk
+
+    rng = np.random.RandomState(3)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    texts = [" ".join(rng.choice(vocab, rng.randint(2, 30)))
+             for _ in range(150)]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    terms = ["alpha", "gamma"]
+    k1, b = 1.5, 0.75
+    out = bm25_topk(ds, terms, k=10, k1=k1, b=b).to_pandas()
+
+    split = [t.split() for t in texts]
+    n = len(texts)
+    avg = sum(len(s) for s in split) / n
+    scores = []
+    for i, s in enumerate(split):
+        sc = 0.0
+        for t in sorted(set(terms)):
+            tf = s.count(t)
+            df = sum(1 for x in split if t in x)
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            sc += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(s) / avg))
+        scores.append((i, sc))
+    exp = sorted([(i, s) for i, s in scores if s > 0],
+                 key=lambda x: (-x[1], x[0]))[:10]
+    assert list(out.doc_id) == [i for i, _ in exp]
+    assert np.allclose(out.score.to_numpy(),
+                       np.array([s for _, s in exp]), atol=1e-12)
