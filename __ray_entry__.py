@@ -599,6 +599,38 @@ def q_pagerank(sf_dir: str):
     return pagerank(edges, nodes, n_iter=8)
 
 
+def q_pareto_frontier(sf_dir: str):
+    """2-D Pareto frontier over orders (latest date AND highest price):
+    the frontier is an associative reduction, so each block shrinks to
+    its own partial frontier before one tiny final merge — vs the n²
+    NOT-EXISTS dominance oracle. Output values are selected rows, so
+    float parity is byte-exact."""
+    import ray.data as rd
+
+    from payor_linkage.dataops.aggregates import pareto_frontier
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_totalprice"])
+    return pareto_frontier(orders, "o_orderdate", "o_totalprice",
+                           carry=["o_orderkey"])
+
+
+def q_interval_overlap(sf_dir: str):
+    """Interval-overlap join: every click interval vs same-user view
+    intervals — positive-overlap count plus total overlapped µs (the
+    integral of the view-coverage step function over the click
+    interval; right multiplicity counts). Tagged union, one grouped
+    sort, coverage sweep per run; all-integer output vs the SQL
+    LEAST/GREATEST clip-sum oracle."""
+    from payor_linkage.dataops.temporal import interval_overlap_join
+
+    ev = _events(sf_dir)
+    clicks = ev.filter(expr="event_type == 'click'")
+    views = ev.filter(expr="event_type == 'view'")
+    return interval_overlap_join(clicks, views)
+
+
 def q_term_match_topk(sf_dir: str):
     """Retrieval core: top-20 documents by total query-term occurrences
     (integer scores → byte-exact oracle; ties score desc / id asc on
@@ -2014,6 +2046,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_interval_coverage": q_interval_coverage,
         "q_edit_distance_join": q_edit_distance_join,
         "q_prefix_jaccard": q_prefix_jaccard,
+        "q_pareto_frontier": q_pareto_frontier,
+        "q_interval_overlap": q_interval_overlap,
         "q_term_match_topk": q_term_match_topk,
         "q_bm25_topk": q_bm25_topk,
         "q_jsonl_roundtrip": q_jsonl_roundtrip,
@@ -3288,6 +3322,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_global_median": """
             SELECT quantile_disc(value, 0.5) AS value FROM events
+        """,
+        "q_pareto_frontier": """
+            SELECT o_orderkey, o_orderdate, o_totalprice
+            FROM orders a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders b
+              WHERE b.o_orderdate >= a.o_orderdate
+                AND b.o_totalprice >= a.o_totalprice
+                AND (b.o_orderdate > a.o_orderdate
+                     OR b.o_totalprice > a.o_totalprice))
+        """,
+        "q_interval_overlap": """
+            WITH iv AS (
+              SELECT event_id, user_id, event_type, epoch_us(ts) AS s,
+                     epoch_us(ts)
+                     + GREATEST(CAST(floor(value * 1000000) AS BIGINT), 0)
+                         AS e
+              FROM events),
+            l AS (SELECT * FROM iv WHERE event_type = 'click'),
+            r AS (SELECT * FROM iv WHERE event_type = 'view')
+            SELECT l.event_id, l.user_id,
+                   count(*) FILTER (WHERE LEAST(l.e, r.e)
+                                          > GREATEST(l.s, r.s))
+                       AS n_overlap,
+                   CAST(COALESCE(SUM(GREATEST(0,
+                        LEAST(l.e, r.e) - GREATEST(l.s, r.s))), 0)
+                        AS BIGINT) AS overlap_us
+            FROM l LEFT JOIN r ON r.user_id = l.user_id
+            GROUP BY 1, 2
         """,
         "q_term_match_topk": """
             WITH toks AS (

@@ -830,3 +830,48 @@ def profile_nulls(ds: Dataset, columns: list[str] | None = None) -> Dataset:
         partial, batch_format="pyarrow")
     return parts.groupby("col_name").aggregate(
         Sum("n", alias_name="n"), Sum("n_null", alias_name="n_null"))
+
+
+def pareto_frontier(ds: Dataset, x_col: str, y_col: str,
+                    carry: list[str] | None = None) -> Dataset:
+    """2-D Pareto frontier (maximize both): rows not dominated by any
+    other row (dominated = another row is ≥ in both dims and > in at
+    least one; exact duplicates don't dominate each other — all kept).
+
+    The frontier is an ASSOCIATIVE reduction — frontier(A ∪ B) =
+    frontier(frontier(A) ∪ frontier(B)) — so each block shrinks to its
+    own (tiny) partial frontier before the single-block final merge:
+    the classic combiner shape, no global sort of the corpus. Per-block
+    work is one lexsort + grouped cummax sweep, fully vectorized.
+    Output values are SELECTED rows, never computed — byte-exact parity
+    with the n² NOT-EXISTS dominance oracle."""
+    carry = carry or []
+    cols = [x_col, y_col] + carry
+
+    def frontier(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.select(cols)
+        x = b[x_col].to_numpy(zero_copy_only=False)
+        y = b[y_col].to_numpy(zero_copy_only=False)
+        # x desc, then y desc — reversed ascending lexsort, so
+        # non-negatable dtypes (datetime64) work too
+        order = np.lexsort((y, x))[::-1]
+        xs, ys = x[order], y[order]
+        # group runs of equal x (descending): within a group only the
+        # max-y rows survive; across groups a strict-x running max of
+        # group maxima dominates anything ≤ it
+        gstart = np.nonzero(np.concatenate([[True], xs[1:] != xs[:-1]]))[0]
+        gid = np.cumsum(np.concatenate([[0], (xs[1:] != xs[:-1])
+                                        .astype(np.int64)]))
+        gy = ys[gstart]  # y desc within group → first is the group max
+        cmax = np.maximum.accumulate(gy)
+        keep = ys == gy[gid]
+        nf = gid > 0  # first x-group has no strictly-greater-x rival
+        # dtype-safe (no -inf sentinel): int64/datetime64 y unharmed
+        keep[nf] &= ys[nf] > cmax[gid[nf] - 1]
+        return b.take(pa.array(order[keep])).select(cols)
+
+    partial = ds.select_columns(cols).map_batches(
+        frontier, batch_format="pyarrow")
+    return partial.repartition(1).map_batches(
+        frontier, batch_format="pyarrow", batch_size=None)

@@ -459,3 +459,104 @@ def interval_coverage(events: Dataset, on: str = "user_id",
 
     return grouped_apply(events.map_batches(slim, batch_format="pyarrow"),
                          on, out_schema=out_schema, runs_fn=runs)
+
+
+def interval_overlap_join(left: Dataset, right: Dataset,
+                          on: str = "user_id", ts_col: str = "ts",
+                          dur_col: str = "value",
+                          left_id: str = "event_id") -> Dataset:
+    """Interval-overlap join reduced to per-left-row aggregates: for
+    every left interval ``[ts, ts + max(floor(dur*1e6), 0)]`` count the
+    same-key right intervals with POSITIVE overlap and sum the total
+    overlapped microseconds (right multiplicity counts — the answer is
+    the integral of the right-coverage step function over the left
+    interval).
+
+    Same composition as `asof_join` / `range_join_count`: tagged union,
+    ONE grouped sort, then per run (a) two binary searches per left row
+    for the count (starts-before-end minus ends-at-or-before-start) and
+    (b) a coverage sweep — right endpoints become a +1/−1 step
+    function whose prefix integral is evaluated at both left endpoints.
+    All-integer arithmetic → byte-exact SQL parity."""
+    def tag(ds: Dataset, side: int) -> Dataset:
+        def f(b: pa.Table) -> pa.Table:
+            start = pa.compute.cast(b[ts_col], pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            dur = np.maximum(np.floor(
+                b[dur_col].to_numpy(zero_copy_only=False) * 1_000_000
+            ).astype(np.int64), 0)
+            return pa.table({
+                on: b[on],
+                "_s": pa.array(start, pa.int64()),
+                "_e": pa.array(start + dur, pa.int64()),
+                "_lid": (b[left_id] if side == 1
+                         else pa.nulls(b.num_rows, pa.int64())),
+                "_side": pa.array([side] * b.num_rows, pa.int8())})
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    s = left.schema()
+    key_type = dict(zip(s.names, s.types))[on]
+    out_schema = pa.schema([(left_id, pa.int64()), (on, key_type),
+                            ("n_overlap", pa.int64()),
+                            ("overlap_us", pa.int64())])
+
+    def runs(b: pa.Table, starts, ends) -> pa.Table:
+        keys = b[on].to_numpy(zero_copy_only=False)
+        sarr = b["_s"].to_numpy(zero_copy_only=False)
+        earr = b["_e"].to_numpy(zero_copy_only=False)
+        lid = b["_lid"].to_numpy(zero_copy_only=False)
+        side = b["_side"].to_numpy(zero_copy_only=False)
+        out_l, out_k, out_n, out_o = [], [], [], []
+        for st, en in zip(starts, ends):
+            sl = slice(st, en)
+            is_l = side[sl] == 1
+            ls, le = sarr[sl][is_l], earr[sl][is_l]
+            lids = lid[sl][is_l]
+            if len(ls) == 0:
+                continue
+            # zero-length intervals (clamped negative durations) can
+            # never overlap positively — drop rights, zero out lefts
+            rs_all, re_all = sarr[sl][~is_l], earr[sl][~is_l]
+            pos = rs_all < re_all
+            rs = np.sort(rs_all[pos])
+            re = np.sort(re_all[pos])
+            n_ov = (np.searchsorted(rs, le, side="left")
+                    - np.searchsorted(re, ls, side="right"))
+            n_ov[ls >= le] = 0
+            if len(rs):
+                # coverage step function over merged breakpoints
+                pts = np.concatenate([rs, re])
+                dlt = np.concatenate([np.ones(len(rs), np.int64),
+                                      -np.ones(len(re), np.int64)])
+                o = np.argsort(pts, kind="stable")
+                pts, dlt = pts[o], dlt[o]
+                cov = np.cumsum(dlt)
+                # prefix integral of coverage at each breakpoint
+                seg = np.diff(pts)
+                integ = np.concatenate(
+                    [[0], np.cumsum(cov[:-1] * seg)])
+
+                def ival(t):
+                    j = np.searchsorted(pts, t, side="right") - 1
+                    v = np.zeros(len(t), dtype=np.int64)
+                    ok = j >= 0
+                    jj = j[ok]
+                    # cov[-1] is always 0, so t past the last breakpoint
+                    # correctly reduces to integ[-1]
+                    v[ok] = integ[jj] + cov[jj] * (t[ok] - pts[jj])
+                    return v
+
+                ov = ival(le) - ival(ls)
+            else:
+                ov = np.zeros(len(ls), dtype=np.int64)
+            out_l.extend(lids.tolist())
+            out_k.extend([keys[st]] * len(ls))
+            out_n.extend(np.maximum(n_ov, 0).tolist())
+            out_o.extend(ov.tolist())
+        return pa.table({left_id: pa.array(out_l, pa.int64()),
+                         on: pa.array(out_k, key_type),
+                         "n_overlap": pa.array(out_n, pa.int64()),
+                         "overlap_us": pa.array(out_o, pa.int64())})
+
+    return grouped_apply(tag(left, 1).union(tag(right, 0)), on,
+                         out_schema=out_schema, runs_fn=runs)

@@ -912,3 +912,77 @@ def test_bm25_topk_matches_dense_reference(ray_session):
     assert list(out.doc_id) == [i for i, _ in exp]
     assert np.allclose(out.score.to_numpy(),
                        np.array([s for _, s in exp]), atol=1e-12)
+
+
+def test_pareto_frontier_matches_brute(ray_session):
+    """Partial-frontier combiner equals the n² dominance definition,
+    including duplicate points (kept) and shared coordinates."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from payor_linkage.dataops.aggregates import pareto_frontier
+
+    rng = np.random.RandomState(2)
+    x = rng.randint(0, 50, 400).astype(np.int64)
+    y = rng.randint(0, 50, 400).astype(np.int64)
+    x[10], y[10] = x[5], y[5]  # exact duplicate point
+    ds = rd.from_arrow(pa.table({
+        "pid": pa.array(range(400), pa.int64()), "x": x, "y": y}))
+    out = pareto_frontier(ds, "x", "y", carry=["pid"]).to_pandas()
+    got = sorted(out.pid)
+
+    exp = []
+    for i in range(400):
+        dominated = any(
+            (x[j] >= x[i] and y[j] >= y[i]
+             and (x[j] > x[i] or y[j] > y[i]))
+            for j in range(400))
+        if not dominated:
+            exp.append(i)
+    assert got == sorted(exp)
+
+
+def test_interval_overlap_join_matches_brute(ray_session):
+    """Coverage-sweep overlap join equals the n² per-pair clip sum,
+    with overlapping rights (multiplicity counts), negative durations
+    clamped, and keys that only exist on one side."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from payor_linkage.dataops.temporal import interval_overlap_join
+
+    rng = np.random.RandomState(9)
+
+    def mk(n, seed_off):
+        r = np.random.RandomState(9 + seed_off)
+        key = r.randint(0, 12, n).astype(np.int64)
+        base = np.int64(1_600_000_000_000_000)
+        ts = base + r.randint(0, 2_000_000_000, n).astype(np.int64)
+        dur = r.uniform(-50.0, 400.0, n)
+        return key, ts, dur
+
+    lk, lt, ld = mk(400, 0)
+    rk, rt, rdur = mk(500, 1)
+    rk[rk == 11] = 10  # key 11 left-only
+    left = rd.from_arrow(pa.table({
+        "user_id": lk, "ts": pa.array(lt, pa.timestamp("us")),
+        "value": ld, "event_id": pa.array(range(400), pa.int64())}))
+    right = rd.from_arrow(pa.table({
+        "user_id": rk, "ts": pa.array(rt, pa.timestamp("us")),
+        "value": rdur, "event_id": pa.array(range(500), pa.int64())}))
+    out = interval_overlap_join(left, right).to_pandas() \
+        .set_index("event_id")
+
+    li = [(k, t, t + max(int(np.floor(d * 1e6)), 0))
+          for k, t, d in zip(lk, lt, ld)]
+    ri = [(k, t, t + max(int(np.floor(d * 1e6)), 0))
+          for k, t, d in zip(rk, rt, rdur)]
+    assert len(out) == 400
+    for i, (k, s, e) in enumerate(li):
+        n_ov = sum(1 for rk_, rs, re in ri
+                   if rk_ == k and min(e, re) > max(s, rs))
+        tot = sum(max(0, min(e, re) - max(s, rs))
+                  for rk_, rs, re in ri if rk_ == k)
+        row = out.loc[i]
+        assert row.n_overlap == n_ov, (i, row.n_overlap, n_ov)
+        assert row.overlap_us == tot, (i, row.overlap_us, tot)
