@@ -599,6 +599,47 @@ def q_pagerank(sf_dir: str):
     return pagerank(edges, nodes, n_iter=8)
 
 
+def q_zorder(sf_dir: str):
+    """2-D Morton (z-order) codes over (l_partkey, l_suppkey) — the
+    data-layout primitive: sort/range-partition by z and a min/max
+    pruned scan skips row groups for predicates on EITHER dimension.
+    Map-only int64 bit dilation; the oracle replays the same
+    magic-number steps in SQL."""
+    import ray.data as rd
+
+    from payor_linkage.dataops.reshape import zorder_code
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"])
+    return zorder_code(li, "l_partkey", "l_suppkey").select_columns(
+        ["l_orderkey", "l_linenumber", "z"])
+
+
+def q_window_topk(sf_dir: str):
+    """Trending-users composition: per 1-hour tumbling window, the
+    top-3 users by event count (ties user_id asc) — tumbling-window
+    bucketing feeding the distributed grouped top-k (per-batch k-row
+    combiner, one grouped exchange)."""
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    from payor_linkage.dataops.aggregates import grouped_topk
+
+    def win_user(b: pa.Table) -> pa.Table:
+        win = _pc.floor(_pc.divide(
+            _pc.cast(b["ts"], pa.int64()), 3_600_000_000))
+        return pa.table({"win": _pc.cast(win, pa.int64()),
+                         "user_id": b["user_id"]})
+
+    counts = (_events(sf_dir).select_columns(["ts", "user_id"])
+              .map_batches(win_user, batch_format="pyarrow")
+              .groupby(["win", "user_id"]).count()
+              .map_batches(lambda b: b.rename_columns(
+                  ["win", "user_id", "n"]), batch_format="pyarrow"))
+    return grouped_topk(counts, "win", "n", k=3, tie_col="user_id")
+
+
 def q_pareto_frontier(sf_dir: str):
     """2-D Pareto frontier over orders (latest date AND highest price):
     the frontier is an associative reduction, so each block shrinks to
@@ -2046,6 +2087,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_interval_coverage": q_interval_coverage,
         "q_edit_distance_join": q_edit_distance_join,
         "q_prefix_jaccard": q_prefix_jaccard,
+        "q_zorder": q_zorder,
+        "q_window_topk": q_window_topk,
         "q_pareto_frontier": q_pareto_frontier,
         "q_interval_overlap": q_interval_overlap,
         "q_term_match_topk": q_term_match_topk,
@@ -3322,6 +3365,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_global_median": """
             SELECT quantile_disc(value, 0.5) AS value FROM events
+        """,
+        # z-order: the same magic-number dilation, one CTE per step
+        "q_zorder": """
+            WITH s0 AS (
+              SELECT l_orderkey, l_linenumber,
+                     CAST(l_partkey AS BIGINT) & 65535 AS x,
+                     CAST(l_suppkey AS BIGINT) & 65535 AS y
+              FROM lineitem),
+            s1 AS (SELECT l_orderkey, l_linenumber,
+                          (x | (x << 8)) & 16711935 AS x,
+                          (y | (y << 8)) & 16711935 AS y FROM s0),
+            s2 AS (SELECT l_orderkey, l_linenumber,
+                          (x | (x << 4)) & 252645135 AS x,
+                          (y | (y << 4)) & 252645135 AS y FROM s1),
+            s3 AS (SELECT l_orderkey, l_linenumber,
+                          (x | (x << 2)) & 858993459 AS x,
+                          (y | (y << 2)) & 858993459 AS y FROM s2),
+            s4 AS (SELECT l_orderkey, l_linenumber,
+                          (x | (x << 1)) & 1431655765 AS x,
+                          (y | (y << 1)) & 1431655765 AS y FROM s3)
+            SELECT l_orderkey, l_linenumber, x | (y << 1) AS z FROM s4
+        """,
+        "q_window_topk": """
+            WITH c AS (
+              SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT)
+                         AS win,
+                     user_id, count(*) AS n
+              FROM events GROUP BY 1, 2)
+            SELECT win, user_id, n, rank FROM (
+              SELECT *, CAST(row_number() OVER (
+                            PARTITION BY win
+                            ORDER BY n DESC, user_id) AS BIGINT) AS rank
+              FROM c) WHERE rank <= 3
         """,
         "q_pareto_frontier": """
             SELECT o_orderkey, o_orderdate, o_totalprice

@@ -255,3 +255,34 @@ def global_ntile(ds: Dataset, order_cols: list[str], k: int,
 
     return rd.from_arrow_refs(
         [_emit.remote(ref, int(bases[i])) for i, ref in enumerate(refs)])
+
+
+def _spread_bits16(v: np.ndarray) -> np.ndarray:
+    """Spread each of the low 16 bits of ``v`` to even positions
+    (0b1011 → 0b01_00_01_01) — the magic-number dilation used by
+    Morton/z-order encoding."""
+    v = v & 0xFFFF
+    v = (v | (v << 8)) & 0x00FF00FF
+    v = (v | (v << 4)) & 0x0F0F0F0F
+    v = (v | (v << 2)) & 0x33333333
+    v = (v | (v << 1)) & 0x55555555
+    return v
+
+
+def zorder_code(ds: Dataset, x_col: str, y_col: str,
+                out_col: str = "z") -> Dataset:
+    """Append the 2-D Morton (z-order) code of two non-negative integer
+    columns (low 16 bits each): bit-interleaved so that sorting or
+    range-partitioning by ``out_col`` keeps rows close in BOTH
+    dimensions — the standard multi-dimensional data-layout trick that
+    lets a min/max-pruned scan (`storage.read_filtered`) skip row
+    groups for 2-D predicates. Map-only, pure int64 bit arithmetic per
+    batch; the oracle re-derives the dilation with the same
+    magic-number steps in SQL."""
+    def f(b: pa.Table) -> pa.Table:
+        x = b[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = b[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        z = _spread_bits16(x) | (_spread_bits16(y) << 1)
+        return b.append_column(out_col, pa.array(z, pa.int64()))
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -986,3 +986,32 @@ def test_interval_overlap_join_matches_brute(ray_session):
         row = out.loc[i]
         assert row.n_overlap == n_ov, (i, row.n_overlap, n_ov)
         assert row.overlap_us == tot, (i, row.overlap_us, tot)
+
+
+def test_zorder_code_matches_per_row_interleave(ray_session):
+    """Magic-number dilation equals the definitional per-bit
+    interleave."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from payor_linkage.dataops.reshape import zorder_code
+
+    rng = np.random.RandomState(4)
+    x = rng.randint(0, 1 << 16, 500).astype(np.int64)
+    y = rng.randint(0, 1 << 16, 500).astype(np.int64)
+    ds = rd.from_arrow(pa.table({
+        "i": pa.array(range(500), pa.int64()), "x": x, "y": y}))
+    out = zorder_code(ds, "x", "y").to_pandas().sort_values("i")
+
+    def brute(a, b):
+        z = 0
+        for bit in range(16):
+            z |= ((a >> bit) & 1) << (2 * bit)
+            z |= ((b >> bit) & 1) << (2 * bit + 1)
+        return z
+
+    exp = [brute(int(a), int(c)) for a, c in zip(x, y)]
+    assert list(out.z) == exp
+    # locality sanity: sorting by z keeps both dims piecewise-close
+    zs = np.sort(out.z.to_numpy())
+    assert len(np.unique(zs)) > 400
