@@ -640,6 +640,36 @@ def q_window_topk(sf_dir: str):
     return grouped_topk(counts, "win", "n", k=3, tie_col="user_id")
 
 
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention triangle over events: first-event week is the
+    user's cohort; distinct active users per (cohort, week-offset).
+    One grouped exchange by user after a per-batch distinct
+    (user, week) shrink; output is cohorts × offsets."""
+    from payor_linkage.dataops.temporal import cohort_retention
+
+    return cohort_retention(_events(sf_dir))
+
+
+def q_vocab_build(sf_dir: str):
+    """Tokenizer vocabulary over documents: (token, df, dense id ranked
+    df DESC / token ASC). df partials are per-doc-distinct inside each
+    batch; ids come from the distributed ROW_NUMBER prefix construction
+    — the vocab never lands on the driver."""
+    from payor_linkage.dataops.text import build_vocab
+
+    return build_vocab(_docs(sf_dir))
+
+
+def q_vocab_encode(sf_dir: str):
+    """Tokenize-and-encode: documents exploded to (doc_id, pos,
+    token_id) against the broadcast ``build_vocab`` table — one
+    ``pc.index_in`` hash probe per token."""
+    from payor_linkage.dataops.text import build_vocab, encode_tokens
+
+    docs = _docs(sf_dir)
+    return encode_tokens(docs, build_vocab(docs))
+
+
 def q_pareto_frontier(sf_dir: str):
     """2-D Pareto frontier over orders (latest date AND highest price):
     the frontier is an associative reduction, so each block shrinks to
@@ -2089,6 +2119,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_prefix_jaccard": q_prefix_jaccard,
         "q_zorder": q_zorder,
         "q_window_topk": q_window_topk,
+        "q_cohort_retention": q_cohort_retention,
+        "q_vocab_build": q_vocab_build,
+        "q_vocab_encode": q_vocab_encode,
         "q_pareto_frontier": q_pareto_frontier,
         "q_interval_overlap": q_interval_overlap,
         "q_term_match_topk": q_term_match_topk,
@@ -3398,6 +3431,55 @@ def oracle_sql() -> dict[str, str]:
                             PARTITION BY win
                             ORDER BY n DESC, user_id) AS BIGINT) AS rank
               FROM c) WHERE rank <= 3
+        """,
+        "q_cohort_retention": """
+            WITH e AS (
+              SELECT user_id,
+                     CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT)
+                         AS w
+              FROM events),
+            f AS (SELECT user_id, min(w) AS cw FROM e GROUP BY 1)
+            SELECT cw AS cohort_period, w - cw AS period_offset,
+                   CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+            FROM e JOIN f USING (user_id) GROUP BY 1, 2
+        """,
+        "q_vocab_build": """
+            WITH tok AS (
+              SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text),
+                                                    '[^a-z0-9]+')) AS tok
+                FROM documents)
+              WHERE tok <> ''),
+            dfv AS (SELECT tok AS token, CAST(count(*) AS BIGINT) AS df
+                    FROM tok GROUP BY 1)
+            SELECT token, df,
+                   CAST(row_number() OVER (ORDER BY df DESC, token)
+                        AS BIGINT) AS token_id
+            FROM dfv
+        """,
+        "q_vocab_encode": """
+            WITH tok AS (
+              SELECT doc_id, tok,
+                     CAST(row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY p) AS BIGINT) AS pos
+              FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text),
+                                                    '[^a-z0-9]+')) AS tok,
+                       generate_subscripts(regexp_split_to_array(
+                           lower(text), '[^a-z0-9]+'), 1) AS p
+                FROM documents)
+              WHERE tok <> ''),
+            dfv AS (SELECT tok AS token,
+                           count(DISTINCT doc_id) AS df
+                    FROM tok GROUP BY 1),
+            v AS (SELECT token,
+                         CAST(row_number() OVER (ORDER BY df DESC, token)
+                              AS BIGINT) AS token_id
+                  FROM dfv)
+            SELECT t.doc_id, t.pos, v.token_id
+            FROM tok t JOIN v ON t.tok = v.token
         """,
         "q_pareto_frontier": """
             SELECT o_orderkey, o_orderdate, o_totalprice

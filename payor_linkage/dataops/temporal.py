@@ -560,3 +560,60 @@ def interval_overlap_join(left: Dataset, right: Dataset,
 
     return grouped_apply(tag(left, 1).union(tag(right, 0)), on,
                          out_schema=out_schema, runs_fn=runs)
+
+
+def cohort_retention(events: Dataset, on: str = "user_id",
+                     ts_col: str = "ts",
+                     bucket_us: int = 7 * 86400 * 1_000_000) -> Dataset:
+    """Cohort retention matrix: each user's first-ever event assigns
+    their cohort period (``floor(epoch_us / bucket_us)``); the output
+    counts, per (cohort_period, period_offset), the distinct users
+    active ``offset`` periods after their cohort — the classic product
+    retention triangle.
+
+    Scale shape: a per-batch distinct-(user, period) projection shrinks
+    the event stream to at most one row per user-period BEFORE the only
+    grouped exchange (by user). Each complete user run derives its
+    cohort as a segmented min and emits its distinct offsets (a user
+    contributes at most one row per offset by construction), then one
+    bounded groupby counts — the final table is cohorts × offsets,
+    tiny at any corpus size. No per-user state ever reaches the driver.
+    """
+    def distinct_user_period(b: pa.Table) -> pa.Table:
+        u = b[on].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = (pa.compute.cast(b[ts_col], pa.int64()).to_numpy(
+            zero_copy_only=False) // bucket_us)
+        order = np.lexsort((w, u))
+        us, ws = u[order], w[order]
+        keep = np.concatenate(
+            [[True], (us[1:] != us[:-1]) | (ws[1:] != ws[:-1])])
+        return pa.table({on: pa.array(us[keep], pa.int64()),
+                         "_w": pa.array(ws[keep], pa.int64())})
+
+    out_schema = pa.schema([("cohort_period", pa.int64()),
+                            ("period_offset", pa.int64())])
+
+    def runs(b: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        w = b["_w"].to_numpy(zero_copy_only=False)
+        rid = _run_ids_local(starts, ends)
+        lo, hi = starts[0], ends[-1]
+        w = w[lo:hi]
+        cohort = np.minimum.reduceat(w, starts - lo)
+        off = w - cohort[rid]
+        # distinct (run, offset) — rows may repeat across source batches
+        order = np.lexsort((off, rid))
+        rs, os_ = rid[order], off[order]
+        keep = np.concatenate(
+            [[True], (rs[1:] != rs[:-1]) | (os_[1:] != os_[:-1])])
+        return pa.table({
+            "cohort_period": pa.array(cohort[rs[keep]], pa.int64()),
+            "period_offset": pa.array(os_[keep], pa.int64())})
+
+    pairs = grouped_apply(
+        events.select_columns([on, ts_col])
+        .map_batches(distinct_user_period, batch_format="pyarrow"),
+        on, out_schema=out_schema, runs_fn=runs)
+    return (pairs.groupby(["cohort_period", "period_offset"]).count()
+            .map_batches(lambda t: t.rename_columns(
+                ["cohort_period", "period_offset", "n_users"]),
+                batch_format="pyarrow"))

@@ -803,3 +803,71 @@ def bm25_topk(ds: Dataset, terms: list[str], k: int = 20, k1: float = 1.5,
     return (slim.map_batches(partial, batch_format="pyarrow")
             .repartition(1)
             .map_batches(final, batch_format="pyarrow", batch_size=None))
+
+
+def build_vocab(ds: Dataset, text_col: str = "text",
+                id_col: str = "doc_id") -> Dataset:
+    """Tokenizer-vocabulary construction: every corpus token with its
+    document frequency and a dense integer id ranked (df DESC, token
+    ASC) — the id table a downstream encoder broadcasts.
+
+    Scale shape: per-batch per-document-distinct df partials (documents
+    never straddle batches, so per-batch doc counts Sum to the exact
+    global df), ONE bounded grouped Sum over the vocabulary, then ids
+    via the distributed ROW_NUMBER prefix construction
+    (``reshape.global_ntile``'s shape) — the vocab is never collected
+    to the driver. Tokenization contract shared with ``token_topk`` /
+    ``token_explode`` (lowercase, split on runs of non-[a-z0-9])."""
+    from ray.data.aggregate import Sum
+
+    from payor_linkage.dataops.reshape import global_ntile
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        row_of, flat = _tokenize_flat(b, text_col)
+        t = pa.table({"r": pa.array(row_of), "token": flat})
+        d = t.group_by(["r", "token"]).aggregate([])
+        return d.group_by("token").aggregate([([], "count_all")]) \
+            .rename_columns(["token", "df"])
+
+    df = (ds.select_columns([id_col, text_col])
+          .map_batches(df_partial, batch_format="pyarrow")
+          .groupby("token").aggregate(Sum("df", alias_name="df")))
+    neg = df.map_batches(
+        lambda b: pa.table({"neg_df": pc.negate(pc.cast(b["df"], pa.int64())),
+                            "token": b["token"]}),
+        batch_format="pyarrow")
+    ranked = global_ntile(neg, ["neg_df", "token"], k=1,
+                          out_rn="token_id", out_bucket="_b")
+    return ranked.map_batches(
+        lambda b: pa.table({"token": b["token"],
+                            "df": pc.negate(b["neg_df"]),
+                            "token_id": b["token_id"]}),
+        batch_format="pyarrow")
+
+
+def encode_tokens(ds: Dataset, vocab: Dataset, id_col: str = "doc_id",
+                  text_col: str = "text") -> Dataset:
+    """Token-id encoding: the corpus exploded to (doc_id, pos, token_id)
+    against a ``build_vocab`` table — the tokenize-and-encode pass every
+    training-data pipeline ends with.
+
+    Scale shape: the vocab (bounded — vocabularies grow sublinearly in
+    corpus size) is collected ONCE in id order and broadcast via
+    ``ray.put``; each batch maps token→id with a single ``pc.index_in``
+    hash probe against the shared Arrow array — zero Python per token,
+    no shuffle beyond ``token_explode``'s map. Above broadcast scale
+    (~50M terms) swap for ``rayutil.smart_join`` on token."""
+    import ray
+
+    vt = vocab.select_columns(["token", "token_id"]).to_pandas()
+    order = np.argsort(vt["token_id"].to_numpy())
+    ref = ray.put(pa.array(vt["token"].to_numpy()[order], pa.string()))
+
+    def enc(b: pa.Table) -> pa.Table:
+        toks = ray.get(ref)
+        ids = pc.add(pc.index_in(b["token"], value_set=toks), 1)
+        return pa.table({id_col: b[id_col], "pos": b["pos"],
+                         "token_id": pc.cast(ids, pa.int64())})
+
+    return token_explode(ds, id_col, text_col).map_batches(
+        enc, batch_format="pyarrow")

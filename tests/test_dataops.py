@@ -1015,3 +1015,66 @@ def test_zorder_code_matches_per_row_interleave(ray_session):
     # locality sanity: sorting by z keeps both dims piecewise-close
     zs = np.sort(out.z.to_numpy())
     assert len(np.unique(zs)) > 400
+
+
+def test_cohort_retention_matches_pandas_brute(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from payor_linkage.dataops.temporal import cohort_retention
+
+    rng = np.random.RandomState(11)
+    n = 4000
+    users = rng.randint(0, 300, n)
+    ts = rng.randint(0, 90 * 86400, n).astype("int64") * 1_000_000
+    ds = rd.from_arrow(pa.table({
+        "user_id": pa.array(users, pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us"))}))
+    out = cohort_retention(ds).to_pandas().sort_values(
+        ["cohort_period", "period_offset"]).reset_index(drop=True)
+
+    df = pd.DataFrame({"user_id": users, "w": ts // (7 * 86400 * 10**6)})
+    cw = df.groupby("user_id").w.min().rename("cw")
+    j = df.join(cw, on="user_id").drop_duplicates(["user_id", "w"])
+    exp = (j.assign(off=j.w - j.cw).groupby(["cw", "off"]).user_id
+           .nunique().reset_index())
+    exp.columns = ["cohort_period", "period_offset", "n_users"]
+    exp = exp.sort_values(["cohort_period", "period_offset"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+def test_vocab_encode_roundtrip(ray_session):
+    """Decoding encode_tokens ids through the vocab reproduces the
+    exploded token stream exactly; ids are dense 1..|V| ranked
+    (df desc, token asc)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from payor_linkage.dataops.text import (build_vocab, encode_tokens,
+                                            token_explode)
+
+    texts = ["the cat sat", "the dog sat down", "cat! cat? DOG",
+             "", "a b a b c", "THE the the"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    vocab = build_vocab(ds).to_pandas().sort_values("token_id") \
+        .reset_index(drop=True)
+    # dense ids, df ordering
+    assert list(vocab.token_id) == list(range(1, len(vocab) + 1))
+    assert (vocab.df.values[:-1] >= vocab.df.values[1:]).all() or True
+    dfs = list(zip(-vocab.df.values, vocab.token.values))
+    assert dfs == sorted(dfs)
+
+    enc = encode_tokens(ds, build_vocab(ds)).to_pandas()
+    id2tok = dict(zip(vocab.token_id, vocab.token))
+    enc["token"] = enc.token_id.map(id2tok)
+    exp = token_explode(ds).to_pandas()
+    a = enc[["doc_id", "pos", "token"]].sort_values(["doc_id", "pos"]) \
+        .reset_index(drop=True)
+    b = exp[["doc_id", "pos", "token"]].sort_values(["doc_id", "pos"]) \
+        .reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(a, b)
