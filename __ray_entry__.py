@@ -920,6 +920,10 @@ def _write_mdm_sidecars(res) -> None:
         ["source_record_id", "source_system", "source_id", "parent_ref",
          "source_trust_rank"]))
     _dump_sidecar("membership", res.groups)
+    _dump_sidecar("labels", res.unified.select_columns(
+        ["source_record_id", "entity_id"]))
+    _dump_sidecar("cand_pairs", res.candidates.select_columns(
+        ["source_record_id_a", "source_record_id_b"]))
     _dump_sidecar("quality_fields", res.unified.select_columns(
         ["source_system"] + _QUALITY_FIELDS))
     _dump_sidecar("hier_edges", res.hierarchy.select_columns(
@@ -1007,6 +1011,28 @@ def q_mdm_components(sf_dir: str):
 
 def q_mdm_groups(sf_dir: str):
     return _mdm_result(sf_dir).groups
+
+
+def q_mdm_blocking_quality(sf_dir: str):
+    """Blocking-evaluation metrics (reduction ratio / pairs completeness
+    numerators) as one row of exact integers; the oracle recomputes all
+    four from the label + candidate-pair sidecars (Σ C(n,2) per entity,
+    3-way coverage join)."""
+    from payor_linkage.evaluate import blocking_quality
+
+    res = _mdm_result(sf_dir)
+    return blocking_quality(res.unified, res.candidates)
+
+
+def q_mdm_bcubed(sf_dir: str):
+    """Per-record B-cubed integers (cluster_size, n_same, entity_size);
+    the oracle is three window counts over the membership ⋈ labels
+    sidecars — a float-free gate on the full cluster-quality metric."""
+    from payor_linkage.evaluate import bcubed_stats
+
+    res = _mdm_result(sf_dir)
+    return bcubed_stats(res.groups, res.unified.select_columns(
+        ["source_record_id", "entity_id"]))
 
 
 def q_mdm_xref(sf_dir: str):
@@ -2133,6 +2159,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mdm_decisions": q_mdm_decisions,
         "q_mdm_components": q_mdm_components,
         "q_mdm_groups": q_mdm_groups,
+        "q_mdm_blocking_quality": q_mdm_blocking_quality,
+        "q_mdm_bcubed": q_mdm_bcubed,
         "q_mdm_xref": q_mdm_xref,
         "q_mdm_hierarchy": q_mdm_hierarchy,
         "q_mdm_hierarchy_edges": q_mdm_hierarchy_edges,
@@ -2640,6 +2668,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.source_record_id, c.canonical_id,
                    c.source_record_id = s.survivor_id AS is_survivor
             FROM comp c JOIN surv s USING (canonical_id)
+        """,
+        # blocking quality: all four integers recomputed from the label
+        # + candidate-pair sidecars (orphans entity_id = -1 excluded
+        # from true pairs; DuckDB // keeps C(n,2) integral)
+        "q_mdm_blocking_quality": f"""
+            WITH l AS (SELECT * FROM
+                       read_parquet('{_SIDECAR_DIR}/labels/*.parquet')),
+            p AS (SELECT * FROM
+                  read_parquet('{_SIDECAR_DIR}/cand_pairs/*.parquet')),
+            ent AS (SELECT entity_id, count(*) AS n FROM l
+                    WHERE entity_id <> -1 GROUP BY 1)
+            SELECT
+              (SELECT CAST(count(*) AS BIGINT) FROM l) AS n_records,
+              (SELECT CAST(count(*) AS BIGINT) FROM p)
+                  AS n_candidate_pairs,
+              (SELECT COALESCE(CAST(sum((n * (n - 1)) // 2) AS BIGINT), 0)
+               FROM ent) AS n_true_pairs,
+              (SELECT CAST(count(*) AS BIGINT) FROM p
+                 JOIN l a ON p.source_record_id_a = a.source_record_id
+                 JOIN l b ON p.source_record_id_b = b.source_record_id
+                WHERE a.entity_id = b.entity_id AND a.entity_id <> -1)
+                  AS n_true_covered
+        """,
+        # B-cubed per-record integers: three window counts over
+        # membership ⋈ labels (orphans are singleton entities)
+        "q_mdm_bcubed": f"""
+            WITH j AS (
+              SELECT m.source_record_id, m.match_group_id AS g,
+                     l.entity_id AS e
+              FROM read_parquet('{_SIDECAR_DIR}/membership/*.parquet') m
+              JOIN read_parquet('{_SIDECAR_DIR}/labels/*.parquet') l
+                USING (source_record_id))
+            SELECT source_record_id,
+                   CAST(count(*) OVER (PARTITION BY g) AS BIGINT)
+                       AS cluster_size,
+                   CAST(CASE WHEN e = -1 THEN 1 ELSE
+                        count(*) OVER (PARTITION BY g, e) END AS BIGINT)
+                       AS n_same,
+                   CAST(CASE WHEN e = -1 THEN 1 ELSE
+                        count(*) OVER (PARTITION BY e) END AS BIGINT)
+                       AS entity_size
+            FROM j
         """,
         # xref grain: every staged record exactly once, projected through
         # the membership map (xref.sql:16-25; orphan-freedom by row count)

@@ -1078,3 +1078,43 @@ def test_vocab_encode_roundtrip(ray_session):
         .reset_index(drop=True)
     import pandas as pd
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_bcubed_and_blocking_quality_crafted(ray_session):
+    """Hand-computed B-cubed + blocking metrics on a 6-record corpus:
+    cluster X = {r0,r1,r2} with entities (1,1,2), cluster Y = {r3,r4}
+    entity 3, singleton Z = {r5} orphan (-1)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from payor_linkage.evaluate import bcubed_stats, blocking_quality
+
+    recs = [f"r{i}" for i in range(6)]
+    ents = [1, 1, 2, 3, 3, -1]
+    grps = ["X", "X", "X", "Y", "Y", "Z"]
+    labels = rd.from_arrow(pa.table({
+        "source_record_id": pa.array(recs, pa.string()),
+        "entity_id": pa.array(ents, pa.int64())}))
+    groups = rd.from_arrow(pa.table({
+        "match_group_id": pa.array(grps, pa.string()),
+        "source_record_id": pa.array(recs, pa.string())}))
+    out = bcubed_stats(groups, labels).to_pandas() \
+        .set_index("source_record_id").sort_index()
+    exp = {  # (cluster_size, n_same, entity_size)
+        "r0": (3, 2, 2), "r1": (3, 2, 2), "r2": (3, 1, 1),
+        "r3": (2, 2, 2), "r4": (2, 2, 2), "r5": (1, 1, 1)}
+    for r, (cs, nsame, es) in exp.items():
+        row = out.loc[r]
+        assert (row.cluster_size, row.n_same, row.entity_size) == \
+            (cs, nsame, es), (r, tuple(row))
+
+    # blocking: candidate pairs (r0,r1),(r0,r2),(r3,r4),(r2,r5)
+    unified = labels
+    pairs = rd.from_arrow(pa.table({
+        "source_record_id_a": pa.array(["r0", "r0", "r3", "r2"]),
+        "source_record_id_b": pa.array(["r1", "r2", "r4", "r5"])}))
+    q = blocking_quality(unified, pairs).to_pandas().iloc[0]
+    # true pairs: entity1 C(2,2)=1, entity3 C(2,2)=1 → 2; covered:
+    # (r0,r1) same entity, (r3,r4) same entity → 2
+    assert (q.n_records, q.n_candidate_pairs,
+            q.n_true_pairs, q.n_true_covered) == (6, 4, 2, 2)
