@@ -1013,6 +1013,66 @@ def q_mdm_groups(sf_dir: str):
     return _mdm_result(sf_dir).groups
 
 
+_INC_CACHE: dict = {}
+
+
+def q_mdm_incremental(sf_dir: str):
+    """Incremental linkage: the corpus is split ~86/14 by doc-id hash,
+    the large part fully linked, then the delta added via
+    ``pipeline.incremental_update`` — which blocks + scores ONLY pairs
+    touching a new record and rebuilds survivorship only for changed
+    groups. Output is the (record → canonical, is_survivor) components
+    projection of the INCREMENTAL run; the oracle recomputes it with the
+    recursive min-reachability CTE + survivor re-election over the
+    incremental run's own match-edge sidecar — the same hard gate as
+    ``q_mdm_components``, on the incremental path. Full byte-equality
+    to a fresh run is pytest-gated (`test_incremental_matches_full`)."""
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    from payor_linkage.pipeline import incremental_update, run_linkage
+    from payor_linkage.rayutil import smart_join
+    from payor_linkage.synth import synth_documents
+
+    key = _mdm_replicas(sf_dir)
+    if key not in _INC_CACHE:
+        docs = synth_documents(key).materialize()
+
+        def split(keep_new: bool):
+            def f(b: pa.Table) -> pa.Table:
+                m = [(zlib.crc32(str(i).encode()) % 7 == 0) == keep_new
+                     for i in b["doc_id"].to_pylist()]
+                return b.filter(pa.array(m))
+            return docs.map_batches(f, batch_format="pyarrow").materialize()
+
+        prior = run_linkage(split(False))
+        inc = incremental_update(prior, split(True))
+
+        def edges(b: pa.Table) -> pa.Table:
+            m = b.filter(pc.equal(b["final_decision"], "match"))
+            return pa.table({"src": m["source_record_id_a"],
+                             "dst": m["source_record_id_b"]})
+
+        _dump_sidecar("inc_edges", inc.candidates.map_batches(
+            edges, batch_format="pyarrow"))
+        _dump_sidecar("inc_unified", inc.unified.select_columns(
+            ["source_record_id", "source_trust_rank"]))
+        _INC_CACHE[key] = inc
+    inc = _INC_CACHE[key]
+
+    groups = inc.groups
+    canon = groups.groupby("match_group_id").aggregate(
+        Min("source_record_id", alias_name="canonical_id"))
+    j = smart_join(groups.select_columns(
+        ["match_group_id", "source_record_id", "is_survivor"]),
+        canon, "match_group_id")
+    return j.select_columns(["source_record_id", "canonical_id",
+                             "is_survivor"])
+
+
 def q_mdm_blocking_quality(sf_dir: str):
     """Blocking-evaluation metrics (reduction ratio / pairs completeness
     numerators) as one row of exact integers; the oracle recomputes all
@@ -1877,6 +1937,62 @@ def q_transitions(sf_dir: str):
     return transition_counts(_events(sf_dir))
 
 
+def q_session_paths(sf_dir: str):
+    """Session path mining: 30-minute-gap sessionization composed with
+    an ordered per-session path string (pc.binary_join over boundary
+    offsets — no per-session Python) and a bounded (path, n) count
+    exchange; oracle = window sessionize + STRING_AGG ORDER BY +
+    GROUP BY."""
+    from payor_linkage.dataops.temporal import session_paths
+
+    return session_paths(_events(sf_dir))
+
+
+def q_scd2_history(sf_dir: str):
+    """SCD Type-2 validity intervals over each user's event_type stream:
+    consecutive equal values collapse to one row with (valid_from,
+    valid_to, version); the open current row keeps valid_to NULL. One
+    grouped sort, dictionary-code shift compare — the LAG-change +
+    LEAD-close window shape."""
+    from payor_linkage.dataops.cdc import scd2_history
+
+    return scd2_history(_events(sf_dir))
+
+
+def q_prorate(sf_dir: str):
+    """Largest-remainder integer proration: 1000 units per order
+    allocated across its lines proportional to quantity, summing EXACTLY
+    to 1000 per order — floor shares + one extra unit to the largest
+    remainders (ties by line number). Pure int64 arithmetic; oracle =
+    the same floor/mod/rank computation as DuckDB windows."""
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    from payor_linkage.dataops.aggregates import prorate_integer
+
+    import ray.data as rd
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity"]).map_batches(
+        lambda b: pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "l_linenumber": _pc.cast(b["l_linenumber"], pa.int64()),
+            "wt": _pc.cast(b["l_quantity"], pa.int64())}),
+        batch_format="pyarrow")
+    return prorate_integer(li, key="l_orderkey", weight_col="wt",
+                           order_col="l_linenumber", total=1000)
+
+
+def q_cube_counts(sf_dir: str):
+    """GROUP BY CUBE(source, lang) counts (all four margin levels,
+    rolled-up dims as 'ALL') — one distributed shuffle at the finest
+    level, margins folded from the bounded partial."""
+    from payor_linkage.dataops.aggregates import cube_counts
+
+    return cube_counts(_docs(sf_dir), ["source", "lang"])
+
+
 def q_fill_forward(sf_dir: str):
     """LOCF imputation: click values carried forward over non-click
     events per user (last_value IGNORE NULLS window). Values are
@@ -2159,6 +2275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mdm_decisions": q_mdm_decisions,
         "q_mdm_components": q_mdm_components,
         "q_mdm_groups": q_mdm_groups,
+        "q_mdm_incremental": q_mdm_incremental,
         "q_mdm_blocking_quality": q_mdm_blocking_quality,
         "q_mdm_bcubed": q_mdm_bcubed,
         "q_mdm_xref": q_mdm_xref,
@@ -2215,6 +2332,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_chunks": q_doc_chunks,
         "q_big_orders": q_big_orders,
         "q_transitions": q_transitions,
+        "q_session_paths": q_session_paths,
+        "q_scd2_history": q_scd2_history,
+        "q_prorate": q_prorate,
+        "q_cube_counts": q_cube_counts,
         "q_fill_forward": q_fill_forward,
         "q_range_lookup": q_range_lookup,
         "q_cooccurrence": q_cooccurrence,
@@ -2647,6 +2768,42 @@ def oracle_sql() -> dict[str, str]:
             u AS (
               SELECT source_record_id AS node, source_trust_rank
               FROM read_parquet('{_SIDECAR_DIR}/unified_slim/*.parquet')
+            ),
+            reach(node, r) AS (
+              SELECT node, node FROM u
+              UNION
+              SELECT reach.node, e.b FROM reach JOIN e ON reach.r = e.a
+            ),
+            comp AS (
+              SELECT node AS source_record_id, min(r) AS canonical_id
+              FROM reach GROUP BY node
+            ),
+            surv AS (
+              SELECT canonical_id,
+                     (list(source_record_id
+                           ORDER BY coalesce(u.source_trust_rank, 999),
+                                    source_record_id))[1] AS survivor_id
+              FROM comp JOIN u ON u.node = comp.source_record_id
+              GROUP BY canonical_id
+            )
+            SELECT c.source_record_id, c.canonical_id,
+                   c.source_record_id = s.survivor_id AS is_survivor
+            FROM comp c JOIN surv s USING (canonical_id)
+        """,
+        # incremental linkage: same recursive-CTE + survivor gate as
+        # q_mdm_components, over the INCREMENTAL run's edge sidecar
+        "q_mdm_incremental": f"""
+            WITH RECURSIVE
+            e AS (
+              SELECT src AS a, dst AS b
+              FROM read_parquet('{_SIDECAR_DIR}/inc_edges/*.parquet')
+              UNION ALL
+              SELECT dst, src
+              FROM read_parquet('{_SIDECAR_DIR}/inc_edges/*.parquet')
+            ),
+            u AS (
+              SELECT source_record_id AS node, source_trust_rank
+              FROM read_parquet('{_SIDECAR_DIR}/inc_unified/*.parquet')
             ),
             reach(node, r) AS (
               SELECT node, node FROM u
@@ -3356,6 +3513,85 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type AS from_state, nxt AS to_state,
                    count(*) AS n
             FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2
+        """,
+        "q_session_paths": """
+            WITH o AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTES
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+              SELECT user_id, ts, event_id, event_type,
+                     sum(brk) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sess
+              FROM o
+            ),
+            p AS (
+              SELECT user_id, sess,
+                     string_agg(event_type, '>'
+                                ORDER BY ts, event_id) AS path
+              FROM s GROUP BY user_id, sess
+            )
+            SELECT path, count(*) AS n_sessions FROM p GROUP BY path
+        """,
+        "q_scd2_history": """
+            WITH o AS (
+              SELECT user_id, ts, event_id, event_type,
+                     lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev
+              FROM events
+            ),
+            ch AS (
+              SELECT user_id, ts, event_type,
+                     CAST(row_number() OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                          AS BIGINT) AS version
+              FROM o WHERE prev IS NULL OR prev <> event_type
+            )
+            SELECT user_id, event_type, ts AS valid_from,
+                   lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY version) AS valid_to,
+                   version
+            FROM ch
+        """,
+        "q_prorate": """
+            WITH w AS (
+              SELECT l_orderkey,
+                     CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                     CAST(l_quantity AS BIGINT) AS wt
+              FROM lineitem
+            ),
+            s AS (
+              SELECT *, sum(wt) OVER (PARTITION BY l_orderkey) AS tw
+              FROM w
+            ),
+            b AS (
+              SELECT *, (1000 * wt) // tw AS base,
+                        (1000 * wt) % tw AS rem
+              FROM s
+            ),
+            r AS (
+              SELECT *,
+                     1000 - sum(base) OVER (PARTITION BY l_orderkey)
+                         AS leftover,
+                     row_number() OVER (PARTITION BY l_orderkey
+                                        ORDER BY rem DESC, l_linenumber)
+                         AS rk
+              FROM b
+            )
+            SELECT l_orderkey, l_linenumber,
+                   CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                        AS BIGINT) AS alloc
+            FROM r
+        """,
+        "q_cube_counts": """
+            SELECT coalesce(source, 'ALL') AS source,
+                   coalesce(lang, 'ALL') AS lang,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY CUBE(source, lang)
         """,
         "q_fill_forward": """
             WITH i AS (

@@ -379,3 +379,69 @@ def blocking_pairs(unified: Dataset, cfg: BlockingConfig | None = None) -> Datas
 
     return grouped_apply(key_rows, "bkey", out_schema=_pairs_schema(),
                          runs_fn=make_runs_pair_emitter(hot))
+
+
+def delta_blocking_pairs(unified_all: Dataset, new_ids,
+                         cfg: BlockingConfig | None = None) -> Dataset:
+    """Incremental blocking: candidate pairs with ≥ 1 endpoint among
+    ``new_ids``, emitted from exactly the buckets a new record touches —
+    the delta pass that lets a 0.1% corpus addition skip re-scoring the
+    other 99.9%.
+
+    Why this is exact: the pair emitter's min-common-key rule reads only
+    a pair's carried keys + the broadcast hot map — never bucket
+    contents — so a touched bucket emits the same pairs it would in a
+    full run; any pair with a new endpoint has ALL its buckets touched
+    (every key of a new record is a touched key), so it is emitted by
+    its deciding bucket; and every old–old pair was already emitted by
+    the prior run under the same rule, so dropping them loses nothing.
+    The hot map is recomputed over the FULL key universe (the count
+    pre-pass is a cheap column aggregate, not pair work) so salting
+    matches a fresh full run; exactness therefore assumes the delta
+    does not flip a key across the hot threshold mid-epoch — the
+    documented stable-hot-map regime.
+
+    Scale shape: ``new_ids`` and the touched-key set are delta-bounded
+    broadcasts (``ray.put`` once, ``pc.is_in`` per batch); pair
+    emission runs on the touched subset only."""
+    cfg = cfg or BlockingConfig()
+    key_rows = unified_all.map_batches(
+        lambda b: _key_rows_batch(b, cfg.use_phonetic_key),
+        batch_format="pyarrow").materialize()
+
+    hot: dict[str, int] = {}
+    if cfg.hot_key_cap:
+        hot = _find_hot_keys(key_rows, cfg.hot_key_cap,
+                             cfg.park_degenerate_hot_keys,
+                             cfg.park_key_above, cfg.pho_key_cap)
+
+    nid_arr = pa.array(sorted(set(new_ids)), pa.string())
+    nid_ref = ray.put(nid_arr)
+
+    def only_new(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["source_record_id"],
+                                 value_set=ray.get(nid_ref)))
+
+    touched = key_rows.map_batches(only_new, batch_format="pyarrow") \
+        .unique("bkey")
+    tkey_ref = ray.put(pa.array(sorted(touched), pa.string()))
+    hot_ref = ray.put(hot)
+
+    def touched_salted(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b["bkey"], value_set=ray.get(tkey_ref)))
+        return _salt_batch(b, ray.get(hot_ref)) if hot else b
+
+    sub = key_rows.map_batches(touched_salted, batch_format="pyarrow")
+
+    from payor_linkage.rayutil import grouped_apply
+
+    pairs = grouped_apply(sub, "bkey", out_schema=_pairs_schema(),
+                          runs_fn=make_runs_pair_emitter(hot))
+
+    def with_new_endpoint(b: pa.Table) -> pa.Table:
+        nid = ray.get(nid_ref)
+        return b.filter(pc.or_(
+            pc.is_in(b["source_record_id_a"], value_set=nid),
+            pc.is_in(b["source_record_id_b"], value_set=nid)))
+
+    return pairs.map_batches(with_new_endpoint, batch_format="pyarrow")

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import pyarrow as pa
 from ray.data import Dataset
 
 from payor_linkage.audit import build_audit_log
@@ -108,3 +109,107 @@ def main() -> None:  # pragma: no cover - CLI entry
 
 if __name__ == "__main__":  # pragma: no cover
     main()
+
+
+def _changed_group_ids(old_groups: Dataset, new_groups: Dataset) -> list:
+    """Group ids whose member SET differs between two MATCH_GROUPS
+    tables (delta-bounded: a group changes only by touching a new
+    record or a merge). One tagged union + one grouped count — a
+    (gid, rid) pair present in both sides contributes count 2/tag-sum
+    1; anything else marks the gid."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    def tag(ds: Dataset, t: int) -> Dataset:
+        return ds.select_columns(["match_group_id", "source_record_id"]) \
+            .map_batches(lambda b: b.append_column(
+                "t", pa.array([t] * b.num_rows, pa.int64())),
+                batch_format="pyarrow")
+
+    g = (tag(old_groups, 0).union(tag(new_groups, 1))
+         .groupby(["match_group_id", "source_record_id"])
+         .aggregate(Count(alias_name="n"), Sum("t", alias_name="s")))
+    bad = g.map_batches(
+        lambda b: b.filter(pc.or_(pc.not_equal(b["n"], 2),
+                                  pc.not_equal(b["s"], 1))),
+        batch_format="pyarrow")
+    return bad.unique("match_group_id")
+
+
+def _patch_by_group(old: Dataset, rebuilt: Dataset, affected: list,
+                    id_col: str) -> Dataset:
+    """Replace ``old``'s rows for the affected group ids with the
+    rebuilt subset (broadcast id-set filter; affected is
+    delta-bounded)."""
+    import ray
+    import pyarrow.compute as pc
+
+    ref = ray.put(pa.array(sorted(affected), pa.string()))
+
+    def drop_affected(b: pa.Table) -> pa.Table:
+        return b.filter(pc.invert(pc.is_in(
+            b[id_col], value_set=ray.get(ref))))
+
+    return old.map_batches(drop_affected, batch_format="pyarrow") \
+        .union(rebuilt)
+
+
+def incremental_update(prior: LinkageResult, new_documents: Dataset,
+                       cfg: PipelineConfig | None = None,
+                       steward_overlay: Dataset | None = None,
+                       surv_cfg: SurvivorshipConfig | None = None
+                       ) -> LinkageResult:
+    """Add a batch of new documents to an already-linked corpus WITHOUT
+    re-scoring it: only pairs with a new endpoint are blocked + scored
+    (``blocking.delta_blocking_pairs``), prior candidates are reused
+    verbatim, clustering re-runs over the combined edge set (CC is the
+    cheap, shuffle-shaped stage; scoring is the expensive one), and
+    survivorship / xref are rebuilt ONLY for groups whose member set
+    changed — untouched groups keep their prior golden/xref rows
+    byte-identical. Hierarchy is recomputed (its substring signal is a
+    cross-golden comparison; goldens are post-merge small).
+
+    Exactness contract (gated by ``test_incremental_matches_full``):
+    with a stable hot-key map across the delta, every output table is
+    byte-equal to a fresh full run over the combined corpus. Pass the
+    same ``steward_overlay`` / configs the prior run used."""
+    import pyarrow.compute as pc
+    import ray
+
+    from payor_linkage.blocking import delta_blocking_pairs
+
+    cfg = cfg or PipelineConfig()
+
+    unified_new = unify(new_documents).materialize()
+    new_ids = unified_new.unique("source_record_id")
+    unified = prior.unified.union(unified_new).materialize()
+
+    pairs_delta = delta_blocking_pairs(unified, new_ids, cfg.blocking)
+    cands_delta = decide(score_pairs(pairs_delta, cfg.scoring), cfg.scoring,
+                         steward_overlay)
+    candidates = prior.candidates.union(cands_delta).materialize()
+    groups = build_match_groups(candidates, unified, cfg.cluster) \
+        .materialize()
+
+    affected = _changed_group_ids(prior.groups, groups)
+    if affected:
+        aref = ray.put(pa.array(sorted(affected), pa.string()))
+
+        def only_affected(b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_in(b["match_group_id"],
+                                     value_set=ray.get(aref)))
+
+        groups_sub = groups.map_batches(
+            only_affected, batch_format="pyarrow").materialize()
+        golden = _patch_by_group(
+            prior.golden, build_golden(groups_sub, unified, surv_cfg),
+            affected, "master_payor_id").materialize()
+        xref = _patch_by_group(
+            prior.xref, build_xref(groups_sub, unified),
+            affected, "master_payor_id").materialize()
+    else:
+        golden, xref = prior.golden, prior.xref
+    hierarchy = infer_hierarchy(golden, unified, xref).materialize()
+    audit = build_audit_log(golden, hierarchy, steward_overlay)
+    return LinkageResult(unified, candidates, groups, golden, xref,
+                         hierarchy, audit)

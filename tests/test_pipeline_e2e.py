@@ -201,3 +201,61 @@ def test_hierarchy_distributed_parity(pipeline_result, monkeypatch):
     b = base.sort_values(key).reset_index(drop=True)
     import pandas as pd
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_incremental_matches_full(ray_session):
+    """incremental_update(prior, delta) must equal a fresh full run on
+    the combined corpus — candidates, groups, golden and xref all
+    byte-equal (sorted) — while scoring only a fraction of the pairs."""
+    import zlib
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from payor_linkage.blocking import delta_blocking_pairs
+    from payor_linkage.pipeline import incremental_update, run_linkage
+    from payor_linkage.synth import synth_documents
+
+    docs = synth_documents(2).materialize()
+
+    def split(keep_new: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_pylist()
+            m = [zlib.crc32(str(i).encode()) % 7 == 0 for i in ids]
+            if not keep_new:
+                m = [not x for x in m]
+            return b.filter(pa.array(m))
+        return docs.map_batches(f, batch_format="pyarrow").materialize()
+
+    old_docs, new_docs = split(False), split(True)
+    n_new = new_docs.count()
+    assert 0 < n_new < docs.count() // 3
+
+    prior = run_linkage(old_docs)
+    inc = incremental_update(prior, new_docs)
+    full = run_linkage(docs)
+
+    def canon(ds, drop=()):
+        df = ds.to_pandas()
+        df = df[[c for c in sorted(df.columns) if c not in drop]]
+        for c in df.columns:
+            if df[c].dtype == object:
+                df[c] = df[c].astype(str)
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    for name, a, b, drop in [
+            ("candidates", inc.candidates, full.candidates, ()),
+            ("groups", inc.groups, full.groups, ()),
+            ("golden", inc.golden, full.golden, ("spans",)),
+            ("xref", inc.xref, full.xref, ()),
+            ("hierarchy", inc.hierarchy, full.hierarchy, ())]:
+        pd.testing.assert_frame_equal(canon(a, drop), canon(b, drop),
+                                      check_dtype=False, obj=name)
+
+    # the point of incrementality: the delta scored far fewer pairs
+    old_ids = set(prior.unified.unique("source_record_id"))
+    new_ids = [r for r in inc.unified.unique("source_record_id")
+               if r not in old_ids]
+    n_delta = delta_blocking_pairs(inc.unified, new_ids).count()
+    n_full = full.candidates.count()
+    assert n_delta < 0.6 * n_full, (n_delta, n_full)
