@@ -280,6 +280,85 @@ def rollup_counts(ds: Dataset, cols: list[str],
         .cast(pa.schema([(c, pa.string()) for c in cols] + [("n", pa.int64())]))
 
 
+def cube_counts(ds: Dataset, cols: list[str],
+                total_label: str = "ALL"):
+    """Multi-dimensional margin counts — ``GROUP BY CUBE(cols)``
+    semantics (every subset of the grouping columns, 2^n levels) with
+    rolled-up dimensions encoded as ``total_label``. Same scale shape as
+    ``rollup_counts``: ONE distributed shuffle (the finest level); every
+    margin folds driver-side from that bounded partial — the
+    cube-from-partials pattern. Returns a pyarrow Table."""
+    import itertools
+
+    import pandas as pd
+
+    base = ds.groupby(cols).count().rename_columns(
+        {"count()": "n"}).to_pandas()
+    frames = []
+    for mask in itertools.product([True, False], repeat=len(cols)):
+        keep = [c for c, m in zip(cols, mask) if m]
+        f = (base.groupby(keep, as_index=False)["n"].sum() if keep
+             else base[["n"]].sum().to_frame().T)
+        for c, m in zip(cols, mask):
+            if not m:
+                f[c] = total_label
+        frames.append(f[cols + ["n"]])
+    out = pd.concat(frames, ignore_index=True)
+    return pa.Table.from_pandas(out[cols + ["n"]], preserve_index=False) \
+        .cast(pa.schema([(c, pa.string()) for c in cols] + [("n", pa.int64())]))
+
+
+def prorate_integer(ds: Dataset, key: str, weight_col: str, order_col: str,
+                    total: int, out_col: str = "alloc") -> Dataset:
+    """Largest-remainder integer proration: allocate ``total`` units per
+    ``key`` group across its rows proportional to positive integer
+    weights, EXACTLY — per-group allocations always sum to ``total``.
+    Each row gets ``floor(total*w/W)`` plus one extra unit for the
+    ``total - sum(floor)`` largest remainders (ties broken by
+    ``order_col`` ascending). All arithmetic is int64, so DuckDB window
+    parity is byte-exact.
+
+    One grouped sort; shares / remainders / leftover are vectorized
+    across every run in a block (reduceat per-run sums); the remainder
+    ranking reuses the rid-primary lexsort invariant (runs keep their
+    span offsets), so rank-within-run is pure index arithmetic."""
+    proj = list(dict.fromkeys([key, order_col, weight_col]))
+    s = ds.schema().base_schema
+    out_schema = pa.schema([(key, s.field(key).type),
+                            (order_col, s.field(order_col).type),
+                            (out_col, pa.int64())])
+
+    def runs(b: pa.Table, starts, ends) -> pa.Table:
+        lo, hi = starts[0], ends[-1]
+        rid = _run_ids(starts, ends)
+        w = b[weight_col].to_numpy(zero_copy_only=False)[lo:hi] \
+            .astype(np.int64)
+        if not (w > 0).all():
+            raise ValueError("prorate_integer requires positive weights")
+        ordv = b[order_col].to_numpy(zero_copy_only=False)[lo:hi]
+        wsum = np.add.reduceat(w, starts - lo)
+        wrow = wsum[rid]
+        base = (total * w) // wrow
+        rem = (total * w) % wrow
+        leftover = total - np.add.reduceat(base, starts - lo)
+        order = np.lexsort((ordv, -rem, rid))
+        # rid-primary sort keeps each run on its original span, so the
+        # i-th sorted element's rank within its run is i - run start
+        pos_sorted = np.arange(len(w)) - np.repeat(starts - lo,
+                                                   ends - starts)
+        rank = np.empty(len(w), np.int64)
+        rank[order] = pos_sorted
+        alloc = base + (rank < leftover[rid])
+        return pa.table({
+            key: b[key].slice(lo, hi - lo),
+            order_col: b[order_col].slice(lo, hi - lo),
+            out_col: pa.array(alloc, pa.int64()),
+        }).cast(out_schema)
+
+    return grouped_apply(ds.select_columns(proj), key,
+                         out_schema=out_schema, runs_fn=runs)
+
+
 def grouped_mode(ds: Dataset, key: str, value_col: str,
                  out_val: str = "mode_val", out_n: str = "n") -> Dataset:
     """Most frequent value per key with deterministic tie-break

@@ -75,6 +75,77 @@ def snapshot_diff(old: Dataset, new: Dataset, key: str, val: str,
         classify, batch_format="pyarrow")
 
 
+def scd2_history(events: Dataset, key: str = "user_id",
+                 ts_col: str = "ts", id_col: str = "event_id",
+                 value_col: str = "event_type") -> Dataset:
+    """Slowly-changing-dimension Type-2 history build: collapse an
+    ordered per-key observation stream into validity intervals — one row
+    per *run of equal values*, with ``valid_from`` (first observation of
+    the run), ``valid_to`` (start of the next run, NULL for the current
+    row) and a 1-based ``version``. The LAG-change-detect + LEAD-close
+    window shape as one distributed pass.
+
+    One grouped sort; change detection is a dictionary-encoded
+    code-shift compare vectorized across every run in a block (the
+    rid-primary lexsort keeps runs on their span offsets, so run firsts
+    sit exactly at the original start positions)."""
+    import pyarrow.compute as pc
+
+    from payor_linkage.rayutil import grouped_apply
+
+    s = events.schema().base_schema
+    key_type = s.field(key).type
+    out_schema = pa.schema([(key, key_type), (value_col, pa.string()),
+                            ("valid_from", pa.timestamp("us")),
+                            ("valid_to", pa.timestamp("us")),
+                            ("version", pa.int64())])
+
+    slim = events.map_batches(
+        lambda b: pa.table({key: b[key],
+                            "_ts": pc.cast(pc.cast(b[ts_col],
+                                                   pa.timestamp("us")),
+                                           pa.int64()),
+                            "_id": b[id_col],
+                            value_col: b[value_col]}),
+        batch_format="pyarrow")
+
+    def runs(b: pa.Table, starts, ends) -> pa.Table:
+        rid = np.repeat(np.arange(len(starts), dtype=np.int64),
+                        ends - starts)
+        lo, hi = starts[0], ends[-1]
+        ts = b["_ts"].to_numpy(zero_copy_only=False)[lo:hi]
+        eid = b["_id"].to_numpy(zero_copy_only=False)[lo:hi]
+        order = np.lexsort((eid, ts, rid))
+        vals = b[value_col].combine_chunks().take(pa.array(order + lo))
+        codes = vals.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False)
+        t = ts[order]
+        n = len(t)
+        change = np.zeros(n, dtype=bool)
+        change[starts - lo] = True
+        change[1:] |= codes[1:] != codes[:-1]
+        ch = np.flatnonzero(change)
+        ch_r = rid[ch]  # rid-primary sort: rid[order] == rid
+        # close each interval at the next change of the SAME run
+        nxt = np.concatenate([t[ch[1:]], [0]])
+        open_end = np.concatenate([ch_r[1:] != ch_r[:-1], [True]])
+        firsts = np.flatnonzero(
+            np.concatenate([[True], ch_r[1:] != ch_r[:-1]]))
+        counts = np.diff(np.append(firsts, len(ch)))
+        version = np.arange(len(ch)) - np.repeat(firsts, counts) + 1
+        return pa.table({
+            key: b[key].combine_chunks().take(pa.array(order[ch] + lo)),
+            value_col: vals.take(pa.array(ch)),
+            "valid_from": pa.array(t[ch], pa.int64())
+                .cast(pa.timestamp("us")),
+            "valid_to": pa.array(nxt, pa.int64(), mask=open_end)
+                .cast(pa.timestamp("us")),
+            "version": pa.array(version, pa.int64()),
+        }).cast(out_schema)
+
+    return grouped_apply(slim, key, out_schema=out_schema, runs_fn=runs)
+
+
 def apply_upsert(base: Dataset, delta: Dataset, key: str, val: str,
                  out_val: str | None = None) -> Dataset:
     """MERGE / last-writer-wins upsert: one row per key; the delta's

@@ -617,3 +617,65 @@ def cohort_retention(events: Dataset, on: str = "user_id",
             .map_batches(lambda t: t.rename_columns(
                 ["cohort_period", "period_offset", "n_users"]),
                 batch_format="pyarrow"))
+
+
+def session_paths(events: Dataset, on: str = "user_id",
+                  ts_col: str = "ts", id_col: str = "event_id",
+                  type_col: str = "event_type",
+                  gap_us: int = 1_800_000_000, sep: str = ">") -> Dataset:
+    """Session path mining: gap-sessionize each key's event stream (same
+    break rule as ``sessionize_counts``), serialize every session as an
+    ordered ``sep``-joined event-type path, and count sessions per
+    distinct path — the journey-analytics STRING_AGG-per-session +
+    GROUP BY shape as one composed distributed pass.
+
+    One grouped sort; session boundaries are a vectorized gap diff, path
+    strings materialize through a single ``pc.binary_join`` over a
+    ListArray built from boundary offsets (no per-session Python join),
+    and each block pre-counts its paths with the Arrow ``group_by`` C
+    kernel so the final exchange moves (path, n) partials bounded by the
+    path vocabulary — never the event stream."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    out_schema = pa.schema([("path", pa.string()),
+                            ("n_sessions", pa.int64())])
+    slim = events.map_batches(
+        lambda b: pa.table({on: b[on],
+                            "_ts": pa.compute.cast(
+                                pa.compute.cast(b[ts_col],
+                                                pa.timestamp("us")),
+                                pa.int64()),
+                            "_id": b[id_col],
+                            type_col: b[type_col]}),
+        batch_format="pyarrow")
+
+    def runs(b: pa.Table, starts, ends) -> pa.Table:
+        lo, hi = starts[0], ends[-1]
+        rid = np.repeat(np.arange(len(starts), dtype=np.int64),
+                        ends - starts)
+        ts = b["_ts"].to_numpy(zero_copy_only=False)[lo:hi]
+        eid = b["_id"].to_numpy(zero_copy_only=False)[lo:hi]
+        order = np.lexsort((eid, ts, rid))
+        t = ts[order]
+        n = len(t)
+        brk = np.zeros(n, dtype=bool)
+        brk[starts - lo] = True  # rid-primary sort keeps span offsets
+        brk[1:] |= (t[1:] - t[:-1]) > gap_us
+        offsets = np.append(np.flatnonzero(brk), n).astype(np.int32)
+        vals = b[type_col].combine_chunks().take(pa.array(order + lo))
+        paths = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), vals),
+            sep)
+        part = pa.table({"path": paths}).group_by("path") \
+            .aggregate([([], "count_all")])
+        return pa.table({
+            "path": part["path"],
+            "n_sessions": pc.cast(part["count_all"], pa.int64()),
+        }).cast(out_schema)
+
+    partials = grouped_apply(
+        slim.select_columns([on, "_ts", "_id", type_col]), on,
+        out_schema=out_schema, runs_fn=runs)
+    return partials.groupby("path").aggregate(
+        Sum("n_sessions", alias_name="n_sessions"))

@@ -757,7 +757,114 @@ def test_session_operators_empty_inputs(ray_session):
     assert sliding_sum(ev, "user_id", ["event_id"], "k", 3).count() == 0
     assert fill_forward(ev).count() == 0
     assert transition_counts(ev).count() == 0
+    from payor_linkage.dataops.aggregates import prorate_integer
+    from payor_linkage.dataops.cdc import scd2_history
+    from payor_linkage.dataops.temporal import session_paths
+
+    assert session_paths(ev).count() == 0
+    assert scd2_history(ev).count() == 0
+    assert prorate_integer(kv, "k", "v", "v", 10).count() == 0
     assert cooccurrence_counts(ev, "user_id", "event_type").count() == 0
     assert range_lookup(ev, "value", [1.0], ["a", "b"]).count() == 0
     prof = profile_nulls(ev).to_pandas()
     assert (prof.n == 0).all() if len(prof) else True
+
+
+def test_prorate_integer_exact_allocation(ray_session):
+    """Allocations must sum exactly to the per-group total and match the
+    largest-remainder rule recomputed in pandas (floor shares + extras
+    to the biggest remainders, ties by order col ascending)."""
+    from payor_linkage.dataops.aggregates import prorate_integer
+
+    rng = np.random.default_rng(11)
+    n, total = 3000, 997
+    df = pd.DataFrame({
+        "k": rng.integers(0, 113, n).astype(np.int64),
+        "pos": np.arange(n, dtype=np.int64),
+        "w": rng.integers(1, 50, n).astype(np.int64),
+    })
+    out = prorate_integer(_ds(df), "k", "w", "pos", total).to_pandas()
+    assert len(out) == n
+    sums = out.groupby("k")["alloc"].sum()
+    assert (sums == total).all()
+
+    m = out.merge(df, left_on=["k", "pos"], right_on=["k", "pos"])
+    for k, g in m.groupby("k"):
+        W = g["w"].sum()
+        base = (total * g["w"]) // W
+        rem = (total * g["w"]) % W
+        extra = total - base.sum()
+        order = np.lexsort((g["pos"].to_numpy(), -rem.to_numpy()))
+        exp = base.to_numpy().copy()
+        exp[order[:extra]] += 1
+        assert (g["alloc"].to_numpy() == exp).all(), k
+
+
+def test_prorate_integer_rejects_nonpositive(ray_session):
+    from payor_linkage.dataops.aggregates import prorate_integer
+
+    df = pd.DataFrame({"k": np.int64([1, 1]), "pos": np.int64([0, 1]),
+                       "w": np.int64([3, 0])})
+    with pytest.raises(Exception):
+        prorate_integer(_ds(df), "k", "w", "pos", 10).materialize()
+
+
+def test_cube_counts_matches_duckdb(ray_session):
+    import duckdb
+
+    from payor_linkage.dataops.aggregates import cube_counts
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], 500),
+        "b": rng.choice(["p", "q"], 500),
+    })
+    got = cube_counts(_ds(df), ["a", "b"]).to_pandas() \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    exp = duckdb.query_df(df, "t", """
+        SELECT coalesce(a, 'ALL') AS a, coalesce(b, 'ALL') AS b,
+               CAST(count(*) AS BIGINT) AS n
+        FROM t GROUP BY CUBE(a, b) ORDER BY a, b""").df()
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_scd2_history_crafted(ray_session):
+    """Consecutive equal values collapse; re-appearing values reopen a
+    new version; the last interval per key stays open (NULL valid_to)."""
+    from payor_linkage.dataops.cdc import scd2_history
+
+    df = pd.DataFrame({
+        "user_id": np.int64([1, 1, 1, 1, 1, 2, 2]),
+        "ts": pd.to_datetime(
+            ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04",
+             "2024-01-05", "2024-01-01", "2024-01-02"]),
+        "event_id": np.arange(7, dtype=np.int64),
+        "event_type": ["a", "a", "b", "b", "a", "c", "c"],
+    })
+    out = scd2_history(_ds(df)).to_pandas() \
+        .sort_values(["user_id", "version"]).reset_index(drop=True)
+    assert out["event_type"].tolist() == ["a", "b", "a", "c"]
+    assert out["version"].tolist() == [1, 2, 3, 1]
+    assert out["valid_from"].astype(str).tolist() == [
+        "2024-01-01", "2024-01-03", "2024-01-05", "2024-01-01"]
+    assert out["valid_to"].astype(str).tolist() == [
+        "2024-01-03", "2024-01-05", "NaT", "NaT"]
+
+
+def test_session_paths_crafted(ray_session):
+    """Two sessions split by a >30 min gap; same-path sessions from
+    different users aggregate into one count."""
+    from payor_linkage.dataops.temporal import session_paths
+
+    base = pd.Timestamp("2024-01-01")
+    mins = [0, 5, 10, 120, 125, 0, 5]
+    df = pd.DataFrame({
+        "user_id": np.int64([1, 1, 1, 1, 1, 2, 2]),
+        "ts": [base + pd.Timedelta(minutes=m) for m in mins],
+        "event_id": np.arange(7, dtype=np.int64),
+        "event_type": ["v", "c", "b", "v", "c", "v", "c"],
+    })
+    out = session_paths(_ds(df)).to_pandas() \
+        .sort_values("path").reset_index(drop=True)
+    assert dict(zip(out["path"], out["n_sessions"])) == {
+        "v>c>b": 1, "v>c": 2}
