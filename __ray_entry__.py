@@ -1993,6 +1993,29 @@ def q_cube_counts(sf_dir: str):
     return cube_counts(_docs(sf_dir), ["source", "lang"])
 
 
+def q_bpe_pair_counts(sf_dir: str):
+    """Round-0 BPE statistics: corpus-wide adjacent character-pair
+    counts weighted by word frequency (overlapping occurrences, per
+    standard BPE ranking). Chars explode ZERO-COPY (the char value
+    buffer IS the word column's data buffer); the oracle re-derives
+    pairs via regexp char explode + self-join on position+1."""
+    from payor_linkage.dataops.text import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(sf_dir))
+
+
+def q_bpe_merges(sf_dir: str):
+    """Distributed BPE merge training (20 merges): corpus touched once
+    (distinct-word count shuffle), every round runs over the bounded
+    word table with only the bounded pair-count aggregate collected for
+    the argmax. Iterative + data-dependent, so no SQL oracle — exact
+    merge-sequence equality vs a pure-Python reference is pytest-gated
+    (test_bpe_train_matches_reference_*)."""
+    from payor_linkage.dataops.text import bpe_train
+
+    return bpe_train(_docs(sf_dir), 20)
+
+
 def q_fill_forward(sf_dir: str):
     """LOCF imputation: click values carried forward over non-click
     events per user (last_value IGNORE NULLS window). Values are
@@ -2333,6 +2356,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_big_orders": q_big_orders,
         "q_transitions": q_transitions,
         "q_session_paths": q_session_paths,
+        "q_bpe_pair_counts": q_bpe_pair_counts,
+        "q_bpe_merges": q_bpe_merges,
         "q_scd2_history": q_scd2_history,
         "q_prorate": q_prorate,
         "q_cube_counts": q_cube_counts,
@@ -3513,6 +3538,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type AS from_state, nxt AS to_state,
                    count(*) AS n
             FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2
+        """,
+        "q_bpe_pair_counts": """
+            WITH w AS (
+              SELECT tok AS word, count(*) AS wn
+              FROM (SELECT unnest(regexp_split_to_array(
+                               lower(text), '[^a-z0-9]+')) AS tok
+                    FROM documents)
+              WHERE tok <> '' GROUP BY 1
+            ),
+            c AS (
+              SELECT word, wn,
+                     unnest(regexp_extract_all(word, '.')) AS ch,
+                     generate_subscripts(
+                         regexp_extract_all(word, '.'), 1) AS p
+              FROM w
+            )
+            SELECT a.ch AS left_sym, b.ch AS right_sym,
+                   CAST(sum(a.wn) AS BIGINT) AS n
+            FROM c a JOIN c b ON a.word = b.word AND b.p = a.p + 1
+            GROUP BY 1, 2
         """,
         "q_session_paths": """
             WITH o AS (

@@ -871,3 +871,197 @@ def encode_tokens(ds: Dataset, vocab: Dataset, id_col: str = "doc_id",
 
     return token_explode(ds, id_col, text_col).map_batches(
         enc, batch_format="pyarrow")
+
+
+def _word_counts(ds: Dataset, text_col: str) -> Dataset:
+    """Bounded distinct-word count table: the ONE corpus-scale pass of
+    BPE training (per-block Arrow group_by partials, one grouped Sum).
+    Words use the shared tokenization contract, so they are pure
+    [a-z0-9]+ ASCII — every later stage exploits single-byte chars."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        _, flat = _tokenize_flat(b, text_col)
+        t = pa.table({"word": flat,
+                      "n": pa.array(np.ones(len(flat), np.int64))})
+        return t.group_by("word").aggregate([("n", "sum")]) \
+            .rename_columns(["word", "n"])
+
+    return (ds.select_columns([text_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("word").aggregate(Sum("n", alias_name="n")))
+
+
+def _words_to_symbols(b: pa.Table) -> pa.Table:
+    """Explode each ASCII word into a list of 1-char symbol strings,
+    ZERO-COPY: the char StringArray's value buffer IS the word column's
+    data buffer (offsets are pure arithmetic — the round-3 tiling
+    trick), and the list offsets are the word offsets rebased to 0."""
+    sa = b["word"].combine_chunks()
+    if len(sa) == 0:
+        return pa.table({"syms": pa.array([], pa.list_(pa.string())),
+                         "n": b["n"]})
+    if sa.offset != 0:
+        sa = pa.concat_arrays([sa])
+    off = np.frombuffer(sa.buffers()[1], dtype=np.int32)[: len(sa) + 1] \
+        .astype(np.int32)
+    start, end = off[0], off[-1]
+    char_off = np.arange(start, end + 1, dtype=np.int32)
+    chars = pa.StringArray.from_buffers(
+        int(end - start), pa.py_buffer(char_off.tobytes()),
+        sa.buffers()[2])
+    syms = pa.ListArray.from_arrays(pa.array(off - start, pa.int32()),
+                                    chars)
+    return pa.table({"syms": syms, "n": b["n"]})
+
+
+def _pair_partial(b: pa.Table) -> pa.Table:
+    """Per-block weighted adjacent-symbol-pair counts (overlapping
+    occurrences counted, per standard BPE ranking), pre-aggregated with
+    the Arrow group_by C kernel so the exchange moves (left_sym,
+    right_sym, n) partials bounded by the pair vocabulary."""
+    syms = b["syms"].combine_chunks()
+    if len(syms) == 0:
+        return pa.table({"left_sym": pa.array([], pa.string()),
+                         "right_sym": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    flat = pc.list_flatten(syms)
+    lens = pc.list_value_length(syms).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    wid = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    wn = np.repeat(b["n"].to_numpy(zero_copy_only=False), lens)
+    same = pa.array(wid[:-1] == wid[1:])
+    left = flat.slice(0, len(flat) - 1).filter(same)
+    right = flat.slice(1).filter(same)
+    w = wn[:-1][wid[:-1] == wid[1:]]
+    t = pa.table({"left_sym": left, "right_sym": right,
+                  "n": pa.array(w, pa.int64())})
+    part = t.group_by(["left_sym", "right_sym"]).aggregate([("n", "sum")])
+    return part.rename_columns(["left_sym", "right_sym", "n"])
+
+
+def bpe_pair_counts(ds: Dataset, text_col: str = "text") -> Dataset:
+    """Round-0 BPE statistics: corpus-wide adjacent character-pair
+    counts weighted by word frequency — the SQL-expressible core of the
+    trainer (oracle: explode chars with generate_subscripts, self-join
+    on pos+1 within word, sum word counts)."""
+    from ray.data.aggregate import Sum
+
+    return (_word_counts(ds, text_col)
+            .map_batches(_words_to_symbols, batch_format="pyarrow")
+            .map_batches(_pair_partial, batch_format="pyarrow")
+            .groupby(["left_sym", "right_sym"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
+def _apply_merge(b: pa.Table, lsym: str, rsym: str) -> pa.Table:
+    """Apply one BPE merge to a (syms, n) table: greedy left-to-right
+    non-overlapping, vectorized — candidate positions from two shifted
+    Arrow equality kernels, overlap chains (possible only when
+    left == right == ...) resolved by keeping even offsets within
+    consecutive candidate runs."""
+    syms = b["syms"].combine_chunks()
+    if len(syms) == 0:
+        return b
+    merged = lsym + rsym
+    flat = pc.list_flatten(syms)
+    lens = pc.list_value_length(syms) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    wid = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    eq_l = pc.equal(flat, lsym).to_numpy(zero_copy_only=False)
+    eq_r = pc.equal(flat, rsym).to_numpy(zero_copy_only=False)
+    sel = np.flatnonzero(eq_l[:-1] & eq_r[1:] & (wid[:-1] == wid[1:]))
+    if sel.size == 0:
+        return b
+    brk = np.flatnonzero(np.diff(sel) > 1)
+    starts = np.concatenate([[0], brk + 1])
+    run_lens = np.diff(np.append(starts, sel.size))
+    in_run = np.arange(sel.size) - np.repeat(starts, run_lens)
+    keep = sel[in_run % 2 == 0]
+    keep_mask = np.zeros(len(flat), bool)
+    keep_mask[keep] = True
+    drop_mask = np.ones(len(flat), bool)
+    drop_mask[keep + 1] = False
+    new_flat = pc.if_else(pa.array(keep_mask), merged, flat) \
+        .filter(pa.array(drop_mask))
+    if isinstance(new_flat, pa.ChunkedArray):
+        new_flat = new_flat.combine_chunks()
+    new_lens = lens - np.bincount(wid[keep], minlength=len(lens))
+    offsets = np.concatenate([[0], np.cumsum(new_lens)]).astype(np.int32)
+    new_syms = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), new_flat)
+    return pa.table({"syms": new_syms, "n": b["n"]})
+
+
+def _best_pair(stats) -> tuple[str, str, int]:
+    """Deterministic argmax over a pair-count frame: count DESC,
+    left ASC, right ASC."""
+    row = stats.sort_values(["n", "left_sym", "right_sym"],
+                            ascending=[False, True, True]).iloc[0]
+    return str(row["left_sym"]), str(row["right_sym"]), int(row["n"])
+
+
+def bpe_train(ds: Dataset, n_merges: int, text_col: str = "text",
+              min_count: int = 2, driver_word_bound: int = 500_000):
+    """Distributed byte-pair-encoding merge training (Sennrich-style):
+    learn ``n_merges`` symbol merges over the corpus, returning the
+    merge table (rank, left_sym, right_sym, n) with deterministic
+    tie-break (count DESC, left ASC, right ASC).
+
+    Scale shape: the corpus is touched ONCE (the distinct-word count
+    shuffle); training then runs over the bounded distinct-word table,
+    TIERED like ``cluster.build_match_groups``: below
+    ``driver_word_bound`` distinct words the loop runs driver-local on
+    the collected Arrow table (identical kernels, no per-round Ray
+    barrier); above it, each round is a per-block pair-count partial +
+    one bounded grouped Sum with only the PAIR-COUNT AGGREGATE (bounded
+    by the symbol-pair vocabulary, never the corpus) collected for the
+    argmax, and the merge applied as a broadcast ``map_batches``. Both
+    tiers share ``_pair_partial`` / ``_apply_merge``, so they are
+    byte-identical by construction. Training stops early when no pair
+    reaches ``min_count``."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    cur = (_word_counts(ds, text_col)
+           .map_batches(_words_to_symbols, batch_format="pyarrow")
+           .materialize())
+
+    merges: list[tuple[str, str, int]] = []
+    if cur.count() <= driver_word_bound:
+        tbl = pa.concat_tables(
+            _ray.get(cur.to_arrow_refs())).combine_chunks()
+        for _ in range(n_merges):
+            stats = _pair_partial(tbl)
+            if stats.num_rows == 0:
+                break
+            agg = stats.group_by(["left_sym", "right_sym"]) \
+                .aggregate([("n", "sum")]) \
+                .rename_columns(["left_sym", "right_sym", "n"])
+            lsym, rsym, cnt = _best_pair(agg.to_pandas())
+            if cnt < min_count:
+                break
+            merges.append((lsym, rsym, cnt))
+            tbl = _apply_merge(tbl, lsym, rsym)
+    else:
+        for _ in range(n_merges):
+            stats = (cur.map_batches(_pair_partial,
+                                     batch_format="pyarrow")
+                     .groupby(["left_sym", "right_sym"])
+                     .aggregate(Sum("n", alias_name="n"))).to_pandas()
+            if len(stats) == 0:
+                break
+            lsym, rsym, cnt = _best_pair(stats)
+            if cnt < min_count:
+                break
+            merges.append((lsym, rsym, cnt))
+            cur = cur.map_batches(
+                lambda b, a=lsym, c=rsym: _apply_merge(b, a, c),
+                batch_format="pyarrow").materialize()
+
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(merges) + 1, dtype=np.int64)),
+        "left_sym": pa.array([m[0] for m in merges], pa.string()),
+        "right_sym": pa.array([m[1] for m in merges], pa.string()),
+        "n": pa.array([m[2] for m in merges], pa.int64()),
+    })

@@ -475,3 +475,100 @@ def test_chunk_and_substring_large_string_fallback(ray_session):
     assert rebuilt[0] == "xx " + shared
     pairs = substring_dup_pairs(ds, k=24).to_pandas()
     assert (0, 1) in set(zip(pairs.id_a, pairs.id_b))
+
+
+def _ref_bpe(texts, n_merges, min_count=2):
+    """Pure-Python Sennrich-style BPE reference: overlapping pair
+    counts for ranking, greedy left-to-right non-overlapping merge,
+    tie-break (count DESC, pair lexicographic ASC)."""
+    import collections
+    import re
+
+    wc = collections.Counter()
+    for t in texts:
+        for w in re.split(r"[^a-z0-9]+", t.lower()):
+            if w:
+                wc[w] += 1
+    words = {w: list(w) for w in wc}
+    merges = []
+    for _ in range(n_merges):
+        stats = collections.Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                stats[(a, b)] += wc[w]
+        if not stats:
+            break
+        (a, b), cnt = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_count:
+            break
+        merges.append((a, b, cnt))
+        for w, syms in words.items():
+            i, out = 0, []
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges
+
+
+def test_bpe_train_matches_reference_crafted(ray_session):
+    """Overlap chains (aaa/aaaa), ties, multi-char merges and early
+    stop must match the pure-Python reference exactly."""
+    from payor_linkage.dataops.text import bpe_train
+
+    texts = ["aaa aaaa banana bandana", "low lower lowest low",
+             "aaa abab baba", "newer newest new news"]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    got = bpe_train(_ds(df), 25).to_pandas()
+    exp = _ref_bpe(texts, 25)
+    assert [tuple(r) for r in
+            got[["left_sym", "right_sym", "n"]].itertuples(index=False)] \
+        == exp
+    assert got["rank"].tolist() == list(range(1, len(exp) + 1))
+    # the distributed tier (forced) must byte-agree with the local one
+    dist = bpe_train(_ds(df), 25, driver_word_bound=0).to_pandas()
+    pd.testing.assert_frame_equal(got, dist)
+
+
+def test_bpe_train_matches_reference_corpus(ray_session):
+    """Exact merge-sequence equality on the real sf0.001 documents."""
+    import pyarrow.parquet as pq
+
+    from payor_linkage.dataops.text import bpe_train
+
+    tbl = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                        columns=["doc_id", "text"])
+    got = bpe_train(_ds(tbl.to_pandas()), 20).to_pandas()
+    exp = _ref_bpe(tbl["text"].to_pylist(), 20)
+    assert [tuple(r) for r in
+            got[["left_sym", "right_sym", "n"]].itertuples(index=False)] \
+        == exp
+
+
+def test_bpe_pair_counts_matches_reference(ray_session):
+    from payor_linkage.dataops.text import bpe_pair_counts
+
+    texts = ["aaa banana", "low lower", "aaa"]
+    df = pd.DataFrame({"doc_id": np.arange(3, dtype=np.int64),
+                       "text": texts})
+    got = bpe_pair_counts(_ds(df)).to_pandas()
+    import collections
+    import re
+
+    wc = collections.Counter()
+    for t in texts:
+        for w in re.split(r"[^a-z0-9]+", t.lower()):
+            if w:
+                wc[w] += 1
+    exp = collections.Counter()
+    for w, n in wc.items():
+        for a, b in zip(w, w[1:]):
+            exp[(a, b)] += n
+    assert {(r.left_sym, r.right_sym): r.n
+            for r in got.itertuples()} == dict(exp)
