@@ -2016,6 +2016,23 @@ def q_bpe_merges(sf_dir: str):
     return bpe_train(_docs(sf_dir), 20)
 
 
+def q_bpe_segment(sf_dir: str):
+    """BPE segmentation of the corpus vocabulary under 20 trained
+    merges: (word, count, space-joined segmentation, token count). The
+    merge table is dumped as a sidecar and the ORACLE REPLAYS IT in a
+    recursive CTE — words wrapped as '<a><b>…' so each replace() step
+    (greedy left-to-right, exactly the merge kernel's semantics) is
+    boundary-unambiguous; the data-dependent training itself is the
+    pytest-gated part, the application is fully SQL-checked."""
+    import ray.data as rd
+
+    from payor_linkage.dataops.text import bpe_segment, bpe_train
+
+    merges = bpe_train(_docs(sf_dir), 20)
+    _dump_sidecar("bpe_merges", rd.from_arrow(merges))
+    return bpe_segment(_docs(sf_dir), merges)
+
+
 def q_fill_forward(sf_dir: str):
     """LOCF imputation: click values carried forward over non-click
     events per user (last_value IGNORE NULLS window). Values are
@@ -2358,6 +2375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_session_paths": q_session_paths,
         "q_bpe_pair_counts": q_bpe_pair_counts,
         "q_bpe_merges": q_bpe_merges,
+        "q_bpe_segment": q_bpe_segment,
         "q_scd2_history": q_scd2_history,
         "q_prorate": q_prorate,
         "q_cube_counts": q_cube_counts,
@@ -3558,6 +3576,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(a.wn) AS BIGINT) AS n
             FROM c a JOIN c b ON a.word = b.word AND b.p = a.p + 1
             GROUP BY 1, 2
+        """,
+        # merges-as-data replay: each recursion step applies merge rank
+        # r+1 as a wrapped-symbol replace ('<a><b>' → '<ab>'), which is
+        # greedy left-to-right — the merge kernel's exact semantics
+        "q_bpe_segment": f"""
+            WITH RECURSIVE w AS (
+              SELECT tok AS word, count(*) AS n
+              FROM (SELECT unnest(regexp_split_to_array(
+                               lower(text), '[^a-z0-9]+')) AS tok
+                    FROM documents)
+              WHERE tok <> '' GROUP BY 1
+            ),
+            m AS (
+              SELECT rank, left_sym, right_sym
+              FROM read_parquet('{_SIDECAR_DIR}/bpe_merges/*.parquet')
+            ),
+            enc AS (
+              SELECT word, n,
+                     '<' || array_to_string(
+                         regexp_extract_all(word, '.'), '><') || '>' AS s,
+                     0 AS r
+              FROM w
+              UNION ALL
+              SELECT word, n,
+                     replace(s, '<' || left_sym || '><' || right_sym
+                                || '>',
+                             '<' || left_sym || right_sym || '>'),
+                     r + 1
+              FROM enc JOIN m ON m.rank = enc.r + 1
+            ),
+            f AS (
+              SELECT word, n, trim(replace(s, '><', ' '), '<>') AS seg
+              FROM enc
+              WHERE r = (SELECT coalesce(max(rank), 0) FROM m)
+            )
+            SELECT word, n, seg,
+                   CAST(len(string_split(seg, ' ')) AS BIGINT)
+                       AS n_tokens
+            FROM f
         """,
         "q_session_paths": """
             WITH o AS (

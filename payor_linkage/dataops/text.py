@@ -1065,3 +1065,38 @@ def bpe_train(ds: Dataset, n_merges: int, text_col: str = "text",
         "right_sym": pa.array([m[1] for m in merges], pa.string()),
         "n": pa.array([m[2] for m in merges], pa.int64()),
     })
+
+
+def bpe_segment(ds: Dataset, merges: pa.Table,
+                text_col: str = "text") -> Dataset:
+    """Apply a learned BPE merge table to the corpus's distinct-word
+    table: one row per word with its space-joined segmentation and
+    token count. The merge list is a bounded broadcast (vocab-sized);
+    each batch replays the merges in rank order through the same
+    vectorized ``_apply_merge`` kernel the trainer uses, so
+    train→segment round-trips are consistent by construction. The
+    word-grain output is bounded by the corpus vocabulary — encoding
+    full documents is this same kernel applied to a (doc, word) explode
+    plus a broadcast word→seg lookup."""
+    pairs = list(zip(merges["left_sym"].to_pylist(),
+                     merges["right_sym"].to_pylist()))
+
+    def seg(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "seg": pa.array([], pa.string()),
+                             "n_tokens": pa.array([], pa.int64())})
+        tmp = _words_to_symbols(b)
+        for lsym, rsym in pairs:
+            tmp = _apply_merge(tmp, lsym, rsym)
+        syms = tmp["syms"].combine_chunks()
+        return pa.table({
+            "word": b["word"],
+            "n": b["n"],
+            "seg": pc.binary_join(syms, " "),
+            "n_tokens": pc.cast(pc.list_value_length(syms), pa.int64()),
+        })
+
+    return _word_counts(ds, text_col).map_batches(
+        seg, batch_format="pyarrow")

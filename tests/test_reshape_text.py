@@ -572,3 +572,41 @@ def test_bpe_pair_counts_matches_reference(ray_session):
             exp[(a, b)] += n
     assert {(r.left_sym, r.right_sym): r.n
             for r in got.itertuples()} == dict(exp)
+
+
+def test_bpe_segment_matches_reference(ray_session):
+    """Segmenting with the trained merges must equal the reference's
+    greedy application word by word, and per-group token counts must be
+    the segmentation length."""
+    from payor_linkage.dataops.text import bpe_segment, bpe_train
+
+    texts = ["aaa aaaa banana bandana", "low lower lowest low",
+             "aaa abab baba", "newer newest new news"]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    merges = bpe_train(_ds(df), 15)
+    out = bpe_segment(_ds(df), merges).to_pandas()
+
+    pairs = list(zip(merges["left_sym"].to_pylist(),
+                     merges["right_sym"].to_pylist()))
+
+    def ref_seg(w):
+        syms = list(w)
+        for a, b in pairs:
+            i, nxt = 0, []
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):
+                    nxt.append(a + b)
+                    i += 2
+                else:
+                    nxt.append(syms[i])
+                    i += 1
+            syms = nxt
+        return syms
+
+    assert len(out) > 0
+    for r in out.itertuples():
+        exp = ref_seg(r.word)
+        assert r.seg == " ".join(exp), r.word
+        assert r.n_tokens == len(exp)
