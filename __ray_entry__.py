@@ -217,6 +217,59 @@ def q_asof_join(sf_dir: str):
     return asof_join(clicks, views, on="user_id", ts_col="ts")
 
 
+def q_asof_forward(sf_dir: str):
+    """Forward as-of join: each view event gets the NEXT click at-or-
+    after it per user (smallest ts ≥, ties → min event_id) — the
+    searchsorted probe flipped to side='left'; oracle = correlated
+    ORDER/LIMIT next-row lookup."""
+    import pyarrow.compute as pc
+
+    from payor_linkage.dataops.temporal import asof_join
+
+    ev = _events(sf_dir)
+    clicks = ev.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "click")),
+        batch_format="pyarrow")
+    views = ev.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "view")),
+        batch_format="pyarrow")
+    return asof_join(views, clicks, on="user_id", ts_col="ts",
+                     out_col="next_event_id", direction="forward")
+
+
+def q_grouped_mad(sf_dir: str):
+    """Per-source median + median-absolute-deviation of document length
+    — the robust-outlier statistic, exact on integers (both outputs are
+    SELECTED elements, quantile_disc semantics twice; the per-key median
+    table broadcasts back with zero shuffle)."""
+    from payor_linkage.dataops.aggregates import grouped_mad
+
+    return grouped_mad(_docs(sf_dir), "source", "n_chars")
+
+
+def q_weighted_median(sf_dir: str):
+    """Per-returnflag weighted lower median of quantity (weights =
+    line numbers): the element quantile_disc would select over the
+    weight-expanded multiset, computed WITHOUT materializing repeats —
+    pure integer threshold rule 2·cumw ≥ W (= cumw ≥ ceil(W/2)), value selected never
+    computed."""
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+    import ray.data as rd
+
+    from payor_linkage.dataops.aggregates import grouped_weighted_median
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity", "l_linenumber"]) \
+        .map_batches(lambda b: pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "v": _pc.cast(b["l_quantity"], pa.int64()),
+            "w": _pc.cast(b["l_linenumber"], pa.int64())}),
+            batch_format="pyarrow")
+    return grouped_weighted_median(li, "l_returnflag", "v", "w")
+
+
 def q_range_join(sf_dir: str):
     """Interval join → count: views within the 10 minutes before each
     click, per user (inclusive bounds)."""
@@ -818,6 +871,18 @@ def q_triangle_counts(sf_dir: str):
 
     pairs = substring_dup_pairs(_docs(sf_dir), k=24)
     return triangle_counts(pairs)
+
+
+def q_kcore(sf_dir: str):
+    """2-core of the document shared-substring graph (iterative
+    peeling; per round ONE grouped degree count + bounded survivor
+    lookup_joins on both endpoints). Iterative + data-dependent, so
+    rows-only — exact parity vs a pure-Python peeling reference is
+    pytest-gated (test_k_core_matches_reference)."""
+    from payor_linkage.dataops.dedup import substring_dup_pairs
+    from payor_linkage.dataops.graph import k_core
+
+    return k_core(substring_dup_pairs(_docs(sf_dir), k=24), 2)
 
 
 def q_media_pipeline(sf_dir: str):
@@ -2377,6 +2442,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bpe_merges": q_bpe_merges,
         "q_bpe_segment": q_bpe_segment,
         "q_scd2_history": q_scd2_history,
+        "q_asof_forward": q_asof_forward,
+        "q_grouped_mad": q_grouped_mad,
+        "q_weighted_median": q_weighted_median,
+        "q_kcore": q_kcore,
         "q_prorate": q_prorate,
         "q_cube_counts": q_cube_counts,
         "q_fill_forward": q_fill_forward,
@@ -2471,6 +2540,47 @@ def oracle_sql() -> dict[str, str]:
                             FROM events WHERE event_type = 'view'
                             GROUP BY 1, 2) v
               ON c.user_id = v.user_id AND v.ts <= c.ts
+        """,
+        "q_asof_forward": """
+            SELECT v.event_id, v.user_id,
+                   (SELECT c.event_id
+                    FROM events c
+                    WHERE c.event_type = 'click'
+                      AND c.user_id = v.user_id AND c.ts >= v.ts
+                    ORDER BY c.ts, c.event_id LIMIT 1) AS next_event_id
+            FROM events v WHERE v.event_type = 'view'
+        """,
+        "q_grouped_mad": """
+            WITH m AS (
+              SELECT source, quantile_disc(n_chars, 0.5) AS med
+              FROM documents GROUP BY 1
+            ),
+            d AS (
+              SELECT d.source, m.med,
+                     abs(d.n_chars - m.med) AS adev
+              FROM documents d JOIN m USING (source)
+            )
+            SELECT source, any_value(med) AS med,
+                   quantile_disc(adev, 0.5) AS mad
+            FROM d GROUP BY source
+        """,
+        "q_weighted_median": """
+            WITH b AS (
+              SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v,
+                     CAST(l_linenumber AS BIGINT) AS w
+              FROM lineitem
+            ),
+            t AS (SELECT l_returnflag, sum(w) AS tw FROM b GROUP BY 1),
+            c AS (
+              SELECT l_returnflag, v,
+                     sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                                  ROWS UNBOUNDED PRECEDING) AS cw
+              FROM b
+            )
+            SELECT c.l_returnflag, min(c.v) AS wmed
+            FROM c JOIN t USING (l_returnflag)
+            WHERE 2 * c.cw >= t.tw
+            GROUP BY c.l_returnflag
         """,
         "q_range_join": """
             SELECT c.event_id, c.user_id, count(v.user_id) AS n_views_10m

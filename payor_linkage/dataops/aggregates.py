@@ -359,6 +359,83 @@ def prorate_integer(ds: Dataset, key: str, weight_col: str, order_col: str,
                          out_schema=out_schema, runs_fn=runs)
 
 
+def grouped_mad(ds: Dataset, key: str, value_col: str,
+                out_med: str = "med", out_mad: str = "mad") -> Dataset:
+    """Per-key median + median absolute deviation, EXACT on integer
+    values (``quantile_disc`` selection semantics twice — both outputs
+    are *selected* elements, never computed, so the robust-outlier
+    statistic is float-parity-free).
+
+    Scale shape: one grouped-quantile pass for the medians, the bounded
+    per-key median table broadcast back (``lookup_join``, zero shuffle),
+    one vectorized |x − med| map, one more grouped-quantile pass, and a
+    final bounded join of the two per-key tables."""
+    from payor_linkage.rayutil import lookup_join
+
+    med = grouped_quantiles(ds.select_columns([key, value_col]), key,
+                            value_col, {out_med: Fraction(1, 2)})
+    dev = lookup_join(ds.select_columns([key, value_col]), med, key)
+
+    def adev(b: pa.Table) -> pa.Table:
+        d = pc.abs(pc.subtract(b[value_col], b[out_med]))
+        return pa.table({key: b[key], "_adev": d})
+
+    mad = grouped_quantiles(
+        dev.map_batches(adev, batch_format="pyarrow"), key, "_adev",
+        {out_mad: Fraction(1, 2)})
+    return lookup_join(med, mad, key)
+
+
+def grouped_weighted_median(ds: Dataset, key: str, value_col: str,
+                            weight_col: str,
+                            out_col: str = "wmed") -> Dataset:
+    """Per-key weighted (lower) median with positive integer weights:
+    the smallest value whose running weight reaches ceil(W/2) in value
+    order — the element ``quantile_disc`` would select if every row were
+    repeated ``weight`` times, without materializing the repeats. The
+    value is SELECTED, never computed, and the rule is pure integer
+    comparison (2·cumw ≥ W, i.e. cumw ≥ ceil(W/2)), so parity is exact.
+
+    One grouped sort; per-run selection is a vectorized block-wide
+    cumsum (run starts subtracted) + one first-hit
+    scan across every run in a block."""
+    s = ds.schema().base_schema
+    out_schema = pa.schema([(key, s.field(key).type),
+                            (out_col, s.field(value_col).type)])
+
+    def runs(b: pa.Table, starts, ends) -> pa.Table:
+        lo, hi = starts[0], ends[-1]
+        rid = _run_ids(starts, ends)
+        vals = b[value_col].to_numpy(zero_copy_only=False)[lo:hi]
+        w = b[weight_col].to_numpy(zero_copy_only=False)[lo:hi] \
+            .astype(np.int64)
+        if not (w > 0).all():
+            raise ValueError("grouped_weighted_median requires positive "
+                             "weights")
+        order = np.lexsort((vals, rid))
+        ws = w[order]
+        cum = np.cumsum(ws)
+        run_tot = np.add.reduceat(ws, starts - lo)
+        # rid-primary sort keeps runs on their span offsets: rebase the
+        # block-wide cumsum to per-run, then first index with
+        # 2·cumw ≥ W
+        base = np.concatenate([[0], cum[(ends - lo) - 1][:-1]])
+        cum_run = cum - np.repeat(base, ends - starts)
+        hit = 2 * cum_run >= np.repeat(run_tot, ends - starts)
+        # first hit per run: hits are monotone within a run, so the
+        # count of non-hits before it is the offset
+        n_miss = np.add.reduceat((~hit).astype(np.int64), starts - lo)
+        pick = (starts - lo) + n_miss
+        return pa.table({
+            key: b[key].take(pa.array(starts)),
+            out_col: pa.array(vals[order][pick]),
+        }).cast(out_schema)
+
+    return grouped_apply(ds.select_columns(
+        list(dict.fromkeys([key, value_col, weight_col]))), key,
+        out_schema=out_schema, runs_fn=runs)
+
+
 def grouped_mode(ds: Dataset, key: str, value_col: str,
                  out_val: str = "mode_val", out_n: str = "n") -> Dataset:
     """Most frequent value per key with deterministic tie-break

@@ -278,3 +278,68 @@ def triangle_counts(edges: Dataset, src_col: str = "id_a",
     partials = grouped_apply(tagged, "pair", out_schema=count_schema,
                              runs_fn=match_runs)
     return partials.groupby("node").aggregate(Sum("n", alias_name="n_triangles"))
+
+
+def k_core(edges: Dataset, k: int, src_col: str = "id_a",
+           dst_col: str = "id_b") -> Dataset:
+    """k-core decomposition (fixed k): iteratively peel nodes of degree
+    < k until fixpoint; returns the surviving (node, deg) table — deg is
+    the final in-core degree. The standard coreness-peeling algorithm as
+    bounded distributed rounds.
+
+    Per round: one grouped degree count, then the bounded survivor
+    table attaches to BOTH endpoints via ``lookup_join`` (broadcast
+    binary search below its bound, hash-join fallback above — never a
+    corpus-sized driver set) and rows with a dead endpoint drop.
+    Termination when the edge count stops shrinking; pathological chain
+    graphs peel one layer per round, so rounds are bounded by the
+    peeling depth (documented, like label-prop's round bound).
+
+    Iterative + data-dependent, so no SQL oracle — gated by pytest
+    against a pure-Python peeling reference."""
+    from ray.data.aggregate import Count
+
+    from payor_linkage.rayutil import lookup_join
+
+    node_type = edges.schema().base_schema.field(src_col).type
+
+    def sym(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pa.concat_arrays(
+                [b[src_col].combine_chunks(),
+                 b[dst_col].combine_chunks()]),
+            "nbr": pa.concat_arrays(
+                [b[dst_col].combine_chunks(),
+                 b[src_col].combine_chunks()]),
+        })
+
+    cur = edges.select_columns([src_col, dst_col]).map_batches(
+        sym, batch_format="pyarrow").materialize()
+    n = cur.count()
+    while n > 0:
+        deg = cur.groupby("node").aggregate(Count(alias_name="deg"))
+        keep = deg.map_batches(
+            lambda b: b.filter(pc.greater_equal(b["deg"], k)),
+            batch_format="pyarrow").materialize()
+        if keep.count() == 0:
+            # everything peeled — an empty small side loses its schema
+            # in the join machinery (known Ray gotcha), so exit here
+            n = 0
+            break
+        keep_nbr = keep.map_batches(
+            lambda b: pa.table({"nbr": b["node"], "_dn": b["deg"]}),
+            batch_format="pyarrow")
+        nxt = lookup_join(cur, keep, "node").drop_columns(["deg"])
+        nxt = lookup_join(nxt, keep_nbr, "nbr").drop_columns(["_dn"]) \
+            .materialize()
+        m = nxt.count()
+        if m == n:
+            break
+        cur, n = nxt, m
+    if n == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], node_type),
+            "deg": pa.array([], pa.int64())}))
+    return cur.groupby("node").aggregate(Count(alias_name="deg"))

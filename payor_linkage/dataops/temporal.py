@@ -20,14 +20,20 @@ from payor_linkage.rayutil import grouped_apply
 def asof_join(left: Dataset, right: Dataset, on: str = "user_id",
               ts_col: str = "ts", left_id: str = "event_id",
               right_id: str = "event_id",
-              out_col: str = "prior_event_id") -> Dataset:
-    """For every ``left`` row, attach the ``right`` row with the greatest
-    ``ts_col`` ≤ the left row's (same ``on`` partition) — backward as-of,
-    LEFT-join semantics (unmatched → null). Ties on right timestamps
-    resolve to the max ``right_id`` (deterministic).
+              out_col: str = "prior_event_id",
+              direction: str = "backward") -> Dataset:
+    """For every ``left`` row, attach the nearest ``right`` row in the
+    same ``on`` partition — LEFT-join semantics (unmatched → null).
+    ``direction="backward"`` (default): greatest right ``ts_col`` ≤ the
+    left row's, ties on right timestamps resolving to the max
+    ``right_id``; ``direction="forward"``: smallest right ``ts_col`` ≥
+    the left row's, ties resolving to the min ``right_id`` (both
+    deterministic).
 
     Output: (``left_id``, ``on``, ``out_col``).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: unknown direction={direction!r}")
     lt = left.map_batches(
         lambda b: pa.table({on: b[on],
                             "_ts": pa.compute.cast(b[ts_col], pa.int64()),
@@ -67,13 +73,20 @@ def asof_join(left: Dataset, right: Dataset, on: str = "user_id",
                 out_k.extend([keys[s]] * len(l_id))
                 out_r.extend([None] * len(l_id))
                 continue
-            # sort right by (ts, id): at equal ts the LAST entry has the
-            # max id — searchsorted 'right' − 1 then lands on it
+            # sort right by (ts, id): at equal ts, backward's
+            # searchsorted 'right' − 1 lands on the LAST entry (max id)
+            # and forward's 'left' on the FIRST ≥ ts (min id)
             order = np.lexsort((r_id, r_ts))
             r_ts, r_id = r_ts[order], r_id[order]
-            pos = np.searchsorted(r_ts, l_ts, side="right") - 1
-            matched = pos >= 0
-            vals = np.where(matched, r_id[np.maximum(pos, 0)], 0)
+            if direction == "backward":
+                pos = np.searchsorted(r_ts, l_ts, side="right") - 1
+                matched = pos >= 0
+                vals = np.where(matched, r_id[np.maximum(pos, 0)], 0)
+            else:
+                pos = np.searchsorted(r_ts, l_ts, side="left")
+                matched = pos < len(r_ts)
+                vals = np.where(matched,
+                                r_id[np.minimum(pos, len(r_ts) - 1)], 0)
             out_l.extend(l_id.tolist())
             out_k.extend([keys[s]] * len(l_id))
             out_r.extend([int(v) if m else None

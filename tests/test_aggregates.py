@@ -868,3 +868,77 @@ def test_session_paths_crafted(ray_session):
         .sort_values("path").reset_index(drop=True)
     assert dict(zip(out["path"], out["n_sessions"])) == {
         "v>c>b": 1, "v>c": 2}
+
+
+def test_asof_forward_matches_duckdb(ray_session):
+    import duckdb
+
+    from payor_linkage.dataops.temporal import asof_join
+
+    rng = np.random.default_rng(23)
+    n = 1200
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 29, n).astype(np.int64),
+        "ts": pd.to_datetime(rng.integers(0, 5000, n), unit="s"),
+        "event_id": np.arange(n, dtype=np.int64),
+        "side": rng.choice(["l", "r"], n),
+    })
+    left = _ds(df[df.side == "l"].drop(columns="side"))
+    right = _ds(df[df.side == "r"].drop(columns="side"))
+    out = (asof_join(left, right, out_col="next_event_id",
+                     direction="forward")
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    ldf, rdf = df[df.side == "l"], df[df.side == "r"]
+    exp = duckdb.sql("""
+        SELECT l.event_id, l.user_id,
+               (SELECT r.event_id FROM rdf r
+                WHERE r.user_id = l.user_id AND r.ts >= l.ts
+                ORDER BY r.ts, r.event_id LIMIT 1) AS next_event_id
+        FROM ldf l ORDER BY l.event_id
+    """).df()
+    got = out[exp.columns.tolist()].astype({"next_event_id": "float64"})
+    pd.testing.assert_frame_equal(got, exp.astype(
+        {"next_event_id": "float64"}))
+
+
+def test_grouped_mad_matches_duckdb(ray_session):
+    import duckdb
+
+    from payor_linkage.dataops.aggregates import grouped_mad
+
+    rng = np.random.default_rng(29)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 23, 2000).astype(np.int64),
+        "v": rng.integers(-500, 500, 2000).astype(np.int64),
+    })
+    out = (grouped_mad(_ds(df), "k", "v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    exp = duckdb.sql("""
+        WITH m AS (SELECT k, quantile_disc(v, 0.5) AS med
+                   FROM df GROUP BY 1),
+        d AS (SELECT d.k, m.med, abs(d.v - m.med) AS adev
+              FROM df d JOIN m USING (k))
+        SELECT k, any_value(med) AS med, quantile_disc(adev, 0.5) AS mad
+        FROM d GROUP BY k ORDER BY k
+    """).df()
+    pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
+
+
+def test_grouped_weighted_median_matches_expansion(ray_session):
+    """The weighted median must equal quantile_disc(0.5) over the
+    weight-EXPANDED multiset (the definition), including tie blocks and
+    weight-1 groups."""
+    from payor_linkage.dataops.aggregates import grouped_weighted_median
+
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 17, 1200).astype(np.int64),
+        "v": rng.integers(0, 40, 1200).astype(np.int64),  # heavy ties
+        "w": rng.integers(1, 9, 1200).astype(np.int64),
+    })
+    out = (grouped_weighted_median(_ds(df), "k", "v", "w")
+           .to_pandas().set_index("k")["wmed"].sort_index())
+    for k, g in df.groupby("k"):
+        expanded = np.sort(np.repeat(g["v"].to_numpy(), g["w"].to_numpy()))
+        exp = expanded[int(np.ceil(len(expanded) / 2)) - 1]
+        assert out[k] == exp, k

@@ -1118,3 +1118,42 @@ def test_bcubed_and_blocking_quality_crafted(ray_session):
     # (r0,r1) same entity, (r3,r4) same entity → 2
     assert (q.n_records, q.n_candidate_pairs,
             q.n_true_pairs, q.n_true_covered) == (6, 4, 2, 2)
+
+
+def test_k_core_matches_reference(ray_session):
+    """Distributed peeling must match pure-Python k-core on a random
+    graph, for k where the core is nonempty and where it is empty."""
+    import ray.data as rd
+
+    from payor_linkage.dataops.graph import k_core
+
+    rng = np.random.default_rng(41)
+    n_nodes, n_edges = 120, 420
+    a = rng.integers(0, n_nodes, n_edges)
+    b = rng.integers(0, n_nodes, n_edges)
+    m = a != b
+    lo, hi = np.minimum(a[m], b[m]), np.maximum(a[m], b[m])
+    pairs = sorted(set(zip(lo.tolist(), hi.tolist())))
+    edges = rd.from_arrow(pa.table({
+        "id_a": pa.array([p[0] for p in pairs], pa.int64()),
+        "id_b": pa.array([p[1] for p in pairs], pa.int64())}))
+
+    def ref_k_core(pairs, k):
+        adj = {}
+        for x, y in pairs:
+            adj.setdefault(x, set()).add(y)
+            adj.setdefault(y, set()).add(x)
+        changed = True
+        while changed:
+            changed = False
+            for v in list(adj):
+                if len(adj[v]) < k:
+                    for u in adj.pop(v):
+                        adj[u].discard(v)
+                    changed = True
+        return {v: len(ns) for v, ns in adj.items()}
+
+    for k in (2, 4, 50):
+        got = {r["node"]: r["deg"]
+               for r in k_core(edges, k).take_all()}
+        assert got == ref_k_core(pairs, k), k
