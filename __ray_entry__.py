@@ -798,6 +798,60 @@ def q_jsonl_roundtrip(sf_dir: str):
         Max("doc_id", alias_name="max_id"))
 
 
+def q_ipc_roundtrip(sf_dir: str):
+    """Arrow IPC sink + source (S5/S6 format breadth, third format):
+    documents projected through content-hash-named per-block IPC files
+    (idempotent on retry) and streamed back via read_binary_files +
+    per-task deserialize; oracle aggregates the ORIGINAL parquet —
+    round-trip fidelity, not self-consistency."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from payor_linkage.storage import read_ipc_dir, write_ipc_dir
+
+    d = os.path.join(_SIDECAR_DIR, "ipc_docs")
+    write_ipc_dir(_docs(sf_dir).select_columns(
+        ["doc_id", "lang", "source", "n_chars"]), d)
+    back = read_ipc_dir(d)
+    return back.groupby(["source", "lang"]).aggregate(
+        Count(alias_name="n"),
+        Sum("n_chars", alias_name="sum_chars"),
+        Min("doc_id", alias_name="min_id"),
+        Max("doc_id", alias_name="max_id"))
+
+
+def q_grouped_checksum(sf_dir: str):
+    """Per-source order-independent content checksum (sum of 32-bit
+    md5 prefixes over doc_id\\x1ftext) + row count — the anti-entropy
+    table-compare primitive; md5 through DuckDB's C++ kernel per batch,
+    so the oracle is byte-identical by construction."""
+    from payor_linkage.dataops.aggregates import grouped_checksum
+
+    return grouped_checksum(_docs(sf_dir), "source", ["doc_id", "text"])
+
+
+def q_share_bps(sf_dir: str):
+    """Per-line share of its order's total quantity in basis points —
+    pure int64 (value·10000 // group_total); one bounded grouped Sum +
+    zero-shuffle broadcast attach."""
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+    import ray.data as rd
+
+    from payor_linkage.dataops.aggregates import share_of_group_bps
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity"]) \
+        .map_batches(lambda b: pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "l_linenumber": _pc.cast(b["l_linenumber"], pa.int64()),
+            "qty": _pc.cast(b["l_quantity"], pa.int64())}),
+            batch_format="pyarrow")
+    return share_of_group_bps(li, "l_orderkey", "qty",
+                              carry_cols=["l_linenumber"]) \
+        .select_columns(["l_orderkey", "l_linenumber", "qty", "bps"])
+
+
 def q_csv_roundtrip(sf_dir: str):
     """CSV sink + source: integer/string projection of events through
     `write_csv` / `read_csv`, aggregated per type; oracle aggregates
@@ -2446,6 +2500,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_grouped_mad": q_grouped_mad,
         "q_weighted_median": q_weighted_median,
         "q_kcore": q_kcore,
+        "q_ipc_roundtrip": q_ipc_roundtrip,
+        "q_grouped_checksum": q_grouped_checksum,
+        "q_share_bps": q_share_bps,
         "q_prorate": q_prorate,
         "q_cube_counts": q_cube_counts,
         "q_fill_forward": q_fill_forward,
@@ -4049,6 +4106,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                    MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
             FROM documents GROUP BY 1, 2
+        """,
+        "q_ipc_roundtrip": """
+            SELECT source, lang, count(*) AS n,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+            FROM documents GROUP BY 1, 2
+        """,
+        "q_grouped_checksum": """
+            SELECT source,
+                   sum(('0x' || substr(md5(
+                       CAST(doc_id AS VARCHAR) || chr(31) || text),
+                       1, 8))::BIGINT) AS checksum,
+                   count(*) AS n
+            FROM documents GROUP BY source
+        """,
+        "q_share_bps": """
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   CAST(l_quantity AS BIGINT) AS qty,
+                   (CAST(l_quantity AS BIGINT) * 10000)
+                       // sum(CAST(l_quantity AS BIGINT))
+                              OVER (PARTITION BY l_orderkey) AS bps
+            FROM lineitem
         """,
         "q_csv_roundtrip": """
             SELECT event_type, count(*) AS n,

@@ -436,6 +436,78 @@ def grouped_weighted_median(ds: Dataset, key: str, value_col: str,
         out_schema=out_schema, runs_fn=runs)
 
 
+def grouped_checksum(ds: Dataset, key: str, content_cols: list[str],
+                     out_sum: str = "checksum",
+                     out_n: str = "n") -> Dataset:
+    """Order-independent per-group content checksum: SUM of per-row
+    32-bit md5-prefix hashes over canonically-serialized content (cols
+    cast to string, joined with the \\x1f unit separator) plus the row
+    count — the anti-entropy primitive for verifying two copies of a
+    table agree WITHOUT moving or sorting either (compare the bounded
+    per-group checksum tables instead). 32-bit per-row values keep the
+    int64 sum exact to 2^31 rows per group.
+
+    Scale shape: md5 runs through DuckDB's vectorized C++ kernel per
+    batch (the scorer's JW precedent — no per-row Python), each batch
+    pre-aggregates with Arrow ``group_by``, and ONE bounded grouped Sum
+    finishes. SQL-identical by construction, so the oracle gate is
+    byte-exact."""
+    import duckdb
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        parts = [pc.cast(b[c], pa.string()) for c in content_cols]
+        s = parts[0] if len(parts) == 1 else \
+            pc.binary_join_element_wise(*parts, "\x1f")
+        t = pa.table({key: b[key], "_s": s})
+        con = duckdb.connect()
+        con.register("t", t)
+        h = con.execute(
+            "SELECT ('0x' || substr(md5(_s), 1, 8))::BIGINT AS h "
+            "FROM t").arrow()["h"]
+        con.close()
+        part = pa.table({key: b[key], out_sum: h,
+                         out_n: pa.array(np.ones(b.num_rows, np.int64))}) \
+            .group_by(key).aggregate([(out_sum, "sum"), (out_n, "sum")])
+        return part.rename_columns([key, out_sum, out_n])
+
+    return (ds.select_columns(list(dict.fromkeys([key] + content_cols)))
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(key).aggregate(Sum(out_sum, alias_name=out_sum),
+                                    Sum(out_n, alias_name=out_n)))
+
+
+def share_of_group_bps(ds: Dataset, key: str, value_col: str,
+                       carry_cols: list[str],
+                       out_col: str = "bps") -> Dataset:
+    """Each row's share of its group total in basis points:
+    ``(value · 10000) // group_total`` — pure int64 (non-negative
+    integer values required), so the window-share report is
+    float-parity-free. One bounded grouped Sum for the totals, a
+    zero-shuffle broadcast attach (``lookup_join``), one vectorized
+    division."""
+    from ray.data.aggregate import Sum
+
+    from payor_linkage.rayutil import lookup_join
+
+    proj = list(dict.fromkeys([key, value_col] + carry_cols))
+    tot = ds.select_columns([key, value_col]).groupby(key).aggregate(
+        Sum(value_col, alias_name="_tot"))
+    j = lookup_join(ds.select_columns(proj), tot, key)
+
+    def share(b: pa.Table) -> pa.Table:
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b["_tot"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if (v < 0).any() or (t <= 0).any():
+            raise ValueError("share_of_group_bps requires non-negative "
+                             "values and positive group totals")
+        cols = {c: b[c] for c in proj}
+        cols[out_col] = pa.array((v * 10000) // t, pa.int64())
+        return pa.table(cols)
+
+    return j.map_batches(share, batch_format="pyarrow")
+
+
 def grouped_mode(ds: Dataset, key: str, value_col: str,
                  out_val: str = "mode_val", out_n: str = "n") -> Dataset:
     """Most frequent value per key with deterministic tie-break

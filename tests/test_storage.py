@@ -119,3 +119,62 @@ def test_write_partitioned_roundtrip_and_resume(ray_session, tmp_path):
     assert write_partitioned(mk(), root, by="k") == []
     back3 = read_partitioned(root, by="k").to_pandas().sort_values("v")
     assert back3.v.tolist() == [1, 2, 3, 4, 5, 6]
+
+
+def test_ipc_roundtrip_row_identity(ray_session, tmp_path):
+    """IPC sink/source must round-trip every row byte-exactly, and a
+    re-write into the same directory must be idempotent (content-hash
+    names; stale files truncated)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from payor_linkage.storage import read_ipc_dir, write_ipc_dir
+
+    df = pd.DataFrame({
+        "i": pd.array(range(500), dtype="int64"),
+        "s": [f"row-{i}\x1fodd" if i % 2 else f"row-{i}" for i in range(500)],
+        "f": [i / 7 for i in range(500)],
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)) \
+        .repartition(7)
+    d = str(tmp_path / "ipc")
+    write_ipc_dir(ds, d)
+    back1 = read_ipc_dir(d).to_pandas().sort_values("i").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back1, df)
+    write_ipc_dir(ds, d)  # idempotent re-run
+    back2 = read_ipc_dir(d).to_pandas().sort_values("i").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back2, df)
+
+
+def test_grouped_checksum_detects_difference(ray_session):
+    """Equal tables agree per group; a single changed byte in one group
+    changes exactly that group's checksum (n unchanged)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from payor_linkage.dataops.aggregates import grouped_checksum
+
+    def ds(df):
+        return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+    df = pd.DataFrame({
+        "g": ["a"] * 50 + ["b"] * 50,
+        "id": pd.array(range(100), dtype="int64"),
+        "txt": [f"content {i}" for i in range(100)],
+    })
+    c1 = grouped_checksum(ds(df), "g", ["id", "txt"]).to_pandas() \
+        .set_index("g").sort_index()
+    df2 = df.copy()
+    df2.loc[70, "txt"] = "content 70 TAMPERED"
+    c2 = grouped_checksum(ds(df2), "g", ["id", "txt"]).to_pandas() \
+        .set_index("g").sort_index()
+    assert c1.loc["a", "checksum"] == c2.loc["a", "checksum"]
+    assert c1.loc["b", "checksum"] != c2.loc["b", "checksum"]
+    assert (c1["n"] == c2["n"]).all()
+    # order independence: shuffled rows give identical checksums
+    c3 = grouped_checksum(ds(df.sample(frac=1, random_state=3)),
+                          "g", ["id", "txt"]).to_pandas() \
+        .set_index("g").sort_index()
+    pd.testing.assert_frame_equal(c1, c3)
