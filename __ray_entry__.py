@@ -247,6 +247,59 @@ def q_grouped_mad(sf_dir: str):
     return grouped_mad(_docs(sf_dir), "source", "n_chars")
 
 
+def q_late_events(sf_dir: str):
+    """Watermark lateness: events arriving more than 1 hour behind
+    their user's running-max timestamp — the out-of-orderness
+    diagnostic for streaming allowed-lateness tuning (rank-based
+    segmented running max, late rows only). The synthetic corpus
+    arrives perfectly in-order, so arrival is the deterministic
+    bijection (event_id % 7 shards, then id) — the same remap in both
+    engines, yielding ~8k genuinely late rows at sf0.01."""
+    import numpy as np
+    import pyarrow as pa
+
+    from payor_linkage.dataops.temporal import late_events
+
+    def remap(b: pa.Table) -> pa.Table:
+        e = b["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": b["user_id"], "ts": b["ts"],
+            "event_id": pa.array((e % 7) * 1_000_000_000_000 + e,
+                                 pa.int64())})
+
+    return late_events(_events(sf_dir).map_batches(
+        remap, batch_format="pyarrow"), 3_600_000_000)
+
+
+def q_longest_streak(sf_dir: str):
+    """Longest consecutive same-event-type streak per user (gaps-and-
+    islands MAX island length) — reduceat arithmetic over dictionary
+    codes, one grouped sort."""
+    from payor_linkage.dataops.temporal import longest_streak
+
+    return longest_streak(_events(sf_dir))
+
+
+def q_rank_against(sf_dir: str):
+    """Score calibration: each order's total price ranked against the
+    URGENT-priority orders' distribution (count ≤, reference size) —
+    bounded reference broadcast once, one searchsorted probe per batch,
+    zero shuffle; integer counts keep parity exact."""
+    import pyarrow.compute as _pc
+    import ray.data as rd
+
+    from payor_linkage.dataops.enrich import rank_against
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice", "o_orderpriority"])
+    ref = orders.map_batches(
+        lambda b: b.filter(_pc.equal(b["o_orderpriority"], "1-URGENT")),
+        batch_format="pyarrow")
+    return rank_against(orders, ref, "o_totalprice",
+                        carry_cols=["o_orderkey"])
+
+
 def q_weighted_median(sf_dir: str):
     """Per-returnflag weighted lower median of quantity (weights =
     line numbers): the element quantile_disc would select over the
@@ -2503,6 +2556,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ipc_roundtrip": q_ipc_roundtrip,
         "q_grouped_checksum": q_grouped_checksum,
         "q_share_bps": q_share_bps,
+        "q_late_events": q_late_events,
+        "q_longest_streak": q_longest_streak,
+        "q_rank_against": q_rank_against,
         "q_prorate": q_prorate,
         "q_cube_counts": q_cube_counts,
         "q_fill_forward": q_fill_forward,
@@ -2620,6 +2676,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, any_value(med) AS med,
                    quantile_disc(adev, 0.5) AS mad
             FROM d GROUP BY source
+        """,
+        "q_late_events": """
+            WITH e AS (
+              SELECT (event_id % 7) * 1000000000000 + event_id
+                         AS event_id,
+                     user_id, ts
+              FROM events
+            ),
+            o AS (
+              SELECT event_id, user_id, ts,
+                     max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS prev_max
+              FROM e
+            )
+            SELECT event_id, user_id, ts,
+                   epoch_us(prev_max) - epoch_us(ts) AS late_by_us
+            FROM o
+            WHERE epoch_us(prev_max) - epoch_us(ts) > 3600000000
+        """,
+        "q_longest_streak": """
+            WITH o AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(event_type) OVER w IS DISTINCT FROM
+                               event_type THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            i AS (
+              SELECT user_id,
+                     sum(brk) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS isl
+              FROM o
+            ),
+            l AS (SELECT user_id, isl, count(*) AS len
+                  FROM i GROUP BY 1, 2)
+            SELECT user_id, CAST(max(len) AS BIGINT) AS max_streak
+            FROM l GROUP BY user_id
+        """,
+        "q_rank_against": """
+            SELECT o.o_orderkey, o.o_totalprice,
+                   (SELECT count(*) FROM orders r
+                    WHERE r.o_orderpriority = '1-URGENT'
+                      AND r.o_totalprice <= o.o_totalprice) AS n_le,
+                   (SELECT count(*) FROM orders r
+                    WHERE r.o_orderpriority = '1-URGENT') AS ref_n
+            FROM orders o
         """,
         "q_weighted_median": """
             WITH b AS (

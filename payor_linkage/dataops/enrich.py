@@ -117,3 +117,49 @@ def cooccurrence_counts(ds: Dataset, key: str, item_col: str) -> Dataset:
 
     return partials.groupby(["item_a", "item_b"]).aggregate(
         Sum("n", alias_name="n"))
+
+
+def rank_against(ds: Dataset, ref: Dataset, value_col: str,
+                 carry_cols: list[str], ref_value_col: str | None = None,
+                 max_ref_rows: int = 5_000_000,
+                 out_rank: str = "n_le", out_n: str = "ref_n") -> Dataset:
+    """Percentile rank of every row against a REFERENCE distribution
+    (score calibration): attaches ``n_le`` = count of reference values ≤
+    the row's value, plus the reference size — integer counts, so the
+    calibration curve is float-parity-free (divide downstream if a
+    ratio is wanted).
+
+    Scale shape: the reference collects ONCE to a sorted numpy array and
+    broadcasts via ``ray.put`` (bounded by contract — a calibration
+    reference is a sample or a small labeled set; above ``max_ref_rows``
+    this raises rather than silently collecting a corpus), then every
+    batch is one vectorized ``searchsorted`` probe — zero shuffle."""
+    import ray
+
+    rcol = ref_value_col or value_col
+    ref = ref.select_columns([rcol]).materialize()
+    n_ref = ref.count()
+    if n_ref > max_ref_rows:
+        raise ValueError(
+            f"rank_against: reference has {n_ref} rows (> {max_ref_rows});"
+            " pass a sampled/bounded reference")
+    vals = np.sort(np.concatenate([
+        t[rcol].to_numpy(zero_copy_only=False)
+        for t in ray.get(ref.to_arrow_refs())]) if n_ref else
+        np.array([], dtype=np.float64))
+    ref_ref = ray.put(vals)
+
+    proj = list(dict.fromkeys(carry_cols + [value_col]))
+
+    def probe(b: pa.Table) -> pa.Table:
+        rv = ray.get(ref_ref)
+        v = b[value_col].to_numpy(zero_copy_only=False)
+        cols = {c: b[c] for c in proj}
+        cols[out_rank] = pa.array(
+            np.searchsorted(rv, v, side="right").astype(np.int64),
+            pa.int64())
+        cols[out_n] = pa.array(np.full(b.num_rows, len(rv), np.int64))
+        return pa.table(cols)
+
+    return ds.select_columns(proj).map_batches(probe,
+                                               batch_format="pyarrow")

@@ -692,3 +692,107 @@ def session_paths(events: Dataset, on: str = "user_id",
         out_schema=out_schema, runs_fn=runs)
     return partials.groupby("path").aggregate(
         Sum("n_sessions", alias_name="n_sessions"))
+
+
+def late_events(events: Dataset, delay_us: int, on: str = "user_id",
+                ts_col: str = "ts", id_col: str = "event_id") -> Dataset:
+    """Watermark lateness detection: in ARRIVAL order (``id_col``), an
+    event is late when its timestamp falls more than ``delay_us`` behind
+    the running maximum timestamp of everything that arrived before it —
+    the out-of-orderness diagnostic a streaming window assignment needs
+    when picking its allowed-lateness. Emits only the late rows.
+
+    One grouped sort by arrival; the per-run previous-running-max is the
+    rank-based segmented ``np.maximum.accumulate`` (rank + rid·(n+1)
+    keeps it overflow-safe where raw epoch × run index would not),
+    shifted one arrival back with run firsts masked."""
+    s = events.schema()
+    key_type = dict(zip(s.names, s.types))[on]
+    out_schema = pa.schema([(id_col, pa.int64()), (on, key_type),
+                            ("ts", pa.timestamp("us")),
+                            ("late_by_us", pa.int64())])
+    slim = events.map_batches(
+        lambda b: pa.table({on: b[on],
+                            "_ts": pa.compute.cast(
+                                pa.compute.cast(b[ts_col],
+                                                pa.timestamp("us")),
+                                pa.int64()),
+                            "_id": b[id_col]}),
+        batch_format="pyarrow")
+
+    def runs(b: pa.Table, starts, ends) -> pa.Table:
+        lo, hi = starts[0], ends[-1]
+        rid = _run_ids_local(starts, ends)
+        ts = b["_ts"].to_numpy(zero_copy_only=False)[lo:hi]
+        eid = b["_id"].to_numpy(zero_copy_only=False)[lo:hi]
+        order = np.lexsort((eid, rid))
+        t = ts[order]
+        n = len(t)
+        st = np.sort(t)
+        rk = np.searchsorted(st, t).astype(np.int64)
+        cm = np.maximum.accumulate(rk + rid * (n + 1)) - rid * (n + 1)
+        prev_max = np.empty(n, dtype=np.int64)
+        prev_max[1:] = st[cm[:-1]]
+        first = np.zeros(n, dtype=bool)
+        first[starts - lo] = True
+        # a run's first arrival has no predecessor: late_by 0, never
+        # late (an int sentinel would overflow the subtraction)
+        prev_max[first] = t[first]
+        late_by = prev_max - t
+        sel = np.flatnonzero(late_by > delay_us)
+        take = pa.array(order[sel] + lo)
+        return pa.table({
+            id_col: b["_id"].take(take),
+            on: b[on].take(take),
+            "ts": pa.array(t[sel], pa.int64()).cast(pa.timestamp("us")),
+            "late_by_us": pa.array(late_by[sel], pa.int64()),
+        }).cast(out_schema)
+
+    return grouped_apply(slim, on, out_schema=out_schema, runs_fn=runs)
+
+
+def longest_streak(events: Dataset, on: str = "user_id",
+                   ts_col: str = "ts", id_col: str = "event_id",
+                   value_col: str = "event_type") -> Dataset:
+    """Longest consecutive same-value streak per key (ordered by
+    (ts, id)) — the gaps-and-islands MAX(island length) analytic. One
+    grouped sort; island lengths and per-run maxima are pure reduceat
+    arithmetic over dictionary-encoded value codes."""
+    s = events.schema()
+    key_type = dict(zip(s.names, s.types))[on]
+    out_schema = pa.schema([(on, key_type), ("max_streak", pa.int64())])
+    slim = events.map_batches(
+        lambda b: pa.table({on: b[on],
+                            "_ts": pa.compute.cast(
+                                pa.compute.cast(b[ts_col],
+                                                pa.timestamp("us")),
+                                pa.int64()),
+                            "_id": b[id_col],
+                            value_col: b[value_col]}),
+        batch_format="pyarrow")
+
+    def runs(b: pa.Table, starts, ends) -> pa.Table:
+        lo, hi = starts[0], ends[-1]
+        rid = _run_ids_local(starts, ends)
+        ts = b["_ts"].to_numpy(zero_copy_only=False)[lo:hi]
+        eid = b["_id"].to_numpy(zero_copy_only=False)[lo:hi]
+        order = np.lexsort((eid, ts, rid))
+        vals = b[value_col].combine_chunks().take(pa.array(order + lo))
+        codes = vals.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False)
+        n = len(codes)
+        brk = np.zeros(n, dtype=bool)
+        brk[starts - lo] = True
+        brk[1:] |= codes[1:] != codes[:-1]
+        isl_start = np.flatnonzero(brk)
+        isl_len = np.diff(np.append(isl_start, n))
+        isl_rid = rid[isl_start]
+        run_first = np.flatnonzero(
+            np.concatenate([[True], isl_rid[1:] != isl_rid[:-1]]))
+        max_streak = np.maximum.reduceat(isl_len, run_first)
+        return pa.table({
+            on: b[on].take(pa.array(starts)),
+            "max_streak": pa.array(max_streak, pa.int64()),
+        }).cast(out_schema)
+
+    return grouped_apply(slim, on, out_schema=out_schema, runs_fn=runs)

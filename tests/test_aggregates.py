@@ -942,3 +942,87 @@ def test_grouped_weighted_median_matches_expansion(ray_session):
         expanded = np.sort(np.repeat(g["v"].to_numpy(), g["w"].to_numpy()))
         exp = expanded[int(np.ceil(len(expanded) / 2)) - 1]
         assert out[k] == exp, k
+
+
+def test_late_events_matches_duckdb(ray_session):
+    import duckdb
+
+    from payor_linkage.dataops.temporal import late_events
+
+    rng = np.random.default_rng(37)
+    n = 2000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 31, n).astype(np.int64),
+        "ts": pd.to_datetime(rng.integers(0, 50_000, n), unit="s"),
+        "event_id": rng.permutation(n).astype(np.int64),  # scrambled arrival
+    })
+    delay = 600_000_000
+    out = (late_events(_ds(df), delay)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    exp = duckdb.sql(f"""
+        WITH o AS (
+          SELECT event_id, user_id, ts,
+                 max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS prev_max
+          FROM df)
+        SELECT event_id, user_id, ts,
+               epoch_us(prev_max) - epoch_us(ts) AS late_by_us
+        FROM o WHERE epoch_us(prev_max) - epoch_us(ts) > {delay}
+        ORDER BY event_id
+    """).df()
+    assert len(exp) > 0
+    out["ts"] = out["ts"].astype("datetime64[ns]")
+    pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
+
+
+def test_longest_streak_matches_duckdb(ray_session):
+    import duckdb
+
+    from payor_linkage.dataops.temporal import longest_streak
+
+    rng = np.random.default_rng(43)
+    n = 2500
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 23, n).astype(np.int64),
+        "ts": pd.to_datetime(rng.integers(0, 9000, n), unit="s"),
+        "event_id": np.arange(n, dtype=np.int64),
+        "event_type": rng.choice(["a", "b"], n, p=[0.7, 0.3]),
+    })
+    out = (longest_streak(_ds(df))
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    exp = duckdb.sql("""
+        WITH o AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(event_type) OVER w IS DISTINCT FROM
+                           event_type THEN 1 ELSE 0 END AS brk
+          FROM df WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        i AS (SELECT user_id,
+                     sum(brk) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS isl
+              FROM o),
+        l AS (SELECT user_id, isl, count(*) AS len FROM i GROUP BY 1, 2)
+        SELECT user_id, CAST(max(len) AS BIGINT) AS max_streak
+        FROM l GROUP BY user_id ORDER BY user_id
+    """).df()
+    pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
+
+
+def test_rank_against_matches_brute(ray_session):
+    from payor_linkage.dataops.enrich import rank_against
+
+    rng = np.random.default_rng(47)
+    df = pd.DataFrame({"id": np.arange(800, dtype=np.int64),
+                       "v": np.round(rng.normal(0, 10, 800), 6)})
+    ref = pd.DataFrame({"v": np.round(rng.normal(1, 8, 150), 6)})
+    out = (rank_against(_ds(df), _ds(ref), "v", carry_cols=["id"])
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    rv = np.sort(ref["v"].to_numpy())
+    exp = np.searchsorted(rv, df["v"].to_numpy(), side="right")
+    assert (out["n_le"].to_numpy() == exp).all()
+    assert (out["ref_n"] == 150).all()
+    # bounded-reference contract enforced
+    with pytest.raises(ValueError):
+        rank_against(_ds(df), _ds(ref), "v", carry_cols=["id"],
+                     max_ref_rows=10)
