@@ -300,6 +300,16 @@ def q_rank_against(sf_dir: str):
                         carry_cols=["o_orderkey"])
 
 
+def q_vocab_coverage(sf_dir: str):
+    """Per-document OOV statistics under the corpus's own top-500
+    vocabulary (build_vocab ranking) — the tokenizer-sizing diagnostic;
+    truncated vocab broadcast once, one is_in probe + bincounts per
+    batch."""
+    from payor_linkage.dataops.text import vocab_coverage
+
+    return vocab_coverage(_docs(sf_dir), 500)
+
+
 def q_weighted_median(sf_dir: str):
     """Per-returnflag weighted lower median of quantity (weights =
     line numbers): the element quantile_disc would select over the
@@ -2559,6 +2569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_late_events": q_late_events,
         "q_longest_streak": q_longest_streak,
         "q_rank_against": q_rank_against,
+        "q_vocab_coverage": q_vocab_coverage,
         "q_prorate": q_prorate,
         "q_cube_counts": q_cube_counts,
         "q_fill_forward": q_fill_forward,
@@ -2724,6 +2735,33 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM orders r
                     WHERE r.o_orderpriority = '1-URGENT') AS ref_n
             FROM orders o
+        """,
+        "q_vocab_coverage": """
+            WITH tok AS (
+              SELECT doc_id, tok FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(
+                           lower(text), '[^a-z0-9]+')) AS tok
+                FROM documents)
+              WHERE tok <> ''
+            ),
+            dfv AS (SELECT tok AS token, count(DISTINCT doc_id) AS df
+                    FROM tok GROUP BY 1),
+            v AS (
+              SELECT token FROM (
+                SELECT token, row_number() OVER (ORDER BY df DESC, token)
+                           AS tid
+                FROM dfv)
+              WHERE tid <= 500
+            )
+            SELECT d.doc_id,
+                   CAST(count(t.tok) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(sum(CASE WHEN t.tok NOT IN
+                                          (SELECT token FROM v)
+                                     THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS n_oov
+            FROM documents d LEFT JOIN tok t USING (doc_id)
+            GROUP BY 1
         """,
         "q_weighted_median": """
             WITH b AS (

@@ -382,7 +382,8 @@ def blocking_pairs(unified: Dataset, cfg: BlockingConfig | None = None) -> Datas
 
 
 def delta_blocking_pairs(unified_all: Dataset, new_ids,
-                         cfg: BlockingConfig | None = None) -> Dataset:
+                         cfg: BlockingConfig | None = None,
+                         unified_new: Dataset | None = None) -> Dataset:
     """Incremental blocking: candidate pairs with ≥ 1 endpoint among
     ``new_ids``, emitted from exactly the buckets a new record touches —
     the delta pass that lets a 0.1% corpus addition skip re-scoring the
@@ -418,12 +419,20 @@ def delta_blocking_pairs(unified_all: Dataset, new_ids,
     nid_arr = pa.array(sorted(set(new_ids)), pa.string())
     nid_ref = ray.put(nid_arr)
 
-    def only_new(b: pa.Table) -> pa.Table:
-        return b.filter(pc.is_in(b["source_record_id"],
-                                 value_set=ray.get(nid_ref)))
+    if unified_new is not None:
+        # a new record's keys ARE the touched keys — derive them from
+        # the delta directly (delta-sized pass) instead of filtering the
+        # full-corpus key table by id
+        touched = unified_new.map_batches(
+            lambda b: _key_rows_batch(b, cfg.use_phonetic_key),
+            batch_format="pyarrow").unique("bkey")
+    else:
+        def only_new(b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_in(b["source_record_id"],
+                                     value_set=ray.get(nid_ref)))
 
-    touched = key_rows.map_batches(only_new, batch_format="pyarrow") \
-        .unique("bkey")
+        touched = key_rows.map_batches(only_new, batch_format="pyarrow") \
+            .unique("bkey")
     tkey_ref = ray.put(pa.array(sorted(touched), pa.string()))
     hot_ref = ray.put(hot)
 

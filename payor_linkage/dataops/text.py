@@ -1100,3 +1100,41 @@ def bpe_segment(ds: Dataset, merges: pa.Table,
 
     return _word_counts(ds, text_col).map_batches(
         seg, batch_format="pyarrow")
+
+
+def vocab_coverage(ds: Dataset, vocab_size: int, text_col: str = "text",
+                   id_col: str = "doc_id") -> Dataset:
+    """Per-document vocabulary coverage: token count + OOV count given
+    the corpus's own top-``vocab_size`` vocabulary (df DESC, token ASC —
+    ``build_vocab``'s ranking). The tokenizer-sizing diagnostic: how
+    much of each document a truncated vocab fails to cover, as exact
+    integers.
+
+    Scale shape: the truncated vocab (bounded by construction) filters
+    from ``build_vocab``'s distributed id table and broadcasts via
+    ``ray.put``; each batch is one ``pc.is_in`` probe over the flat
+    token stream + two reduceat-style bincounts — no second shuffle."""
+    import ray
+
+    vocab = build_vocab(ds, text_col=text_col, id_col=id_col) \
+        .map_batches(
+            lambda b: b.filter(pc.less_equal(b["token_id"], vocab_size)),
+            batch_format="pyarrow")
+    toks = pa.concat_tables(
+        ray.get(vocab.select_columns(["token"]).materialize()
+                .to_arrow_refs()))["token"].combine_chunks()
+    vref = ray.put(toks)
+
+    def cover(b: pa.Table) -> pa.Table:
+        row_of, flat = _tokenize_flat(b, text_col)
+        n_tok = np.bincount(row_of, minlength=b.num_rows).astype(np.int64)
+        oov = pc.invert(pc.is_in(flat, value_set=ray.get(vref))) \
+            .to_numpy(zero_copy_only=False)
+        n_oov = np.bincount(row_of, weights=oov,
+                            minlength=b.num_rows).astype(np.int64)
+        return pa.table({id_col: b[id_col],
+                         "n_tokens": pa.array(n_tok, pa.int64()),
+                         "n_oov": pa.array(n_oov, pa.int64())})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        cover, batch_format="pyarrow")

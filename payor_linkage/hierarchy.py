@@ -25,6 +25,7 @@ from __future__ import annotations
 import uuid
 from collections import defaultdict
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -125,6 +126,271 @@ def _signals_distributed(golden: Dataset, refs: Dataset) -> tuple[Dataset, Datas
 BROADCAST_GOLDEN_BOUND = 2_000_000
 
 
+def _signal_structures(golden_tbl: pa.Table, parent_filter=None):
+    """The two broadcast lookup structures as PARALLEL ARROW ARRAYS
+    (probed with ``pc.index_in`` — never a per-row Python dict lookup),
+    optionally restricted to a parent-id subset:
+
+    - name map: sorted unique normalized names + (start, count) into a
+      flat golden-id array (signal 1);
+    - 4-gram prefix index of parent-candidate names (len ≥ 6): sorted
+      unique prefixes + (start, count) into flat (name, id, len) arrays
+      (signal 2)."""
+    names = pc.utf8_upper(pc.utf8_trim_whitespace(
+        golden_tbl["payor_name"]))
+    ids = golden_tbl["master_payor_id"]
+    if isinstance(names, pa.ChunkedArray):
+        names = names.combine_chunks()
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    valid = pc.and_(pc.is_valid(names), pc.not_equal(names, ""))
+    if parent_filter is not None:
+        valid = pc.and_(valid, pc.is_in(ids, value_set=parent_filter))
+    valid = valid.fill_null(False)
+    names = names.filter(valid)
+    ids = ids.filter(valid)
+
+    def runs_of(sorted_keys):
+        codes = sorted_keys.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False)
+        if len(codes) == 0:
+            return np.array([], np.int64), np.array([], np.int64)
+        first = np.concatenate([[True], codes[1:] != codes[:-1]])
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.append(starts, len(codes)))
+        return starts, counts
+
+    order = pc.sort_indices(names)
+    sn, sid = names.take(order), ids.take(order)
+    key_starts, key_counts = runs_of(sn)
+    keys = sn.take(pa.array(key_starts))
+
+    plen_all = pc.utf8_length(names).to_numpy(zero_copy_only=False)
+    pmask = pa.array(plen_all >= 6)
+    pnames, pids = names.filter(pmask), ids.filter(pmask)
+    plens = plen_all[plen_all >= 6]
+    prefixes = pc.utf8_slice_codeunits(pnames, 0, 4)
+    porder = pc.sort_indices(prefixes)
+    sp = prefixes.take(porder)
+    p_starts, p_counts = runs_of(sp)
+    return {
+        "keys": keys, "key_starts": key_starts, "key_counts": key_counts,
+        "flat_ids": sid,
+        "pkeys": sp.take(pa.array(p_starts)) if len(p_starts) else
+            pa.array([], pa.string()),
+        "p_starts": p_starts, "p_counts": p_counts,
+        "flat_pnames": pnames.take(porder),
+        "flat_pids": pids.take(porder),
+        "flat_plens": plens[porder.to_numpy(zero_copy_only=False)]
+            if len(plens) else np.array([], np.int64),
+    }
+
+
+def _expand_hits(idx: np.ndarray, starts: np.ndarray,
+                 counts: np.ndarray):
+    """For probe rows whose ``pc.index_in`` produced key index ``idx``
+    (−1 = miss): flat positions into the index's value arrays plus the
+    probe-row index each position belongs to — pure repeat/arange
+    arithmetic."""
+    hits = np.flatnonzero(idx >= 0)
+    k = idx[hits]
+    cnt = counts[k]
+    total = int(cnt.sum())
+    if total == 0:
+        return np.array([], np.int64), np.array([], np.int64)
+    probe_row = np.repeat(hits, cnt)
+    base = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    pos = np.repeat(starts[k], cnt)         + (np.arange(total, dtype=np.int64) - np.repeat(base, cnt))
+    return probe_row, pos
+
+
+def _broadcast_signals(refs: Dataset, children: Dataset, bcast) -> tuple:
+    """Signal datasets against broadcast ``_signal_structures``:
+    s1 = parent_ref equality over ``refs`` rows, s2 = substring
+    containment probed with ``children`` golden rows. Both probes are
+    one ``pc.index_in`` + repeat/arange expansion per batch; Python
+    touches only signal 2's verified-candidate containment check
+    (gram-blocked — a handful of rows). Non-ASCII names fall back to
+    codepoint slicing for window extraction only (normalization is the
+    same Arrow kernel either way)."""
+    def signal1(batch: pa.Table) -> pa.Table:
+        s = ray.get(bcast)
+        out = pa.schema([("parent_master_id", pa.string()),
+                         ("child_master_id", pa.string()),
+                         ("inference_method", pa.string())])
+        if batch.num_rows == 0 or len(s["keys"]) == 0:
+            return out.empty_table()
+        rn = pc.utf8_upper(pc.utf8_trim_whitespace(batch["parent_ref"]))
+        if isinstance(rn, pa.ChunkedArray):
+            rn = rn.combine_chunks()
+        idx = pc.index_in(rn, value_set=s["keys"]).fill_null(-1)             .to_numpy(zero_copy_only=False).astype(np.int64)
+        probe_row, pos = _expand_hits(idx, s["key_starts"],
+                                      s["key_counts"])
+        if len(pos) == 0:
+            return out.empty_table()
+        child = batch["master_payor_id"].combine_chunks()             .take(pa.array(probe_row))
+        parents = s["flat_ids"].take(pa.array(pos))
+        keep = pc.not_equal(parents, child)
+        parents, child = parents.filter(keep), child.filter(keep)
+        return pa.table({
+            "parent_master_id": parents,
+            "child_master_id": child,
+            "inference_method": pa.array(
+                ["name_ref_match"] * len(parents), pa.string())})
+
+    def signal2(batch: pa.Table) -> pa.Table:
+        s = ray.get(bcast)
+        out = pa.schema([("parent_master_id", pa.string()),
+                         ("child_master_id", pa.string()),
+                         ("inference_method", pa.string())])
+        if batch.num_rows == 0 or len(s["pkeys"]) == 0:
+            return out.empty_table()
+        cn = pc.utf8_upper(pc.utf8_trim_whitespace(batch["payor_name"]))
+        if isinstance(cn, pa.ChunkedArray):
+            cn = cn.combine_chunks()
+        valid = pc.and_(pc.is_valid(cn), pc.not_equal(cn, ""))             .fill_null(False)
+        cn = cn.filter(valid)
+        cid = batch["master_payor_id"].combine_chunks().filter(valid)
+        if len(cn) == 0:
+            return out.empty_table()
+        nchars = pc.utf8_length(cn).to_numpy(zero_copy_only=False)             .astype(np.int64)
+        nbytes = pc.binary_length(cn).to_numpy(zero_copy_only=False)             .astype(np.int64)
+        counts = np.maximum(nchars - 3, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return out.empty_table()
+        parent_row = np.repeat(np.arange(len(cn), dtype=np.int64),
+                               counts)
+        if (nchars == nbytes).all() and not pa.types.is_large_string(
+                cn.type):
+            off = np.frombuffer(cn.buffers()[1], dtype=np.int32,
+                                count=len(cn) + 1,
+                                offset=cn.offset * 4).astype(np.int64)
+            data = np.frombuffer(cn.buffers()[2], dtype=np.uint8)
+            cum = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            within = np.arange(total, dtype=np.int64) \
+                - np.repeat(cum, counts)
+            starts = off[:-1][parent_row] + within
+            win = np.lib.stride_tricks.sliding_window_view(
+                data, 4)[starts]
+            new_off = (np.arange(total + 1, dtype=np.int32) * 4)
+            grams = pa.StringArray.from_buffers(
+                total, pa.py_buffer(new_off.tobytes()),
+                pa.py_buffer(win.tobytes()))
+        else:
+            texts = cn.to_pylist()
+            grams = pa.array(
+                [t[w:w + 4] for t, c in zip(texts, counts)
+                 for w in range(int(c))], pa.string())
+        gidx = pc.index_in(grams, value_set=s["pkeys"]).fill_null(-1)             .to_numpy(zero_copy_only=False).astype(np.int64)
+        probe_pos, pos = _expand_hits(gidx, s["p_starts"],
+                                      s["p_counts"])
+        if len(pos) == 0:
+            return out.empty_table()
+        child_row = parent_row[probe_pos]
+        # dedupe (child, parent-entry) pairs reached via several windows
+        pair_key = child_row * (len(s["flat_pids"]) + 1) + pos
+        _, uix = np.unique(pair_key, return_index=True)
+        child_row, pos = child_row[uix], pos[uix]
+        # cheap vectorized pre-filters: strictly longer child, id differs
+        lens_ok = nchars[child_row] > s["flat_plens"][pos]
+        child_row, pos = child_row[lens_ok], pos[lens_ok]
+        c_ids = cid.take(pa.array(child_row))
+        p_ids = s["flat_pids"].take(pa.array(pos))
+        differ = pc.not_equal(p_ids, c_ids).to_numpy(
+            zero_copy_only=False)
+        child_row, pos = child_row[differ], pos[differ]
+        if len(pos) == 0:
+            return out.empty_table()
+        # containment verify — Python only on the gram-blocked
+        # candidates (no scalar-pattern kernel takes per-row patterns)
+        c_txt = cn.take(pa.array(child_row)).to_pylist()
+        p_txt = s["flat_pnames"].take(pa.array(pos)).to_pylist()
+        ok = np.fromiter((p in c for p, c in zip(p_txt, c_txt)),
+                         dtype=bool, count=len(p_txt))
+        child_row, pos = child_row[ok], pos[ok]
+        return pa.table({
+            "parent_master_id": s["flat_pids"].take(pa.array(pos)),
+            "child_master_id": cid.take(pa.array(child_row)),
+            "inference_method": pa.array(
+                ["name_substring"] * len(pos), pa.string())})
+
+    return (refs.map_batches(signal1, batch_format="pyarrow"),
+            children.map_batches(signal2, batch_format="pyarrow"))
+
+
+def _refs_with_child(unified: Dataset, xref: Dataset) -> Dataset:
+    """Staged records carrying a non-empty parent_ref, joined to their
+    golden id (the signal-1 input surface)."""
+    refs = unified.select_columns(
+        ["source_record_id", "parent_ref"]).map_batches(
+        lambda b: b.filter(pc.and_(pc.is_valid(b["parent_ref"]),
+                                   pc.not_equal(b["parent_ref"], ""))),
+        batch_format="pyarrow").materialize()
+    if refs.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.schema([
+            ("source_record_id", pa.string()), ("parent_ref", pa.string()),
+            ("master_payor_id", pa.string())]).empty_table())
+    child_map = xref.select_columns(["source_record_id", "master_payor_id"])
+    return smart_join(refs, child_map, "source_record_id")
+
+
+def patch_hierarchy(golden: Dataset, unified: Dataset, xref: Dataset,
+                    prior_hierarchy: Dataset, affected_ids) -> Dataset:
+    """Incremental hierarchy maintenance: recompute ONLY edges with at
+    least one endpoint in ``affected_ids`` (new or member-changed
+    goldens), keep prior edges between two unaffected goldens verbatim
+    — exact, because an edge's signals read only its two endpoints (and
+    a new record's child golden is itself affected).
+
+    Four restricted probes: affected children vs the full maps, and all
+    rows vs maps restricted to affected parents (small index → small
+    buckets); recomputed edges dedup through the same distinct-finalize
+    as a full run, so ids are byte-identical. Falls back to a full
+    recompute above the broadcast bound."""
+    golden_slim = golden.select_columns(
+        ["master_payor_id", "payor_name"]).materialize()
+    if golden_slim.count() > BROADCAST_GOLDEN_BOUND or not len(affected_ids):
+        return infer_hierarchy(golden, unified, xref)
+
+    aff_pa = pa.array(sorted(set(affected_ids)), pa.string())
+    aff_arr = ray.put(aff_pa)
+    gold_tbl = pa.concat_tables(
+        ray.get(golden_slim.to_arrow_refs()),
+        promote_options="default").combine_chunks()
+    full_maps = ray.put(_signal_structures(gold_tbl))
+    aff_maps = ray.put(_signal_structures(gold_tbl, parent_filter=aff_pa))
+
+    refs = _refs_with_child(unified, xref)
+
+    def only_aff(col):
+        def f(b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_in(b[col], value_set=ray.get(aff_arr)))
+        return f
+
+    refs_aff = refs.map_batches(only_aff("master_payor_id"),
+                                batch_format="pyarrow")
+    children_aff = golden_slim.map_batches(only_aff("master_payor_id"),
+                                           batch_format="pyarrow")
+
+    s1a, s2a = _broadcast_signals(refs_aff, children_aff, full_maps)
+    s1b, s2b = _broadcast_signals(refs, golden_slim, aff_maps)
+    recomputed = _distinct_finalize(s1a.union(s1b), s2a.union(s2b))
+
+    def both_unaffected(b: pa.Table) -> pa.Table:
+        a = ray.get(aff_arr)
+        keep = pc.and_(
+            pc.invert(pc.is_in(b["parent_master_id"], value_set=a)),
+            pc.invert(pc.is_in(b["child_master_id"], value_set=a)))
+        return b.filter(keep)
+
+    kept = prior_hierarchy.map_batches(both_unaffected,
+                                       batch_format="pyarrow")
+    return kept.union(recomputed)
+
+
 def infer_hierarchy(golden: Dataset, unified: Dataset, xref: Dataset) -> Dataset:
     """golden + staged records + xref → inferred parent/child edge Dataset."""
     golden_slim = golden.select_columns(
@@ -156,62 +422,13 @@ def infer_hierarchy(golden: Dataset, unified: Dataset, xref: Dataset) -> Dataset
         return _distinct_finalize(s1, s2)
 
     # goldens are the merged entity set — collect the two small lookup
-    # structures once and broadcast (ray.put), never re-shipped per batch
-    gold = golden_slim.take_all()
-    name_to_ids: dict[str, list[str]] = defaultdict(list)
-    for r in gold:
-        n = _norm(r["payor_name"])
-        if n:
-            name_to_ids[n].append(r["master_payor_id"])
-    # 4-gram prefix index of parent-candidate names (len >= 6, `:59`)
-    prefix_index: dict[str, list[tuple[str, str]]] = defaultdict(list)
-    for r in gold:
-        n = _norm(r["payor_name"])
-        if n and len(n) >= 6:
-            prefix_index[n[:4]].append((n, r["master_payor_id"]))
-    bcast = ray.put((dict(name_to_ids), dict(prefix_index)))
-
-    def signal1(batch: pa.Table) -> pa.Table:
-        names, _ = ray.get(bcast)
-        parents, children = [], []
-        for ref, child in zip(batch["parent_ref"].to_pylist(),
-                              batch["master_payor_id"].to_pylist()):
-            for pid in names.get(_norm(ref), ()):
-                if pid != child:
-                    parents.append(pid)
-                    children.append(child)
-        return pa.table({
-            "parent_master_id": pa.array(parents, pa.string()),
-            "child_master_id": pa.array(children, pa.string()),
-            "inference_method": pa.array(["name_ref_match"] * len(parents), pa.string()),
-        })
-
-    s1 = refs.map_batches(signal1, batch_format="pyarrow")
-
-    # signal 2: substring containment — stream over goldens as children
-    def signal2(batch: pa.Table) -> pa.Table:
-        _, index = ray.get(bcast)
-        parents, children = [], []
-        for child_name, child_id in zip(batch["payor_name"].to_pylist(),
-                                        batch["master_payor_id"].to_pylist()):
-            cn = _norm(child_name)
-            if not cn:
-                continue
-            seen: set[str] = set()
-            for i in range(len(cn) - 3):
-                for pn, pid in index.get(cn[i:i + 4], ()):
-                    if (pid != child_id and pid not in seen
-                            and len(cn) > len(pn) and pn in cn):
-                        seen.add(pid)
-                        parents.append(pid)
-                        children.append(child_id)
-        return pa.table({
-            "parent_master_id": pa.array(parents, pa.string()),
-            "child_master_id": pa.array(children, pa.string()),
-            "inference_method": pa.array(["name_substring"] * len(parents), pa.string()),
-        })
-
-    s2 = golden_slim.map_batches(signal2, batch_format="pyarrow")
+    # structures once (parallel Arrow arrays) and broadcast (ray.put),
+    # never re-shipped per batch; probes are vectorized index_in scans
+    gold_tbl = pa.concat_tables(
+        ray.get(golden_slim.to_arrow_refs()),
+        promote_options="default").combine_chunks()
+    bcast = ray.put(_signal_structures(gold_tbl))
+    s1, s2 = _broadcast_signals(refs, golden_slim, bcast)
     return _distinct_finalize(s1, s2)
 
 

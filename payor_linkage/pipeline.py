@@ -126,7 +126,16 @@ def _changed_group_ids(old_groups: Dataset, new_groups: Dataset) -> list:
                 "t", pa.array([t] * b.num_rows, pa.int64())),
                 batch_format="pyarrow")
 
+    try:
+        import ray as _ray
+
+        _cpus = int(_ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        _cpus = 4
+    # both group tables arrive in many small blocks; Ray's groupby fans
+    # out one reduce partition per input block — coalesce first
     g = (tag(old_groups, 0).union(tag(new_groups, 1))
+         .repartition(_cpus * 2)
          .groupby(["match_group_id", "source_record_id"])
          .aggregate(Count(alias_name="n"), Sum("t", alias_name="s")))
     bad = g.map_batches(
@@ -184,7 +193,8 @@ def incremental_update(prior: LinkageResult, new_documents: Dataset,
     new_ids = unified_new.unique("source_record_id")
     unified = prior.unified.union(unified_new).materialize()
 
-    pairs_delta = delta_blocking_pairs(unified, new_ids, cfg.blocking)
+    pairs_delta = delta_blocking_pairs(unified, new_ids, cfg.blocking,
+                                       unified_new=unified_new)
     cands_delta = decide(score_pairs(pairs_delta, cfg.scoring), cfg.scoring,
                          steward_overlay)
     candidates = prior.candidates.union(cands_delta).materialize()
@@ -207,9 +217,13 @@ def incremental_update(prior: LinkageResult, new_documents: Dataset,
         xref = _patch_by_group(
             prior.xref, build_xref(groups_sub, unified),
             affected, "master_payor_id").materialize()
+        from payor_linkage.hierarchy import patch_hierarchy
+
+        hierarchy = patch_hierarchy(golden, unified, xref,
+                                    prior.hierarchy, affected).materialize()
     else:
         golden, xref = prior.golden, prior.xref
-    hierarchy = infer_hierarchy(golden, unified, xref).materialize()
+        hierarchy = prior.hierarchy
     audit = build_audit_log(golden, hierarchy, steward_overlay)
     return LinkageResult(unified, candidates, groups, golden, xref,
                          hierarchy, audit)
