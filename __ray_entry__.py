@@ -1266,6 +1266,28 @@ def q_mdm_blocking_quality(sf_dir: str):
     return blocking_quality(res.unified, res.candidates)
 
 
+def q_mdm_confusion(sf_dir: str):
+    """Decision-level pairwise confusion (n_pred, tp, fp, fn) as one
+    row of exact integers — the precision/recall numerators the steward
+    tunes; oracle recomputes all four from the match-edge + label
+    sidecars (Σ C(n,2) minus covered)."""
+    from payor_linkage.evaluate import decision_confusion
+
+    res = _mdm_result(sf_dir)
+    return decision_confusion(res.unified, res.candidates)
+
+
+def q_mdm_threshold_sweep(sf_dir: str):
+    """Per-score-bucket (floor(score·20)) pair and true-pair counts —
+    the threshold-tuning curve as exact integers (null scores bucket
+    −20); oracle = the same bucket CASE + label join + GROUP BY over
+    the scored sidecar."""
+    from payor_linkage.evaluate import threshold_sweep
+
+    res = _mdm_result(sf_dir)
+    return threshold_sweep(res.unified, res.candidates)
+
+
 def q_mdm_bcubed(sf_dir: str):
     """Per-record B-cubed integers (cluster_size, n_same, entity_size);
     the oracle is three window counts over the membership ⋈ labels
@@ -2500,6 +2522,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mdm_incremental": q_mdm_incremental,
         "q_mdm_blocking_quality": q_mdm_blocking_quality,
         "q_mdm_bcubed": q_mdm_bcubed,
+        "q_mdm_confusion": q_mdm_confusion,
+        "q_mdm_threshold_sweep": q_mdm_threshold_sweep,
         "q_mdm_xref": q_mdm_xref,
         "q_mdm_hierarchy": q_mdm_hierarchy,
         "q_mdm_hierarchy_edges": q_mdm_hierarchy_edges,
@@ -3199,6 +3223,48 @@ def oracle_sql() -> dict[str, str]:
                  JOIN l b ON p.source_record_id_b = b.source_record_id
                 WHERE a.entity_id = b.entity_id AND a.entity_id <> -1)
                   AS n_true_covered
+        """,
+        # decision confusion: all four integers from the match-edge +
+        # label sidecars
+        "q_mdm_confusion": f"""
+            WITH l AS (SELECT * FROM
+                       read_parquet('{_SIDECAR_DIR}/labels/*.parquet')),
+            e AS (SELECT * FROM
+                  read_parquet('{_SIDECAR_DIR}/edges/*.parquet')),
+            ent AS (SELECT entity_id, count(*) AS n FROM l
+                    WHERE entity_id <> -1 GROUP BY 1),
+            tpq AS (SELECT CAST(count(*) AS BIGINT) AS tp FROM e
+                    JOIN l a ON e.src = a.source_record_id
+                    JOIN l b ON e.dst = b.source_record_id
+                    WHERE a.entity_id = b.entity_id
+                      AND a.entity_id <> -1)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM e)
+                       AS n_pred_pairs,
+                   tp,
+                   (SELECT CAST(count(*) AS BIGINT) FROM e) - tp AS fp,
+                   (SELECT COALESCE(CAST(sum((n * (n - 1)) // 2)
+                                         AS BIGINT), 0) FROM ent) - tp
+                       AS fn
+            FROM tpq
+        """,
+        "q_mdm_threshold_sweep": f"""
+            WITH l AS (SELECT * FROM
+                       read_parquet('{_SIDECAR_DIR}/labels/*.parquet')),
+            s AS (SELECT * FROM
+                  read_parquet('{_SIDECAR_DIR}/scored/*.parquet')),
+            j AS (
+              SELECT CASE WHEN s.overall_score IS NULL THEN -20
+                          ELSE CAST(floor(s.overall_score * 20)
+                                    AS BIGINT) END AS bucket,
+                     CASE WHEN a.entity_id = b.entity_id
+                           AND a.entity_id <> -1
+                          THEN 1 ELSE 0 END AS t
+              FROM s
+              JOIN l a ON s.source_record_id_a = a.source_record_id
+              JOIN l b ON s.source_record_id_b = b.source_record_id)
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(t) AS BIGINT) AS n_true
+            FROM j GROUP BY 1
         """,
         # B-cubed per-record integers: three window counts over
         # membership ⋈ labels (orphans are singleton entities)

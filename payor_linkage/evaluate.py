@@ -175,3 +175,124 @@ def bcubed_stats(groups, labels):
 
     return grouped_apply(mid, "entity_id", out_schema=out_schema,
                          runs_fn=by_entity)
+
+
+def decision_confusion(unified, candidates):
+    """Decision-level pairwise confusion counts as ONE row of exact
+    integers: predicted pairs (final_decision = match), true positives
+    (predicted, endpoints share a real entity), false positives, and
+    false negatives (true pairs never predicted = Σ C(n,2) − tp). The
+    precision/recall the steward tunes stay exact rationals downstream.
+
+    Same scale shape as ``blocking_quality``: streaming counts, one
+    bounded entity groupby, two broadcast label attaches."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from payor_linkage.rayutil import lookup_join
+
+    labels = unified.select_columns(["source_record_id", "entity_id"]) \
+        .materialize()
+    pred = candidates.map_batches(
+        lambda b: b.filter(pc.equal(b["final_decision"], "match")),
+        batch_format="pyarrow").select_columns(
+        ["source_record_id_a", "source_record_id_b"]).materialize()
+    n_pred = pred.count()
+
+    ent_sizes = (labels
+                 .map_batches(lambda b: b.filter(
+                     pc.not_equal(b["entity_id"], -1)),
+                     batch_format="pyarrow")
+                 .groupby("entity_id").count())
+
+    def comb2(b: pa.Table) -> pa.Table:
+        n = b["count()"].to_numpy(zero_copy_only=False).astype("int64")
+        return pa.table({"tp": pa.array([int((n * (n - 1) // 2).sum())],
+                                        pa.int64())})
+
+    n_true = int(ent_sizes.map_batches(comb2, batch_format="pyarrow")
+                 .aggregate(Sum("tp", alias_name="tp"))["tp"] or 0)
+
+    ea = lookup_join(
+        pred.map_batches(
+            lambda b: pa.table({"source_record_id": b["source_record_id_a"],
+                                "other": b["source_record_id_b"]}),
+            batch_format="pyarrow"),
+        labels, "source_record_id")
+    eb = lookup_join(
+        ea.map_batches(
+            lambda b: pa.table({"source_record_id": b["other"],
+                                "ent_a": b["entity_id"]}),
+            batch_format="pyarrow"),
+        labels, "source_record_id")
+    tp = eb.map_batches(
+        lambda b: b.filter(pc.and_(
+            pc.equal(b["ent_a"], b["entity_id"]),
+            pc.not_equal(b["ent_a"], -1))),
+        batch_format="pyarrow").count()
+    return rd.from_arrow(pa.table({
+        "n_pred_pairs": pa.array([n_pred], pa.int64()),
+        "tp": pa.array([tp], pa.int64()),
+        "fp": pa.array([n_pred - tp], pa.int64()),
+        "fn": pa.array([n_true - tp], pa.int64()),
+    }))
+
+
+def threshold_sweep(unified, candidates, granularity: int = 20):
+    """Per-score-bucket pair counts for threshold tuning: bucket =
+    floor(score · granularity) (null scores → −granularity), with the
+    count of pairs and of TRUE pairs (endpoints share a real entity) in
+    each bucket — cumulate downstream for the precision/recall curve.
+    Exact integers; the one float op (floor of a stored double × an
+    integer) is IEEE-identical in SQL.
+
+    Scale shape: two broadcast label attaches, per-batch bucket
+    pre-counts, one bounded grouped Sum."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from payor_linkage.rayutil import lookup_join
+
+    labels = unified.select_columns(["source_record_id", "entity_id"]) \
+        .materialize()
+    pairs = candidates.select_columns(
+        ["source_record_id_a", "source_record_id_b", "overall_score"]) \
+        .materialize()
+    ea = lookup_join(
+        pairs.map_batches(
+            lambda b: pa.table({"source_record_id": b["source_record_id_a"],
+                                "other": b["source_record_id_b"],
+                                "score": b["overall_score"]}),
+            batch_format="pyarrow"),
+        labels, "source_record_id")
+    eb = lookup_join(
+        ea.map_batches(
+            lambda b: pa.table({"source_record_id": b["other"],
+                                "ent_a": b["entity_id"],
+                                "score": b["score"]}),
+            batch_format="pyarrow"),
+        labels, "source_record_id")
+
+    def partial(b: pa.Table) -> pa.Table:
+        sc = b["score"].to_numpy(zero_copy_only=False)
+        bucket = np.where(np.isnan(sc), -granularity,
+                          np.floor(np.nan_to_num(sc) * granularity)) \
+            .astype(np.int64)
+        true = (pc.and_(pc.equal(b["ent_a"], b["entity_id"]),
+                        pc.not_equal(b["ent_a"], -1))
+                .to_numpy(zero_copy_only=False).astype(np.int64))
+        t = pa.table({"bucket": pa.array(bucket, pa.int64()),
+                      "n_pairs": pa.array(np.ones(len(bucket), np.int64)),
+                      "n_true": pa.array(true, pa.int64())})
+        return t.group_by("bucket").aggregate(
+            [("n_pairs", "sum"), ("n_true", "sum")]) \
+            .rename_columns(["bucket", "n_pairs", "n_true"])
+
+    return (eb.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket").aggregate(
+                Sum("n_pairs", alias_name="n_pairs"),
+                Sum("n_true", alias_name="n_true")))
