@@ -106,42 +106,46 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "mdm_replicas": replicas,
     })
 
-    # ── incremental maintenance: add a ~14% delta WITHOUT re-scoring ──
-    # prior = full linkage of the first ~86% of replica worlds (untimed
-    # setup); the delta is the remaining worlds — the realistic
-    # maintenance scenario (a new landing drop of new entities), vs the
-    # adversarial uniform-sprinkle split the byte-parity test uses. The
-    # timed call blocks+scores only delta-touching pairs and patches
-    # only changed groups/hierarchy edges
-    import pyarrow as pa
-    import pyarrow.compute as pc
+    if os.environ.get("GRAFT_SKIP_INCREMENTAL") != "1":
+        # scaling runs skip this stage — the harness reads only
+        # mdm_pipeline / pairs-per-sec, and the prior full run
+        # would double each attempt's wall time
+        # ── incremental maintenance: add a ~14% delta WITHOUT re-scoring ──
+        # prior = full linkage of the first ~86% of replica worlds (untimed
+        # setup); the delta is the remaining worlds — the realistic
+        # maintenance scenario (a new landing drop of new entities), vs the
+        # adversarial uniform-sprinkle split the byte-parity test uses. The
+        # timed call blocks+scores only delta-touching pairs and patches
+        # only changed groups/hierarchy edges
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    from payor_linkage.pipeline import incremental_update, run_linkage
+        from payor_linkage.pipeline import incremental_update, run_linkage
 
-    cutoff = replicas - max(1, replicas // 7)
+        cutoff = replicas - max(1, replicas // 7)
 
-    def _split(keep_new: bool):
-        def f(b: pa.Table) -> pa.Table:
-            loc = pc.list_element(pc.split_pattern(b["doc_id"], ":"), 1)
-            isr = pc.match_substring_regex(loc, r"^R[0-9]{5}-")
-            w = pc.cast(pc.if_else(
-                isr, pc.utf8_slice_codeunits(loc, 1, 6), "0"), pa.int64())
-            m = pc.greater_equal(w, cutoff)
-            return b.filter(m if keep_new else pc.invert(m))
-        return docs.map_batches(f, batch_format="pyarrow").materialize()
+        def _split(keep_new: bool):
+            def f(b: pa.Table) -> pa.Table:
+                loc = pc.list_element(pc.split_pattern(b["doc_id"], ":"), 1)
+                isr = pc.match_substring_regex(loc, r"^R[0-9]{5}-")
+                w = pc.cast(pc.if_else(
+                    isr, pc.utf8_slice_codeunits(loc, 1, 6), "0"), pa.int64())
+                m = pc.greater_equal(w, cutoff)
+                return b.filter(m if keep_new else pc.invert(m))
+            return docs.map_batches(f, batch_format="pyarrow").materialize()
 
-    old_docs, new_docs = _split(False), _split(True)
-    prior = run_linkage(old_docs)
-    t0 = time.time()
-    inc = incremental_update(prior, new_docs)
-    inc_golden = inc.golden.count()
-    inc_sec = time.time() - t0
-    queries["incremental_update"] = round(inc_sec, 2)
-    extra.update({
-        "incremental_new_docs": new_docs.count(),
-        "incremental_golden": inc_golden,
-        "incremental_vs_full": round(inc_sec / max(mdm_sec, 1e-9), 3),
-    })
+        old_docs, new_docs = _split(False), _split(True)
+        prior = run_linkage(old_docs)
+        t0 = time.time()
+        inc = incremental_update(prior, new_docs)
+        inc_golden = inc.golden.count()
+        inc_sec = time.time() - t0
+        queries["incremental_update"] = round(inc_sec, 2)
+        extra.update({
+            "incremental_new_docs": new_docs.count(),
+            "incremental_golden": inc_golden,
+            "incremental_vs_full": round(inc_sec / max(mdm_sec, 1e-9), 3),
+        })
 
     # ── dataops over the driver tables ────────────────────────────────
     docs_path = os.path.join(sf_dir, "documents.parquet")
@@ -262,7 +266,8 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
         best = None
         for _ in range(attempts):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
-                       GRAFT_MDM_REPLICAS=scaling_replicas)
+                       GRAFT_MDM_REPLICAS=scaling_replicas,
+                       GRAFT_SKIP_INCREMENTAL="1")
             out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                                  env=env, capture_output=True, text=True,
                                  check=True,
