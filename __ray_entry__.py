@@ -310,6 +310,26 @@ def q_vocab_coverage(sf_dir: str):
     return vocab_coverage(_docs(sf_dir), 500)
 
 
+def q_bag_except(sf_dir: str):
+    """EXCEPT ALL bag semantics as counts: n_chars multiplicities seen
+    in 'en' documents beyond their 'de' multiplicities (positive rows
+    only) — one tagged pass, one bounded grouped Sum."""
+    from payor_linkage.dataops.aggregates import bag_except_counts
+
+    return bag_except_counts(_docs(sf_dir), key_col="n_chars",
+                             part_col="lang", keep="en", drop="de")
+
+
+def q_distinct_topk(sf_dir: str):
+    """Top event types by DISTINCT user count (rank + count) — the
+    distinct-count ranking composition: per-batch pair dedup → grouped
+    count → bounded final rank with (count DESC, key ASC) ties."""
+    from payor_linkage.dataops.aggregates import distinct_count_topk
+
+    return distinct_count_topk(_events(sf_dir), key="event_type",
+                               distinct_col="user_id", k=3)
+
+
 def q_weighted_median(sf_dir: str):
     """Per-returnflag weighted lower median of quantity (weights =
     line numbers): the element quantile_disc would select over the
@@ -2594,6 +2614,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_longest_streak": q_longest_streak,
         "q_rank_against": q_rank_against,
         "q_vocab_coverage": q_vocab_coverage,
+        "q_bag_except": q_bag_except,
+        "q_distinct_topk": q_distinct_topk,
         "q_prorate": q_prorate,
         "q_cube_counts": q_cube_counts,
         "q_fill_forward": q_fill_forward,
@@ -2759,6 +2781,27 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM orders r
                     WHERE r.o_orderpriority = '1-URGENT') AS ref_n
             FROM orders o
+        """,
+        "q_bag_except": """
+            WITH a AS (SELECT n_chars, count(*) AS c FROM documents
+                       WHERE lang = 'en' GROUP BY 1),
+            b AS (SELECT n_chars, count(*) AS c FROM documents
+                  WHERE lang = 'de' GROUP BY 1)
+            SELECT a.n_chars,
+                   CAST(a.c - coalesce(b.c, 0) AS BIGINT) AS n_excess
+            FROM a LEFT JOIN b USING (n_chars)
+            WHERE a.c - coalesce(b.c, 0) > 0
+        """,
+        "q_distinct_topk": """
+            SELECT event_type, rank, n_distinct FROM (
+              SELECT event_type,
+                     CAST(row_number() OVER (
+                         ORDER BY count(DISTINCT user_id) DESC,
+                                  event_type) AS BIGINT) AS rank,
+                     CAST(count(DISTINCT user_id) AS BIGINT)
+                         AS n_distinct
+              FROM events GROUP BY event_type)
+            WHERE rank <= 3
         """,
         "q_vocab_coverage": """
             WITH tok AS (

@@ -508,6 +508,77 @@ def share_of_group_bps(ds: Dataset, key: str, value_col: str,
     return j.map_batches(share, batch_format="pyarrow")
 
 
+def bag_except_counts(ds: Dataset, key_col: str, part_col: str,
+                      keep: str, drop: str,
+                      out_col: str = "n_excess") -> Dataset:
+    """EXCEPT ALL with bag semantics, as counts: for each value, how
+    many MORE times it appears in the ``keep`` partition than in the
+    ``drop`` partition (positive rows only) — multiplicity-aware set
+    difference without materializing repeated rows. One tagged pass +
+    one bounded grouped Sum (per-batch Arrow group_by combiner)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        isk = pc.equal(b[part_col], keep)
+        isd = pc.equal(b[part_col], drop)
+        m = b.filter(pc.or_(isk, isd))
+        flag = pc.equal(m[part_col], keep).to_numpy(zero_copy_only=False)
+        t = pa.table({key_col: m[key_col],
+                      "_k": pa.array(flag.astype(np.int64)),
+                      "_d": pa.array((~flag).astype(np.int64))})
+        return t.group_by(key_col).aggregate(
+            [("_k", "sum"), ("_d", "sum")]) \
+            .rename_columns([key_col, "_k", "_d"])
+
+    agg = (ds.select_columns([key_col, part_col])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(key_col).aggregate(Sum("_k", alias_name="_k"),
+                                       Sum("_d", alias_name="_d")))
+
+    def excess(b: pa.Table) -> pa.Table:
+        e = pc.subtract(b["_k"], b["_d"])
+        m = pa.table({key_col: b[key_col], out_col: e}) \
+            .filter(pc.greater(e, 0))
+        return m
+
+    return agg.map_batches(excess, batch_format="pyarrow")
+
+
+def distinct_count_topk(ds: Dataset, key: str, distinct_col: str,
+                        k: int, out_n: str = "n_distinct") -> Dataset:
+    """Rank keys by DISTINCT count of another column, keep the top-k —
+    e.g. top event types by distinct users. Two-level shrink: per-batch
+    (key, value) dedup bounds the first exchange at pairs × blocks, a
+    grouped count collapses to one row per key (bounded by the key
+    vocabulary), and the final rank runs on that bounded table with a
+    deterministic tie-break (count DESC, key ASC)."""
+    def dedup(b: pa.Table) -> pa.Table:
+        return b.group_by([key, distinct_col]).aggregate([])
+
+    pairs = (ds.select_columns([key, distinct_col])
+             .map_batches(dedup, batch_format="pyarrow")
+             .groupby([key, distinct_col]).count()
+             .groupby(key).count())
+
+    def rank_batch(b: pa.Table) -> pa.Table:
+        n = b["count()"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = pc.sort_indices(pa.table({"n": pa.array(-n),
+                                          "k": b[key]}),
+                                sort_keys=[("n", "ascending"),
+                                           ("k", "ascending")])
+        o = order.to_numpy(zero_copy_only=False)[:k]
+        return pa.table({
+            key: b[key].take(pa.array(o)),
+            "rank": pa.array(np.arange(1, len(o) + 1, dtype=np.int64)),
+            out_n: pa.array(n[o], pa.int64()),
+        })
+
+    # key vocabulary is bounded: one coalesced pass ranks globally
+    return pairs.repartition(1).map_batches(rank_batch,
+                                            batch_format="pyarrow",
+                                            batch_size=None)
+
+
 def grouped_mode(ds: Dataset, key: str, value_col: str,
                  out_val: str = "mode_val", out_n: str = "n") -> Dataset:
     """Most frequent value per key with deterministic tie-break

@@ -1078,10 +1078,13 @@ def bpe_segment(ds: Dataset, merges: pa.Table,
     word-grain output is bounded by the corpus vocabulary — encoding
     full documents is this same kernel applied to a (doc, word) explode
     plus a broadcast word→seg lookup."""
-    pairs = list(zip(merges["left_sym"].to_pylist(),
-                     merges["right_sym"].to_pylist()))
+    import ray
+
+    pairs_ref = ray.put(list(zip(merges["left_sym"].to_pylist(),
+                                 merges["right_sym"].to_pylist())))
 
     def seg(b: pa.Table) -> pa.Table:
+        pairs = ray.get(pairs_ref)
         if b.num_rows == 0:
             return pa.table({"word": pa.array([], pa.string()),
                              "n": pa.array([], pa.int64()),

@@ -217,7 +217,11 @@ def write_ipc_dir(ds: Dataset, path: str) -> str:
     retried task rewrites the same file instead of duplicating it —
     idempotent by construction, like the hive writer's done markers.
     Directory truncated first so re-runs are idempotent. Returns the
-    directory path."""
+    directory path.
+
+    Multi-node note: ``path`` must be shared storage (NFS/S3-fuse) —
+    tasks write from whichever node runs them (the same contract as
+    Ray's own file-based writers)."""
     import hashlib
     import io
     import shutil

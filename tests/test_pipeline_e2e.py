@@ -259,3 +259,59 @@ def test_incremental_matches_full(ray_session):
     n_delta = delta_blocking_pairs(inc.unified, new_ids).count()
     n_full = full.candidates.count()
     assert n_delta < 0.6 * n_full, (n_delta, n_full)
+
+
+def test_incremental_with_steward_overlay(ray_session):
+    """The incremental path honors a steward overlay identically to a
+    full run: candidate ids are pair-content uuid5s, so the same overlay
+    applies to both paths and all outputs stay byte-equal."""
+    import zlib
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from payor_linkage.pipeline import incremental_update, run_linkage
+    from payor_linkage.synth import synth_documents
+
+    docs = synth_documents(1).materialize()
+
+    def split(keep_new: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = [(zlib.crc32(str(i).encode()) % 7 == 0) == keep_new
+                 for i in b["doc_id"].to_pylist()]
+            return b.filter(pa.array(m))
+        return docs.map_batches(f, batch_format="pyarrow").materialize()
+
+    old_docs, new_docs = split(False), split(True)
+    base_full = run_linkage(docs)
+    cands = base_full.candidates.to_pandas()
+    review = cands[cands.auto_decision == "review"]
+    if len(review) == 0:
+        pytest.skip("no review-band candidates in this corpus")
+    pick = review.iloc[0]
+    overlay = rd.from_items([{
+        "candidate_id": pick.candidate_id,
+        "steward_decision": "confirmed_match",
+        "steward_user": "tester", "steward_notes": "", }])
+
+    prior = run_linkage(old_docs, steward_overlay=overlay)
+    inc = incremental_update(prior, new_docs, steward_overlay=overlay)
+    full = run_linkage(docs, steward_overlay=overlay)
+
+    def canon(ds, drop=()):
+        df = ds.to_pandas()
+        df = df[[c for c in sorted(df.columns) if c not in drop]]
+        for c in df.columns:
+            if df[c].dtype == object:
+                df[c] = df[c].astype(str)
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    for name, a, b, drop in [
+            ("candidates", inc.candidates, full.candidates, ()),
+            ("groups", inc.groups, full.groups, ()),
+            ("golden", inc.golden, full.golden, ("spans",)),
+            ("xref", inc.xref, full.xref, ()),
+            ("hierarchy", inc.hierarchy, full.hierarchy, ())]:
+        pd.testing.assert_frame_equal(canon(a, drop), canon(b, drop),
+                                      check_dtype=False, obj=name)
