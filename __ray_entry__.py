@@ -310,6 +310,52 @@ def q_vocab_coverage(sf_dir: str):
     return vocab_coverage(_docs(sf_dir), 500)
 
 
+def q_densify(sf_dir: str):
+    """Time-grid densification with LOCF (resample / gap-fill): one row
+    per user per 6-hour slot between their first and last event,
+    carrying the latest at-or-before value (ties by max event id) —
+    slots as epoch multiples in pure integer arithmetic, value selected
+    never computed."""
+    from payor_linkage.dataops.temporal import densify_locf
+
+    return densify_locf(_events(sf_dir), 21_600_000_000)
+
+
+def q_union_by_name(sf_dir: str):
+    """Schema-evolution UNION ALL BY NAME: two drifted projections of
+    documents (different order, different missing columns) align by
+    name with null fill; gate = per-column presence counts."""
+    from ray.data.aggregate import Count, Sum
+
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    from payor_linkage.dataops.reshape import union_by_name
+
+    d = _docs(sf_dir)
+    a = d.select_columns(["doc_id", "lang"])
+    b = d.select_columns(["n_chars", "doc_id", "source"])
+    u = union_by_name(a, b)
+
+    def flags(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_lang": _pc.cast(_pc.is_valid(t["lang"]), pa.int64()),
+            "n_chars_p": _pc.cast(_pc.is_valid(t["n_chars"]), pa.int64()),
+            "n_source": _pc.cast(_pc.is_valid(t["source"]), pa.int64()),
+        })
+
+    import ray.data as rd
+
+    agg = u.map_batches(flags, batch_format="pyarrow").aggregate(
+        Count(alias_name="n_rows"),
+        Sum("n_lang", alias_name="n_lang"),
+        Sum("n_chars_p", alias_name="n_chars_p"),
+        Sum("n_source", alias_name="n_source"))
+    return rd.from_arrow(pa.table(
+        {k: pa.array([int(agg[k])], pa.int64()) for k in
+         ("n_rows", "n_lang", "n_chars_p", "n_source")}))
+
+
 def q_bag_except(sf_dir: str):
     """EXCEPT ALL bag semantics as counts: n_chars multiplicities seen
     in 'en' documents beyond their 'de' multiplicities (positive rows
@@ -2615,6 +2661,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rank_against": q_rank_against,
         "q_vocab_coverage": q_vocab_coverage,
         "q_bag_except": q_bag_except,
+        "q_densify": q_densify,
+        "q_union_by_name": q_union_by_name,
         "q_distinct_topk": q_distinct_topk,
         "q_prorate": q_prorate,
         "q_cube_counts": q_cube_counts,
@@ -2781,6 +2829,42 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM orders r
                     WHERE r.o_orderpriority = '1-URGENT') AS ref_n
             FROM orders o
+        """,
+        "q_densify": """
+            WITH agg AS (
+              SELECT user_id,
+                     (epoch_us(min(ts)) + 21599999999) // 21600000000
+                         AS lo,
+                     epoch_us(max(ts)) // 21600000000 AS hi
+              FROM events GROUP BY 1
+            ),
+            grid AS (
+              SELECT user_id,
+                     unnest(generate_series(lo, hi)) * 21600000000
+                         AS slot_us
+              FROM agg WHERE hi >= lo
+            )
+            SELECT g.user_id, g.slot_us,
+                   (SELECT e.value FROM events e
+                    WHERE e.user_id = g.user_id
+                      AND epoch_us(e.ts) <= g.slot_us
+                    ORDER BY e.ts DESC, e.event_id DESC
+                    LIMIT 1) AS value
+            FROM grid g
+        """,
+        "q_union_by_name": """
+            WITH u AS (
+              SELECT doc_id, lang, NULL::BIGINT AS n_chars,
+                     NULL::VARCHAR AS source
+              FROM documents
+              UNION ALL
+              SELECT doc_id, NULL, n_chars, source FROM documents
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(lang) AS BIGINT) AS n_lang,
+                   CAST(count(n_chars) AS BIGINT) AS n_chars_p,
+                   CAST(count(source) AS BIGINT) AS n_source
+            FROM u
         """,
         "q_bag_except": """
             WITH a AS (SELECT n_chars, count(*) AS c FROM documents

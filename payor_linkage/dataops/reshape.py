@@ -286,3 +286,33 @@ def zorder_code(ds: Dataset, x_col: str, y_col: str,
         return b.append_column(out_col, pa.array(z, pa.int64()))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def union_by_name(a: Dataset, b: Dataset) -> Dataset:
+    """Schema-evolution union (UNION ALL BY NAME): align two datasets by
+    COLUMN NAME — reordering freely, null-filling columns missing from
+    either side — the landing-zone primitive for feeds whose schema
+    drifted between drops. Shared columns must agree on type. Map-only
+    (each side reshapes in place); the union itself moves nothing."""
+    sa, sb = a.schema().base_schema, b.schema().base_schema
+    ta = {f.name: f.type for f in sa}
+    tb = {f.name: f.type for f in sb}
+    for n in set(ta) & set(tb):
+        if ta[n] != tb[n]:
+            raise ValueError(f"union_by_name: column {n!r} has type "
+                             f"{ta[n]} vs {tb[n]}")
+    names = list(ta) + [n for n in tb if n not in ta]
+    types = {**tb, **ta}
+    canon = pa.schema([(n, types[n]) for n in names])
+
+    def align(have):
+        def f(batch: pa.Table) -> pa.Table:
+            cols = {}
+            for n in names:
+                cols[n] = (batch[n] if n in have
+                           else pa.nulls(batch.num_rows, types[n]))
+            return pa.table(cols).cast(canon)
+        return f
+
+    return (a.map_batches(align(set(ta)), batch_format="pyarrow")
+            .union(b.map_batches(align(set(tb)), batch_format="pyarrow")))

@@ -796,3 +796,71 @@ def longest_streak(events: Dataset, on: str = "user_id",
         }).cast(out_schema)
 
     return grouped_apply(slim, on, out_schema=out_schema, runs_fn=runs)
+
+
+def densify_locf(events: Dataset, step_us: int, on: str = "user_id",
+                 ts_col: str = "ts", id_col: str = "event_id",
+                 value_col: str = "value") -> Dataset:
+    """Time-grid densification with LOCF (resample / gap-fill): for
+    every key, emit one row per ``step_us`` grid slot between its first
+    and last event (slots are epoch multiples, ceil(min)..floor(max),
+    all-integer arithmetic) carrying the value of the latest event
+    at-or-before the slot (ties by max id). The value is SELECTED,
+    never computed, so float parity is exact.
+
+    One grouped sort; the grid is a vectorized per-run arange and the
+    LOCF attach one block-wide searchsorted — the row-MULTIPLYING shape
+    (output ≈ span/step per key), so pick ``step_us`` to the analysis
+    grain, not below it."""
+    s = events.schema()
+    key_type = dict(zip(s.names, s.types))[on]
+    vt = dict(zip(s.names, s.types))[value_col]
+    out_schema = pa.schema([(on, key_type), ("slot_us", pa.int64()),
+                            (value_col, vt)])
+    slim = events.map_batches(
+        lambda b: pa.table({on: b[on],
+                            "_ts": pa.compute.cast(
+                                pa.compute.cast(b[ts_col],
+                                                pa.timestamp("us")),
+                                pa.int64()),
+                            "_id": b[id_col],
+                            value_col: b[value_col]}),
+        batch_format="pyarrow")
+
+    def runs(b: pa.Table, starts, ends) -> pa.Table:
+        lo, hi = starts[0], ends[-1]
+        rid = _run_ids_local(starts, ends)
+        ts = b["_ts"].to_numpy(zero_copy_only=False)[lo:hi]
+        eid = b["_id"].to_numpy(zero_copy_only=False)[lo:hi]
+        order = np.lexsort((eid, ts, rid))
+        t = ts[order]
+        # per-run grid + one searchsorted per run (the asof_join loop
+        # precedent — a run-offset combined key would overflow int64 at
+        # epoch-µs spans × run index)
+        slots, idxs, key_rows = [], [], []
+        for r in range(len(starts)):
+            st, en = starts[r] - lo, ends[r] - lo
+            tr = t[st:en]
+            s_lo = (tr[0] + step_us - 1) // step_us
+            s_hi = tr[-1] // step_us
+            if s_hi < s_lo:
+                continue
+            sl = np.arange(s_lo, s_hi + 1, dtype=np.int64) * step_us
+            # first slot ≥ first event, so the probe always matches
+            idx = np.searchsorted(tr, sl, side="right") - 1 + st
+            slots.append(sl)
+            idxs.append(idx)
+            key_rows.append(np.full(len(sl), starts[r], np.int64))
+        if not slots:
+            return out_schema.empty_table()
+        slot = np.concatenate(slots)
+        idx = np.concatenate(idxs)
+        vals = b[value_col].combine_chunks() \
+            .take(pa.array(order[idx] + lo))
+        return pa.table({
+            on: b[on].take(pa.array(np.concatenate(key_rows))),
+            "slot_us": pa.array(slot, pa.int64()),
+            value_col: vals,
+        }).cast(out_schema)
+
+    return grouped_apply(slim, on, out_schema=out_schema, runs_fn=runs)

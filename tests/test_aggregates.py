@@ -1026,3 +1026,72 @@ def test_rank_against_matches_brute(ray_session):
     with pytest.raises(ValueError):
         rank_against(_ds(df), _ds(ref), "v", carry_cols=["id"],
                      max_ref_rows=10)
+
+
+def test_densify_locf_matches_duckdb(ray_session):
+    import duckdb
+
+    from payor_linkage.dataops.temporal import densify_locf
+
+    rng = np.random.default_rng(53)
+    n = 900
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 19, n).astype(np.int64),
+        "ts": pd.to_datetime(rng.integers(0, 400_000, n), unit="s"),
+        "event_id": np.arange(n, dtype=np.int64),
+        "value": np.round(rng.normal(0, 5, n), 6),
+    })
+    step = 7_200_000_000  # 2h
+    out = (densify_locf(_ds(df), step)
+           .to_pandas().sort_values(["user_id", "slot_us"])
+           .reset_index(drop=True))
+    exp = duckdb.sql(f"""
+        WITH agg AS (
+          SELECT user_id,
+                 (epoch_us(min(ts)) + {step - 1}) // {step} AS lo,
+                 epoch_us(max(ts)) // {step} AS hi
+          FROM df GROUP BY 1),
+        grid AS (
+          SELECT user_id, unnest(generate_series(lo, hi)) * {step}
+                     AS slot_us
+          FROM agg WHERE hi >= lo)
+        SELECT g.user_id, g.slot_us,
+               (SELECT e.value FROM df e
+                WHERE e.user_id = g.user_id
+                  AND epoch_us(e.ts) <= g.slot_us
+                ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS value
+        FROM grid g ORDER BY user_id, slot_us
+    """).df()
+    assert len(exp) > 0
+    pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
+
+
+def test_densify_single_event_within_slot(ray_session):
+    """A key whose whole history fits strictly inside one slot interval
+    emits zero rows (ceil(min) > floor(max)) — no phantom grid."""
+    from payor_linkage.dataops.temporal import densify_locf
+
+    df = pd.DataFrame({
+        "user_id": np.int64([1]),
+        "ts": pd.to_datetime(["2024-01-01 00:30:00"]),
+        "event_id": np.int64([0]),
+        "value": [1.5],
+    })
+    assert densify_locf(_ds(df), 3_600_000_000).count() == 0
+
+
+def test_union_by_name_aligns_and_guards(ray_session):
+    from payor_linkage.dataops.reshape import union_by_name
+
+    a = pd.DataFrame({"x": np.int64([1, 2]), "y": ["a", "b"]})
+    b = pd.DataFrame({"z": [0.5], "x": np.int64([3])})
+    u = union_by_name(_ds(a), _ds(b)).to_pandas() \
+        .sort_values("x").reset_index(drop=True)
+    assert u.columns.tolist() == ["x", "y", "z"]
+    assert u["x"].tolist() == [1, 2, 3]
+    assert u["y"].tolist()[:2] == ["a", "b"] and pd.isna(u["y"][2])
+    assert pd.isna(u["z"][:2]).all() and u["z"][2] == 0.5
+
+    bad = pd.DataFrame({"x": ["not-int"]})
+    with pytest.raises(ValueError):
+        union_by_name(_ds(a), _ds(bad))
