@@ -429,8 +429,11 @@ def q_sessionize(sf_dir: str):
 def q_anti_join(sf_dir: str):
     """Broadcast temporal anti-join (O7): click events with NO signup by
     the same user at or before the click. The per-user first-signup
-    timestamp map is a bounded aggregate — broadcast once (ray.put),
-    every batch filters against it; no shuffle."""
+    timestamp table is a bounded aggregate — collected once as two
+    SORTED parallel numpy arrays (size-guarded like ``rank_against``),
+    broadcast once (ray.put), probed per batch with ``np.searchsorted``;
+    no shuffle, no per-row Python."""
+    import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray
@@ -441,15 +444,32 @@ def q_anti_join(sf_dir: str):
         lambda b: b.filter(pc.equal(b["event_type"], "signup"))
                    .select(["user_id", "ts"]),
         batch_format="pyarrow")
-        .groupby("user_id").aggregate(Min("ts", alias_name="first_ts")))
-    ref = ray.put({r["user_id"]: r["first_ts"] for r in first_signup.take_all()})
+        .groupby("user_id").aggregate(Min("ts", alias_name="first_ts"))
+        .materialize())
+    n_users = first_signup.count()
+    if n_users > 20_000_000:
+        raise ValueError(
+            f"first-signup side has {n_users} users — too large to "
+            "broadcast; use a shuffle join (rayutil.smart_join) instead")
+    st = pa.concat_tables(ray.get(first_signup.to_arrow_refs()),
+                          promote_options="default")
+    users = st["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+    firsts = st["first_ts"].combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.argsort(users)
+    ref = ray.put((users[order], firsts[order]))
 
     def anti(b: pa.Table) -> pa.Table:
-        first = ray.get(ref)
+        su, sf = ray.get(ref)
         m = b.filter(pc.equal(b["event_type"], "click"))
-        keep = [u not in first or t < first[u]
-                for u, t in zip(m["user_id"].to_pylist(), m["ts"].to_pylist())]
-        m = m.filter(pa.array(keep, pa.bool_()))
+        uid = m["user_id"].to_numpy(zero_copy_only=False)
+        ts = m["ts"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(su, uid)
+        pos_c = np.minimum(pos, len(su) - 1) if len(su) else pos
+        found = (pos < len(su)) & (su[pos_c] == uid) if len(su) \
+            else np.zeros(len(uid), bool)
+        keep = ~found | (ts < sf[pos_c]) if len(su) \
+            else np.ones(len(uid), bool)
+        m = m.filter(pa.array(keep))
         return pa.table({"event_id": m["event_id"], "user_id": m["user_id"]})
 
     return ev.map_batches(anti, batch_format="pyarrow")
@@ -2526,10 +2546,60 @@ def q_window_distinct(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # First 50 entries are the driver-correctness window for this round:
+    # the full q_mdm_* core + queries not yet driver-verified in r02/r03.
     return {
-        "q_normalize_text": q_normalize_text,
-        "q_block_counts": q_block_counts,
+        "q_mdm_golden": q_mdm_golden,
+        "q_mdm_components": q_mdm_components,
+        "q_mdm_decisions": q_mdm_decisions,
+        "q_mdm_xref": q_mdm_xref,
+        "q_mdm_incremental": q_mdm_incremental,
+        "q_mdm_confusion": q_mdm_confusion,
+        "q_mdm_hierarchy_edges": q_mdm_hierarchy_edges,
+        "q_mdm_candidates": q_mdm_candidates,
+        "q_mdm_groups": q_mdm_groups,
+        "q_mdm_hierarchy": q_mdm_hierarchy,
+        "q_mdm_blocking_quality": q_mdm_blocking_quality,
+        "q_mdm_bcubed": q_mdm_bcubed,
+        "q_mdm_threshold_sweep": q_mdm_threshold_sweep,
+        "q_mdm_children_count": q_mdm_children_count,
+        "q_mdm_hierarchy_orphans": q_mdm_hierarchy_orphans,
+        "q_mdm_source_completeness": q_mdm_source_completeness,
+        "q_mdm_source_pair_match_rate": q_mdm_source_pair_match_rate,
+        "q_mdm_golden_source_count": q_mdm_golden_source_count,
+        "q_corpus_pipeline": q_corpus_pipeline,
         "q_blocking_pairs": q_blocking_pairs,
+        "q_normalize_text": q_normalize_text,
+        "q_grouped_topk": q_grouped_topk,
+        "q_grouped_quantiles": q_grouped_quantiles,
+        "q_pivot_counts": q_pivot_counts,
+        "q_running_seq": q_running_seq,
+        "q_hll_registers": q_hll_registers,
+        "q_revenue_by_nation": q_revenue_by_nation,
+        "q_supplier_by_region": q_supplier_by_region,
+        "q_part_brand_stats": q_part_brand_stats,
+        "q_lag_delta": q_lag_delta,
+        "q_string_agg": q_string_agg,
+        "q_rollup_counts": q_rollup_counts,
+        "q_partitioned_roundtrip": q_partitioned_roundtrip,
+        "q_rolling_max": q_rolling_max,
+        "q_token_explode": q_token_explode,
+        "q_value_histogram": q_value_histogram,
+        "q_distinct_except": q_distinct_except,
+        "q_grouped_mode": q_grouped_mode,
+        "q_ntile": q_ntile,
+        "q_embedding_argmax": q_embedding_argmax,
+        "q_melt": q_melt,
+        "q_interleave": q_interleave,
+        "q_dense_rank": q_dense_rank,
+        "q_contamination": q_contamination,
+        "q_sliding_max": q_sliding_max,
+        "q_cumsum": q_cumsum,
+        "q_distinct_intersect": q_distinct_intersect,
+        "q_top_term_df": q_top_term_df,
+        "q_first_last_value": q_first_last_value,
+        "q_stratified_sample": q_stratified_sample,
+        "q_block_counts": q_block_counts,
         "q_charset_jaccard_pairs": q_charset_jaccard_pairs,
         "q_exact_dedup": q_exact_dedup,
         "q_events_by_type": q_events_by_type,
@@ -2580,54 +2650,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bm25_topk": q_bm25_topk,
         "q_jsonl_roundtrip": q_jsonl_roundtrip,
         "q_csv_roundtrip": q_csv_roundtrip,
-        "q_mdm_golden": q_mdm_golden,
-        "q_mdm_candidates": q_mdm_candidates,
-        "q_mdm_decisions": q_mdm_decisions,
-        "q_mdm_components": q_mdm_components,
-        "q_mdm_groups": q_mdm_groups,
-        "q_mdm_incremental": q_mdm_incremental,
-        "q_mdm_blocking_quality": q_mdm_blocking_quality,
-        "q_mdm_bcubed": q_mdm_bcubed,
-        "q_mdm_confusion": q_mdm_confusion,
-        "q_mdm_threshold_sweep": q_mdm_threshold_sweep,
-        "q_mdm_xref": q_mdm_xref,
-        "q_mdm_hierarchy": q_mdm_hierarchy,
-        "q_mdm_hierarchy_edges": q_mdm_hierarchy_edges,
-        "q_mdm_children_count": q_mdm_children_count,
-        "q_mdm_hierarchy_orphans": q_mdm_hierarchy_orphans,
-        "q_mdm_source_completeness": q_mdm_source_completeness,
-        "q_mdm_source_pair_match_rate": q_mdm_source_pair_match_rate,
-        "q_mdm_golden_source_count": q_mdm_golden_source_count,
-        "q_grouped_topk": q_grouped_topk,
-        "q_grouped_quantiles": q_grouped_quantiles,
-        "q_pivot_counts": q_pivot_counts,
-        "q_running_seq": q_running_seq,
-        "q_hll_registers": q_hll_registers,
-        "q_revenue_by_nation": q_revenue_by_nation,
-        "q_supplier_by_region": q_supplier_by_region,
-        "q_part_brand_stats": q_part_brand_stats,
-        "q_lag_delta": q_lag_delta,
-        "q_string_agg": q_string_agg,
-        "q_rollup_counts": q_rollup_counts,
-        "q_partitioned_roundtrip": q_partitioned_roundtrip,
-        "q_rolling_max": q_rolling_max,
-        "q_token_explode": q_token_explode,
-        "q_value_histogram": q_value_histogram,
-        "q_distinct_except": q_distinct_except,
-        "q_grouped_mode": q_grouped_mode,
-        "q_ntile": q_ntile,
-        "q_embedding_argmax": q_embedding_argmax,
-        "q_melt": q_melt,
-        "q_interleave": q_interleave,
-        "q_dense_rank": q_dense_rank,
-        "q_contamination": q_contamination,
-        "q_sliding_max": q_sliding_max,
-        "q_cumsum": q_cumsum,
-        "q_distinct_intersect": q_distinct_intersect,
-        "q_top_term_df": q_top_term_df,
-        "q_corpus_pipeline": q_corpus_pipeline,
-        "q_first_last_value": q_first_last_value,
-        "q_stratified_sample": q_stratified_sample,
         "q_cms_registers": q_cms_registers,
         "q_bloom_bits": q_bloom_bits,
         "q_funnel": q_funnel,

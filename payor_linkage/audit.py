@@ -110,14 +110,19 @@ def pipeline_metrics(unified: Dataset, candidates: Dataset, groups: Dataset,
 
 def source_field_completeness(unified: Dataset, fields: list[str]) -> Dataset:
     """Per-source field-completeness percentages (`DataQuality.tsx:31-40`):
-    partial counts per batch, then one small grouped sum — no full shuffle."""
+    partial counts per batch (validity bitmaps via Arrow's native
+    ``group_by`` — the `profile_nulls` pattern, no pandas conversion),
+    then one small grouped sum — no full shuffle."""
     def partial(b: pa.Table) -> pa.Table:
-        import pandas as pd
-        df = b.select(["source_system"] + fields).to_pandas()
-        agg = df.groupby("source_system").agg(
-            **{f"nn_{f}": (f, lambda s: int(s.notna().sum())) for f in fields},
-            total=("source_system", "size"))
-        return pa.Table.from_pandas(agg.reset_index(), preserve_index=False)
+        cols = {"source_system": b["source_system"]}
+        for f in fields:
+            cols[f"nn_{f}"] = pc.cast(pc.is_valid(b[f]), pa.int64())
+        import numpy as np
+        cols["total"] = pa.array(np.ones(b.num_rows, np.int64))
+        agg = pa.table(cols).group_by("source_system").aggregate(
+            [(f"nn_{f}", "sum") for f in fields] + [("total", "sum")])
+        return agg.rename_columns(
+            ["source_system"] + [f"nn_{f}" for f in fields] + ["total"])
 
     partials = unified.map_batches(partial, batch_format="pyarrow")
     aggs = [Sum(f"nn_{f}", alias_name=f"nn_{f}") for f in fields]

@@ -98,16 +98,12 @@ def _is_degenerate_key(bkey: str) -> bool:
     return False
 
 
-def _find_hot_keys(key_rows: Dataset, cap: int, park_degenerate: bool,
-                   park_above: int | None = None,
-                   pho_cap: int | None = None) -> dict[str, int]:
-    """Count pre-pass → {bkey: n_salts} for keys above the cap (tiny).
-    Parked keys map to -1 — they produce no pairs and are excluded from
-    the emission-precedence computation. A key is parked when degenerate
-    (null-coalescing junk) or larger than ``park_above`` (salting bounds
-    sub-block memory but still emits O(n·cap) pairs — beyond the bound
-    the key is collision noise, not an entity)."""
-    low_cap = min(cap, pho_cap or cap)
+def key_counts(key_rows: Dataset) -> Dataset:
+    """Per-bkey record counts as a (bkey, n) Dataset — the hot-key
+    pre-pass, exposed so a full run can PERSIST it as blocking state
+    and an incremental run can merge a delta's counts into it instead
+    of re-scanning the corpus (the counts table is distinct-key-sized,
+    not corpus-sized)."""
     # partial per-block counts over the bkey column ONLY, then one small
     # grouped sum — the naive groupby("bkey").count() sort-shuffles every
     # carried payload column just to count keys
@@ -120,9 +116,36 @@ def _find_hot_keys(key_rows: Dataset, cap: int, park_degenerate: bool,
         return pa.table({"bkey": pa.array(keys, pa.string()),
                          "n": pa.array(cnt, pa.int64())})
 
-    counts = (key_rows.select_columns(["bkey"])
-              .map_batches(partial, batch_format="pyarrow")
-              .groupby("bkey").aggregate(Sum("n", alias_name="n")))
+    return (key_rows.select_columns(["bkey"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("bkey").aggregate(Sum("n", alias_name="n")))
+
+
+def merge_key_counts(prior_counts: Dataset, delta_counts: Dataset) -> Dataset:
+    """prior (bkey, n) + delta (bkey, n) → combined counts, identical to
+    recounting the combined corpus (grouped sum over the two small
+    tables — never touches the corpus)."""
+    from ray.data.aggregate import Sum
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return (prior_counts.union(delta_counts)
+            .repartition(cpus)
+            .groupby("bkey").aggregate(Sum("n", alias_name="n")))
+
+
+def _hot_from_counts(counts: Dataset, cap: int, park_degenerate: bool,
+                     park_above: int | None = None,
+                     pho_cap: int | None = None) -> dict[str, int]:
+    """(bkey, n) counts → {bkey: n_salts} for keys above the cap (tiny).
+    Parked keys map to -1 — they produce no pairs and are excluded from
+    the emission-precedence computation. A key is parked when degenerate
+    (null-coalescing junk) or larger than ``park_above`` (salting bounds
+    sub-block memory but still emits O(n·cap) pairs — beyond the bound
+    the key is collision noise, not an entity)."""
+    low_cap = min(cap, pho_cap or cap)
     hot = counts.map_batches(
         lambda t: t.filter(pc.greater(t["n"], low_cap)), batch_format="pyarrow")
     out = {}
@@ -136,6 +159,14 @@ def _find_hot_keys(key_rows: Dataset, cap: int, park_degenerate: bool,
             (park_above is not None and n > park_above)
         out[k] = -1 if parked else -(-n // k_cap)
     return out
+
+
+def _find_hot_keys(key_rows: Dataset, cap: int, park_degenerate: bool,
+                   park_above: int | None = None,
+                   pho_cap: int | None = None) -> dict[str, int]:
+    """Count pre-pass over key rows → hot map (see _hot_from_counts)."""
+    return _hot_from_counts(key_counts(key_rows), cap, park_degenerate,
+                            park_above, pho_cap)
 
 
 def _salt_batch(batch: pa.Table, hot: dict[str, int]) -> pa.Table:
@@ -352,21 +383,34 @@ def make_pair_emitter(hot: dict[str, int]):
     return emit
 
 
-def blocking_pairs(unified: Dataset, cfg: BlockingConfig | None = None) -> Dataset:
+def blocking_key_rows(unified: Dataset, cfg: BlockingConfig | None = None) -> Dataset:
+    """unified records → exploded blocking key rows (one row per key a
+    record carries, payload attached). The shared front half of
+    ``blocking_pairs`` / ``delta_blocking_pairs``."""
+    cfg = cfg or BlockingConfig()
+    return unified.map_batches(
+        lambda b: _key_rows_batch(b, cfg.use_phonetic_key),
+        batch_format="pyarrow")
+
+
+def blocking_pairs(unified: Dataset, cfg: BlockingConfig | None = None,
+                   *, counts: Dataset | None = None) -> Dataset:
     """unified records → duplicate-free candidate pairs with payloads.
 
     ONE groupby shuffle for pair generation (plus the small count
     pre-pass when hot-key capping is on); no dedup shuffle — see module
-    docstring."""
+    docstring. Pass ``counts`` (a persisted ``key_counts`` stage output)
+    to skip the pre-pass — the incremental path's blocking state."""
     cfg = cfg or BlockingConfig()
-    key_rows = unified.map_batches(
-        lambda b: _key_rows_batch(b, cfg.use_phonetic_key), batch_format="pyarrow")
+    key_rows = blocking_key_rows(unified, cfg)
 
     hot: dict[str, int] = {}
     if cfg.hot_key_cap:
-        hot = _find_hot_keys(key_rows, cfg.hot_key_cap,
-                             cfg.park_degenerate_hot_keys, cfg.park_key_above,
-                             cfg.pho_key_cap)
+        hot = _hot_from_counts(
+            counts if counts is not None else key_counts(key_rows),
+            cfg.hot_key_cap,
+            cfg.park_degenerate_hot_keys, cfg.park_key_above,
+            cfg.pho_key_cap)
         if hot:
             hot_ref = ray.put(hot)
 
@@ -383,7 +427,9 @@ def blocking_pairs(unified: Dataset, cfg: BlockingConfig | None = None) -> Datas
 
 def delta_blocking_pairs(unified_all: Dataset, new_ids,
                          cfg: BlockingConfig | None = None,
-                         unified_new: Dataset | None = None) -> Dataset:
+                         unified_new: Dataset | None = None,
+                         prior_counts: Dataset | None = None,
+                         return_counts: bool = False):
     """Incremental blocking: candidate pairs with ≥ 1 endpoint among
     ``new_ids``, emitted from exactly the buckets a new record touches —
     the delta pass that lets a 0.1% corpus addition skip re-scoring the
@@ -404,28 +450,48 @@ def delta_blocking_pairs(unified_all: Dataset, new_ids,
 
     Scale shape: ``new_ids`` and the touched-key set are delta-bounded
     broadcasts (``ray.put`` once, ``pc.is_in`` per batch); pair
-    emission runs on the touched subset only."""
+    emission runs on the touched subset only. With ``prior_counts`` (a
+    persisted ``key_counts`` stage output from the prior run) the
+    hot-key map is rebuilt from prior + delta counts — EXACTLY the
+    combined-corpus map a full run would compute — without the
+    corpus-wide count pre-pass, and the corpus key-row pass streams
+    straight into the touched-bucket filter with no materialize.
+    ``return_counts=True`` additionally returns the combined counts
+    Dataset so chained increments stay delta-cheap."""
     cfg = cfg or BlockingConfig()
-    key_rows = unified_all.map_batches(
-        lambda b: _key_rows_batch(b, cfg.use_phonetic_key),
-        batch_format="pyarrow").materialize()
-
-    hot: dict[str, int] = {}
-    if cfg.hot_key_cap:
-        hot = _find_hot_keys(key_rows, cfg.hot_key_cap,
-                             cfg.park_degenerate_hot_keys,
-                             cfg.park_key_above, cfg.pho_key_cap)
 
     nid_arr = pa.array(sorted(set(new_ids)), pa.string())
     nid_ref = ray.put(nid_arr)
 
+    delta_rows = None
     if unified_new is not None:
+        delta_rows = blocking_key_rows(unified_new, cfg).materialize()
+
+    key_rows = blocking_key_rows(unified_all, cfg)
+    combined_counts: Dataset | None = None
+    hot: dict[str, int] = {}
+    if prior_counts is not None and delta_rows is not None:
+        combined_counts = merge_key_counts(
+            prior_counts, key_counts(delta_rows)).materialize()
+        if cfg.hot_key_cap:
+            hot = _hot_from_counts(combined_counts, cfg.hot_key_cap,
+                                   cfg.park_degenerate_hot_keys,
+                                   cfg.park_key_above, cfg.pho_key_cap)
+    else:
+        # no prior state — fall back to the corpus-wide pre-pass
+        key_rows = key_rows.materialize()
+        if return_counts or cfg.hot_key_cap:
+            combined_counts = key_counts(key_rows).materialize()
+        if cfg.hot_key_cap:
+            hot = _hot_from_counts(combined_counts, cfg.hot_key_cap,
+                                   cfg.park_degenerate_hot_keys,
+                                   cfg.park_key_above, cfg.pho_key_cap)
+
+    if delta_rows is not None:
         # a new record's keys ARE the touched keys — derive them from
         # the delta directly (delta-sized pass) instead of filtering the
         # full-corpus key table by id
-        touched = unified_new.map_batches(
-            lambda b: _key_rows_batch(b, cfg.use_phonetic_key),
-            batch_format="pyarrow").unique("bkey")
+        touched = delta_rows.unique("bkey")
     else:
         def only_new(b: pa.Table) -> pa.Table:
             return b.filter(pc.is_in(b["source_record_id"],
@@ -453,4 +519,7 @@ def delta_blocking_pairs(unified_all: Dataset, new_ids,
             pc.is_in(b["source_record_id_a"], value_set=nid),
             pc.is_in(b["source_record_id_b"], value_set=nid)))
 
-    return pairs.map_batches(with_new_endpoint, batch_format="pyarrow")
+    out = pairs.map_batches(with_new_endpoint, batch_format="pyarrow")
+    if return_counts:
+        return out, combined_counts
+    return out

@@ -356,6 +356,100 @@ def _propagate_local(edges: Dataset, nodes: Dataset,
     return labels, el
 
 
+def incremental_match_groups(prior_groups: Dataset, prior_candidates: Dataset,
+                             cands_delta: Dataset, unified: Dataset,
+                             new_ids, cfg: ClusterConfig | None = None,
+                             max_affected_frac: float = 0.3):
+    """Supernode-contracted incremental clustering: rebuild ONLY the
+    components a delta edge touches, never re-running CC over the full
+    graph.
+
+    Full-run components are the prior components merged along delta
+    match edges (prior components are closed under prior edges — every
+    prior match edge lies inside one prior group). So the changed
+    components are exactly: (members of prior groups with a delta-edge
+    endpoint) ∪ (new records), connected by (prior match edges inside
+    those groups) ∪ (delta edges). That subgraph is CLOSED — no full-
+    graph edge leaves it — so running the ordinary ``build_match_groups``
+    finalize over it yields rows byte-identical to a fresh full run
+    (same member sets → same uuid5 ids; same edge sets → same mean
+    confidence), and every untouched prior group row is reusable
+    verbatim.
+
+    Returns ``(groups_sub, affected_prior_gids)`` — the rebuilt rows for
+    changed/new components plus the prior group ids to drop — or
+    ``None`` when the delta touches more than ``max_affected_frac`` of
+    the prior corpus (the adversarial uniform-sprinkle regime, where a
+    full rebuild is cheaper and the broadcast member set would stop
+    being delta-bounded)."""
+    import ray
+
+    cfg = cfg or ClusterConfig()
+
+    delta_edges = match_edges(cands_delta).materialize()
+    etbl = pa.concat_tables(ray.get(delta_edges.to_arrow_refs()),
+                            promote_options="default")
+    new_arr = pa.array(sorted(set(new_ids)), pa.string())
+
+    if etbl.num_rows:
+        endpoints = pc.unique(pa.chunked_array(
+            [etbl["src"].combine_chunks(), etbl["dst"].combine_chunks()]
+        ).combine_chunks())
+        old_eps = endpoints.filter(
+            pc.invert(pc.is_in(endpoints, value_set=new_arr)))
+    else:
+        old_eps = pa.array([], pa.string())
+
+    # prior gids with a delta-edge endpoint (broadcast probe, delta-bounded)
+    if len(old_eps):
+        ep_ref = ray.put(old_eps)
+        touched = prior_groups.map_batches(
+            lambda b: b.filter(pc.is_in(b["source_record_id"],
+                                        value_set=ray.get(ep_ref))),
+            batch_format="pyarrow").unique("match_group_id")
+        affected_gids = sorted(touched)
+    else:
+        affected_gids = []
+
+    if affected_gids:
+        gid_ref = ray.put(pa.array(affected_gids, pa.string()))
+        members_ds = prior_groups.map_batches(
+            lambda b: b.filter(pc.is_in(b["match_group_id"],
+                                        value_set=ray.get(gid_ref))),
+            batch_format="pyarrow").select_columns(
+            ["source_record_id"]).materialize()
+        n_prior = prior_groups.count()
+        if n_prior and members_ds.count() > max_affected_frac * n_prior:
+            return None  # delta too diffuse — full rebuild is cheaper
+        mtbl = pa.concat_tables(ray.get(members_ds.to_arrow_refs()),
+                                promote_options="default")
+        member_arr = mtbl["source_record_id"].combine_chunks()
+    else:
+        member_arr = pa.array([], pa.string())
+
+    node_arr = pc.unique(pa.chunked_array(
+        [member_arr, new_arr]).combine_chunks())
+    node_ref = ray.put(node_arr)
+    mem_ref = ray.put(member_arr)
+
+    unified_sub = unified.map_batches(
+        lambda b: b.filter(pc.is_in(b["source_record_id"],
+                                    value_set=ray.get(node_ref))),
+        batch_format="pyarrow")
+
+    # prior match edges inside affected groups: canonical pairs have both
+    # endpoints in the same prior group, so the _a-side probe is exact
+    def prior_sub(b: pa.Table) -> pa.Table:
+        return b.filter(pc.and_(
+            pc.equal(b["final_decision"], "match"),
+            pc.is_in(b["source_record_id_a"], value_set=ray.get(mem_ref))))
+
+    candidates_sub = prior_candidates.map_batches(
+        prior_sub, batch_format="pyarrow").union(cands_delta)
+    groups_sub = build_match_groups(candidates_sub, unified_sub, cfg)
+    return groups_sub, affected_gids
+
+
 def build_match_groups(candidates: Dataset, unified: Dataset,
                        cfg: ClusterConfig | None = None) -> Dataset:
     """candidates + unified records → MATCH_GROUPS Dataset (one shuffle

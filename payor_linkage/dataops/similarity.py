@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 
@@ -56,12 +57,32 @@ def _rows_as_binary(M: np.ndarray) -> pa.Array:
 
 
 def _binary_to_matrix(col, dim_bytes_hint: int | None = None) -> np.ndarray:
-    """binary column of equal-width float64 row bytes → (n, dim) matrix
-    via one buffer concat (rows are uniform width by construction)."""
-    vals = col.to_pylist()
-    if not vals:
+    """binary column of equal-width float64 row bytes → (n, dim) matrix,
+    zero-copy: rows built by ``_rows_as_binary`` tile the Arrow value
+    buffer with uniform-stride offsets, so the buffer IS the matrix.
+    Guards: large_binary has int64 offsets; a slice start or buffer base
+    not 8-byte-aligned forces ONE contiguous copy (never per-row
+    Python)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
         return np.empty((0, 0), dtype=np.float64)
-    return np.frombuffer(b"".join(vals), dtype=np.float64)         .reshape(len(vals), -1)
+    off_dt, off_w = (np.int64, 8) if pa.types.is_large_binary(col.type) \
+        else (np.int32, 4)
+    off = np.frombuffer(col.buffers()[1], dtype=off_dt, count=n + 1,
+                        offset=col.offset * off_w).astype(np.int64)
+    width = int(off[1] - off[0]) if n else 0
+    if width > 0 and width % 8 == 0 and (np.diff(off) == width).all():
+        data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        flat = data[int(off[0]):int(off[0]) + n * width]
+        if flat.ctypes.data % 8:
+            flat = flat.copy()
+        return flat.view(np.float64).reshape(n, width // 8)
+    # ragged rows (not produced by _rows_as_binary) — one-copy fallback
+    vals = col.to_pylist()
+    return np.frombuffer(b"".join(vals), dtype=np.float64) \
+        .reshape(len(vals), -1)
 
 
 def _query_matrix(ds: Dataset, query_ids: list[int], id_col: str,
@@ -205,22 +226,27 @@ def lsh_neardup_pairs(ds: Dataset, threshold: float = 0.4, n_planes: int = 12,
 
     def sig(b: pa.Table) -> pa.Table:
         P = ray.get(pref)
-        bid = np.asarray(b[id_col].to_pylist())
+        id_arr = b[id_col]
+        if isinstance(id_arr, pa.ChunkedArray):
+            id_arr = id_arr.combine_chunks()
         B = _normalize(_to_matrix(b[vec_col]))
-        n = len(bid)
+        n = len(id_arr)
         nt = P.shape[0]
         # all tables in one einsum; bucket labels and the fixed-width
         # binary vector payload are assembled with zero per-row Python
         # (the vector ships as raw float64 bytes — ≈3× smaller rows,
-        # zero-copy decode)
+        # zero-copy decode); labels are a vectorized string join over
+        # cast int columns, never an f-string loop
         bits = np.einsum("nd,tkd->tnk", B, P) > 0
         codes = (bits * (1 << np.arange(bits.shape[2]))).sum(axis=2)
         tlab = np.repeat(np.arange(nt), n).astype(np.int64)
-        buckets = pa.Array.from_pandas(
-            (tlab * (1 << 62) // (1 << 62)).astype(str)) if False else             pa.array([f"{t}|{c}" for t, c in
-                      zip(tlab, codes.reshape(-1))], pa.string())
+        buckets = pc.binary_join_element_wise(
+            pc.cast(pa.array(tlab, pa.int64()), pa.string()),
+            pc.cast(pa.array(codes.reshape(-1), pa.int64()), pa.string()),
+            "|")
+        ids_tiled = pa.concat_arrays([id_arr] * nt) if nt > 1 else id_arr
         return pa.table({"bucket": buckets,
-                         "id": pa.array(np.tile(bid, nt)),
+                         "id": ids_tiled,
                          "vec": _rows_as_binary(np.tile(B, (nt, 1)))})
 
     def emit(g: pa.Table) -> pa.Table:
@@ -228,16 +254,22 @@ def lsh_neardup_pairs(ds: Dataset, threshold: float = 0.4, n_planes: int = 12,
         if n < 2 or n > max_bucket:
             return pa.schema([("pair", pa.string()), ("id_a", g["id"].type),
                               ("id_b", g["id"].type)]).empty_table()
-        ids = np.array(g["id"].to_pylist())
+        id_arr = g["id"]
+        if isinstance(id_arr, pa.ChunkedArray):
+            id_arr = id_arr.combine_chunks()
+        ids = id_arr.to_numpy(zero_copy_only=False)
         V = _binary_to_matrix(g["vec"])
         cos = V @ V.T
         ri, ci = np.nonzero(cos >= threshold)
         keep = ids[ri] < ids[ci]
+        a_ids = id_arr.take(pa.array(ri[keep], pa.int64()))
+        b_ids = id_arr.take(pa.array(ci[keep], pa.int64()))
         return pa.table({
-            "pair": pa.array([f"{a}|{b}" for a, b in
-                              zip(ids[ri][keep], ids[ci][keep])], pa.string()),
-            "id_a": pa.array(ids[ri][keep], g["id"].type),
-            "id_b": pa.array(ids[ci][keep], g["id"].type),
+            "pair": pc.binary_join_element_wise(
+                pc.cast(a_ids, pa.string()), pc.cast(b_ids, pa.string()),
+                "|"),
+            "id_a": a_ids,
+            "id_b": b_ids,
         })
 
     from payor_linkage.rayutil import grouped_apply

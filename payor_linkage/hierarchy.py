@@ -433,10 +433,33 @@ def infer_hierarchy(golden: Dataset, unified: Dataset, xref: Dataset) -> Dataset
 
 
 def _distinct_finalize(s1: Dataset, s2: Dataset) -> Dataset:
-    # distinct union (O3) + final shape (payor_hierarchy.sql)
-    edges = s1.union(s2).groupby(
-        ["parent_master_id", "child_master_id", "inference_method"]).map_groups(
-        lambda t: t.slice(0, 1), batch_format="pyarrow")
+    # distinct union (O3) + final shape (payor_hierarchy.sql) — one
+    # synthetic-key grouped_apply (sort + run-first slicing) instead of
+    # groupby().map_groups: Ray's sort fans one reduce partition per
+    # input block, and the patch path unions four many-block signal
+    # datasets (observed 138 s of pure task overhead on a 5k-row edge
+    # set at sf0.01 before this)
+    from payor_linkage.rayutil import grouped_apply
+
+    def keyed(b: pa.Table) -> pa.Table:
+        return b.append_column("__k", pc.binary_join_element_wise(
+            b["parent_master_id"], b["child_master_id"],
+            b["inference_method"], "|"))
+
+    _edge_schema = pa.schema([("parent_master_id", pa.string()),
+                              ("child_master_id", pa.string()),
+                              ("inference_method", pa.string())])
+
+    def firsts(b: pa.Table, starts, ends) -> pa.Table:
+        import numpy as np
+
+        return b.take(pa.array(np.asarray(starts, dtype=np.int64))) \
+            .select(["parent_master_id", "child_master_id",
+                     "inference_method"])
+
+    edges = grouped_apply(
+        s1.union(s2).map_batches(keyed, batch_format="pyarrow"),
+        "__k", out_schema=_edge_schema, runs_fn=firsts)
 
     def finalize(b: pa.Table) -> pa.Table:
         hids = [str(uuid.uuid5(_H_NS, f"{p}|{c}|{m}")) for p, c, m in zip(

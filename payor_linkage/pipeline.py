@@ -40,24 +40,38 @@ class LinkageResult:
     xref: Dataset
     hierarchy: Dataset
     audit: Dataset
+    # blocking state: the per-bkey record counts (distinct-key-sized,
+    # persisted like any stage) — lets incremental_update rebuild the
+    # combined-corpus hot-key map from prior + delta counts instead of
+    # re-scanning the corpus
+    block_counts: Dataset | None = None
 
 
 def run_linkage(documents: Dataset, cfg: PipelineConfig | None = None,
                 steward_overlay: Dataset | None = None,
                 surv_cfg: SurvivorshipConfig | None = None) -> LinkageResult:
     """Full MDM run over an interleaved-document Dataset."""
+    from payor_linkage.blocking import blocking_key_rows, key_counts
+
     cfg = cfg or PipelineConfig()
     root = cfg.checkpoint_dir
     base_fp = fingerprint("v1", cfg.blocking, cfg.scoring,
                           steward_overlay is not None)
 
-    unified = checkpointed(root, "unified", base_fp)(
-        lambda: unify(documents)).materialize()
+    from payor_linkage.rayutil import coalesce_small_blocks
+
+    unified = coalesce_small_blocks(checkpointed(root, "unified", base_fp)(
+        lambda: unify(documents)).materialize())
+    block_counts = checkpointed(
+        root, "block_counts", fingerprint(base_fp, "bcounts"))(
+        lambda: key_counts(blocking_key_rows(unified, cfg.blocking))
+    ).materialize()
     pairs = checkpointed(root, "pairs", fingerprint(base_fp, "pairs"))(
-        lambda: blocking_pairs(unified, cfg.blocking))
-    candidates = checkpointed(root, "candidates", fingerprint(base_fp, "cands"))(
+        lambda: blocking_pairs(unified, cfg.blocking, counts=block_counts))
+    candidates = coalesce_small_blocks(checkpointed(
+        root, "candidates", fingerprint(base_fp, "cands"))(
         lambda: decide(score_pairs(pairs, cfg.scoring), cfg.scoring,
-                       steward_overlay)).materialize()
+                       steward_overlay)).materialize())
     groups = checkpointed(root, "groups", fingerprint(base_fp, "groups"))(
         lambda: build_match_groups(candidates, unified, cfg.cluster)).materialize()
     golden = checkpointed(root, "golden", fingerprint(base_fp, "golden"))(
@@ -67,7 +81,8 @@ def run_linkage(documents: Dataset, cfg: PipelineConfig | None = None,
     hierarchy = checkpointed(root, "hierarchy", fingerprint(base_fp, "hier"))(
         lambda: infer_hierarchy(golden, unified, xref)).materialize()
     audit = build_audit_log(golden, hierarchy, steward_overlay)
-    return LinkageResult(unified, candidates, groups, golden, xref, hierarchy, audit)
+    return LinkageResult(unified, candidates, groups, golden, xref,
+                         hierarchy, audit, block_counts=block_counts)
 
 
 def main() -> None:  # pragma: no cover - CLI entry
@@ -159,8 +174,16 @@ def _patch_by_group(old: Dataset, rebuilt: Dataset, affected: list,
         return b.filter(pc.invert(pc.is_in(
             b[id_col], value_set=ray.get(ref))))
 
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    # coalesce: old-side blocks + rebuilt-side blocks otherwise compound
+    # across incremental generations, and every downstream pass pays one
+    # task per block (observed: 720-block golden/xref made the hierarchy
+    # patch 5× slower than the work it did)
     return old.map_batches(drop_affected, batch_format="pyarrow") \
-        .union(rebuilt)
+        .union(rebuilt).repartition(cpus * 2)
 
 
 def incremental_update(prior: LinkageResult, new_documents: Dataset,
@@ -169,61 +192,88 @@ def incremental_update(prior: LinkageResult, new_documents: Dataset,
                        surv_cfg: SurvivorshipConfig | None = None
                        ) -> LinkageResult:
     """Add a batch of new documents to an already-linked corpus WITHOUT
-    re-scoring it: only pairs with a new endpoint are blocked + scored
-    (``blocking.delta_blocking_pairs``), prior candidates are reused
-    verbatim, clustering re-runs over the combined edge set (CC is the
-    cheap, shuffle-shaped stage; scoring is the expensive one), and
-    survivorship / xref are rebuilt ONLY for groups whose member set
-    changed — untouched groups keep their prior golden/xref rows
-    byte-identical. Hierarchy is recomputed (its substring signal is a
-    cross-golden comparison; goldens are post-merge small).
+    re-scoring or re-clustering it: only pairs with a new endpoint are
+    blocked + scored (``blocking.delta_blocking_pairs``, whose hot-key
+    map merges the prior run's persisted key counts with the delta's —
+    no corpus re-scan), prior candidates are reused verbatim, and
+    clustering rebuilds ONLY the components a delta edge touches
+    (``cluster.incremental_match_groups`` — prior components are closed
+    under prior edges, so full-run components are prior components
+    merged along delta edges). Survivorship / xref / hierarchy are
+    patched only for those components; untouched groups keep their
+    prior rows byte-identical. A diffuse delta (touching more than ~30%
+    of prior records — the adversarial uniform-sprinkle regime) falls
+    back to a full clustering rebuild, still byte-exact.
 
-    Exactness contract (gated by ``test_incremental_matches_full``):
-    with a stable hot-key map across the delta, every output table is
-    byte-equal to a fresh full run over the combined corpus. Pass the
-    same ``steward_overlay`` / configs the prior run used."""
+    Exactness contract (gated by ``test_incremental_matches_full`` and
+    ``test_incremental_supernode_path``): with a stable hot-key map
+    across the delta, every output table is byte-equal to a fresh full
+    run over the combined corpus. Pass the same ``steward_overlay`` /
+    configs the prior run used."""
     import pyarrow.compute as pc
     import ray
 
     from payor_linkage.blocking import delta_blocking_pairs
+    from payor_linkage.cluster import incremental_match_groups
+    from payor_linkage.hierarchy import patch_hierarchy
 
     cfg = cfg or PipelineConfig()
 
-    unified_new = unify(new_documents).materialize()
+    from payor_linkage.rayutil import coalesce_small_blocks
+
+    unified_new = coalesce_small_blocks(unify(new_documents).materialize())
     new_ids = unified_new.unique("source_record_id")
-    unified = prior.unified.union(unified_new).materialize()
+    unified = coalesce_small_blocks(
+        prior.unified.union(unified_new).materialize())
 
-    pairs_delta = delta_blocking_pairs(unified, new_ids, cfg.blocking,
-                                       unified_new=unified_new)
-    cands_delta = decide(score_pairs(pairs_delta, cfg.scoring), cfg.scoring,
-                         steward_overlay)
-    candidates = prior.candidates.union(cands_delta).materialize()
-    groups = build_match_groups(candidates, unified, cfg.cluster) \
-        .materialize()
+    pairs_delta, new_counts = delta_blocking_pairs(
+        unified, new_ids, cfg.blocking, unified_new=unified_new,
+        prior_counts=prior.block_counts, return_counts=True)
+    cands_delta = coalesce_small_blocks(
+        decide(score_pairs(pairs_delta, cfg.scoring), cfg.scoring,
+               steward_overlay).materialize())
+    candidates = coalesce_small_blocks(
+        prior.candidates.union(cands_delta).materialize())
 
-    affected = _changed_group_ids(prior.groups, groups)
-    if affected:
-        aref = ray.put(pa.array(sorted(affected), pa.string()))
+    sub = incremental_match_groups(prior.groups, prior.candidates,
+                                   cands_delta, unified, new_ids,
+                                   cfg.cluster)
+    if sub is not None:
+        groups_sub, affected = sub
+        groups_sub = groups_sub.materialize()
+        new_gids = groups_sub.unique("match_group_id")
+        groups = _patch_by_group(prior.groups, groups_sub, affected,
+                                 "match_group_id").materialize()
+        affected_all = sorted(set(affected) | set(new_gids))
+    else:
+        # diffuse delta — full clustering rebuild over the combined graph
+        groups = build_match_groups(candidates, unified, cfg.cluster) \
+            .materialize()
+        affected = affected_all = _changed_group_ids(prior.groups, groups)
+        groups_sub = None
+        if affected:
+            aref = ray.put(pa.array(sorted(affected), pa.string()))
 
-        def only_affected(b: pa.Table) -> pa.Table:
-            return b.filter(pc.is_in(b["match_group_id"],
-                                     value_set=ray.get(aref)))
+            def only_affected(b: pa.Table) -> pa.Table:
+                return b.filter(pc.is_in(b["match_group_id"],
+                                         value_set=ray.get(aref)))
 
-        groups_sub = groups.map_batches(
-            only_affected, batch_format="pyarrow").materialize()
+            groups_sub = groups.map_batches(
+                only_affected, batch_format="pyarrow").materialize()
+
+    if groups_sub is not None and affected_all:
         golden = _patch_by_group(
             prior.golden, build_golden(groups_sub, unified, surv_cfg),
             affected, "master_payor_id").materialize()
         xref = _patch_by_group(
             prior.xref, build_xref(groups_sub, unified),
             affected, "master_payor_id").materialize()
-        from payor_linkage.hierarchy import patch_hierarchy
-
         hierarchy = patch_hierarchy(golden, unified, xref,
-                                    prior.hierarchy, affected).materialize()
+                                    prior.hierarchy,
+                                    affected_all).materialize()
     else:
         golden, xref = prior.golden, prior.xref
         hierarchy = prior.hierarchy
     audit = build_audit_log(golden, hierarchy, steward_overlay)
     return LinkageResult(unified, candidates, groups, golden, xref,
-                         hierarchy, audit)
+                         hierarchy, audit, block_counts=new_counts)

@@ -26,6 +26,33 @@ def join_partitions(requested: int | None = None, cap: int = 64) -> int:
     return max(2, min(requested, auto))
 
 
+def coalesce_small_blocks(ds: Dataset, min_rows_per_block: int = 4096,
+                          materialize: bool = True) -> Dataset:
+    """Coalesce a MATERIALIZED dataset whose average block is tiny.
+
+    Many-small-block datasets (one block per synth replica chunk, per
+    scorer task, per patched stage) make every downstream pass pay one
+    task of scheduling overhead per block — at 35k rows × 656 blocks the
+    overhead IS the stage. Fires only when the mean block is under
+    ``min_rows_per_block`` rows, and targets ``max(2·cpus, rows/8192)``
+    blocks, so a genuinely large dataset (fat blocks at 100 TB) is
+    returned untouched — this is a small-block pathology fix, not a
+    general repartition."""
+    n_blocks = ds.num_blocks()
+    n_rows = ds.count()
+    if n_blocks <= 1 or n_rows == 0 or n_rows / n_blocks >= min_rows_per_block:
+        return ds
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    target = max(2 * cpus, -(-n_rows // 8192))
+    if target >= n_blocks:
+        return ds
+    out = ds.repartition(target)
+    return out.materialize() if materialize else out
+
+
 def grouped_apply(ds: Dataset, key: str, group_fn=None, out_schema: pa.Schema = None,
                   runs_fn=None) -> Dataset:
     """``groupby(key).map_groups(group_fn)`` with block-amortized overhead.

@@ -270,7 +270,12 @@ def build_golden(groups: Dataset, unified: Dataset,
         b = b.drop_columns(["spans_json"]).append_column("spans", spans)
         return b.select([f.name for f in GOLDEN_SCHEMA])
 
-    return golden.map_batches(hydrate, batch_format="pyarrow")
+    # the spans attach streams over UNIFIED's blocks, so the golden
+    # output inherits corpus block count (hundreds of tiny blocks for a
+    # golden-sized table) — pin it so every downstream consumer
+    # (hierarchy probes, audit, serving scans) runs O(cpus) tasks
+    return golden.map_batches(hydrate, batch_format="pyarrow") \
+        .repartition(_default_blocks())
 
 
 def build_xref(groups: Dataset, unified: Dataset, num_partitions: int | None = None) -> Dataset:
@@ -291,4 +296,15 @@ def build_xref(groups: Dataset, unified: Dataset, num_partitions: int | None = N
             "match_confidence": b["group_confidence"],
         })
 
-    return j.map_batches(proj, batch_format="pyarrow")
+    # same block-count pinning rationale as build_golden
+    return j.map_batches(proj, batch_format="pyarrow") \
+        .repartition(_default_blocks())
+
+
+def _default_blocks() -> int:
+    import ray
+
+    try:
+        return 2 * int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        return 8

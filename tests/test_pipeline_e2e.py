@@ -261,6 +261,80 @@ def test_incremental_matches_full(ray_session):
     assert n_delta < 0.6 * n_full, (n_delta, n_full)
 
 
+def test_incremental_supernode_path(ray_session):
+    """Clustered delta (whole new replica worlds — the realistic
+    maintenance drop) must take the SUPERNODE incremental path: only
+    delta-touched components are rebuilt, no full-graph CC — and every
+    output table still byte-equals a fresh full run on the combined
+    corpus. Also checks chained state: the returned block_counts equal
+    a fresh count over the combined corpus."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from payor_linkage.cluster import incremental_match_groups
+    from payor_linkage.pipeline import incremental_update, run_linkage
+    from payor_linkage.synth import synth_documents
+
+    docs = synth_documents(3).materialize()
+
+    def split(keep_new: bool):
+        def f(b: pa.Table) -> pa.Table:
+            loc = pc.list_element(pc.split_pattern(b["doc_id"], ":"), 1)
+            isr = pc.match_substring_regex(loc, r"^R[0-9]{5}-")
+            w = pc.cast(pc.if_else(
+                isr, pc.utf8_slice_codeunits(loc, 1, 6), "0"), pa.int64())
+            m = pc.greater_equal(w, 2)
+            return b.filter(m if keep_new else pc.invert(m))
+        return docs.map_batches(f, batch_format="pyarrow").materialize()
+
+    old_docs, new_docs = split(False), split(True)
+    assert 0 < new_docs.count() < docs.count() // 2
+
+    prior = run_linkage(old_docs)
+    assert prior.block_counts is not None
+    inc = incremental_update(prior, new_docs)
+    full = run_linkage(docs)
+
+    # the clustered delta must be eligible for the supernode path
+    from payor_linkage.normalize import unify
+    unified_new = unify(new_docs).materialize()
+    new_ids = unified_new.unique("source_record_id")
+    from payor_linkage.blocking import delta_blocking_pairs
+    from payor_linkage.decide import decide
+    from payor_linkage.scoring import score_pairs
+    pairs_delta = delta_blocking_pairs(
+        prior.unified.union(unified_new).materialize(), new_ids,
+        unified_new=unified_new, prior_counts=prior.block_counts)
+    cands_delta = decide(score_pairs(pairs_delta)).materialize()
+    sub = incremental_match_groups(
+        prior.groups, prior.candidates, cands_delta,
+        prior.unified.union(unified_new), new_ids)
+    assert sub is not None, "clustered delta should take the supernode path"
+
+    def canon(ds, drop=()):
+        df = ds.to_pandas()
+        df = df[[c for c in sorted(df.columns) if c not in drop]]
+        for c in df.columns:
+            if df[c].dtype == object:
+                df[c] = df[c].astype(str)
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    for name, a, b, drop in [
+            ("candidates", inc.candidates, full.candidates, ()),
+            ("groups", inc.groups, full.groups, ()),
+            ("golden", inc.golden, full.golden, ("spans",)),
+            ("xref", inc.xref, full.xref, ()),
+            ("hierarchy", inc.hierarchy, full.hierarchy, ())]:
+        pd.testing.assert_frame_equal(canon(a, drop), canon(b, drop),
+                                      check_dtype=False, obj=name)
+
+    # chained blocking state: incremental counts == fresh combined counts
+    assert inc.block_counts is not None
+    pd.testing.assert_frame_equal(
+        canon(inc.block_counts), canon(full.block_counts), obj="counts")
+
+
 def test_incremental_with_steward_overlay(ray_session):
     """The incremental path honors a steward overlay identically to a
     full run: candidate ids are pair-content uuid5s, so the same overlay
