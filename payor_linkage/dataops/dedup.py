@@ -55,9 +55,18 @@ def exact_dedup(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> 
     from payor_linkage.rayutil import lookup_join
 
     def add_hash(b: pa.Table) -> pa.Table:
-        h = [hashlib.md5(t.encode()).hexdigest() for t in b[text_col].to_pylist()]
+        # md5 through DuckDB's vectorized C++ kernel (the grouped_checksum
+        # precedent) — at 100 TB the hash pass IS the dedup cost, so a
+        # per-row Python hashlib loop here would dominate the stage
+        import duckdb
+
+        t = pa.table({"_t": b[text_col]})
+        con = duckdb.connect()
+        con.register("t", t)
+        h = con.execute("SELECT md5(_t) AS h FROM t").arrow()["h"]
+        con.close()
         return pa.table({
-            "_h": pa.array(h, pa.string()),
+            "_h": h.combine_chunks(),
             id_col: b[id_col],
         })
 
@@ -241,14 +250,16 @@ def _content_verify(ds: Dataset, deduped: Dataset, set_of, threshold: float,
     if n_cand <= 1_000_000:
         import ray
 
-        idcols = deduped.select_columns(["id_a", "id_b"]).take_all()
-        needed = {r["id_a"] for r in idcols} | {r["id_b"] for r in idcols}
+        idtbl = pa.concat_tables(
+            ray.get(deduped.select_columns(["id_a", "id_b"]).to_arrow_refs()),
+            promote_options="default")
+        needed = pc.unique(pa.chunked_array(
+            [idtbl["id_a"].combine_chunks(), idtbl["id_b"].combine_chunks()]
+        ).combine_chunks())
         ref = ray.put(needed)
 
         def pick(b: pa.Table) -> pa.Table:
-            want = ray.get(ref)
-            keep = pa.array([v in want for v in b[id_col].to_pylist()], pa.bool_())
-            m = b.filter(keep)
+            m = b.filter(pc.is_in(b[id_col], value_set=ray.get(ref)))
             return pa.table({"id": m[id_col], "text": m[text_col]})
 
         content = ds.map_batches(pick, batch_format="pyarrow").materialize()

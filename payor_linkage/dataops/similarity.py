@@ -135,18 +135,21 @@ def ann_topk(ds: Dataset, query_ids: list[int], k: int = 5,
             "cos": pa.array(rows_c, pa.float64()),
         })
 
-    def final_topk(g):
-        import pandas as pd
-        g = g[g.query_id != g.neighbor_id]
-        g = g.sort_values(["cos", "neighbor_id"], ascending=[False, True]).head(k)
-        return pd.DataFrame({
-            "query_id": g.query_id.to_numpy(),
-            "rank": np.arange(1, len(g) + 1),
-            "neighbor_id": g.neighbor_id.to_numpy(),
-        })
+    return _finalize_topk(ds.map_batches(partial, batch_format="pyarrow"), k)
 
-    return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("query_id").map_groups(final_topk, batch_format="pandas"))
+
+def _finalize_topk(cands: Dataset, k: int) -> Dataset:
+    """(query_id, neighbor_id, cos) partials → global per-query top-k with
+    1-based rank, self-pairs excluded, ties broken by neighbor id — via
+    ``grouped_topk`` (block-amortized run slicing), not
+    ``groupby().map_groups`` (~1 ms/group of harness overhead)."""
+    from payor_linkage.dataops.aggregates import grouped_topk
+
+    noself = cands.map_batches(
+        lambda b: b.filter(pc.not_equal(b["query_id"], b["neighbor_id"])),
+        batch_format="pyarrow")
+    return grouped_topk(noself, "query_id", "cos", k,
+                        tie_col="neighbor_id", keep_cols=["neighbor_id"])
 
 
 def _mini_kmeans(sample: np.ndarray, n_centroids: int, iters: int = 10,
@@ -198,24 +201,21 @@ def ivf_topk(ds: Dataset, query_ids: list[int], k: int = 5, n_centroids: int = 1
                          "neighbor_id": pa.array(rows_n, pa.int64()),
                          "cos": pa.array(rows_c, pa.float64())})
 
-    def final_topk(g):
-        import pandas as pd
-        g = g[g.query_id != g.neighbor_id]
-        g = g.sort_values(["cos", "neighbor_id"], ascending=[False, True]).head(k)
-        return pd.DataFrame({"query_id": g.query_id.to_numpy(),
-                             "rank": np.arange(1, len(g) + 1),
-                             "neighbor_id": g.neighbor_id.to_numpy()})
-
-    return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("query_id").map_groups(final_topk, batch_format="pandas"))
+    return _finalize_topk(ds.map_batches(partial, batch_format="pyarrow"), k)
 
 
 def lsh_neardup_pairs(ds: Dataset, threshold: float = 0.4, n_planes: int = 12,
                       n_tables: int = 4, seed: int = 13, max_bucket: int = 4000,
-                      id_col: str = "vec_id", vec_col: str = "embedding") -> Dataset:
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      metrics: dict | None = None) -> Dataset:
     """Cosine near-dup at corpus scale: random-hyperplane signatures bucket
     the vectors (`n_tables` independent tables); exact cosine verify inside
-    buckets. No full-matrix broadcast — the 100 TB path."""
+    buckets. No full-matrix broadcast — the 100 TB path.
+
+    Pass a ``metrics`` dict to get dropped-pair accounting filled in
+    eagerly (``parked_buckets`` / ``parked_rows`` /
+    ``parked_pairs_bound``): buckets over ``max_bucket`` emit no pairs —
+    acceptable LSH semantics, but the parking must be visible."""
     from ray.data.aggregate import Min
 
     # dimension probed from one row
@@ -278,8 +278,30 @@ def lsh_neardup_pairs(ds: Dataset, threshold: float = 0.4, n_planes: int = 12,
     idt = dict(zip(sch.names, sch.types))[id_col]
     pair_schema = pa.schema([("pair", pa.string()), ("id_a", idt),
                              ("id_b", idt)])
-    pairs = grouped_apply(ds.map_batches(sig, batch_format="pyarrow"),
-                          "bucket", group_fn=emit, out_schema=pair_schema)
+    sigs = ds.map_batches(sig, batch_format="pyarrow")
+    if metrics is not None:
+        # dropped-pair accounting (SURVEY §4): over-cap buckets vanish
+        # from `emit` by design — count them so "no pairs found" is
+        # distinguishable from "pairs parked". Bucket sizes come from a
+        # per-batch partial count over the bucket column only (the
+        # blocking.py key_counts shape) — never the vectors.
+        from ray.data.aggregate import Sum
+
+        sigs = sigs.materialize()
+        sizes = (sigs.select_columns(["bucket"])
+                 .map_batches(lambda t: t.group_by("bucket")
+                 .aggregate([([], "count_all")])
+                 .rename_columns(["bucket", "n"]), batch_format="pyarrow")
+                 .groupby("bucket").aggregate(Sum("n", alias_name="n")))
+        over = sizes.map_batches(
+            lambda t: t.filter(pc.greater(t["n"], max_bucket)),
+            batch_format="pyarrow").materialize()
+        ns = [r["n"] for r in over.take_all()]
+        metrics["parked_buckets"] = len(ns)
+        metrics["parked_rows"] = int(sum(ns))
+        metrics["parked_pairs_bound"] = int(sum(n * (n - 1) // 2 for n in ns))
+    pairs = grouped_apply(sigs, "bucket", group_fn=emit,
+                          out_schema=pair_schema)
     return (pairs.groupby("pair")
             .aggregate(Min("id_a", alias_name="id_a"), Min("id_b", alias_name="id_b"))
             .map_batches(lambda b: b.drop_columns(["pair"]), batch_format="pyarrow"))

