@@ -104,21 +104,25 @@ def key_counts(key_rows: Dataset) -> Dataset:
     and an incremental run can merge a delta's counts into it instead
     of re-scanning the corpus (the counts table is distinct-key-sized,
     not corpus-sized)."""
-    # partial per-block counts over the bkey column ONLY, then one small
-    # grouped sum — the naive groupby("bkey").count() sort-shuffles every
-    # carried payload column just to count keys
-    import numpy as np
     from ray.data.aggregate import Sum
 
+    return (partial_key_counts(key_rows)
+            .groupby("bkey").aggregate(Sum("n", alias_name="n")))
+
+
+def partial_key_counts(key_rows: Dataset) -> Dataset:
+    """Per-BLOCK (bkey, n) partial counts — one map pass, no shuffle.
+    bkeys repeat across blocks; any grouped Sum downstream finishes the
+    count (``key_counts`` / ``merge_key_counts``). Counting runs through
+    Arrow's C++ group_by (np.unique on object-dtype strings pays a
+    Python richcompare per comparison)."""
     def partial(b: pa.Table) -> pa.Table:
-        keys, cnt = np.unique(b["bkey"].to_numpy(zero_copy_only=False),
-                              return_counts=True)
-        return pa.table({"bkey": pa.array(keys, pa.string()),
-                         "n": pa.array(cnt, pa.int64())})
+        return (b.select(["bkey"]).group_by("bkey")
+                .aggregate([([], "count_all")])
+                .rename_columns(["bkey", "n"]))
 
     return (key_rows.select_columns(["bkey"])
-            .map_batches(partial, batch_format="pyarrow")
-            .groupby("bkey").aggregate(Sum("n", alias_name="n")))
+            .map_batches(partial, batch_format="pyarrow"))
 
 
 def merge_key_counts(prior_counts: Dataset, delta_counts: Dataset) -> Dataset:
@@ -464,15 +468,25 @@ def delta_blocking_pairs(unified_all: Dataset, new_ids,
     nid_ref = ray.put(nid_arr)
 
     delta_rows = None
+    touched: list | None = None
+    dpart: Dataset | None = None
     if unified_new is not None:
-        delta_rows = blocking_key_rows(unified_new, cfg).materialize()
+        delta_rows = blocking_key_rows(unified_new, cfg)
+        # ONE delta map pass yields both the touched-key set (a new
+        # record's keys ARE the touched keys) and the delta's count
+        # partials (bkeys repeat across blocks; the merge's grouped Sum
+        # finishes them) — no delta-side shuffle at all
+        dpart = partial_key_counts(delta_rows).materialize()
+        ptbl = pa.concat_tables(ray.get(dpart.to_arrow_refs()),
+                                promote_options="default")
+        touched = pc.unique(ptbl["bkey"].combine_chunks()).to_pylist()
 
     key_rows = blocking_key_rows(unified_all, cfg)
     combined_counts: Dataset | None = None
     hot: dict[str, int] = {}
-    if prior_counts is not None and delta_rows is not None:
-        combined_counts = merge_key_counts(
-            prior_counts, key_counts(delta_rows)).materialize()
+    if prior_counts is not None and dpart is not None:
+        combined_counts = merge_key_counts(prior_counts, dpart) \
+            .materialize()
         if cfg.hot_key_cap:
             hot = _hot_from_counts(combined_counts, cfg.hot_key_cap,
                                    cfg.park_degenerate_hot_keys,
@@ -487,12 +501,7 @@ def delta_blocking_pairs(unified_all: Dataset, new_ids,
                                    cfg.park_degenerate_hot_keys,
                                    cfg.park_key_above, cfg.pho_key_cap)
 
-    if delta_rows is not None:
-        # a new record's keys ARE the touched keys — derive them from
-        # the delta directly (delta-sized pass) instead of filtering the
-        # full-corpus key table by id
-        touched = delta_rows.unique("bkey")
-    else:
+    if touched is None:
         def only_new(b: pa.Table) -> pa.Table:
             return b.filter(pc.is_in(b["source_record_id"],
                                      value_set=ray.get(nid_ref)))

@@ -356,6 +356,13 @@ def _propagate_local(edges: Dataset, nodes: Dataset,
     return labels, el
 
 
+# driver-local tier bound for the incremental path's delta-bounded
+# grouped passes: ~500k narrow Arrow rows is a few hundred MB on the
+# driver — safe, while each avoided Ray sort saves ~2 stage barriers.
+# Inputs above the bound silently stay on the distributed path.
+INCR_LOCAL_ROWS_BOUND = 500_000
+
+
 def incremental_match_groups(prior_groups: Dataset, prior_candidates: Dataset,
                              cands_delta: Dataset, unified: Dataset,
                              new_ids, cfg: ClusterConfig | None = None,
@@ -376,12 +383,15 @@ def incremental_match_groups(prior_groups: Dataset, prior_candidates: Dataset,
     confidence), and every untouched prior group row is reusable
     verbatim.
 
-    Returns ``(groups_sub, affected_prior_gids)`` — the rebuilt rows for
-    changed/new components plus the prior group ids to drop — or
-    ``None`` when the delta touches more than ``max_affected_frac`` of
-    the prior corpus (the adversarial uniform-sprinkle regime, where a
-    full rebuild is cheaper and the broadcast member set would stop
-    being delta-bounded)."""
+    Returns ``(groups_sub, affected_prior_gids, unified_sub)`` — the
+    rebuilt rows for changed/new components, the prior group ids to
+    drop, and the MATERIALIZED delta-bounded slice of ``unified``
+    restricted to the affected node set (handed back so the
+    survivorship/xref patch stages stream it instead of re-filtering
+    the full corpus) — or ``None`` when the delta touches more than
+    ``max_affected_frac`` of the prior corpus (the adversarial
+    uniform-sprinkle regime, where a full rebuild is cheaper and the
+    broadcast member set would stop being delta-bounded)."""
     import ray
 
     cfg = cfg or ClusterConfig()
@@ -400,14 +410,20 @@ def incremental_match_groups(prior_groups: Dataset, prior_candidates: Dataset,
     else:
         old_eps = pa.array([], pa.string())
 
-    # prior gids with a delta-edge endpoint (broadcast probe, delta-bounded)
+    # prior gids with a delta-edge endpoint (broadcast probe, delta-
+    # bounded) — the filtered result is tiny, so collect + unique on the
+    # driver instead of paying an aggregate shuffle barrier
     if len(old_eps):
         ep_ref = ray.put(old_eps)
-        touched = prior_groups.map_batches(
+        tds = prior_groups.map_batches(
             lambda b: b.filter(pc.is_in(b["source_record_id"],
                                         value_set=ray.get(ep_ref))),
-            batch_format="pyarrow").unique("match_group_id")
-        affected_gids = sorted(touched)
+            batch_format="pyarrow").select_columns(
+            ["match_group_id"]).materialize()
+        ttbl = pa.concat_tables(ray.get(tds.to_arrow_refs()),
+                                promote_options="default")
+        affected_gids = sorted(
+            pc.unique(ttbl["match_group_id"].combine_chunks()).to_pylist())
     else:
         affected_gids = []
 
@@ -435,7 +451,7 @@ def incremental_match_groups(prior_groups: Dataset, prior_candidates: Dataset,
     unified_sub = unified.map_batches(
         lambda b: b.filter(pc.is_in(b["source_record_id"],
                                     value_set=ray.get(node_ref))),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
 
     # prior match edges inside affected groups: canonical pairs have both
     # endpoints in the same prior group, so the _a-side probe is exact
@@ -446,14 +462,21 @@ def incremental_match_groups(prior_groups: Dataset, prior_candidates: Dataset,
 
     candidates_sub = prior_candidates.map_batches(
         prior_sub, batch_format="pyarrow").union(cands_delta)
-    groups_sub = build_match_groups(candidates_sub, unified_sub, cfg)
-    return groups_sub, affected_gids
+    # the subgraph is delta-bounded by construction (max_affected_frac
+    # guard above), so the finalize earns grouped_apply's driver-local
+    # tier: member+score rows ≈ 2× the affected member count
+    groups_sub = build_match_groups(candidates_sub, unified_sub, cfg,
+                                    local_rows_bound=INCR_LOCAL_ROWS_BOUND)
+    return groups_sub, affected_gids, unified_sub
 
 
 def build_match_groups(candidates: Dataset, unified: Dataset,
-                       cfg: ClusterConfig | None = None) -> Dataset:
+                       cfg: ClusterConfig | None = None,
+                       local_rows_bound: int = 0) -> Dataset:
     """candidates + unified records → MATCH_GROUPS Dataset (one shuffle
-    after fixpoint: members ∪ edge-scores grouped by final label)."""
+    after fixpoint: members ∪ edge-scores grouped by final label).
+    ``local_rows_bound`` threads to the finalize ``grouped_apply`` — the
+    incremental path's delta-bounded subgraph skips its sort barriers."""
     cfg = cfg or ClusterConfig()
 
     # candidates arrive in many small blocks (one per scorer task);
@@ -516,4 +539,5 @@ def build_match_groups(candidates: Dataset, unified: Dataset,
     from payor_linkage.rayutil import grouped_apply
 
     return grouped_apply(member_rows, "label", out_schema=_GROUPS_SCHEMA,
-                         runs_fn=_finalize_runs)
+                         runs_fn=_finalize_runs,
+                         local_rows_bound=local_rows_bound)

@@ -117,22 +117,17 @@ def ann_topk(ds: Dataset, query_ids: list[int], k: int = 5,
 
     def partial(b: pa.Table) -> pa.Table:
         ids_q, Qm = ray.get(ref)
-        bid = np.array(b[id_col].to_pylist())
+        bid = np.asarray(b[id_col].to_numpy(zero_copy_only=False))
         B = _normalize(_to_matrix(b[vec_col]))
         cos = Qm @ B.T                       # (nq, batch)
         nq, nb = cos.shape
         kk = min(k + 1, nb)                  # +1 to survive self-removal
         part = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
-        rows_q, rows_n, rows_c = [], [], []
-        for qi in range(nq):
-            for j in part[qi]:
-                rows_q.append(ids_q[qi])
-                rows_n.append(bid[j])
-                rows_c.append(cos[qi, j])
         return pa.table({
-            "query_id": pa.array(rows_q),
-            "neighbor_id": pa.array(rows_n),
-            "cos": pa.array(rows_c, pa.float64()),
+            "query_id": pa.array(np.repeat(ids_q, kk)),
+            "neighbor_id": pa.array(bid[part.ravel()]),
+            "cos": pa.array(np.take_along_axis(cos, part, axis=1).ravel(),
+                            pa.float64()),
         })
 
     return _finalize_topk(ds.map_batches(partial, batch_format="pyarrow"), k)
@@ -182,24 +177,26 @@ def ivf_topk(ds: Dataset, query_ids: list[int], k: int = 5, n_centroids: int = 1
 
     def partial(b: pa.Table) -> pa.Table:
         ids_q, Qm, Cm, probe = ray.get(ref)
-        bid = np.array(b[id_col].to_pylist())
+        bid = np.asarray(b[id_col].to_numpy(zero_copy_only=False))
         B = _normalize(_to_matrix(b[vec_col]))
         assign = np.argmax(B @ Cm.T, axis=1)              # vector → centroid
-        rows_q, rows_n, rows_c = [], [], []
-        for qi in range(len(ids_q)):
-            mask = np.isin(assign, probe[qi])
-            if not mask.any():
-                continue
-            cos = Qm[qi] @ B[mask].T
-            cand = bid[mask]
-            kk = min(k + 1, len(cand))
-            top = np.argpartition(-cos, kk - 1)[:kk]
-            rows_q += [ids_q[qi]] * len(top)
-            rows_n += list(cand[top])
-            rows_c += list(cos[top])
-        return pa.table({"query_id": pa.array(rows_q, pa.int64()),
-                         "neighbor_id": pa.array(rows_n, pa.int64()),
-                         "cos": pa.array(rows_c, pa.float64())})
+        # ONE (nq, batch) matmul, then mask scores outside each query's
+        # probed partitions to -inf and take a vectorized partial top-k
+        # across every query at once — the per-query Python loop this
+        # replaces re-sliced B once per query
+        cos = Qm @ B.T                                    # (nq, batch)
+        probed = (assign[None, :, None] == probe[:, None, :]).any(axis=2)
+        cos = np.where(probed, cos, -np.inf)
+        nq, nb = cos.shape
+        kk = min(k + 1, nb)
+        part = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
+        flat_q = np.repeat(ids_q, kk)
+        flat_n = bid[part.ravel()]
+        flat_c = np.take_along_axis(cos, part, axis=1).ravel()
+        keep = np.isfinite(flat_c)                        # drop unprobed
+        return pa.table({"query_id": pa.array(flat_q[keep], pa.int64()),
+                         "neighbor_id": pa.array(flat_n[keep], pa.int64()),
+                         "cos": pa.array(flat_c[keep], pa.float64())})
 
     return _finalize_topk(ds.map_batches(partial, batch_format="pyarrow"), k)
 

@@ -204,6 +204,31 @@ def _expand_hits(idx: np.ndarray, starts: np.ndarray,
     return probe_row, pos
 
 
+def _probe_parent_refs(batch: pa.Table, s, child_col: str) -> pa.Table:
+    """Signal-1 probe core: parent_ref equality against the broadcast
+    parent-name map → one hit row per (parent entry, probing row),
+    carrying ``child_col`` from the batch (the child's golden id on the
+    full path; the raw source_record_id on the incremental
+    probe-then-attach path, where the child golden is joined AFTER this
+    delta-bounded hit set is known). No self-edge filter here — the
+    caller applies it once child ids are attached."""
+    out = pa.schema([("parent_master_id", pa.string()),
+                     (child_col, pa.string())])
+    if batch.num_rows == 0 or len(s["keys"]) == 0:
+        return out.empty_table()
+    rn = pc.utf8_upper(pc.utf8_trim_whitespace(batch["parent_ref"]))
+    if isinstance(rn, pa.ChunkedArray):
+        rn = rn.combine_chunks()
+    idx = pc.index_in(rn, value_set=s["keys"]).fill_null(-1) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    probe_row, pos = _expand_hits(idx, s["key_starts"], s["key_counts"])
+    if len(pos) == 0:
+        return out.empty_table()
+    child = batch[child_col].combine_chunks().take(pa.array(probe_row))
+    parents = s["flat_ids"].take(pa.array(pos))
+    return pa.table({"parent_master_id": parents, child_col: child})
+
+
 def _broadcast_signals(refs: Dataset, children: Dataset, bcast) -> tuple:
     """Signal datasets against broadcast ``_signal_structures``:
     s1 = parent_ref equality over ``refs`` rows, s2 = substring
@@ -214,29 +239,15 @@ def _broadcast_signals(refs: Dataset, children: Dataset, bcast) -> tuple:
     codepoint slicing for window extraction only (normalization is the
     same Arrow kernel either way)."""
     def signal1(batch: pa.Table) -> pa.Table:
-        s = ray.get(bcast)
-        out = pa.schema([("parent_master_id", pa.string()),
-                         ("child_master_id", pa.string()),
-                         ("inference_method", pa.string())])
-        if batch.num_rows == 0 or len(s["keys"]) == 0:
-            return out.empty_table()
-        rn = pc.utf8_upper(pc.utf8_trim_whitespace(batch["parent_ref"]))
-        if isinstance(rn, pa.ChunkedArray):
-            rn = rn.combine_chunks()
-        idx = pc.index_in(rn, value_set=s["keys"]).fill_null(-1)             .to_numpy(zero_copy_only=False).astype(np.int64)
-        probe_row, pos = _expand_hits(idx, s["key_starts"],
-                                      s["key_counts"])
-        if len(pos) == 0:
-            return out.empty_table()
-        child = batch["master_payor_id"].combine_chunks()             .take(pa.array(probe_row))
-        parents = s["flat_ids"].take(pa.array(pos))
-        keep = pc.not_equal(parents, child)
-        parents, child = parents.filter(keep), child.filter(keep)
+        hits = _probe_parent_refs(batch, ray.get(bcast), "master_payor_id")
+        keep = pc.not_equal(hits["parent_master_id"],
+                            hits["master_payor_id"])
+        hits = hits.filter(keep)
         return pa.table({
-            "parent_master_id": parents,
-            "child_master_id": child,
+            "parent_master_id": hits["parent_master_id"],
+            "child_master_id": hits["master_payor_id"],
             "inference_method": pa.array(
-                ["name_ref_match"] * len(parents), pa.string())})
+                ["name_ref_match"] * hits.num_rows, pa.string())})
 
     def signal2(batch: pa.Table) -> pa.Table:
         s = ray.get(bcast)
@@ -349,7 +360,19 @@ def patch_hierarchy(golden: Dataset, unified: Dataset, xref: Dataset,
     rows vs maps restricted to affected parents (small index → small
     buckets); recomputed edges dedup through the same distinct-finalize
     as a full run, so ids are byte-identical. Falls back to a full
-    recompute above the broadcast bound."""
+    recompute above the broadcast bound.
+
+    No corpus-wide join anywhere: the signal-1 inputs are built
+    probe-first — (a) for affected CHILDREN, the xref slice for
+    affected goldens (delta-bounded) selects its ref rows by broadcast
+    id filter and attaches the child golden with a bounded lookup_join;
+    (b) for affected PARENTS, all parent_ref rows stream through the
+    affected-parent probe FIRST (map-only, 2 columns) and only the
+    delta-bounded HITS get their child golden attached. Probe-then-
+    attach ≡ attach-then-probe because the probe never reads the child
+    id; the self-edge filter runs post-attach as in a full run."""
+    from payor_linkage.rayutil import lookup_join
+
     golden_slim = golden.select_columns(
         ["master_payor_id", "payor_name"]).materialize()
     if golden_slim.count() > BROADCAST_GOLDEN_BOUND or not len(affected_ids):
@@ -363,21 +386,87 @@ def patch_hierarchy(golden: Dataset, unified: Dataset, xref: Dataset,
     full_maps = ray.put(_signal_structures(gold_tbl))
     aff_maps = ray.put(_signal_structures(gold_tbl, parent_filter=aff_pa))
 
-    refs = _refs_with_child(unified, xref)
-
     def only_aff(col):
         def f(b: pa.Table) -> pa.Table:
             return b.filter(pc.is_in(b[col], value_set=ray.get(aff_arr)))
         return f
 
-    refs_aff = refs.map_batches(only_aff("master_payor_id"),
-                                batch_format="pyarrow")
+    refs_raw = unified.select_columns(
+        ["source_record_id", "parent_ref"]).map_batches(
+        lambda b: b.filter(pc.and_(pc.is_valid(b["parent_ref"]),
+                                   pc.not_equal(b["parent_ref"], ""))),
+        batch_format="pyarrow")
+
+    # (a) refs whose CHILD golden is affected: xref slice → id filter →
+    # bounded attach (both join sides delta-bounded)
+    xref_sub = xref.map_batches(only_aff("master_payor_id"),
+                                batch_format="pyarrow").select_columns(
+        ["source_record_id", "master_payor_id"]).materialize()
+    sid_tbl = pa.concat_tables(ray.get(xref_sub.to_arrow_refs()),
+                               promote_options="default")
+    sid_ref = ray.put(sid_tbl["source_record_id"].combine_chunks())
+
+    def only_sub_ids(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["source_record_id"],
+                                 value_set=ray.get(sid_ref)))
+
+    refs_aff = lookup_join(
+        refs_raw.map_batches(only_sub_ids, batch_format="pyarrow"),
+        xref_sub, on="source_record_id")
     children_aff = golden_slim.map_batches(only_aff("master_payor_id"),
                                            batch_format="pyarrow")
 
     s1a, s2a = _broadcast_signals(refs_aff, children_aff, full_maps)
-    s1b, s2b = _broadcast_signals(refs, golden_slim, aff_maps)
-    recomputed = _distinct_finalize(s1a.union(s1b), s2a.union(s2b))
+
+    # (b) ALL refs vs affected parents: probe first (map-only), attach
+    # the child golden only for the delta-bounded hits
+    hits = refs_raw.map_batches(
+        lambda b: _probe_parent_refs(b, ray.get(aff_maps),
+                                     "source_record_id"),
+        batch_format="pyarrow").materialize()
+    if hits.count():
+        htbl = pa.concat_tables(ray.get(hits.to_arrow_refs()),
+                                promote_options="default")
+        hid_ref = ray.put(pc.unique(
+            htbl["source_record_id"].combine_chunks()))
+
+        def only_hit_ids(b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_in(b["source_record_id"],
+                                     value_set=ray.get(hid_ref)))
+
+        child_map = xref.map_batches(
+            only_hit_ids, batch_format="pyarrow").select_columns(
+            ["source_record_id", "master_payor_id"])
+        joined = lookup_join(hits, child_map, on="source_record_id")
+
+        def finish_s1b(b: pa.Table) -> pa.Table:
+            keep = pc.not_equal(b["parent_master_id"],
+                                b["master_payor_id"])
+            b = b.filter(keep)
+            return pa.table({
+                "parent_master_id": b["parent_master_id"],
+                "child_master_id": b["master_payor_id"],
+                "inference_method": pa.array(
+                    ["name_ref_match"] * b.num_rows, pa.string())})
+
+        s1b = joined.map_batches(finish_s1b, batch_format="pyarrow")
+    else:
+        import ray.data as rd
+
+        s1b = rd.from_arrow(pa.schema(
+            [("parent_master_id", pa.string()),
+             ("child_master_id", pa.string()),
+             ("inference_method", pa.string())]).empty_table())
+    import ray.data as rd
+
+    refs_none = rd.from_arrow(pa.schema(
+        [("source_record_id", pa.string()), ("parent_ref", pa.string()),
+         ("master_payor_id", pa.string())]).empty_table())
+    _, s2b = _broadcast_signals(refs_none, golden_slim, aff_maps)
+    from payor_linkage.cluster import INCR_LOCAL_ROWS_BOUND
+
+    recomputed = _distinct_finalize(s1a.union(s1b), s2a.union(s2b),
+                                    local_rows_bound=INCR_LOCAL_ROWS_BOUND)
 
     def both_unaffected(b: pa.Table) -> pa.Table:
         a = ray.get(aff_arr)
@@ -432,7 +521,8 @@ def infer_hierarchy(golden: Dataset, unified: Dataset, xref: Dataset) -> Dataset
     return _distinct_finalize(s1, s2)
 
 
-def _distinct_finalize(s1: Dataset, s2: Dataset) -> Dataset:
+def _distinct_finalize(s1: Dataset, s2: Dataset,
+                       local_rows_bound: int = 0) -> Dataset:
     # distinct union (O3) + final shape (payor_hierarchy.sql) — one
     # synthetic-key grouped_apply (sort + run-first slicing) instead of
     # groupby().map_groups: Ray's sort fans one reduce partition per
@@ -459,7 +549,8 @@ def _distinct_finalize(s1: Dataset, s2: Dataset) -> Dataset:
 
     edges = grouped_apply(
         s1.union(s2).map_batches(keyed, batch_format="pyarrow"),
-        "__k", out_schema=_edge_schema, runs_fn=firsts)
+        "__k", out_schema=_edge_schema, runs_fn=firsts,
+        local_rows_bound=local_rows_bound)
 
     def finalize(b: pa.Table) -> pa.Table:
         hids = [str(uuid.uuid5(_H_NS, f"{p}|{c}|{m}")) for p, c, m in zip(

@@ -239,7 +239,7 @@ def incremental_update(prior: LinkageResult, new_documents: Dataset,
                                    cands_delta, unified, new_ids,
                                    cfg.cluster)
     if sub is not None:
-        groups_sub, affected = sub
+        groups_sub, affected, unified_sub = sub
         groups_sub = groups_sub.materialize()
         new_gids = groups_sub.unique("match_group_id")
         groups = _patch_by_group(prior.groups, groups_sub, affected,
@@ -250,7 +250,7 @@ def incremental_update(prior: LinkageResult, new_documents: Dataset,
         groups = build_match_groups(candidates, unified, cfg.cluster) \
             .materialize()
         affected = affected_all = _changed_group_ids(prior.groups, groups)
-        groups_sub = None
+        groups_sub = unified_sub = None
         if affected:
             aref = ray.put(pa.array(sorted(affected), pa.string()))
 
@@ -262,11 +262,20 @@ def incremental_update(prior: LinkageResult, new_documents: Dataset,
                 only_affected, batch_format="pyarrow").materialize()
 
     if groups_sub is not None and affected_all:
+        # survivorship/xref rebuilds stream the delta-bounded member
+        # slice when the supernode path produced one — build_golden/
+        # build_xref stream their `unified` argument end to end (members
+        # attach + spans attach), so handing them the full corpus here
+        # would pay two corpus-wide passes per patched table
+        u_src = unified_sub if unified_sub is not None else unified
+        from payor_linkage.cluster import INCR_LOCAL_ROWS_BOUND
+        lrb = INCR_LOCAL_ROWS_BOUND if unified_sub is not None else 0
         golden = _patch_by_group(
-            prior.golden, build_golden(groups_sub, unified, surv_cfg),
+            prior.golden, build_golden(groups_sub, u_src, surv_cfg,
+                                       local_rows_bound=lrb),
             affected, "master_payor_id").materialize()
         xref = _patch_by_group(
-            prior.xref, build_xref(groups_sub, unified),
+            prior.xref, build_xref(groups_sub, u_src),
             affected, "master_payor_id").materialize()
         hierarchy = patch_hierarchy(golden, unified, xref,
                                     prior.hierarchy,

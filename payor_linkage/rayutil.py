@@ -54,7 +54,7 @@ def coalesce_small_blocks(ds: Dataset, min_rows_per_block: int = 4096,
 
 
 def grouped_apply(ds: Dataset, key: str, group_fn=None, out_schema: pa.Schema = None,
-                  runs_fn=None) -> Dataset:
+                  runs_fn=None, local_rows_bound: int = 0) -> Dataset:
     """``groupby(key).map_groups(group_fn)`` with block-amortized overhead.
 
     Ray's ``map_groups`` pays ~1ms of harness overhead per group — ruinous
@@ -74,6 +74,17 @@ def grouped_apply(ds: Dataset, key: str, group_fn=None, out_schema: pa.Schema = 
     consolidation task. For few-key per-group ranking use the
     sort + per-block count-prefix pattern instead
     (``dataops.reshape.interleave_position``).
+
+    ``local_rows_bound`` (opt-in) adds a DRIVER-LOCAL tier: when the
+    input has at most that many rows, skip the distributed sort and run
+    the same runs_fn/group_fn over one driver-side Arrow sort — the
+    cluster.py/BPE tiering pattern. Each Ray stage barrier costs ~1 s of
+    fixed latency regardless of data size, so a delta-bounded input
+    (incremental patch stages) pays more in barriers than in work.
+    Callers must pass it ONLY when the fn is within-run order-
+    insensitive (all pipeline runs_fns are — they do their own
+    deterministic tie-breaking) and the bound is memory-safe on the
+    driver.
     """
     import numpy as np
 
@@ -96,9 +107,31 @@ def grouped_apply(ds: Dataset, key: str, group_fn=None, out_schema: pa.Schema = 
     # ~8k rows so small inputs sort into few, fat blocks.
     s0 = ds.materialize()
     n_rows = s0.count()
+    empty = out_schema.empty_table()
+
+    if local_rows_bound and n_rows <= local_rows_bound:
+        import numpy as np
+        import ray.data as rd
+
+        if n_rows == 0:
+            return rd.from_arrow(empty)
+        tbl = pa.concat_tables(ray.get(s0.to_arrow_refs()),
+                               promote_options="default")
+        tbl = tbl.sort_by(key).combine_chunks()
+        arr = tbl[key].to_numpy(zero_copy_only=False)
+        starts = np.nonzero(
+            np.concatenate([[True], arr[1:] != arr[:-1]]))[0]
+        ends = np.concatenate([starts[1:], [len(arr)]])
+        if runs_fn is not None:
+            out = runs_fn(tbl, starts, ends)
+        else:
+            outs = [group_fn(tbl.slice(starts[i], ends[i] - starts[i]))
+                    for i in range(len(starts))]
+            out = pa.concat_tables(outs) if outs else empty
+        return rd.from_arrow(out)
+
     blocks = max(1, min(cpus * 2, -(-n_rows // 8192)))
     s = s0.repartition(blocks).sort(key).materialize()
-    empty = out_schema.empty_table()
 
     def _runs(keys) -> tuple:
         arr = keys.to_numpy(zero_copy_only=False)

@@ -223,7 +223,8 @@ def make_golden_runs_fn(cfg: SurvivorshipConfig, with_spans: bool = True):
 
 def build_golden(groups: Dataset, unified: Dataset,
                  cfg: SurvivorshipConfig | None = None,
-                 num_partitions: int | None = None) -> Dataset:
+                 num_partitions: int | None = None,
+                 local_rows_bound: int = 0) -> Dataset:
     """MATCH_GROUPS ⋈ unified → one golden record per group (golden rows
     carry the survivor document's spans, re-hydrated to list<struct>).
 
@@ -255,7 +256,8 @@ def build_golden(groups: Dataset, unified: Dataset,
                               if f.name != "spans_json"])
     golden = grouped_apply(members, "match_group_id",
                            out_schema=elect_schema,
-                           runs_fn=make_golden_runs_fn(cfg, with_spans=False))
+                           runs_fn=make_golden_runs_fn(cfg, with_spans=False),
+                           local_rows_bound=local_rows_bound)
 
     # survivor spans attach: golden (one row per group, narrow) is the
     # broadcast side; the span payload streams through un-shuffled
