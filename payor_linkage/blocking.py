@@ -38,6 +38,10 @@ from payor_linkage.config import BlockingConfig
 from payor_linkage.schema import PAIR_PAYLOAD_FIELDS
 
 _CARRY = ["source_record_id"] + PAIR_PAYLOAD_FIELDS
+# driver-local bound for the incremental touched-key counts splice: a
+# (bkey, n) slice of ≤ this many rows is a few hundred MB at worst;
+# wider deltas fall back to the distributed merge
+_TOUCHED_LOCAL_BOUND = 2_000_000
 # fixed type precedence for duplicate-free emission
 _TYPES = ["tax", "name", "zip", "pho"]
 _KEY_COLS = {"tax": "block_tax_id", "name": "block_name_key",
@@ -140,6 +144,21 @@ def merge_key_counts(prior_counts: Dataset, delta_counts: Dataset) -> Dataset:
             .groupby("bkey").aggregate(Sum("n", alias_name="n")))
 
 
+def _hot_entries(rows, cap: int, park_degenerate: bool,
+                 park_above: int | None, pho_cap: int | None) -> dict[str, int]:
+    """Shared per-key hot/park decision over (bkey, n) rows already
+    pre-filtered to n > min(cap, pho_cap)."""
+    out = {}
+    for k, n in rows:
+        k_cap = pho_cap if (pho_cap is not None and k.startswith("pho|")) else cap
+        if n <= k_cap:
+            continue
+        parked = (park_degenerate and _is_degenerate_key(k)) or \
+            (park_above is not None and n > park_above)
+        out[k] = -1 if parked else -(-n // k_cap)
+    return out
+
+
 def _hot_from_counts(counts: Dataset, cap: int, park_degenerate: bool,
                      park_above: int | None = None,
                      pho_cap: int | None = None) -> dict[str, int]:
@@ -152,17 +171,19 @@ def _hot_from_counts(counts: Dataset, cap: int, park_degenerate: bool,
     low_cap = min(cap, pho_cap or cap)
     hot = counts.map_batches(
         lambda t: t.filter(pc.greater(t["n"], low_cap)), batch_format="pyarrow")
-    out = {}
-    for r in hot.take_all():
-        k = r["bkey"]
-        n = r["n"]
-        k_cap = pho_cap if (pho_cap is not None and k.startswith("pho|")) else cap
-        if n <= k_cap:
-            continue
-        parked = (park_degenerate and _is_degenerate_key(k)) or \
-            (park_above is not None and n > park_above)
-        out[k] = -1 if parked else -(-n // k_cap)
-    return out
+    return _hot_entries(((r["bkey"], r["n"]) for r in hot.take_all()),
+                        cap, park_degenerate, park_above, pho_cap)
+
+
+def _hot_from_table(counts: pa.Table, cap: int, park_degenerate: bool,
+                    park_above: int | None = None,
+                    pho_cap: int | None = None) -> dict[str, int]:
+    """Driver-local `_hot_from_counts` over an Arrow (bkey, n) table —
+    the incremental path's touched-key slice (delta-bounded)."""
+    low_cap = min(cap, pho_cap or cap)
+    t = counts.filter(pc.greater(counts["n"], low_cap))
+    return _hot_entries(zip(t["bkey"].to_pylist(), t["n"].to_pylist()),
+                        cap, park_degenerate, park_above, pho_cap)
 
 
 def _find_hot_keys(key_rows: Dataset, cap: int, park_degenerate: bool,
@@ -484,7 +505,53 @@ def delta_blocking_pairs(unified_all: Dataset, new_ids,
     key_rows = blocking_key_rows(unified_all, cfg)
     combined_counts: Dataset | None = None
     hot: dict[str, int] = {}
-    if prior_counts is not None and dpart is not None:
+    if prior_counts is not None and dpart is not None \
+            and len(touched) <= _TOUCHED_LOCAL_BOUND:
+        # Only TOUCHED keys can change count, so the combined-corpus
+        # counts/hot-map rebuild needs no shuffle at all: sum the
+        # touched slice driver-locally (delta-bounded) and splice it
+        # over the prior counts with a map-only filter. Hot entries for
+        # untouched keys are read off the prior counts unchanged; the
+        # touched slice is re-decided exactly — together identical to
+        # `_hot_from_counts(merge_key_counts(prior, delta))`.
+        tset_ref = ray.put(pa.array(sorted(touched), pa.string()))
+
+        def only_touched(b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_in(b["bkey"],
+                                     value_set=ray.get(tset_ref)))
+
+        def drop_touched(b: pa.Table) -> pa.Table:
+            return b.filter(pc.invert(pc.is_in(
+                b["bkey"], value_set=ray.get(tset_ref))))
+
+        pt_ds = prior_counts.map_batches(
+            only_touched, batch_format="pyarrow").materialize()
+        pt = pa.concat_tables(ray.get(pt_ds.to_arrow_refs()),
+                              promote_options="default")
+        merged = (pa.concat_tables(
+            [pt.select(["bkey", "n"]), ptbl.select(["bkey", "n"])],
+            promote_options="default")
+            .group_by("bkey").aggregate([("n", "sum")])
+            .rename_columns(["bkey", "n"]))
+        merged = merged.set_column(
+            1, "n", pc.cast(merged["n"], pa.int64())).combine_chunks()
+        import ray.data as _rd
+
+        combined_counts = prior_counts.map_batches(
+            drop_touched, batch_format="pyarrow").union(
+            _rd.from_arrow(merged))
+        if cfg.hot_key_cap:
+            hot = _hot_from_counts(prior_counts, cfg.hot_key_cap,
+                                   cfg.park_degenerate_hot_keys,
+                                   cfg.park_key_above, cfg.pho_key_cap)
+            tset_py = set(touched)
+            hot = {k: v for k, v in hot.items() if k not in tset_py}
+            hot.update(_hot_from_table(merged, cfg.hot_key_cap,
+                                       cfg.park_degenerate_hot_keys,
+                                       cfg.park_key_above,
+                                       cfg.pho_key_cap))
+    elif prior_counts is not None and dpart is not None:
+        # adversarially wide delta: fall back to the distributed merge
         combined_counts = merge_key_counts(prior_counts, dpart) \
             .materialize()
         if cfg.hot_key_cap:

@@ -156,7 +156,10 @@ def _finalize_group(g: pa.Table) -> pa.Table:
     non-null) for one label. Plain-python over tiny groups."""
     nodes = g["node"].to_pylist()
     trusts = g["source_trust_rank"].to_pylist()
-    scores = [s for s in g["score"].to_pylist() if s is not None]
+    # sorted before summing: float addition is order-dependent, and the
+    # incremental tiers assemble score rows in a different order than a
+    # full distributed sort — canonical order makes every tier agree
+    scores = sorted(s for s in g["score"].to_pylist() if s is not None)
     trust = {n: t for n, t in zip(nodes, trusts) if n is not None}
     members = sorted(trust)
     group_id = str(uuid.uuid5(uuid.NAMESPACE_DNS, "|".join(members)))
@@ -180,7 +183,8 @@ def _finalize_runs(b: pa.Table, starts, ends) -> pa.Table:
     out_gid, out_rid, out_surv, out_conf = [], [], [], []
     for s_, e_ in zip(starts, ends):
         trust = {nodes[i]: trusts[i] for i in range(s_, e_) if nodes[i] is not None}
-        sc = [scores[i] for i in range(s_, e_) if scores[i] is not None]
+        sc = sorted(scores[i] for i in range(s_, e_)
+                    if scores[i] is not None)
         members = sorted(trust)
         group_id = str(uuid.uuid5(uuid.NAMESPACE_DNS, "|".join(members)))
         survivor = min(members, key=lambda m: trust[m] if trust[m] is not None else 999)
@@ -363,6 +367,67 @@ def _propagate_local(edges: Dataset, nodes: Dataset,
 INCR_LOCAL_ROWS_BOUND = 500_000
 
 
+def _local_match_groups(edges_tbl: pa.Table,
+                        unified_tbl: pa.Table) -> pa.Table:
+    """Driver-local ``build_match_groups`` over a delta-bounded subgraph:
+    same UF/labeling/finalize kernels as ``_propagate_local`` +
+    ``_finalize_runs``, zero Ray stages. Callers own the bound check —
+    the incremental path's subgraph is delta-bounded by its
+    ``max_affected_frac`` guard. Arrow buffers arrive plasma-backed
+    (``ray.get`` of blocks is zero-copy), so driver heap stays small."""
+    from payor_linkage.rayutil import local_grouped_runs
+
+    node_col = unified_tbl["source_record_id"].combine_chunks()
+    trust_col = unified_tbl["source_trust_rank"].combine_chunks()
+
+    if edges_tbl.num_rows:
+        src = edges_tbl["src"].combine_chunks()
+        dst = edges_tbl["dst"].combine_chunks()
+        both = pa.chunked_array([src, dst]).combine_chunks()
+        enc = pc.dictionary_encode(both)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dictionary = enc.dictionary
+        sort_idx = pc.array_sort_indices(dictionary).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        rank = np.empty(len(sort_idx), dtype=np.int64)
+        rank[sort_idx] = np.arange(len(sort_idx), dtype=np.int64)
+        codes = rank[codes]
+        uniques = dictionary.take(pa.array(sort_idx))
+        n_e = edges_tbl.num_rows
+        parent = _int_union_find(codes[:n_e], codes[n_e:], len(uniques))
+        label_arrow = uniques.take(pa.array(parent))
+        # node labels: UF root when the node touches an edge, else itself
+        pos = pc.index_in(node_col, value_set=uniques)
+        hit = pc.is_valid(pos)
+        node_label = pc.if_else(
+            hit, label_arrow.take(pc.fill_null(pos, 0)), node_col)
+        # edge-score rows labeled by src's root (≡ dst's root)
+        epos = pc.index_in(src, value_set=uniques)
+        edge_label = label_arrow.take(epos)
+        score_rows = pa.table({
+            "label": edge_label,
+            "node": pa.nulls(n_e, pa.string()),
+            "source_trust_rank": pa.nulls(n_e, trust_col.type),
+            "score": pc.cast(edges_tbl["score"].combine_chunks(),
+                             pa.float64()),
+        })
+    else:
+        node_label = node_col
+        score_rows = None
+
+    member_rows = pa.table({
+        "label": node_label,
+        "node": node_col,
+        "source_trust_rank": trust_col,
+        "score": pa.nulls(unified_tbl.num_rows, pa.float64()),
+    })
+    if score_rows is not None:
+        member_rows = pa.concat_tables([member_rows, score_rows],
+                                       promote_options="default")
+    return local_grouped_runs(member_rows, "label", _GROUPS_SCHEMA,
+                              runs_fn=_finalize_runs)
+
+
 def incremental_match_groups(prior_groups: Dataset, prior_candidates: Dataset,
                              cands_delta: Dataset, unified: Dataset,
                              new_ids, cfg: ClusterConfig | None = None,
@@ -383,15 +448,18 @@ def incremental_match_groups(prior_groups: Dataset, prior_candidates: Dataset,
     confidence), and every untouched prior group row is reusable
     verbatim.
 
-    Returns ``(groups_sub, affected_prior_gids, unified_sub)`` — the
-    rebuilt rows for changed/new components, the prior group ids to
-    drop, and the MATERIALIZED delta-bounded slice of ``unified``
+    Returns ``(groups_sub, affected_prior_gids, unified_sub, local)`` —
+    the rebuilt rows for changed/new components, the prior group ids to
+    drop, the MATERIALIZED delta-bounded slice of ``unified``
     restricted to the affected node set (handed back so the
     survivorship/xref patch stages stream it instead of re-filtering
-    the full corpus) — or ``None`` when the delta touches more than
-    ``max_affected_frac`` of the prior corpus (the adversarial
-    uniform-sprinkle regime, where a full rebuild is cheaper and the
-    broadcast member set would stop being delta-bounded)."""
+    the full corpus), and — when the subgraph fit the driver tier —
+    ``(groups_tbl, unified_tbl)`` Arrow tables so those patch stages
+    can run driver-local as well (else ``None``). Returns ``None``
+    overall when the delta touches more than ``max_affected_frac`` of
+    the prior corpus (the adversarial uniform-sprinkle regime, where a
+    full rebuild is cheaper and the broadcast member set would stop
+    being delta-bounded)."""
     import ray
 
     cfg = cfg or ClusterConfig()
@@ -454,29 +522,60 @@ def incremental_match_groups(prior_groups: Dataset, prior_candidates: Dataset,
         batch_format="pyarrow").materialize()
 
     # prior match edges inside affected groups: canonical pairs have both
-    # endpoints in the same prior group, so the _a-side probe is exact
-    def prior_sub(b: pa.Table) -> pa.Table:
-        return b.filter(pc.and_(
+    # endpoints in the same prior group, so the _a-side probe is exact.
+    # Project to the 4 edge columns BEFORE the scan — prior candidates
+    # carry full pair payloads, and this pass needs none of them.
+    def prior_sub_edges(b: pa.Table) -> pa.Table:
+        m = b.filter(pc.and_(
             pc.equal(b["final_decision"], "match"),
             pc.is_in(b["source_record_id_a"], value_set=ray.get(mem_ref))))
+        return pa.table({"src": m["source_record_id_a"],
+                         "dst": m["source_record_id_b"],
+                         "score": m["overall_score"]})
 
-    candidates_sub = prior_candidates.map_batches(
-        prior_sub, batch_format="pyarrow").union(cands_delta)
-    # the subgraph is delta-bounded by construction (max_affected_frac
-    # guard above), so the finalize earns grouped_apply's driver-local
-    # tier: member+score rows ≈ 2× the affected member count
-    groups_sub = build_match_groups(candidates_sub, unified_sub, cfg,
-                                    local_rows_bound=INCR_LOCAL_ROWS_BOUND)
-    return groups_sub, affected_gids, unified_sub
+    prior_edges = prior_candidates.select_columns(
+        ["source_record_id_a", "source_record_id_b", "final_decision",
+         "overall_score"]).map_batches(
+        prior_sub_edges, batch_format="pyarrow").materialize()
+
+    n_sub = unified_sub.count() + prior_edges.count() + etbl.num_rows
+    if n_sub <= INCR_LOCAL_ROWS_BOUND:
+        # the whole subgraph fits the driver tier: collect it once
+        # (plasma-backed zero-copy buffers) and run the UF + finalize
+        # kernels with zero further Ray stages. The returned tables let
+        # the survivorship/xref patch kernels stay driver-local too.
+        import ray.data as _rd
+
+        petbl = pa.concat_tables(ray.get(prior_edges.to_arrow_refs()),
+                                 promote_options="default")
+        edges_tbl = pa.concat_tables([petbl, etbl],
+                                     promote_options="default")
+        unified_tbl = pa.concat_tables(ray.get(unified_sub.to_arrow_refs()),
+                                       promote_options="default")
+        groups_tbl = _local_match_groups(edges_tbl, unified_tbl)
+        groups_sub = _rd.from_arrow(groups_tbl)
+        return groups_sub, affected_gids, unified_sub, \
+            (groups_tbl, unified_tbl)
+
+    # distributed fallback: the subgraph exceeds the driver tier
+    edges_sub = prior_edges.union(delta_edges)
+    groups_sub = build_match_groups(None, unified_sub, cfg,
+                                    local_rows_bound=INCR_LOCAL_ROWS_BOUND,
+                                    edges=edges_sub)
+    return groups_sub, affected_gids, unified_sub, None
 
 
 def build_match_groups(candidates: Dataset, unified: Dataset,
                        cfg: ClusterConfig | None = None,
-                       local_rows_bound: int = 0) -> Dataset:
+                       local_rows_bound: int = 0,
+                       edges: Dataset | None = None) -> Dataset:
     """candidates + unified records → MATCH_GROUPS Dataset (one shuffle
     after fixpoint: members ∪ edge-scores grouped by final label).
     ``local_rows_bound`` threads to the finalize ``grouped_apply`` — the
-    incremental path's delta-bounded subgraph skips its sort barriers."""
+    incremental path's delta-bounded subgraph skips its sort barriers.
+    Pass pre-built ``edges`` ((src, dst, score) match edges) to skip the
+    candidates scan entirely — the incremental path derives them from a
+    4-column projection instead of re-scanning full-width candidates."""
     cfg = cfg or ClusterConfig()
 
     # candidates arrive in many small blocks (one per scorer task);
@@ -488,7 +587,9 @@ def build_match_groups(candidates: Dataset, unified: Dataset,
         _cpus = int(_ray.cluster_resources().get("CPU", 4))
     except Exception:
         _cpus = 4
-    edges = match_edges(candidates).repartition(_cpus * 2).materialize()
+    if edges is None:
+        edges = match_edges(candidates)
+    edges = edges.repartition(_cpus * 2).materialize()
     nodes = unified.map_batches(
         lambda b: pa.table({"node": b["source_record_id"],
                             "source_trust_rank": b["source_trust_rank"]}),

@@ -161,10 +161,12 @@ def _changed_group_ids(old_groups: Dataset, new_groups: Dataset) -> list:
 
 
 def _patch_by_group(old: Dataset, rebuilt: Dataset, affected: list,
-                    id_col: str) -> Dataset:
+                    id_col: str, single_block_rebuilt: bool = False) -> Dataset:
     """Replace ``old``'s rows for the affected group ids with the
     rebuilt subset (broadcast id-set filter; affected is
-    delta-bounded)."""
+    delta-bounded). Pass ``single_block_rebuilt=True`` when ``rebuilt``
+    is a driver-built one-block dataset — the coalescing repartition is
+    then skipped while block counts stay pinned."""
     import ray
     import pyarrow.compute as pc
 
@@ -178,12 +180,24 @@ def _patch_by_group(old: Dataset, rebuilt: Dataset, affected: list,
         cpus = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
         cpus = 4
-    # coalesce: old-side blocks + rebuilt-side blocks otherwise compound
-    # across incremental generations, and every downstream pass pays one
-    # task per block (observed: 720-block golden/xref made the hierarchy
-    # patch 5× slower than the work it did)
-    return old.map_batches(drop_affected, batch_format="pyarrow") \
-        .union(rebuilt).repartition(cpus * 2)
+    out = old.map_batches(drop_affected, batch_format="pyarrow") \
+        .union(rebuilt)
+    # coalesce ONLY when block counts would compound across incremental
+    # generations (observed: 720-block golden/xref made the hierarchy
+    # patch 5× slower than the work it did) — the driver-local patch
+    # path (single_block_rebuilt) unions ONE rebuilt block onto an
+    # already-pinned old side, where an unconditional repartition would
+    # pay a full rewrite of the corpus-sized table for nothing; block
+    # growth is +1/generation there, reset by the > cpus*4 check
+    n_old = None
+    if single_block_rebuilt:
+        try:
+            n_old = old.num_blocks()  # old is always materialized
+        except Exception:
+            n_old = None
+    if n_old is None or n_old > cpus * 4:
+        out = out.repartition(cpus * 2)
+    return out
 
 
 def incremental_update(prior: LinkageResult, new_documents: Dataset,
@@ -238,12 +252,21 @@ def incremental_update(prior: LinkageResult, new_documents: Dataset,
     sub = incremental_match_groups(prior.groups, prior.candidates,
                                    cands_delta, unified, new_ids,
                                    cfg.cluster)
+    local_tbls = None
     if sub is not None:
-        groups_sub, affected, unified_sub = sub
-        groups_sub = groups_sub.materialize()
-        new_gids = groups_sub.unique("match_group_id")
-        groups = _patch_by_group(prior.groups, groups_sub, affected,
-                                 "match_group_id").materialize()
+        groups_sub, affected, unified_sub, local_tbls = sub
+        if local_tbls is not None:
+            # groups_sub was built driver-local — its table is in hand,
+            # so new_gids needs no Ray pass either
+            new_gids = pc.unique(
+                local_tbls[0]["match_group_id"].combine_chunks()
+            ).to_pylist()
+        else:
+            groups_sub = groups_sub.materialize()
+            new_gids = groups_sub.unique("match_group_id")
+        groups = _patch_by_group(
+            prior.groups, groups_sub, affected, "match_group_id",
+            single_block_rebuilt=local_tbls is not None).materialize()
         affected_all = sorted(set(affected) | set(new_gids))
     else:
         # diffuse delta — full clustering rebuild over the combined graph
@@ -262,21 +285,34 @@ def incremental_update(prior: LinkageResult, new_documents: Dataset,
                 only_affected, batch_format="pyarrow").materialize()
 
     if groups_sub is not None and affected_all:
-        # survivorship/xref rebuilds stream the delta-bounded member
-        # slice when the supernode path produced one — build_golden/
-        # build_xref stream their `unified` argument end to end (members
-        # attach + spans attach), so handing them the full corpus here
-        # would pay two corpus-wide passes per patched table
-        u_src = unified_sub if unified_sub is not None else unified
-        from payor_linkage.cluster import INCR_LOCAL_ROWS_BOUND
-        lrb = INCR_LOCAL_ROWS_BOUND if unified_sub is not None else 0
+        # survivorship/xref rebuilds: fully driver-local when the
+        # subgraph fit the driver tier (same election kernels, zero Ray
+        # stages); else stream the delta-bounded member slice —
+        # build_golden/build_xref stream their `unified` argument end to
+        # end (members attach + spans attach), so handing them the full
+        # corpus here would pay two corpus-wide passes per patched table
+        if local_tbls is not None:
+            import ray.data as _rd
+
+            from payor_linkage.survivorship import local_golden, local_xref
+
+            groups_tbl, unified_tbl = local_tbls
+            golden_sub = _rd.from_arrow(
+                local_golden(groups_tbl, unified_tbl, surv_cfg))
+            xref_sub = _rd.from_arrow(local_xref(groups_tbl, unified_tbl))
+        else:
+            u_src = unified_sub if unified_sub is not None else unified
+            from payor_linkage.cluster import INCR_LOCAL_ROWS_BOUND
+            lrb = INCR_LOCAL_ROWS_BOUND if unified_sub is not None else 0
+            golden_sub = build_golden(groups_sub, u_src, surv_cfg,
+                                      local_rows_bound=lrb)
+            xref_sub = build_xref(groups_sub, u_src)
         golden = _patch_by_group(
-            prior.golden, build_golden(groups_sub, u_src, surv_cfg,
-                                       local_rows_bound=lrb),
-            affected, "master_payor_id").materialize()
+            prior.golden, golden_sub, affected, "master_payor_id",
+            single_block_rebuilt=local_tbls is not None).materialize()
         xref = _patch_by_group(
-            prior.xref, build_xref(groups_sub, u_src),
-            affected, "master_payor_id").materialize()
+            prior.xref, xref_sub, affected, "master_payor_id",
+            single_block_rebuilt=local_tbls is not None).materialize()
         hierarchy = patch_hierarchy(golden, unified, xref,
                                     prior.hierarchy,
                                     affected_all).materialize()

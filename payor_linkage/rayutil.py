@@ -53,6 +53,60 @@ def coalesce_small_blocks(ds: Dataset, min_rows_per_block: int = 4096,
     return out.materialize() if materialize else out
 
 
+def _runs_slice_task(runs_fn, tbl: pa.Table, starts, ends) -> pa.Table:
+    return runs_fn(tbl, starts, ends)
+
+
+def local_grouped_runs(tbl: pa.Table, key: str, out_schema: pa.Schema,
+                       group_fn=None, runs_fn=None,
+                       scatter_above_rows: int = 100_000) -> pa.Table:
+    """Driver-local core of ``grouped_apply``: one Arrow sort by ``key``
+    + run slicing, then the same group_fn/runs_fn the distributed path
+    runs. Callers own the bound check — this collects nothing, it takes
+    an in-memory table. Shared by grouped_apply's ``local_rows_bound``
+    tier and the incremental pipeline's delta-bounded patch kernels.
+
+    Above ``scatter_above_rows`` the runs_fn work is SCATTERED over raw
+    Ray tasks on group-aligned contiguous slices (one barrier, zero
+    shuffle — the sort already happened here): per-group Python finalize
+    is the only real compute on this path and would otherwise serialize
+    on the driver."""
+    import numpy as np
+
+    if tbl.num_rows == 0:
+        return out_schema.empty_table()
+    tbl = tbl.sort_by(key).combine_chunks()
+    arr = tbl[key].to_numpy(zero_copy_only=False)
+    starts = np.nonzero(np.concatenate([[True], arr[1:] != arr[:-1]]))[0]
+    ends = np.concatenate([starts[1:], [len(arr)]])
+    if runs_fn is not None:
+        n_runs = len(starts)
+        if (scatter_above_rows and tbl.num_rows > scatter_above_rows
+                and n_runs > 8 and ray.is_initialized()):
+            try:
+                cpus = int(ray.cluster_resources().get("CPU", 4))
+            except Exception:
+                cpus = 4
+            n_tasks = max(2, min(cpus, n_runs // 4))
+            bounds = np.unique(np.linspace(
+                0, n_runs, n_tasks + 1).astype(np.int64))
+            rfn = ray.remote(_runs_slice_task)
+            futs = []
+            for c in range(len(bounds) - 1):
+                lo, hi = bounds[c], bounds[c + 1]
+                off = int(starts[lo])
+                end_row = int(ends[hi - 1])
+                futs.append(rfn.remote(
+                    runs_fn, tbl.slice(off, end_row - off),
+                    starts[lo:hi] - off, ends[lo:hi] - off))
+            return pa.concat_tables(ray.get(futs),
+                                    promote_options="default")
+        return runs_fn(tbl, starts, ends)
+    outs = [group_fn(tbl.slice(starts[i], ends[i] - starts[i]))
+            for i in range(len(starts))]
+    return pa.concat_tables(outs) if outs else out_schema.empty_table()
+
+
 def grouped_apply(ds: Dataset, key: str, group_fn=None, out_schema: pa.Schema = None,
                   runs_fn=None, local_rows_bound: int = 0) -> Dataset:
     """``groupby(key).map_groups(group_fn)`` with block-amortized overhead.
@@ -110,25 +164,14 @@ def grouped_apply(ds: Dataset, key: str, group_fn=None, out_schema: pa.Schema = 
     empty = out_schema.empty_table()
 
     if local_rows_bound and n_rows <= local_rows_bound:
-        import numpy as np
         import ray.data as rd
 
         if n_rows == 0:
             return rd.from_arrow(empty)
         tbl = pa.concat_tables(ray.get(s0.to_arrow_refs()),
                                promote_options="default")
-        tbl = tbl.sort_by(key).combine_chunks()
-        arr = tbl[key].to_numpy(zero_copy_only=False)
-        starts = np.nonzero(
-            np.concatenate([[True], arr[1:] != arr[:-1]]))[0]
-        ends = np.concatenate([starts[1:], [len(arr)]])
-        if runs_fn is not None:
-            out = runs_fn(tbl, starts, ends)
-        else:
-            outs = [group_fn(tbl.slice(starts[i], ends[i] - starts[i]))
-                    for i in range(len(starts))]
-            out = pa.concat_tables(outs) if outs else empty
-        return rd.from_arrow(out)
+        return rd.from_arrow(local_grouped_runs(
+            tbl, key, out_schema, group_fn=group_fn, runs_fn=runs_fn))
 
     blocks = max(1, min(cpus * 2, -(-n_rows // 8192)))
     s = s0.repartition(blocks).sort(key).materialize()

@@ -280,6 +280,77 @@ def build_golden(groups: Dataset, unified: Dataset,
         .repartition(_default_blocks())
 
 
+def _attach_by_key(big: pa.Table, small: pa.Table, on: str) -> pa.Table:
+    """Driver-local inner lookup_join: attach ``small``'s payload columns
+    to ``big`` rows via ``pc.index_in`` (small unique-keyed). Same
+    row/column semantics as ``rayutil.lookup_join(how='inner')``."""
+    import pyarrow.compute as pc
+
+    keys = small[on].combine_chunks()
+    pos = pc.index_in(big[on], value_set=keys)
+    if isinstance(pos, pa.ChunkedArray):
+        pos = pos.combine_chunks()
+    hit = pc.is_valid(pos)
+    m = big.filter(hit)
+    idx = pos.filter(hit)
+    for c in small.column_names:
+        if c != on and c not in m.column_names:
+            m = m.append_column(c, small[c].combine_chunks().take(idx))
+    return m
+
+
+def local_golden(groups_tbl: pa.Table, unified_tbl: pa.Table,
+                 cfg: SurvivorshipConfig | None = None) -> pa.Table:
+    """Driver-local ``build_golden`` over delta-bounded Arrow tables
+    (the incremental patch path): identical election/span semantics —
+    same ``make_golden_runs_fn`` kernel over the same member rows, spans
+    attached by survivor-id probe — with zero Ray stages."""
+    import pyarrow.compute as pc
+
+    from payor_linkage.normalize import spans_from_json
+    from payor_linkage.rayutil import local_grouped_runs
+
+    cfg = cfg or SurvivorshipConfig()
+    slim = unified_tbl.select(
+        [c for c in unified_tbl.column_names if c != "spans_json"])
+    members = _attach_by_key(slim, groups_tbl, on="source_record_id")
+    loaded = pc.cast(members["loaded_at"], pa.int64())
+    members = members.drop_columns(["loaded_at"]).append_column(
+        "loaded_us", loaded)
+    elect_schema = pa.schema([f for f in _GOLDEN_JSON_SCHEMA
+                              if f.name != "spans_json"])
+    golden = local_grouped_runs(
+        members, "match_group_id", elect_schema,
+        runs_fn=make_golden_runs_fn(cfg, with_spans=False))
+    # survivor spans: unique-id probe into the unified slice
+    upos = pc.index_in(golden["survivor_record_id"],
+                       value_set=unified_tbl["source_record_id"]
+                       .combine_chunks())
+    if isinstance(upos, pa.ChunkedArray):
+        upos = upos.combine_chunks()
+    spans_json = unified_tbl["spans_json"].combine_chunks().take(upos)
+    spans = spans_from_json(spans_json)
+    golden = golden.append_column("spans", spans)
+    return golden.select([f.name for f in GOLDEN_SCHEMA])
+
+
+def local_xref(groups_tbl: pa.Table, unified_tbl: pa.Table) -> pa.Table:
+    """Driver-local ``build_xref`` over delta-bounded Arrow tables."""
+    slim = unified_tbl.select(
+        ["source_record_id", "source_system", "source_id"])
+    j = _attach_by_key(
+        slim, groups_tbl.select(
+            ["source_record_id", "match_group_id", "group_confidence"]),
+        on="source_record_id")
+    return pa.table({
+        "source_record_id": j["source_record_id"],
+        "master_payor_id": j["match_group_id"],
+        "source_system": j["source_system"],
+        "source_id": j["source_id"],
+        "match_confidence": j["group_confidence"],
+    })
+
+
 def build_xref(groups: Dataset, unified: Dataset, num_partitions: int | None = None) -> Dataset:
     """XREF: every source record → its master (xref.sql:16-25)."""
     import pyarrow as pa
