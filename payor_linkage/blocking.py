@@ -42,6 +42,9 @@ _CARRY = ["source_record_id"] + PAIR_PAYLOAD_FIELDS
 # (bkey, n) slice of ≤ this many rows is a few hundred MB at worst;
 # wider deltas fall back to the distributed merge
 _TOUCHED_LOCAL_BOUND = 2_000_000
+# driver tier for the touched KEY-ROW subset (payload-wide) feeding the
+# incremental pair emission — ~150 MB at 500k rows
+_PAIRS_LOCAL_BOUND = 500_000
 # fixed type precedence for duplicate-free emission
 _TYPES = ["tax", "name", "zip", "pho"]
 _KEY_COLS = {"tax": "block_tax_id", "name": "block_name_key",
@@ -586,8 +589,13 @@ def delta_blocking_pairs(unified_all: Dataset, new_ids,
 
     from payor_linkage.rayutil import grouped_apply
 
+    # the touched subset is delta-bounded → below the driver tier the
+    # emission skips grouped_apply's repartition+sort shuffles (the
+    # emitter itself is scattered back over Ray tasks by
+    # local_grouped_runs, so pair compute stays parallel)
     pairs = grouped_apply(sub, "bkey", out_schema=_pairs_schema(),
-                          runs_fn=make_runs_pair_emitter(hot))
+                          runs_fn=make_runs_pair_emitter(hot),
+                          local_rows_bound=_PAIRS_LOCAL_BOUND)
 
     def with_new_endpoint(b: pa.Table) -> pa.Table:
         nid = ray.get(nid_ref)

@@ -366,6 +366,11 @@ def _propagate_local(edges: Dataset, nodes: Dataset,
 # Inputs above the bound silently stay on the distributed path.
 INCR_LOCAL_ROWS_BOUND = 500_000
 
+# driver tier for the (gid, member) projection of prior groups — two
+# narrow string columns; 2M rows ≈ 150 MB of Arrow buffers. Beyond it
+# the affected-gid/member probes stay distributed.
+_GROUPS_LOCAL_ROWS_BOUND = 2_000_000
+
 
 def _local_match_groups(edges_tbl: pa.Table,
                         unified_tbl: pa.Table) -> pa.Table:
@@ -478,36 +483,62 @@ def incremental_match_groups(prior_groups: Dataset, prior_candidates: Dataset,
     else:
         old_eps = pa.array([], pa.string())
 
-    # prior gids with a delta-edge endpoint (broadcast probe, delta-
-    # bounded) — the filtered result is tiny, so collect + unique on the
-    # driver instead of paying an aggregate shuffle barrier
+    # prior gids with a delta-edge endpoint → their full member sets.
+    # Two sequential probes over prior_groups; below the driver tier
+    # bound the (gid, member) projection is collected ONCE and both
+    # probes run as Arrow kernels — two corpus scans and two stage
+    # barriers become one collect. Above the bound (a real-cluster
+    # corpus) the distributed probes run unchanged.
+    n_prior = prior_groups.count()
+    gm_tbl = None
+    if n_prior <= _GROUPS_LOCAL_ROWS_BOUND:
+        gm_ds = prior_groups.select_columns(
+            ["match_group_id", "source_record_id"]).materialize()
+        gm_tbl = pa.concat_tables(ray.get(gm_ds.to_arrow_refs()),
+                                  promote_options="default")
+
     if len(old_eps):
-        ep_ref = ray.put(old_eps)
-        tds = prior_groups.map_batches(
-            lambda b: b.filter(pc.is_in(b["source_record_id"],
-                                        value_set=ray.get(ep_ref))),
-            batch_format="pyarrow").select_columns(
-            ["match_group_id"]).materialize()
-        ttbl = pa.concat_tables(ray.get(tds.to_arrow_refs()),
-                                promote_options="default")
-        affected_gids = sorted(
-            pc.unique(ttbl["match_group_id"].combine_chunks()).to_pylist())
+        if gm_tbl is not None:
+            hit = pc.is_in(gm_tbl["source_record_id"].combine_chunks(),
+                           value_set=old_eps)
+            affected_gids = sorted(pc.unique(
+                gm_tbl["match_group_id"].combine_chunks().filter(hit)
+            ).to_pylist())
+        else:
+            ep_ref = ray.put(old_eps)
+            tds = prior_groups.map_batches(
+                lambda b: b.filter(pc.is_in(b["source_record_id"],
+                                            value_set=ray.get(ep_ref))),
+                batch_format="pyarrow").select_columns(
+                ["match_group_id"]).materialize()
+            ttbl = pa.concat_tables(ray.get(tds.to_arrow_refs()),
+                                    promote_options="default")
+            affected_gids = sorted(pc.unique(
+                ttbl["match_group_id"].combine_chunks()).to_pylist())
     else:
         affected_gids = []
 
     if affected_gids:
-        gid_ref = ray.put(pa.array(affected_gids, pa.string()))
-        members_ds = prior_groups.map_batches(
-            lambda b: b.filter(pc.is_in(b["match_group_id"],
-                                        value_set=ray.get(gid_ref))),
-            batch_format="pyarrow").select_columns(
-            ["source_record_id"]).materialize()
-        n_prior = prior_groups.count()
-        if n_prior and members_ds.count() > max_affected_frac * n_prior:
-            return None  # delta too diffuse — full rebuild is cheaper
-        mtbl = pa.concat_tables(ray.get(members_ds.to_arrow_refs()),
-                                promote_options="default")
-        member_arr = mtbl["source_record_id"].combine_chunks()
+        gid_arr = pa.array(affected_gids, pa.string())
+        if gm_tbl is not None:
+            ghit = pc.is_in(gm_tbl["match_group_id"].combine_chunks(),
+                            value_set=gid_arr)
+            member_arr = gm_tbl["source_record_id"].combine_chunks() \
+                .filter(ghit)
+            if n_prior and len(member_arr) > max_affected_frac * n_prior:
+                return None  # delta too diffuse — full rebuild is cheaper
+        else:
+            gid_ref = ray.put(gid_arr)
+            members_ds = prior_groups.map_batches(
+                lambda b: b.filter(pc.is_in(b["match_group_id"],
+                                            value_set=ray.get(gid_ref))),
+                batch_format="pyarrow").select_columns(
+                ["source_record_id"]).materialize()
+            if n_prior and members_ds.count() > max_affected_frac * n_prior:
+                return None  # delta too diffuse — full rebuild is cheaper
+            mtbl = pa.concat_tables(ray.get(members_ds.to_arrow_refs()),
+                                    promote_options="default")
+            member_arr = mtbl["source_record_id"].combine_chunks()
     else:
         member_arr = pa.array([], pa.string())
 
@@ -516,10 +547,24 @@ def incremental_match_groups(prior_groups: Dataset, prior_candidates: Dataset,
     node_ref = ray.put(node_arr)
     mem_ref = ray.put(member_arr)
 
+    # normalize block schemas INSIDE the parallel filter pass: blocks of
+    # a unioned Dataset can disagree on string vs large_string at scale
+    # (CLAUDE.md), and leaving that to the driver-side concat's promote
+    # would single-thread a full copy of the collected slice
+    try:
+        u_schema = unified.schema().base_schema
+    except Exception:
+        u_schema = None
+
+    def _filter_cast(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b["source_record_id"],
+                              value_set=ray.get(node_ref)))
+        if u_schema is not None and b.schema != u_schema:
+            b = b.cast(u_schema)
+        return b
+
     unified_sub = unified.map_batches(
-        lambda b: b.filter(pc.is_in(b["source_record_id"],
-                                    value_set=ray.get(node_ref))),
-        batch_format="pyarrow").materialize()
+        _filter_cast, batch_format="pyarrow").materialize()
 
     # prior match edges inside affected groups: canonical pairs have both
     # endpoints in the same prior group, so the _a-side probe is exact.

@@ -229,6 +229,102 @@ def _probe_parent_refs(batch: pa.Table, s, child_col: str) -> pa.Table:
     return pa.table({"parent_master_id": parents, child_col: child})
 
 
+def _signal1_tbl(batch: pa.Table, s) -> pa.Table:
+    """Signal-1 (parent_ref equality) over one batch/table against a
+    ``_signal_structures`` struct — shared by the distributed probe and
+    the incremental driver-local path."""
+    hits = _probe_parent_refs(batch, s, "master_payor_id")
+    keep = pc.not_equal(hits["parent_master_id"],
+                        hits["master_payor_id"])
+    hits = hits.filter(keep)
+    return pa.table({
+        "parent_master_id": hits["parent_master_id"],
+        "child_master_id": hits["master_payor_id"],
+        "inference_method": pa.array(
+            ["name_ref_match"] * hits.num_rows, pa.string())})
+
+
+def _signal2_tbl(batch: pa.Table, s) -> pa.Table:
+    """Signal-2 (name-substring containment, 4-gram blocked) over one
+    batch/table against a ``_signal_structures`` struct — shared by the
+    distributed probe and the incremental driver-local path."""
+    out = pa.schema([("parent_master_id", pa.string()),
+                     ("child_master_id", pa.string()),
+                     ("inference_method", pa.string())])
+    if batch.num_rows == 0 or len(s["pkeys"]) == 0:
+        return out.empty_table()
+    cn = pc.utf8_upper(pc.utf8_trim_whitespace(batch["payor_name"]))
+    if isinstance(cn, pa.ChunkedArray):
+        cn = cn.combine_chunks()
+    valid = pc.and_(pc.is_valid(cn), pc.not_equal(cn, ""))             .fill_null(False)
+    cn = cn.filter(valid)
+    cid = batch["master_payor_id"].combine_chunks().filter(valid)
+    if len(cn) == 0:
+        return out.empty_table()
+    nchars = pc.utf8_length(cn).to_numpy(zero_copy_only=False)             .astype(np.int64)
+    nbytes = pc.binary_length(cn).to_numpy(zero_copy_only=False)             .astype(np.int64)
+    counts = np.maximum(nchars - 3, 0)
+    total = int(counts.sum())
+    if total == 0:
+        return out.empty_table()
+    parent_row = np.repeat(np.arange(len(cn), dtype=np.int64),
+                           counts)
+    if (nchars == nbytes).all() and not pa.types.is_large_string(
+            cn.type):
+        off = np.frombuffer(cn.buffers()[1], dtype=np.int32,
+                            count=len(cn) + 1,
+                            offset=cn.offset * 4).astype(np.int64)
+        data = np.frombuffer(cn.buffers()[2], dtype=np.uint8)
+        cum = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        within = np.arange(total, dtype=np.int64) \
+            - np.repeat(cum, counts)
+        starts = off[:-1][parent_row] + within
+        win = np.lib.stride_tricks.sliding_window_view(
+            data, 4)[starts]
+        new_off = (np.arange(total + 1, dtype=np.int32) * 4)
+        grams = pa.StringArray.from_buffers(
+            total, pa.py_buffer(new_off.tobytes()),
+            pa.py_buffer(win.tobytes()))
+    else:
+        texts = cn.to_pylist()
+        grams = pa.array(
+            [t[w:w + 4] for t, c in zip(texts, counts)
+             for w in range(int(c))], pa.string())
+    gidx = pc.index_in(grams, value_set=s["pkeys"]).fill_null(-1)             .to_numpy(zero_copy_only=False).astype(np.int64)
+    probe_pos, pos = _expand_hits(gidx, s["p_starts"],
+                                  s["p_counts"])
+    if len(pos) == 0:
+        return out.empty_table()
+    child_row = parent_row[probe_pos]
+    # dedupe (child, parent-entry) pairs reached via several windows
+    pair_key = child_row * (len(s["flat_pids"]) + 1) + pos
+    _, uix = np.unique(pair_key, return_index=True)
+    child_row, pos = child_row[uix], pos[uix]
+    # cheap vectorized pre-filters: strictly longer child, id differs
+    lens_ok = nchars[child_row] > s["flat_plens"][pos]
+    child_row, pos = child_row[lens_ok], pos[lens_ok]
+    c_ids = cid.take(pa.array(child_row))
+    p_ids = s["flat_pids"].take(pa.array(pos))
+    differ = pc.not_equal(p_ids, c_ids).to_numpy(
+        zero_copy_only=False)
+    child_row, pos = child_row[differ], pos[differ]
+    if len(pos) == 0:
+        return out.empty_table()
+    # containment verify — Python only on the gram-blocked
+    # candidates (no scalar-pattern kernel takes per-row patterns)
+    c_txt = cn.take(pa.array(child_row)).to_pylist()
+    p_txt = s["flat_pnames"].take(pa.array(pos)).to_pylist()
+    ok = np.fromiter((p in c for p, c in zip(p_txt, c_txt)),
+                     dtype=bool, count=len(p_txt))
+    child_row, pos = child_row[ok], pos[ok]
+    return pa.table({
+        "parent_master_id": s["flat_pids"].take(pa.array(pos)),
+        "child_master_id": cid.take(pa.array(child_row)),
+        "inference_method": pa.array(
+            ["name_substring"] * len(pos), pa.string())})
+
+
+
 def _broadcast_signals(refs: Dataset, children: Dataset, bcast) -> tuple:
     """Signal datasets against broadcast ``_signal_structures``:
     s1 = parent_ref equality over ``refs`` rows, s2 = substring
@@ -239,93 +335,10 @@ def _broadcast_signals(refs: Dataset, children: Dataset, bcast) -> tuple:
     codepoint slicing for window extraction only (normalization is the
     same Arrow kernel either way)."""
     def signal1(batch: pa.Table) -> pa.Table:
-        hits = _probe_parent_refs(batch, ray.get(bcast), "master_payor_id")
-        keep = pc.not_equal(hits["parent_master_id"],
-                            hits["master_payor_id"])
-        hits = hits.filter(keep)
-        return pa.table({
-            "parent_master_id": hits["parent_master_id"],
-            "child_master_id": hits["master_payor_id"],
-            "inference_method": pa.array(
-                ["name_ref_match"] * hits.num_rows, pa.string())})
+        return _signal1_tbl(batch, ray.get(bcast))
 
     def signal2(batch: pa.Table) -> pa.Table:
-        s = ray.get(bcast)
-        out = pa.schema([("parent_master_id", pa.string()),
-                         ("child_master_id", pa.string()),
-                         ("inference_method", pa.string())])
-        if batch.num_rows == 0 or len(s["pkeys"]) == 0:
-            return out.empty_table()
-        cn = pc.utf8_upper(pc.utf8_trim_whitespace(batch["payor_name"]))
-        if isinstance(cn, pa.ChunkedArray):
-            cn = cn.combine_chunks()
-        valid = pc.and_(pc.is_valid(cn), pc.not_equal(cn, ""))             .fill_null(False)
-        cn = cn.filter(valid)
-        cid = batch["master_payor_id"].combine_chunks().filter(valid)
-        if len(cn) == 0:
-            return out.empty_table()
-        nchars = pc.utf8_length(cn).to_numpy(zero_copy_only=False)             .astype(np.int64)
-        nbytes = pc.binary_length(cn).to_numpy(zero_copy_only=False)             .astype(np.int64)
-        counts = np.maximum(nchars - 3, 0)
-        total = int(counts.sum())
-        if total == 0:
-            return out.empty_table()
-        parent_row = np.repeat(np.arange(len(cn), dtype=np.int64),
-                               counts)
-        if (nchars == nbytes).all() and not pa.types.is_large_string(
-                cn.type):
-            off = np.frombuffer(cn.buffers()[1], dtype=np.int32,
-                                count=len(cn) + 1,
-                                offset=cn.offset * 4).astype(np.int64)
-            data = np.frombuffer(cn.buffers()[2], dtype=np.uint8)
-            cum = np.concatenate([[0], np.cumsum(counts)[:-1]])
-            within = np.arange(total, dtype=np.int64) \
-                - np.repeat(cum, counts)
-            starts = off[:-1][parent_row] + within
-            win = np.lib.stride_tricks.sliding_window_view(
-                data, 4)[starts]
-            new_off = (np.arange(total + 1, dtype=np.int32) * 4)
-            grams = pa.StringArray.from_buffers(
-                total, pa.py_buffer(new_off.tobytes()),
-                pa.py_buffer(win.tobytes()))
-        else:
-            texts = cn.to_pylist()
-            grams = pa.array(
-                [t[w:w + 4] for t, c in zip(texts, counts)
-                 for w in range(int(c))], pa.string())
-        gidx = pc.index_in(grams, value_set=s["pkeys"]).fill_null(-1)             .to_numpy(zero_copy_only=False).astype(np.int64)
-        probe_pos, pos = _expand_hits(gidx, s["p_starts"],
-                                      s["p_counts"])
-        if len(pos) == 0:
-            return out.empty_table()
-        child_row = parent_row[probe_pos]
-        # dedupe (child, parent-entry) pairs reached via several windows
-        pair_key = child_row * (len(s["flat_pids"]) + 1) + pos
-        _, uix = np.unique(pair_key, return_index=True)
-        child_row, pos = child_row[uix], pos[uix]
-        # cheap vectorized pre-filters: strictly longer child, id differs
-        lens_ok = nchars[child_row] > s["flat_plens"][pos]
-        child_row, pos = child_row[lens_ok], pos[lens_ok]
-        c_ids = cid.take(pa.array(child_row))
-        p_ids = s["flat_pids"].take(pa.array(pos))
-        differ = pc.not_equal(p_ids, c_ids).to_numpy(
-            zero_copy_only=False)
-        child_row, pos = child_row[differ], pos[differ]
-        if len(pos) == 0:
-            return out.empty_table()
-        # containment verify — Python only on the gram-blocked
-        # candidates (no scalar-pattern kernel takes per-row patterns)
-        c_txt = cn.take(pa.array(child_row)).to_pylist()
-        p_txt = s["flat_pnames"].take(pa.array(pos)).to_pylist()
-        ok = np.fromiter((p in c for p, c in zip(p_txt, c_txt)),
-                         dtype=bool, count=len(p_txt))
-        child_row, pos = child_row[ok], pos[ok]
-        return pa.table({
-            "parent_master_id": s["flat_pids"].take(pa.array(pos)),
-            "child_master_id": cid.take(pa.array(child_row)),
-            "inference_method": pa.array(
-                ["name_substring"] * len(pos), pa.string())})
-
+        return _signal2_tbl(batch, ray.get(bcast))
     return (refs.map_batches(signal1, batch_format="pyarrow"),
             children.map_batches(signal2, batch_format="pyarrow"))
 
@@ -349,7 +362,8 @@ def _refs_with_child(unified: Dataset, xref: Dataset) -> Dataset:
 
 
 def patch_hierarchy(golden: Dataset, unified: Dataset, xref: Dataset,
-                    prior_hierarchy: Dataset, affected_ids) -> Dataset:
+                    prior_hierarchy: Dataset, affected_ids,
+                    local_sub: tuple | None = None) -> Dataset:
     """Incremental hierarchy maintenance: recompute ONLY edges with at
     least one endpoint in ``affected_ids`` (new or member-changed
     goldens), keep prior edges between two unaffected goldens verbatim
@@ -383,8 +397,6 @@ def patch_hierarchy(golden: Dataset, unified: Dataset, xref: Dataset,
     gold_tbl = pa.concat_tables(
         ray.get(golden_slim.to_arrow_refs()),
         promote_options="default").combine_chunks()
-    full_maps = ray.put(_signal_structures(gold_tbl))
-    aff_maps = ray.put(_signal_structures(gold_tbl, parent_filter=aff_pa))
 
     def only_aff(col):
         def f(b: pa.Table) -> pa.Table:
@@ -397,26 +409,56 @@ def patch_hierarchy(golden: Dataset, unified: Dataset, xref: Dataset,
                                    pc.not_equal(b["parent_ref"], ""))),
         batch_format="pyarrow")
 
-    # (a) refs whose CHILD golden is affected: xref slice → id filter →
-    # bounded attach (both join sides delta-bounded)
-    xref_sub = xref.map_batches(only_aff("master_payor_id"),
-                                batch_format="pyarrow").select_columns(
-        ["source_record_id", "master_payor_id"]).materialize()
-    sid_tbl = pa.concat_tables(ray.get(xref_sub.to_arrow_refs()),
-                               promote_options="default")
-    sid_ref = ray.put(sid_tbl["source_record_id"].combine_chunks())
+    # (a) refs whose CHILD golden is affected. With ``local_sub`` (the
+    # pipeline's driver-built delta tables: the affected-member unified
+    # slice, the rebuilt golden rows, the rebuilt xref rows) every
+    # delta-bounded signal leg runs as driver Arrow kernels — the
+    # patched xref/golden restricted to ``affected_ids`` ARE the
+    # rebuilt rows (dropped prior ids no longer exist in the patched
+    # tables), so no corpus scan is needed to derive them.
+    full_maps_s = _signal_structures(gold_tbl)
+    aff_maps_s = _signal_structures(gold_tbl, parent_filter=aff_pa)
+    full_maps = ray.put(full_maps_s)
+    aff_maps = ray.put(aff_maps_s)
+    s1a_tbl = s2a_tbl = s2b_tbl = None
+    if local_sub is not None:
+        from payor_linkage.survivorship import _attach_by_key
 
-    def only_sub_ids(b: pa.Table) -> pa.Table:
-        return b.filter(pc.is_in(b["source_record_id"],
-                                 value_set=ray.get(sid_ref)))
+        unified_tbl, golden_sub_tbl, xref_sub_tbl = local_sub
+        refs_tbl = unified_tbl.select(["source_record_id", "parent_ref"])
+        rmask = pc.and_(pc.is_valid(refs_tbl["parent_ref"]),
+                        pc.not_equal(refs_tbl["parent_ref"], ""))
+        refs_tbl = refs_tbl.filter(rmask)
+        refs_aff_tbl = _attach_by_key(
+            refs_tbl, xref_sub_tbl.select(
+                ["source_record_id", "master_payor_id"]),
+            on="source_record_id")
+        children_aff_tbl = golden_sub_tbl.select(
+            ["master_payor_id", "payor_name"])
+        s1a_tbl = _signal1_tbl(refs_aff_tbl, full_maps_s)
+        s2a_tbl = _signal2_tbl(children_aff_tbl, full_maps_s)
+        # (c) FULL golden names vs affected-parent maps — gold_tbl is
+        # already on the driver
+        s2b_tbl = _signal2_tbl(gold_tbl, aff_maps_s)
+    else:
+        xref_sub = xref.map_batches(only_aff("master_payor_id"),
+                                    batch_format="pyarrow").select_columns(
+            ["source_record_id", "master_payor_id"]).materialize()
+        sid_tbl = pa.concat_tables(ray.get(xref_sub.to_arrow_refs()),
+                                   promote_options="default")
+        sid_ref = ray.put(sid_tbl["source_record_id"].combine_chunks())
 
-    refs_aff = lookup_join(
-        refs_raw.map_batches(only_sub_ids, batch_format="pyarrow"),
-        xref_sub, on="source_record_id")
-    children_aff = golden_slim.map_batches(only_aff("master_payor_id"),
-                                           batch_format="pyarrow")
+        def only_sub_ids(b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_in(b["source_record_id"],
+                                     value_set=ray.get(sid_ref)))
 
-    s1a, s2a = _broadcast_signals(refs_aff, children_aff, full_maps)
+        refs_aff = lookup_join(
+            refs_raw.map_batches(only_sub_ids, batch_format="pyarrow"),
+            xref_sub, on="source_record_id")
+        children_aff = golden_slim.map_batches(only_aff("master_payor_id"),
+                                               batch_format="pyarrow")
+
+        s1a, s2a = _broadcast_signals(refs_aff, children_aff, full_maps)
 
     # (b) ALL refs vs affected parents: probe first (map-only), attach
     # the child golden only for the delta-bounded hits
@@ -424,6 +466,20 @@ def patch_hierarchy(golden: Dataset, unified: Dataset, xref: Dataset,
         lambda b: _probe_parent_refs(b, ray.get(aff_maps),
                                      "source_record_id"),
         batch_format="pyarrow").materialize()
+    import ray.data as rd
+
+    def finish_s1b(b: pa.Table) -> pa.Table:
+        keep = pc.not_equal(b["parent_master_id"],
+                            b["master_payor_id"])
+        b = b.filter(keep)
+        return pa.table({
+            "parent_master_id": b["parent_master_id"],
+            "child_master_id": b["master_payor_id"],
+            "inference_method": pa.array(
+                ["name_ref_match"] * b.num_rows, pa.string())})
+
+    s1b_tbl = _EDGE_SCHEMA.empty_table()
+    s1b = None
     if hits.count():
         htbl = pa.concat_tables(ray.get(hits.to_arrow_refs()),
                                 promote_options="default")
@@ -437,36 +493,34 @@ def patch_hierarchy(golden: Dataset, unified: Dataset, xref: Dataset,
         child_map = xref.map_batches(
             only_hit_ids, batch_format="pyarrow").select_columns(
             ["source_record_id", "master_payor_id"])
-        joined = lookup_join(hits, child_map, on="source_record_id")
+        if local_sub is not None:
+            # hits are already collected — attach the child golden from
+            # the (delta-bounded) child_map collect and finish locally
+            cm = child_map.materialize()
+            cm_tbl = pa.concat_tables(ray.get(cm.to_arrow_refs()),
+                                      promote_options="default")
+            from payor_linkage.survivorship import _attach_by_key
 
-        def finish_s1b(b: pa.Table) -> pa.Table:
-            keep = pc.not_equal(b["parent_master_id"],
-                                b["master_payor_id"])
-            b = b.filter(keep)
-            return pa.table({
-                "parent_master_id": b["parent_master_id"],
-                "child_master_id": b["master_payor_id"],
-                "inference_method": pa.array(
-                    ["name_ref_match"] * b.num_rows, pa.string())})
-
-        s1b = joined.map_batches(finish_s1b, batch_format="pyarrow")
+            s1b_tbl = finish_s1b(_attach_by_key(
+                htbl, cm_tbl, on="source_record_id"))
+        else:
+            joined = lookup_join(hits, child_map, on="source_record_id")
+            s1b = joined.map_batches(finish_s1b, batch_format="pyarrow")
+    if local_sub is not None:
+        recomputed_tbl = _distinct_finalize_tbl(
+            [s1a_tbl, s1b_tbl, s2a_tbl, s2b_tbl])
+        recomputed = rd.from_arrow(recomputed_tbl)
     else:
-        import ray.data as rd
+        if s1b is None:
+            s1b = rd.from_arrow(_EDGE_SCHEMA.empty_table())
+        refs_none = rd.from_arrow(pa.schema(
+            [("source_record_id", pa.string()), ("parent_ref", pa.string()),
+             ("master_payor_id", pa.string())]).empty_table())
+        _, s2b = _broadcast_signals(refs_none, golden_slim, aff_maps)
+        from payor_linkage.cluster import INCR_LOCAL_ROWS_BOUND
 
-        s1b = rd.from_arrow(pa.schema(
-            [("parent_master_id", pa.string()),
-             ("child_master_id", pa.string()),
-             ("inference_method", pa.string())]).empty_table())
-    import ray.data as rd
-
-    refs_none = rd.from_arrow(pa.schema(
-        [("source_record_id", pa.string()), ("parent_ref", pa.string()),
-         ("master_payor_id", pa.string())]).empty_table())
-    _, s2b = _broadcast_signals(refs_none, golden_slim, aff_maps)
-    from payor_linkage.cluster import INCR_LOCAL_ROWS_BOUND
-
-    recomputed = _distinct_finalize(s1a.union(s1b), s2a.union(s2b),
-                                    local_rows_bound=INCR_LOCAL_ROWS_BOUND)
+        recomputed = _distinct_finalize(s1a.union(s1b), s2a.union(s2b),
+                                        local_rows_bound=INCR_LOCAL_ROWS_BOUND)
 
     def both_unaffected(b: pa.Table) -> pa.Table:
         a = ray.get(aff_arr)
@@ -521,6 +575,55 @@ def infer_hierarchy(golden: Dataset, unified: Dataset, xref: Dataset) -> Dataset
     return _distinct_finalize(s1, s2)
 
 
+_EDGE_SCHEMA = pa.schema([("parent_master_id", pa.string()),
+                          ("child_master_id", pa.string()),
+                          ("inference_method", pa.string())])
+
+
+def _edge_keyed(b: pa.Table) -> pa.Table:
+    return b.append_column("__k", pc.binary_join_element_wise(
+        b["parent_master_id"], b["child_master_id"],
+        b["inference_method"], "|"))
+
+
+def _edge_firsts(b: pa.Table, starts, ends) -> pa.Table:
+    return b.take(pa.array(np.asarray(starts, dtype=np.int64))) \
+        .select(["parent_master_id", "child_master_id",
+                 "inference_method"])
+
+
+def _edge_finalize(b: pa.Table) -> pa.Table:
+    hids = [str(uuid.uuid5(_H_NS, f"{p}|{c}|{m}")) for p, c, m in zip(
+        b["parent_master_id"].to_pylist(), b["child_master_id"].to_pylist(),
+        b["inference_method"].to_pylist())]
+    n = b.num_rows
+    return pa.table({
+        "hierarchy_id": pa.array(hids, pa.string()),
+        "parent_master_id": b["parent_master_id"],
+        "child_master_id": b["child_master_id"],
+        "relationship_type": pa.array(["parent_company"] * n, pa.string()),
+        "source": b["inference_method"],
+        "steward_confirmed": pa.array([False] * n, pa.bool_()),
+    })
+
+
+def _distinct_finalize_tbl(tbls: list) -> pa.Table:
+    """Driver-local distinct union + final shape over in-memory signal
+    tables (the incremental patch path) — same keyed/first/uuid5 kernels
+    as ``_distinct_finalize``, zero Ray stages."""
+    from payor_linkage.rayutil import local_grouped_runs
+
+    parts = [t for t in tbls if t.num_rows]
+    if not parts:
+        return _edge_finalize(_EDGE_SCHEMA.empty_table())
+    u = _edge_keyed(pa.concat_tables(parts, promote_options="default")
+                    .combine_chunks())
+    edges = local_grouped_runs(u, "__k", _EDGE_SCHEMA,
+                               runs_fn=_edge_firsts,
+                               scatter_above_rows=0)
+    return _edge_finalize(edges)
+
+
 def _distinct_finalize(s1: Dataset, s2: Dataset,
                        local_rows_bound: int = 0) -> Dataset:
     # distinct union (O3) + final shape (payor_hierarchy.sql) — one
@@ -531,39 +634,9 @@ def _distinct_finalize(s1: Dataset, s2: Dataset,
     # set at sf0.01 before this)
     from payor_linkage.rayutil import grouped_apply
 
-    def keyed(b: pa.Table) -> pa.Table:
-        return b.append_column("__k", pc.binary_join_element_wise(
-            b["parent_master_id"], b["child_master_id"],
-            b["inference_method"], "|"))
-
-    _edge_schema = pa.schema([("parent_master_id", pa.string()),
-                              ("child_master_id", pa.string()),
-                              ("inference_method", pa.string())])
-
-    def firsts(b: pa.Table, starts, ends) -> pa.Table:
-        import numpy as np
-
-        return b.take(pa.array(np.asarray(starts, dtype=np.int64))) \
-            .select(["parent_master_id", "child_master_id",
-                     "inference_method"])
-
     edges = grouped_apply(
-        s1.union(s2).map_batches(keyed, batch_format="pyarrow"),
-        "__k", out_schema=_edge_schema, runs_fn=firsts,
+        s1.union(s2).map_batches(_edge_keyed, batch_format="pyarrow"),
+        "__k", out_schema=_EDGE_SCHEMA, runs_fn=_edge_firsts,
         local_rows_bound=local_rows_bound)
 
-    def finalize(b: pa.Table) -> pa.Table:
-        hids = [str(uuid.uuid5(_H_NS, f"{p}|{c}|{m}")) for p, c, m in zip(
-            b["parent_master_id"].to_pylist(), b["child_master_id"].to_pylist(),
-            b["inference_method"].to_pylist())]
-        n = b.num_rows
-        return pa.table({
-            "hierarchy_id": pa.array(hids, pa.string()),
-            "parent_master_id": b["parent_master_id"],
-            "child_master_id": b["child_master_id"],
-            "relationship_type": pa.array(["parent_company"] * n, pa.string()),
-            "source": b["inference_method"],
-            "steward_confirmed": pa.array([False] * n, pa.bool_()),
-        })
-
-    return edges.map_batches(finalize, batch_format="pyarrow")
+    return edges.map_batches(_edge_finalize, batch_format="pyarrow")

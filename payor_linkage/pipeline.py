@@ -291,15 +291,18 @@ def incremental_update(prior: LinkageResult, new_documents: Dataset,
         # build_golden/build_xref stream their `unified` argument end to
         # end (members attach + spans attach), so handing them the full
         # corpus here would pay two corpus-wide passes per patched table
+        hier_sub = None
         if local_tbls is not None:
             import ray.data as _rd
 
             from payor_linkage.survivorship import local_golden, local_xref
 
             groups_tbl, unified_tbl = local_tbls
-            golden_sub = _rd.from_arrow(
-                local_golden(groups_tbl, unified_tbl, surv_cfg))
-            xref_sub = _rd.from_arrow(local_xref(groups_tbl, unified_tbl))
+            golden_sub_tbl = local_golden(groups_tbl, unified_tbl, surv_cfg)
+            xref_sub_tbl = local_xref(groups_tbl, unified_tbl)
+            golden_sub = _rd.from_arrow(golden_sub_tbl)
+            xref_sub = _rd.from_arrow(xref_sub_tbl)
+            hier_sub = (unified_tbl, golden_sub_tbl, xref_sub_tbl)
         else:
             u_src = unified_sub if unified_sub is not None else unified
             from payor_linkage.cluster import INCR_LOCAL_ROWS_BOUND
@@ -315,10 +318,16 @@ def incremental_update(prior: LinkageResult, new_documents: Dataset,
             single_block_rebuilt=local_tbls is not None).materialize()
         hierarchy = patch_hierarchy(golden, unified, xref,
                                     prior.hierarchy,
-                                    affected_all).materialize()
+                                    affected_all,
+                                    local_sub=hier_sub).materialize()
     else:
         golden, xref = prior.golden, prior.xref
         hierarchy = prior.hierarchy
     audit = build_audit_log(golden, hierarchy, steward_overlay)
     return LinkageResult(unified, candidates, groups, golden, xref,
-                         hierarchy, audit, block_counts=new_counts)
+                         hierarchy, audit,
+                         # materialized: carried as the NEXT increment's
+                         # prior state — a lazy splice would re-execute
+                         # its lineage every generation
+                         block_counts=new_counts.materialize()
+                         if new_counts is not None else None)

@@ -261,6 +261,61 @@ def test_incremental_matches_full(ray_session):
     assert n_delta < 0.6 * n_full, (n_delta, n_full)
 
 
+def test_incremental_two_generations(ray_session):
+    """Chained increments: gen-1's LinkageResult (including its carried
+    block_counts state) feeds gen-2, and the final tables are byte-equal
+    to one full run over all three corpus slices — the daily-landing
+    regime where incremental state must survive across generations."""
+    import zlib
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from payor_linkage.pipeline import incremental_update, run_linkage
+    from payor_linkage.synth import synth_documents
+
+    docs = synth_documents(2).materialize()
+
+    def split(which: int):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_pylist()
+            h = [zlib.crc32(str(i).encode()) % 11 for i in ids]
+            if which == 0:
+                m = [x >= 4 for x in h]       # ~64% base
+            elif which == 1:
+                m = [x in (0, 1) for x in h]  # ~18% delta A
+            else:
+                m = [x in (2, 3) for x in h]  # ~18% delta B
+            return b.filter(pa.array(m))
+        return docs.map_batches(f, batch_format="pyarrow").materialize()
+
+    base, delta_a, delta_b = split(0), split(1), split(2)
+    assert delta_a.count() and delta_b.count()
+
+    gen0 = run_linkage(base)
+    gen1 = incremental_update(gen0, delta_a)
+    assert gen1.block_counts is not None
+    gen2 = incremental_update(gen1, delta_b)
+    full = run_linkage(docs)
+
+    def canon(ds, drop=()):
+        df = ds.to_pandas()
+        df = df[[c for c in sorted(df.columns) if c not in drop]]
+        for c in df.columns:
+            if df[c].dtype == object:
+                df[c] = df[c].astype(str)
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    for name, a, b, drop in [
+            ("candidates", gen2.candidates, full.candidates, ()),
+            ("groups", gen2.groups, full.groups, ()),
+            ("golden", gen2.golden, full.golden, ("spans",)),
+            ("xref", gen2.xref, full.xref, ()),
+            ("hierarchy", gen2.hierarchy, full.hierarchy, ())]:
+        pd.testing.assert_frame_equal(canon(a, drop), canon(b, drop),
+                                      check_dtype=False, obj=name)
+
+
 def test_incremental_supernode_path(ray_session):
     """Clustered delta (whole new replica worlds — the realistic
     maintenance drop) must take the SUPERNODE incremental path: only
