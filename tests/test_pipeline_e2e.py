@@ -390,6 +390,64 @@ def test_incremental_supernode_path(ray_session):
         canon(inc.block_counts), canon(full.block_counts), obj="counts")
 
 
+def test_incremental_distributed_fallback_parity(ray_session, monkeypatch):
+    """Force every incremental driver tier ABOVE its bound (bounds
+    monkeypatched to 0): touched-counts splice falls back to the
+    distributed merge, the groups (gid, member) probes stay distributed,
+    the subgraph CC runs the distributed build_match_groups edges path,
+    survivorship/xref patch through the streamed Dataset kernels, and
+    patch_hierarchy takes its distributed signal legs. Outputs must
+    still byte-equal a fresh full run — the tiers are pure execution
+    strategy, never semantics."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from payor_linkage import blocking as B
+    from payor_linkage import cluster as C
+    from payor_linkage.pipeline import incremental_update, run_linkage
+    from payor_linkage.synth import synth_documents
+
+    monkeypatch.setattr(B, "_TOUCHED_LOCAL_BOUND", 0)
+    monkeypatch.setattr(B, "_PAIRS_LOCAL_BOUND", 0)
+    monkeypatch.setattr(C, "INCR_LOCAL_ROWS_BOUND", 0)
+    monkeypatch.setattr(C, "_GROUPS_LOCAL_ROWS_BOUND", 0)
+
+    docs = synth_documents(3).materialize()
+
+    def split(keep_new: bool):
+        def f(b: pa.Table) -> pa.Table:
+            loc = pc.list_element(pc.split_pattern(b["doc_id"], ":"), 1)
+            isr = pc.match_substring_regex(loc, r"^R[0-9]{5}-")
+            w = pc.cast(pc.if_else(
+                isr, pc.utf8_slice_codeunits(loc, 1, 6), "0"), pa.int64())
+            m = pc.greater_equal(w, 2)
+            return b.filter(m if keep_new else pc.invert(m))
+        return docs.map_batches(f, batch_format="pyarrow").materialize()
+
+    old_docs, new_docs = split(False), split(True)
+    prior = run_linkage(old_docs)
+    inc = incremental_update(prior, new_docs)
+    full = run_linkage(docs)
+
+    def canon(ds, drop=()):
+        df = ds.to_pandas()
+        df = df[[c for c in sorted(df.columns) if c not in drop]]
+        for c in df.columns:
+            if df[c].dtype == object:
+                df[c] = df[c].astype(str)
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    for name, a, b, drop in [
+            ("candidates", inc.candidates, full.candidates, ()),
+            ("groups", inc.groups, full.groups, ()),
+            ("golden", inc.golden, full.golden, ("spans",)),
+            ("xref", inc.xref, full.xref, ()),
+            ("hierarchy", inc.hierarchy, full.hierarchy, ())]:
+        pd.testing.assert_frame_equal(canon(a, drop), canon(b, drop),
+                                      check_dtype=False, obj=name)
+
+
 def test_incremental_with_steward_overlay(ray_session):
     """The incremental path honors a steward overlay identically to a
     full run: candidate ids are pair-content uuid5s, so the same overlay
