@@ -259,11 +259,19 @@ def _rank_arrays(group: pa.Table, hot: dict[str, int]) -> dict[str, np.ndarray]:
     return out
 
 
-def make_runs_pair_emitter(hot: dict[str, int]):
+def make_runs_pair_emitter(hot: dict[str, int], new_ids_ref=None):
     """Block-level pair emitter: vectorizes pair generation + the
     min-common-key precedence across ALL runs of a sorted block at once.
     Keys are dictionary-encoded to int codes (object-string comparisons
-    over k² pair arrays were the hot-block straggler)."""
+    over k² pair arrays were the hot-block straggler).
+
+    ``new_ids_ref`` (incremental path): a ``ray.put`` broadcast of the
+    delta's record ids — pairs without a new endpoint are masked out
+    right after index generation, BEFORE the precedence compute and the
+    payload gather. Touched buckets at the bench's 14% world delta emit
+    2.7× more raw pairs than survive the new-endpoint filter (1.95M vs
+    713k), so the early mask removes ~2/3 of the emitter's work; the
+    surviving pair SET is identical to filtering afterwards."""
 
     def emit_runs(b: pa.Table, starts, ends) -> pa.Table:
         if len(starts) == 0:
@@ -271,6 +279,12 @@ def make_runs_pair_emitter(hot: dict[str, int]):
         ids = b["source_record_id"].to_numpy(zero_copy_only=False)
         bkeys = b["bkey"].to_numpy(zero_copy_only=False)
         n = b.num_rows
+        isnew = None
+        if new_ids_ref is not None:
+            isnew = pc.is_in(
+                b["source_record_id"],
+                value_set=ray.get(new_ids_ref)).to_numpy(
+                zero_copy_only=False).astype(bool)
 
         # per-type per-row: int key codes (−1 null/parked), salts, liaison
         codes: dict[str, np.ndarray] = {}
@@ -323,6 +337,11 @@ def make_runs_pair_emitter(hot: dict[str, int]):
             run_idx = np.arange(s_, e_)
             order = run_idx[np.argsort(ids[s_:e_])]
             iu, ju = np.triu_indices(k, k=1)
+            if isnew is not None:
+                keep = isnew[order[iu]] | isnew[order[ju]]
+                if not keep.any():
+                    continue
+                iu, ju = iu[keep], ju[keep]
             ai_parts.append(order[iu])
             bi_parts.append(order[ju])
             rank_parts.append(np.full(len(iu), own_rank, dtype=np.int64))
@@ -594,7 +613,8 @@ def delta_blocking_pairs(unified_all: Dataset, new_ids,
     # emitter itself is scattered back over Ray tasks by
     # local_grouped_runs, so pair compute stays parallel)
     pairs = grouped_apply(sub, "bkey", out_schema=_pairs_schema(),
-                          runs_fn=make_runs_pair_emitter(hot),
+                          runs_fn=make_runs_pair_emitter(
+                              hot, new_ids_ref=nid_ref),
                           local_rows_bound=_PAIRS_LOCAL_BOUND)
 
     def with_new_endpoint(b: pa.Table) -> pa.Table:
