@@ -1750,6 +1750,72 @@ def q_partitioned_roundtrip(sf_dir: str):
             .select_columns(["doc_id", "lang", "n_chars"]))
 
 
+def _np_mod(col, d: int):
+    """Integer modulo via numpy (pyarrow.compute has no modulo kernel)."""
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pa.array(col.to_numpy(zero_copy_only=False).astype(np.int64) % d)
+
+
+def q_bucketed_patch(sf_dir: str):
+    """Partition-aware persisted-output maintenance (the 100 TB form of
+    the incremental splice): documents are written hash-bucketed by
+    doc_id, a delta (every doc_id % 97 == 0) is spliced in with
+    n_chars + 1000000 — except doc_id % 194 == 0, which is deleted —
+    and ONLY the buckets those keys hash into are rewritten
+    (byte-identity of untouched buckets is test-gated in test_storage).
+    The read-back per-lang integer aggregate is the oracle surface."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from payor_linkage.storage import (patch_bucketed, read_bucketed,
+                                       write_bucketed)
+
+    out = os.path.join("/tmp", "payor_linkage_bucketed",
+                       os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(out, ignore_errors=True)
+    docs = _docs(sf_dir).select_columns(["doc_id", "lang", "n_chars"])
+    write_bucketed(docs, out, key="doc_id", n_buckets=16)
+
+    def delta(b: pa.Table) -> pa.Table:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        did = b["doc_id"]
+        aff = pc.equal(_np_mod(did, 97), 0)
+        keep = pc.and_(aff, pc.not_equal(_np_mod(did, 194), 0))
+        m = b.filter(keep)
+        return pa.table({
+            "doc_id": m["doc_id"],
+            "lang": m["lang"],
+            "n_chars": pc.add(m["n_chars"], 1000000),
+        })
+
+    def only_aff(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.equal(_np_mod(b["doc_id"], 97), 0))
+
+    aff_tbl = docs.map_batches(
+        only_aff, batch_format="pyarrow").select_columns(["doc_id"])
+    affected = aff_tbl.unique("doc_id")
+    rebuilt = docs.map_batches(delta, batch_format="pyarrow")
+    patch_bucketed(out, "doc_id", rebuilt, affected, n_buckets=16)
+
+    from ray.data.aggregate import Count, Sum
+
+    return (read_bucketed(out)
+            .groupby("lang")
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("n_chars", alias_name="sum_chars"))
+            .sort("lang"))
+
+
 def q_rolling_max(sf_dir: str):
     """Per-user running maximum of event value ordered by (ts, event_id)
     — the ROWS UNBOUNDED PRECEDING window frame; the emitted value is
@@ -2582,6 +2648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_string_agg": q_string_agg,
         "q_rollup_counts": q_rollup_counts,
         "q_partitioned_roundtrip": q_partitioned_roundtrip,
+        "q_bucketed_patch": q_bucketed_patch,
         "q_rolling_max": q_rolling_max,
         "q_token_explode": q_token_explode,
         "q_value_histogram": q_value_histogram,
@@ -3713,6 +3780,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_partitioned_roundtrip": """
             SELECT doc_id, lang, n_chars FROM documents
+        """,
+        "q_bucketed_patch": """
+            SELECT lang,
+                   COUNT(*) AS n_docs,
+                   SUM(CASE WHEN doc_id % 97 = 0 THEN n_chars + 1000000
+                            ELSE n_chars END) AS sum_chars
+            FROM documents
+            WHERE NOT (doc_id % 97 = 0 AND doc_id % 194 = 0)
+            GROUP BY lang ORDER BY lang
         """,
         "q_rolling_max": """
             SELECT user_id, ts, event_id, value,

@@ -23,6 +23,7 @@ import json
 import os
 import shutil
 
+import ray
 import ray.data as rd
 from ray.data import Dataset
 
@@ -154,6 +155,122 @@ def write_partitioned(ds: Dataset, path: str, by: str,
             open(os.path.join(path, d, "_done"), "w").close()
             written.append(k)
     return sorted(written)
+
+
+def _bucket_of(keys, n_buckets: int):
+    """crc32(key) % n_buckets per value — process-stable (never Python
+    ``hash``), vectorized enough for a write-side pass."""
+    import zlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    vals = keys.to_pylist()
+    return pa.array(
+        np.fromiter((zlib.crc32(str(v).encode()) % n_buckets
+                     for v in vals), dtype=np.int64, count=len(vals)))
+
+
+def write_bucketed(ds: Dataset, path: str, key: str,
+                   n_buckets: int = 64) -> list:
+    """Hash-bucketed resumable Parquet output: rows land in
+    ``<path>/_bucket=<crc32(key) % n_buckets>/`` via the same
+    marker-gated ``write_partitioned`` machinery. Bucketing by key HASH
+    (not value) keeps the directory count fixed for high-cardinality
+    keys (a golden table can't have one dir per master id) while still
+    making every key's location computable WITHOUT reading data — the
+    property ``patch_bucketed`` needs to rewrite only delta-touched
+    buckets."""
+    import pyarrow as pa
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column("_bucket", _bucket_of(b[key], n_buckets))
+
+    return write_partitioned(ds.map_batches(add_bucket,
+                                            batch_format="pyarrow"),
+                             path, "_bucket")
+
+
+def read_bucketed(path: str) -> Dataset:
+    """Read a ``write_bucketed`` layout back (drops the bucket column)."""
+    ds = read_partitioned(path, "_bucket")
+    return ds.map_batches(lambda b: b.drop_columns(["_bucket"]),
+                          batch_format="pyarrow")
+
+
+def patch_bucketed(path: str, key: str, rebuilt: Dataset, affected_keys,
+                   n_buckets: int = 64) -> list:
+    """Incremental PERSISTED-output maintenance: splice ``rebuilt`` rows
+    over ``affected_keys`` in a ``write_bucketed`` layout, rewriting
+    ONLY the buckets those keys hash into — every other partition's
+    files (and its ``_done`` marker) are untouched on disk. This is the
+    100 TB shape of the in-memory ``pipeline._patch_by_group``: a daily
+    delta rewrites O(delta) partitions, never the corpus.
+
+    Atomic per bucket (tmp dir + rename, marker last), so a crash
+    mid-patch leaves every bucket either old-complete or new-complete —
+    a re-run just re-patches. Returns the rewritten bucket ids."""
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    affected = sorted(set(affected_keys))
+    buckets = sorted({zlib.crc32(str(k).encode()) % n_buckets
+                      for k in affected})
+    if not buckets:
+        return []
+    aff_arr = pa.array([str(k) for k in affected], pa.string())
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column("_bucket", _bucket_of(b[key], n_buckets))
+
+    # rebuilt is delta-bounded — collect once, slice per bucket so each
+    # task ships only its own rows
+    reb = rebuilt.map_batches(add_bucket, batch_format="pyarrow") \
+        .materialize()
+    reb_tbl = pa.concat_tables(ray.get(reb.to_arrow_refs()),
+                               promote_options="default")
+
+    # one Ray task per touched bucket: read that bucket's old files,
+    # drop affected keys, splice the bucket's rebuilt slice, atomic
+    # rewrite — bucket data never touches the driver
+    futs = []
+    for bk in buckets:
+        new_slice = reb_tbl.filter(
+            pc.equal(reb_tbl["_bucket"], bk)).drop_columns(["_bucket"])
+        futs.append(_patch_bucket_task.remote(
+            os.path.join(path, f"_bucket={bk}"), key, aff_arr, new_slice))
+    ray.get(futs)
+    return buckets
+
+
+@ray.remote
+def _patch_bucket_task(bdir: str, key: str, aff_arr, new_slice) -> None:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    old_tbls = []
+    if os.path.exists(bdir):
+        for f in sorted(os.listdir(bdir)):
+            if f.endswith(".parquet"):
+                t = pq.read_table(os.path.join(bdir, f))
+                keys_s = pc.cast(t[key], pa.string())
+                old_tbls.append(t.filter(pc.invert(
+                    pc.is_in(keys_s, value_set=aff_arr))))
+    parts = ([new_slice] if new_slice.num_rows else []) + \
+        [t for t in old_tbls if t.num_rows]
+    merged = pa.concat_tables(parts, promote_options="default") \
+        if parts else None
+    tmp = bdir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    if merged is not None and merged.num_rows:
+        pq.write_table(merged, os.path.join(tmp, "part-0.parquet"))
+    open(os.path.join(tmp, "_done"), "w").close()
+    shutil.rmtree(bdir, ignore_errors=True)
+    os.rename(tmp, bdir)
 
 
 def read_partitioned(path: str, by: str) -> Dataset:

@@ -237,3 +237,79 @@ def test_lance_branch_dispatch_stubbed(ray_session, tmp_path, monkeypatch):
 
     got = checkpointed(str(tmp_path), "lance_stage", fp)(build)
     assert got.count() == 64 and ran["n"] == 0
+
+
+def test_bucketed_patch_rewrites_only_touched_buckets(ray_session, tmp_path):
+    """patch_bucketed must splice rebuilt rows over affected keys while
+    leaving every untouched bucket's files byte-identical on disk — the
+    persisted-output form of the incremental splice (a daily delta
+    rewrites O(delta) partitions, never the corpus)."""
+    import hashlib
+    import os
+    import zlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from payor_linkage.storage import (patch_bucketed, read_bucketed,
+                                       write_bucketed)
+
+    n_buckets = 8
+    base = pa.table({
+        "master_id": [f"M{i:04d}" for i in range(200)],
+        "val": list(range(200)),
+    })
+    path = str(tmp_path / "golden_bucketed")
+    written = write_bucketed(rd.from_arrow(base), path, "master_id",
+                             n_buckets=n_buckets)
+    assert written  # all touched buckets got markers
+
+    def bucket_files():
+        out = {}
+        for d in sorted(os.listdir(path)):
+            if not d.startswith("_bucket="):
+                continue
+            for f in sorted(os.listdir(os.path.join(path, d))):
+                if f.endswith(".parquet"):
+                    p = os.path.join(path, d, f)
+                    out[p] = hashlib.sha256(
+                        open(p, "rb").read()).hexdigest()
+        return out
+
+    before = bucket_files()
+
+    # delta: modify two existing keys, add one brand-new key
+    affected = ["M0003", "M0007", "M9999"]
+    rebuilt = pa.table({
+        "master_id": ["M0003", "M9999"],   # M0007 is dropped outright
+        "val": [3000, 9999],
+    })
+    touched = patch_bucketed(path, "master_id", rd.from_arrow(rebuilt),
+                             affected, n_buckets=n_buckets)
+    exp_touched = sorted({zlib.crc32(k.encode()) % n_buckets
+                          for k in affected})
+    assert touched == exp_touched
+
+    # read-back equals the logical splice
+    got = read_bucketed(path).to_pandas().sort_values(
+        "master_id").reset_index(drop=True)
+    assert "M0007" not in set(got["master_id"])
+    assert int(got.loc[got["master_id"] == "M0003", "val"].iloc[0]) == 3000
+    assert int(got.loc[got["master_id"] == "M9999", "val"].iloc[0]) == 9999
+    # dropped M0007 (−1), replaced M0003 (±0), added M9999 (+1)
+    assert len(got) == 200
+
+    # untouched buckets: byte-identical files
+    after = bucket_files()
+    touched_dirs = {f"_bucket={b}" for b in touched}
+    for p, h in before.items():
+        d = os.path.basename(os.path.dirname(p))
+        if d not in touched_dirs:
+            assert after.get(p) == h, f"untouched bucket rewritten: {p}"
+
+    # idempotent re-patch (crash-retry shape): same end state
+    patch_bucketed(path, "master_id", rd.from_arrow(rebuilt), affected,
+                   n_buckets=n_buckets)
+    got2 = read_bucketed(path).to_pandas().sort_values(
+        "master_id").reset_index(drop=True)
+    assert got2.equals(got)
