@@ -469,10 +469,39 @@ def incremental_match_groups(prior_groups: Dataset, prior_candidates: Dataset,
 
     cfg = cfg or ClusterConfig()
 
-    delta_edges = match_edges(cands_delta).materialize()
-    etbl = pa.concat_tables(ray.get(delta_edges.to_arrow_refs()),
-                            promote_options="default")
+    # Driver tier (below _GROUPS_LOCAL_ROWS_BOUND prior rows): every
+    # input this function probes — prior groups, prior candidates, the
+    # delta candidates, the unified corpus — is an ALREADY-MATERIALIZED
+    # dataset whose blocks sit in plasma. ray.get of those refs is a
+    # zero-copy view, so all probes can run as driver Arrow kernels
+    # with ZERO further Ray stage launches (each launch costs ~0.5-1 s
+    # of fixed latency — the dominant incremental cost on a single
+    # node). Above the bound the distributed probes run unchanged.
+    n_prior = prior_groups.count()
+    driver_tier = n_prior <= _GROUPS_LOCAL_ROWS_BOUND
+
     new_arr = pa.array(sorted(set(new_ids)), pa.string())
+    delta_edges = None
+    if driver_tier:
+        # delta match edges: filter+project each delta block driver-side
+        eparts = []
+        for t in ray.get(cands_delta.to_arrow_refs()):
+            # unions can carry 0-row schema-less blocks — skip them
+            if t.num_rows == 0 or "final_decision" not in t.column_names:
+                continue
+            m = t.filter(pc.equal(t["final_decision"], "match"))
+            eparts.append(pa.table({
+                "src": m["source_record_id_a"],
+                "dst": m["source_record_id_b"],
+                "score": m["overall_score"]}))
+        _edge_s = pa.schema([("src", pa.string()), ("dst", pa.string()),
+                             ("score", pa.float64())])
+        etbl = pa.concat_tables(eparts, promote_options="default") \
+            if eparts else _edge_s.empty_table()
+    else:
+        delta_edges = match_edges(cands_delta).materialize()
+        etbl = pa.concat_tables(ray.get(delta_edges.to_arrow_refs()),
+                                promote_options="default")
 
     if etbl.num_rows:
         endpoints = pc.unique(pa.chunked_array(
@@ -484,18 +513,15 @@ def incremental_match_groups(prior_groups: Dataset, prior_candidates: Dataset,
         old_eps = pa.array([], pa.string())
 
     # prior gids with a delta-edge endpoint → their full member sets.
-    # Two sequential probes over prior_groups; below the driver tier
-    # bound the (gid, member) projection is collected ONCE and both
-    # probes run as Arrow kernels — two corpus scans and two stage
-    # barriers become one collect. Above the bound (a real-cluster
-    # corpus) the distributed probes run unchanged.
-    n_prior = prior_groups.count()
+    # Driver tier: prior_groups is 4 narrow columns and materialized —
+    # collect its blocks directly (no projection pass) and run both
+    # probes as Arrow kernels.
     gm_tbl = None
-    if n_prior <= _GROUPS_LOCAL_ROWS_BOUND:
-        gm_ds = prior_groups.select_columns(
-            ["match_group_id", "source_record_id"]).materialize()
-        gm_tbl = pa.concat_tables(ray.get(gm_ds.to_arrow_refs()),
-                                  promote_options="default")
+    if driver_tier:
+        gm_parts = [t for t in ray.get(prior_groups.to_arrow_refs())
+                    if t.num_rows and "source_record_id" in t.column_names]
+        gm_tbl = pa.concat_tables(gm_parts, promote_options="default") \
+            if gm_parts else _GROUPS_SCHEMA.empty_table()
 
     if len(old_eps):
         if gm_tbl is not None:
@@ -544,6 +570,58 @@ def incremental_match_groups(prior_groups: Dataset, prior_candidates: Dataset,
 
     node_arr = pc.unique(pa.chunked_array(
         [member_arr, new_arr]).combine_chunks())
+
+    try:
+        u_schema = unified.schema().base_schema
+    except Exception:
+        u_schema = None
+
+    if driver_tier:
+        # prior subgraph edges: filter+project each (wide, materialized)
+        # candidates block driver-side — plasma views in, only the
+        # delta-bounded matches copied out
+        pe_parts = []
+        for t in ray.get(prior_candidates.to_arrow_refs()):
+            if t.num_rows == 0 or "final_decision" not in t.column_names:
+                continue
+            m = t.filter(pc.and_(
+                pc.equal(t["final_decision"], "match"),
+                pc.is_in(t["source_record_id_a"], value_set=member_arr)))
+            pe_parts.append(pa.table({
+                "src": m["source_record_id_a"],
+                "dst": m["source_record_id_b"],
+                "score": m["overall_score"]}))
+        petbl = pa.concat_tables(pe_parts, promote_options="default") \
+            if pe_parts else etbl.schema.empty_table()
+        n_sub = len(node_arr) + petbl.num_rows + etbl.num_rows
+        if n_sub <= INCR_LOCAL_ROWS_BOUND:
+            import ray.data as _rd
+
+            # unified slice: filter each block driver-side, cast the
+            # (small) filtered piece — never a promote copy of the
+            # full corpus on one thread
+            parts = []
+            for t in ray.get(unified.to_arrow_refs()):
+                if t.num_rows == 0 or \
+                        "source_record_id" not in t.column_names:
+                    continue
+                ft = t.filter(pc.is_in(t["source_record_id"],
+                                       value_set=node_arr))
+                if u_schema is not None and ft.schema != u_schema:
+                    ft = ft.cast(u_schema)
+                parts.append(ft)
+            unified_tbl = pa.concat_tables(parts,
+                                           promote_options="default")
+            edges_tbl = pa.concat_tables([petbl, etbl],
+                                         promote_options="default")
+            groups_tbl = _local_match_groups(edges_tbl, unified_tbl)
+            groups_sub = _rd.from_arrow(groups_tbl)
+            return groups_sub, affected_gids, \
+                _rd.from_arrow(unified_tbl), (groups_tbl, unified_tbl)
+        # subgraph exceeds the driver tier — fall through to the
+        # distributed construction below (the crossover band pays the
+        # probe twice; correctness is unaffected)
+
     node_ref = ray.put(node_arr)
     mem_ref = ray.put(member_arr)
 
@@ -551,11 +629,6 @@ def incremental_match_groups(prior_groups: Dataset, prior_candidates: Dataset,
     # a unioned Dataset can disagree on string vs large_string at scale
     # (CLAUDE.md), and leaving that to the driver-side concat's promote
     # would single-thread a full copy of the collected slice
-    try:
-        u_schema = unified.schema().base_schema
-    except Exception:
-        u_schema = None
-
     def _filter_cast(b: pa.Table) -> pa.Table:
         b = b.filter(pc.is_in(b["source_record_id"],
                               value_set=ray.get(node_ref)))
@@ -583,26 +656,10 @@ def incremental_match_groups(prior_groups: Dataset, prior_candidates: Dataset,
          "overall_score"]).map_batches(
         prior_sub_edges, batch_format="pyarrow").materialize()
 
-    n_sub = unified_sub.count() + prior_edges.count() + etbl.num_rows
-    if n_sub <= INCR_LOCAL_ROWS_BOUND:
-        # the whole subgraph fits the driver tier: collect it once
-        # (plasma-backed zero-copy buffers) and run the UF + finalize
-        # kernels with zero further Ray stages. The returned tables let
-        # the survivorship/xref patch kernels stay driver-local too.
+    if delta_edges is None:
         import ray.data as _rd
 
-        petbl = pa.concat_tables(ray.get(prior_edges.to_arrow_refs()),
-                                 promote_options="default")
-        edges_tbl = pa.concat_tables([petbl, etbl],
-                                     promote_options="default")
-        unified_tbl = pa.concat_tables(ray.get(unified_sub.to_arrow_refs()),
-                                       promote_options="default")
-        groups_tbl = _local_match_groups(edges_tbl, unified_tbl)
-        groups_sub = _rd.from_arrow(groups_tbl)
-        return groups_sub, affected_gids, unified_sub, \
-            (groups_tbl, unified_tbl)
-
-    # distributed fallback: the subgraph exceeds the driver tier
+        delta_edges = _rd.from_arrow(etbl)
     edges_sub = prior_edges.union(delta_edges)
     groups_sub = build_match_groups(None, unified_sub, cfg,
                                     local_rows_bound=INCR_LOCAL_ROWS_BOUND,

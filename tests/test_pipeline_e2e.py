@@ -390,15 +390,21 @@ def test_incremental_supernode_path(ray_session):
         canon(inc.block_counts), canon(full.block_counts), obj="counts")
 
 
-def test_incremental_distributed_fallback_parity(ray_session, monkeypatch):
-    """Force every incremental driver tier ABOVE its bound (bounds
-    monkeypatched to 0): touched-counts splice falls back to the
-    distributed merge, the groups (gid, member) probes stay distributed,
-    the subgraph CC runs the distributed build_match_groups edges path,
-    survivorship/xref patch through the streamed Dataset kernels, and
-    patch_hierarchy takes its distributed signal legs. Outputs must
-    still byte-equal a fresh full run — the tiers are pure execution
-    strategy, never semantics."""
+import pytest
+
+
+@pytest.mark.parametrize("mode", ["all_distributed", "crossover"])
+def test_incremental_distributed_fallback_parity(ray_session, monkeypatch,
+                                                 mode):
+    """Force the incremental driver tiers ABOVE their bounds:
+    ``all_distributed`` zeroes every bound (distributed counts merge,
+    distributed group probes, distributed subgraph CC, streamed
+    Dataset patch kernels, distributed hierarchy signal legs);
+    ``crossover`` keeps the groups-probe driver tier but forces the
+    subgraph past INCR_LOCAL_ROWS_BOUND (the fall-through band where
+    driver-tier probes feed the distributed build). Outputs must
+    byte-equal a fresh full run either way — the tiers are pure
+    execution strategy, never semantics."""
     import pandas as pd
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -408,10 +414,11 @@ def test_incremental_distributed_fallback_parity(ray_session, monkeypatch):
     from payor_linkage.pipeline import incremental_update, run_linkage
     from payor_linkage.synth import synth_documents
 
-    monkeypatch.setattr(B, "_TOUCHED_LOCAL_BOUND", 0)
-    monkeypatch.setattr(B, "_PAIRS_LOCAL_BOUND", 0)
     monkeypatch.setattr(C, "INCR_LOCAL_ROWS_BOUND", 0)
-    monkeypatch.setattr(C, "_GROUPS_LOCAL_ROWS_BOUND", 0)
+    if mode == "all_distributed":
+        monkeypatch.setattr(B, "_TOUCHED_LOCAL_BOUND", 0)
+        monkeypatch.setattr(B, "_PAIRS_LOCAL_BOUND", 0)
+        monkeypatch.setattr(C, "_GROUPS_LOCAL_ROWS_BOUND", 0)
 
     docs = synth_documents(3).materialize()
 
