@@ -3154,7 +3154,7 @@ def oracle_sql() -> dict[str, str]:
         # check of the pigeonhole bucketing (max_hamming=7 < n_chunks=8)
         "q_simhash": f"""
             SELECT a.id AS id_a, b.id AS id_b,
-                   CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+                   CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
             FROM read_parquet('{_SIDECAR_DIR}/simhash_sigs/*.parquet') a
             JOIN read_parquet('{_SIDECAR_DIR}/simhash_sigs/*.parquet') b
               ON a.id < b.id
@@ -3669,9 +3669,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT split_part(source_record_id_a, ':', 1) AS source_a_system,
                    split_part(source_record_id_b, ':', 1) AS source_b_system,
                    COUNT(*) AS pairs,
-                   SUM(CASE WHEN match_rule IN ('DET-1', 'DET-2', 'DET-3')
+                   CAST(SUM(CASE WHEN match_rule IN ('DET-1', 'DET-2', 'DET-3')
                                  OR coalesce(overall_score, -1.0) >= 0.85
-                            THEN 1 ELSE 0 END) AS matches
+                            THEN 1 ELSE 0 END) AS BIGINT) AS matches
             FROM read_parquet('{_SIDECAR_DIR}/scored/*.parquet')
             GROUP BY 1, 2
         """,
@@ -3754,7 +3754,8 @@ def oracle_sql() -> dict[str, str]:
         "q_part_brand_stats": """
             SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
                    CAST(count(DISTINCT p_type) AS BIGINT) AS n_types,
-                   min(p_size) AS min_size, max(p_size) AS max_size
+                   CAST(min(p_size) AS BIGINT) AS min_size,
+                   CAST(max(p_size) AS BIGINT) AS max_size
             FROM part GROUP BY p_brand
         """,
         "q_lag_delta": """
@@ -3784,8 +3785,8 @@ def oracle_sql() -> dict[str, str]:
         "q_bucketed_patch": """
             SELECT lang,
                    COUNT(*) AS n_docs,
-                   SUM(CASE WHEN doc_id % 97 = 0 THEN n_chars + 1000000
-                            ELSE n_chars END) AS sum_chars
+                   CAST(SUM(CASE WHEN doc_id % 97 = 0 THEN n_chars + 1000000
+                            ELSE n_chars END) AS BIGINT) AS sum_chars
             FROM documents
             WHERE NOT (doc_id % 97 = 0 AND doc_id % 194 = 0)
             GROUP BY lang ORDER BY lang
@@ -4339,10 +4340,10 @@ def oracle_sql() -> dict[str, str]:
         "q_sliding_sum": """
             SELECT user_id, ts, event_id,
                    CAST(json_extract(props, '$.k') AS BIGINT) AS k,
-                   sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
                        OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
-                       AS win_sum
+                       AS BIGINT) AS win_sum
             FROM events
         """,
         "q_global_ntile": """
@@ -4548,18 +4549,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_grouped_checksum": """
             SELECT source,
-                   sum(('0x' || substr(md5(
+                   CAST(sum(('0x' || substr(md5(
                        CAST(doc_id AS VARCHAR) || chr(31) || text),
-                       1, 8))::BIGINT) AS checksum,
+                       1, 8))::BIGINT) AS BIGINT) AS checksum,
                    count(*) AS n
             FROM documents GROUP BY source
         """,
         "q_share_bps": """
             SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
                    CAST(l_quantity AS BIGINT) AS qty,
-                   (CAST(l_quantity AS BIGINT) * 10000)
+                   CAST((CAST(l_quantity AS BIGINT) * 10000)
                        // sum(CAST(l_quantity AS BIGINT))
-                              OVER (PARTITION BY l_orderkey) AS bps
+                              OVER (PARTITION BY l_orderkey) AS BIGINT) AS bps
             FROM lineitem
         """,
         "q_csv_roundtrip": """

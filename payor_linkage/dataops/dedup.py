@@ -17,6 +17,22 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 from ray.data.aggregate import Count, Min
 
+_DUCK_CON = None
+
+
+def _duck_con():
+    """One DuckDB connection per worker process, created lazily and
+    reused across batches (connect/close per batch measurably hurts the
+    hash pass). Raises ImportError when duckdb is unavailable so callers
+    can fall back to pure-python hashlib."""
+    global _DUCK_CON
+    if _DUCK_CON is None:
+        import duckdb
+
+        _DUCK_CON = duckdb.connect()
+    return _DUCK_CON
+
+
 def _pool_shape(ds: Dataset, rows_per_actor: int = 4096) -> tuple[int, int, int]:
     """(cpus, rows-per-block, pool-max) for a signature actor pool.
 
@@ -57,16 +73,26 @@ def exact_dedup(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> 
     def add_hash(b: pa.Table) -> pa.Table:
         # md5 through DuckDB's vectorized C++ kernel (the grouped_checksum
         # precedent) — at 100 TB the hash pass IS the dedup cost, so a
-        # per-row Python hashlib loop here would dominate the stage
-        import duckdb
+        # per-row Python hashlib loop here would dominate the stage.
+        # One connection per worker process (module-level cache), with a
+        # pure-python hashlib fallback when duckdb is unavailable (the
+        # scoring.py use_duckdb pattern).
+        try:
+            con = _duck_con()
+        except ImportError:
+            import hashlib
 
-        t = pa.table({"_t": b[text_col]})
-        con = duckdb.connect()
-        con.register("t", t)
-        h = con.execute("SELECT md5(_t) AS h FROM t").arrow()["h"]
-        con.close()
+            h = pa.array([hashlib.md5(v.encode()).hexdigest() if v is not None
+                          else None for v in b[text_col].to_pylist()],
+                         pa.string())
+        else:
+            t = pa.table({"_t": b[text_col]})
+            con.register("t", t)
+            h = con.execute("SELECT md5(_t) AS h FROM t").arrow()["h"] \
+                .combine_chunks()
+            con.unregister("t")
         return pa.table({
-            "_h": h.combine_chunks(),
+            "_h": h,
             id_col: b[id_col],
         })
 

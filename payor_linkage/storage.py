@@ -157,17 +157,37 @@ def write_partitioned(ds: Dataset, path: str, by: str,
     return sorted(written)
 
 
+def _key_strings(keys) -> list:
+    """Canonical string form of a key column: ONE representation shared
+    by the write side (`_bucket_of`) and the patch side
+    (`_patch_bucket_task`'s affected-key match) — Arrow cast-to-string,
+    never Python ``str()`` (``str(True)='True'`` vs Arrow ``'true'``
+    would silently split a key across representations). Supported key
+    types are string/int (asserted); bool/float/timestamp keys have
+    ambiguous canonical text and are refused rather than mis-bucketed."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if not (pa.types.is_string(keys.type) or pa.types.is_large_string(
+            keys.type) or pa.types.is_integer(keys.type)):
+        raise TypeError(
+            f"bucketed layouts support string/int keys, got {keys.type}")
+    return pc.cast(keys, pa.string()).to_pylist()
+
+
 def _bucket_of(keys, n_buckets: int):
-    """crc32(key) % n_buckets per value — process-stable (never Python
-    ``hash``), vectorized enough for a write-side pass."""
+    """crc32(canonical key string) % n_buckets per value —
+    process-stable (never Python ``hash``). The per-value crc32 loop
+    runs inside ``map_batches`` so it is distributed across workers on
+    the write path."""
     import zlib
 
     import numpy as np
     import pyarrow as pa
 
-    vals = keys.to_pylist()
+    vals = _key_strings(keys)
     return pa.array(
-        np.fromiter((zlib.crc32(str(v).encode()) % n_buckets
+        np.fromiter((zlib.crc32(v.encode()) % n_buckets
                      for v in vals), dtype=np.int64, count=len(vals)))
 
 
@@ -215,12 +235,14 @@ def patch_bucketed(path: str, key: str, rebuilt: Dataset, affected_keys,
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    affected = sorted(set(affected_keys))
-    buckets = sorted({zlib.crc32(str(k).encode()) % n_buckets
+    # canonicalize affected keys through the SAME Arrow cast-to-string
+    # path as the write side so bucket ids and key matches agree
+    affected = sorted(set(_key_strings(pa.array(sorted(set(affected_keys))))))
+    buckets = sorted({zlib.crc32(k.encode()) % n_buckets
                       for k in affected})
     if not buckets:
         return []
-    aff_arr = pa.array([str(k) for k in affected], pa.string())
+    aff_arr = pa.array(affected, pa.string())
 
     def add_bucket(b: pa.Table) -> pa.Table:
         return b.append_column("_bucket", _bucket_of(b[key], n_buckets))
@@ -231,6 +253,19 @@ def patch_bucketed(path: str, key: str, rebuilt: Dataset, affected_keys,
         .materialize()
     reb_tbl = pa.concat_tables(ray.get(reb.to_arrow_refs()),
                                promote_options="default")
+    # a rebuilt row whose key is OUTSIDE the affected set would either
+    # vanish (hashes to an untouched bucket) or duplicate its surviving
+    # old row — refuse loudly instead
+    if reb_tbl.num_rows:
+        in_aff = pc.is_in(pc.cast(reb_tbl[key], pa.string()),
+                          value_set=aff_arr)
+        n_bad = reb_tbl.num_rows - pc.sum(pc.cast(
+            in_aff, pa.int64())).as_py()
+        if n_bad:
+            raise ValueError(
+                f"patch_bucketed: {n_bad} rebuilt rows carry keys outside "
+                f"affected_keys — they would be silently dropped or "
+                f"duplicated; pass every rebuilt key in affected_keys")
 
     # one Ray task per touched bucket: read that bucket's old files,
     # drop affected keys, splice the bucket's rebuilt slice, atomic
@@ -247,9 +282,31 @@ def patch_bucketed(path: str, key: str, rebuilt: Dataset, affected_keys,
 
 @ray.remote
 def _patch_bucket_task(bdir: str, key: str, aff_arr, new_slice) -> None:
+    """Rewrite one bucket dir crash-atomically via a rename SWAP (never
+    delete-then-rename, which has a window where the bucket is simply
+    missing and a re-run would rebuild it from the delta alone, losing
+    every unaffected old row):
+
+      1. build ``bdir.tmp`` (new-complete)
+      2. ``os.rename(bdir, bdir.old)``   — old state parked, still whole
+      3. ``os.rename(bdir.tmp, bdir)``   — new state live
+      4. rmtree ``bdir.old``
+
+    On entry, recover from a prior crash: a leftover ``.old`` is the
+    authoritative old-complete state (restore it if ``bdir`` is missing,
+    else discard it — ``bdir`` already holds the new state); a leftover
+    ``.tmp`` is always discarded (unknown completeness)."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
+
+    tmp, old = bdir + ".tmp", bdir + ".old"
+    if os.path.exists(old):
+        if not os.path.exists(bdir):
+            os.rename(old, bdir)          # crashed between steps 2 and 3
+        else:
+            shutil.rmtree(old)            # crashed during step 4
+    shutil.rmtree(tmp, ignore_errors=True)
 
     old_tbls = []
     if os.path.exists(bdir):
@@ -263,14 +320,14 @@ def _patch_bucket_task(bdir: str, key: str, aff_arr, new_slice) -> None:
         [t for t in old_tbls if t.num_rows]
     merged = pa.concat_tables(parts, promote_options="default") \
         if parts else None
-    tmp = bdir + ".tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
     if merged is not None and merged.num_rows:
         pq.write_table(merged, os.path.join(tmp, "part-0.parquet"))
     open(os.path.join(tmp, "_done"), "w").close()
-    shutil.rmtree(bdir, ignore_errors=True)
+    if os.path.exists(bdir):
+        os.rename(bdir, old)
     os.rename(tmp, bdir)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def read_partitioned(path: str, by: str) -> Dataset:

@@ -58,7 +58,7 @@ def test_query_matches_oracle(ray_session, oracle_con, name):
     assert list(ray_df.columns) == list(sql_df.columns), (
         f"{name}: columns {list(ray_df.columns)} vs {list(sql_df.columns)}")
     assert len(ray_df) == len(sql_df), f"{name}: {len(ray_df)} vs {len(sql_df)} rows"
-    pd.testing.assert_frame_equal(ray_df, sql_df, check_dtype=False,
+    pd.testing.assert_frame_equal(ray_df, sql_df, check_dtype=True,
                                   check_exact=False, rtol=1e-9, atol=1e-12)
 
 

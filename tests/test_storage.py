@@ -313,3 +313,72 @@ def test_bucketed_patch_rewrites_only_touched_buckets(ray_session, tmp_path):
     got2 = read_bucketed(path).to_pandas().sort_values(
         "master_id").reset_index(drop=True)
     assert got2.equals(got)
+
+def test_bucketed_patch_crash_recovery_and_validation(ray_session, tmp_path):
+    """The rename-swap crash contract: a leftover ``.old`` dir is the
+    authoritative old-complete state (restored when the live dir is
+    missing, discarded when it is present); rebuilt keys outside
+    affected_keys are refused loudly; non-string/int keys are refused."""
+    import os
+    import shutil
+    import zlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from payor_linkage.storage import (patch_bucketed, read_bucketed,
+                                       write_bucketed)
+
+    n_buckets = 4
+    base = pa.table({
+        "master_id": [f"K{i:03d}" for i in range(40)],
+        "val": list(range(40)),
+    })
+    path = str(tmp_path / "crash_bucketed")
+    write_bucketed(rd.from_arrow(base), path, "master_id",
+                   n_buckets=n_buckets)
+
+    # simulate a crash between swap steps 2 and 3: bucket dir parked as
+    # .old, live dir missing — a patch over that bucket must first
+    # restore the old state, then splice (unaffected rows survive)
+    b = zlib.crc32(b"K001") % n_buckets
+    bdir = os.path.join(path, f"_bucket={b}")
+    os.rename(bdir, bdir + ".old")
+    assert not os.path.exists(bdir)
+    patch_bucketed(path, "master_id",
+                   rd.from_arrow(pa.table({"master_id": ["K001"],
+                                           "val": [1001]})),
+                   ["K001"], n_buckets=n_buckets)
+    got = read_bucketed(path).to_pandas()
+    assert len(got) == 40  # every unaffected row in the crashed bucket survived
+    assert int(got.loc[got["master_id"] == "K001", "val"].iloc[0]) == 1001
+    assert not os.path.exists(bdir + ".old")
+
+    # crash during step 4 (.old left beside a complete live dir): the
+    # live dir wins, .old is discarded
+    shutil.copytree(bdir, bdir + ".old")
+    patch_bucketed(path, "master_id",
+                   rd.from_arrow(pa.table({"master_id": ["K001"],
+                                           "val": [1002]})),
+                   ["K001"], n_buckets=n_buckets)
+    got = read_bucketed(path).to_pandas()
+    assert len(got) == 40
+    assert int(got.loc[got["master_id"] == "K001", "val"].iloc[0]) == 1002
+    assert not os.path.exists(bdir + ".old")
+
+    # rebuilt rows whose key is outside affected_keys: loud refusal
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="outside"):
+        patch_bucketed(path, "master_id",
+                       rd.from_arrow(pa.table({"master_id": ["K001",
+                                                             "K999"],
+                                               "val": [1, 2]})),
+                       ["K001"], n_buckets=n_buckets)
+
+    # unsupported key dtype (float): refused at write time, not
+    # silently mis-bucketed (TypeError raised inside the map task,
+    # surfaced wrapped by Ray — match on the message)
+    with _pytest.raises(Exception, match="string/int"):
+        write_bucketed(
+            rd.from_arrow(pa.table({"k": [1.5, 2.5], "v": [1, 2]})),
+            str(tmp_path / "floatkeys"), "k", n_buckets=2)
