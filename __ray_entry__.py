@@ -1198,6 +1198,9 @@ def _write_mdm_sidecars(res) -> None:
         ["parent_master_id", "child_master_id"]))
     _dump_sidecar("golden_names", res.golden.select_columns(
         ["master_payor_id", "payor_name"]))
+    _dump_sidecar("strategy_inputs", res.candidates.select_columns(
+        ["strategies_used", "winning_name_strategy",
+         "winning_addr_strategy"]))
 
     # group members with every survivorship input (golden oracle)
     cols = ["source_record_id", "source_system", "source_trust_rank",
@@ -1508,6 +1511,38 @@ def q_mdm_source_pair_match_rate(sf_dir: str):
             .groupby(["source_a_system", "source_b_system"])
             .aggregate(Count(alias_name="pairs"),
                        Sum("is_match", alias_name="matches")))
+
+
+def q_mdm_strategy_performance(sf_dir: str):
+    """Per-strategy telemetry — the reference's STRATEGY_PERFORMANCE
+    table (`snowflake/12_abbreviation_dict.sql:9-25`): times_selected =
+    appearances in strategies_used, times_won = times it was the winning
+    name/addr strategy. The oracle unnests the strategies_used list and
+    unions the two winner columns from the strategy_inputs sidecar, so
+    the telemetry aggregate (`steward.strategy_performance`) is fully
+    SQL-checked."""
+    from payor_linkage.steward import strategy_performance
+
+    return strategy_performance(_mdm_result(sf_dir).candidates)
+
+
+def q_mdm_audit_page(sf_dir: str):
+    """AuditTrail pagination (`app/src/pages/AuditTrail.tsx:43-48`):
+    filter by entity_type, ORDER BY key DESC, LIMIT 25 OFFSET 25 —
+    distributed top-(offset+limit) then a driver-side slice
+    (`audit.sort_paginate`). log_id is dropped (uuid5, inherent); every
+    other column of the golden-grain audit projection is recomputed by
+    the oracle from the golden_names sidecar."""
+    import pyarrow.compute as pc
+
+    from payor_linkage.audit import build_audit_log, sort_paginate
+
+    res = _mdm_result(sf_dir)
+    log = build_audit_log(res.golden, res.hierarchy)
+    page = sort_paginate(
+        log.filter(expr="entity_type == 'golden_payor'"),
+        "entity_id", limit=25, offset=25, descending=True)
+    return page.drop_columns(["log_id"])
 
 
 def q_mdm_golden_source_count(sf_dir: str):
@@ -2632,6 +2667,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mdm_hierarchy_orphans": q_mdm_hierarchy_orphans,
         "q_mdm_source_completeness": q_mdm_source_completeness,
         "q_mdm_source_pair_match_rate": q_mdm_source_pair_match_rate,
+        "q_mdm_strategy_performance": q_mdm_strategy_performance,
+        "q_mdm_audit_page": q_mdm_audit_page,
         "q_mdm_golden_source_count": q_mdm_golden_source_count,
         "q_corpus_pipeline": q_corpus_pipeline,
         "q_blocking_pairs": q_blocking_pairs,
@@ -3674,6 +3711,39 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS BIGINT) AS matches
             FROM read_parquet('{_SIDECAR_DIR}/scored/*.parquet')
             GROUP BY 1, 2
+        """,
+        # snowflake/12_abbreviation_dict.sql:9-25 — STRATEGY_PERFORMANCE
+        # telemetry recomputed in SQL: unnest the strategies_used list
+        # for times_selected, union the two winner columns for times_won
+        "q_mdm_strategy_performance": f"""
+            WITH sc AS (
+              SELECT * FROM read_parquet(
+                  '{_SIDECAR_DIR}/strategy_inputs/*.parquet')),
+            sel AS (
+              SELECT unnest(strategies_used) AS strategy FROM sc),
+            won AS (
+              SELECT winning_name_strategy AS strategy FROM sc
+              WHERE winning_name_strategy IS NOT NULL
+              UNION ALL
+              SELECT winning_addr_strategy FROM sc
+              WHERE winning_addr_strategy IS NOT NULL),
+            s AS (SELECT strategy, COUNT(*) AS n_sel FROM sel GROUP BY 1),
+            w AS (SELECT strategy, COUNT(*) AS n_won FROM won GROUP BY 1)
+            SELECT COALESCE(s.strategy, w.strategy) AS strategy,
+                   CAST(COALESCE(s.n_sel, 0) AS BIGINT) AS times_selected,
+                   CAST(COALESCE(w.n_won, 0) AS BIGINT) AS times_won
+            FROM s FULL OUTER JOIN w ON s.strategy = w.strategy
+        """,
+        # AuditTrail.tsx:43-48 — filtered ORDER BY ... DESC LIMIT/OFFSET
+        # page, audit projection re-derived from the golden_names sidecar
+        "q_mdm_audit_page": f"""
+            SELECT 'golden_payor' AS entity_type,
+                   master_payor_id AS entity_id,
+                   'golden_created' AS action,
+                   'system' AS actor,
+                   payor_name AS detail
+            FROM read_parquet('{_SIDECAR_DIR}/golden_names/*.parquet')
+            ORDER BY entity_id DESC LIMIT 25 OFFSET 25
         """,
         # GoldenRecords.tsx:46-51 — the reference's correlated COUNT
         # subquery kept verbatim in the oracle (membership rows ARE the

@@ -81,6 +81,26 @@ def score_histogram(candidates: Dataset) -> Dataset:
             .groupby("score_bucket").count())
 
 
+def sort_paginate(ds: Dataset, keys: list[str] | str, limit: int,
+                  offset: int = 0, descending: bool = False) -> Dataset:
+    """ORDER BY ... LIMIT n OFFSET m — the AuditTrail serving page
+    (`app/src/pages/AuditTrail.tsx:43-48`). Distributed top-(offset+limit)
+    via `Dataset.sort().limit()` (each block contributes at most
+    offset+limit rows to the reduce), then the offset rows are sliced
+    off driver-side. Pagination depth is a SERVING parameter — pages are
+    bounded small; deep scans should use keyset pagination (filter on
+    the last-seen key) instead of a large offset. Caveat: a page past
+    the end of the data comes back 0-row and Ray 2.49's pandas
+    conversion drops the schema of an empty Arrow block."""
+    import ray
+    import ray.data as rd
+
+    top = ds.sort(keys, descending=descending).limit(offset + limit)
+    tbl = pa.concat_tables(ray.get(top.to_arrow_refs()),
+                           promote_options="default")
+    return rd.from_arrow(tbl.slice(min(offset, tbl.num_rows), limit))
+
+
 def pipeline_metrics(unified: Dataset, candidates: Dataset, groups: Dataset,
                      golden: Dataset) -> dict:
     """Small driver-side metrics dict (every value is an aggregate)."""

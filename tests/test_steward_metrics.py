@@ -91,3 +91,17 @@ def test_source_field_completeness(pipeline_result):
     # reference feed never has phone (stg_reference_payors.sql:43)
     ref = c[c.source_system == "cms_reference"].iloc[0]
     assert ref.nn_phone == 0
+
+
+def test_sort_paginate_pages_partition_sorted_rows(ray_session):
+    import ray.data as rd
+
+    from payor_linkage.audit import sort_paginate
+
+    ds = rd.from_items([{"k": f"id_{i:04d}", "v": i} for i in range(200)])
+    page = sort_paginate(ds, "k", limit=30, offset=50,
+                         descending=True).to_pandas()
+    assert list(page.k) == [f"id_{i:04d}" for i in range(149, 119, -1)]
+    # ascending page + tail page shorter than limit
+    tail = sort_paginate(ds, "k", limit=30, offset=190).to_pandas()
+    assert list(tail.k) == [f"id_{i:04d}" for i in range(190, 200)]
