@@ -102,8 +102,12 @@ def sort_paginate(ds: Dataset, keys: list[str] | str, limit: int,
 
 
 def pipeline_metrics(unified: Dataset, candidates: Dataset, groups: Dataset,
-                     golden: Dataset) -> dict:
-    """Small driver-side metrics dict (every value is an aggregate)."""
+                     golden: Dataset, block_counts: Dataset | None = None,
+                     blocking_cfg=None) -> dict:
+    """Small driver-side metrics dict (every value is an aggregate).
+    When the blocking counts table is passed (LinkageResult.block_counts)
+    a ``blocking`` entry reports parked/salted key and record counts —
+    the recall-loss accounting SURVEY §4 promises."""
     per_source = {r["source_system"]: r["count()"]
                   for r in unified.groupby("source_system").count().take_all()}
     decisions = {r["final_decision"]: r["count()"]
@@ -115,7 +119,13 @@ def pipeline_metrics(unified: Dataset, candidates: Dataset, groups: Dataset,
     conf = golden.aggregate(Mean("confidence_score", alias_name="avg_confidence"),
                             Mean("completeness_score", alias_name="avg_completeness"),
                             Count(alias_name="golden_count"))
+    blocking = None
+    if block_counts is not None:
+        from payor_linkage.blocking import blocking_key_stats
+
+        blocking = blocking_key_stats(block_counts, blocking_cfg)
     return {
+        **({"blocking": blocking} if blocking is not None else {}),
         "records": unified.count(),
         "records_per_source": per_source,
         "candidates": candidates.count(),

@@ -189,6 +189,35 @@ def _hot_from_table(counts: pa.Table, cap: int, park_degenerate: bool,
                         cap, park_degenerate, park_above, pho_cap)
 
 
+def blocking_key_stats(counts: Dataset, cfg=None) -> dict:
+    """Parked/salted key accounting over a (bkey, n) counts table —
+    SURVEY §4's dropped-pair accounting, surfaced so blocking recall
+    loss is observable in ``audit.pipeline_metrics`` (not only via the
+    q_mdm_blocking_quality pairs-completeness oracle). One tiny
+    filtered collect (same slice ``_hot_from_counts`` reads); parked
+    keys emit NO pairs, salted keys emit O(n·cap) instead of O(n²)."""
+    from payor_linkage.config import BlockingConfig
+
+    cfg = cfg or BlockingConfig()
+    total = counts.count()
+    if cfg.hot_key_cap is None:
+        return {"keys": total, "salted_keys": 0, "parked_keys": 0,
+                "salted_records": 0, "parked_records": 0}
+    low_cap = min(cfg.hot_key_cap, cfg.pho_key_cap or cfg.hot_key_cap)
+    nmap = {r["bkey"]: r["n"] for r in counts.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], low_cap)),
+        batch_format="pyarrow").take_all()}
+    hot = _hot_entries(nmap.items(), cfg.hot_key_cap,
+                       cfg.park_degenerate_hot_keys, cfg.park_key_above,
+                       cfg.pho_key_cap)
+    parked = [k for k, v in hot.items() if v == -1]
+    salted = [k for k, v in hot.items() if v > 0]
+    return {"keys": total,
+            "salted_keys": len(salted), "parked_keys": len(parked),
+            "salted_records": int(sum(nmap[k] for k in salted)),
+            "parked_records": int(sum(nmap[k] for k in parked))}
+
+
 def _find_hot_keys(key_rows: Dataset, cap: int, park_degenerate: bool,
                    park_above: int | None = None,
                    pho_cap: int | None = None) -> dict[str, int]:

@@ -73,8 +73,11 @@ def test_pipeline_metrics(pipeline_result):
     from payor_linkage.audit import pipeline_metrics
 
     m = pipeline_metrics(pipeline_result.unified, pipeline_result.candidates,
-                         pipeline_result.groups, pipeline_result.golden)
+                         pipeline_result.groups, pipeline_result.golden,
+                         block_counts=pipeline_result.block_counts)
     assert m["records"] == pipeline_result.unified.count()
+    assert m["blocking"]["keys"] > 0
+    assert m["blocking"]["parked_keys"] >= 0
     assert set(m["records_per_source"]) == {"crm", "claims", "credentialing",
                                             "cms_reference"}
     assert sum(m["decisions"].values()) == m["candidates"]
@@ -105,3 +108,26 @@ def test_sort_paginate_pages_partition_sorted_rows(ray_session):
     # ascending page + tail page shorter than limit
     tail = sort_paginate(ds, "k", limit=30, offset=190).to_pandas()
     assert list(tail.k) == [f"id_{i:04d}" for i in range(190, 200)]
+
+
+def test_blocking_key_stats_move_with_park_threshold(ray_session):
+    import ray.data as rd
+
+    from payor_linkage.blocking import blocking_key_stats
+    from payor_linkage.config import BlockingConfig
+
+    counts = rd.from_items([
+        {"bkey": "tax|small", "n": 5},
+        {"bkey": "tax|hot", "n": 2000},       # salted under defaults
+        {"bkey": "tax|mega", "n": 60000},     # above park_key_above=50k
+        {"bkey": "pho|buzz", "n": 100},       # above pho cap 32 → salted
+    ])
+    s = blocking_key_stats(counts, BlockingConfig())
+    assert s["keys"] == 4
+    assert s["parked_keys"] == 1 and s["parked_records"] == 60000
+    assert s["salted_keys"] == 2 and s["salted_records"] == 2100
+
+    # tightening park_key_above moves keys from salted to parked
+    tight = blocking_key_stats(counts, BlockingConfig(park_key_above=1000))
+    assert tight["parked_keys"] == 2 and tight["parked_records"] == 62000
+    assert tight["salted_keys"] == 1 and tight["salted_records"] == 100
