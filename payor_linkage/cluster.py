@@ -433,6 +433,59 @@ def _local_match_groups(edges_tbl: pa.Table,
                               runs_fn=_finalize_runs)
 
 
+_EDGE_SCHEMA = pa.schema([("src", pa.string()), ("dst", pa.string()),
+                          ("score", pa.float64())])
+
+
+def _match_edge_block(t: pa.Table, member_arr=None) -> pa.Table:
+    """(src, dst, score) match edges of one candidates block, optionally
+    restricted to edges whose _a endpoint is in ``member_arr``
+    (canonical pairs have both endpoints in the same prior group, so
+    the _a-side probe is exact). scatter_blocks kernel."""
+    if t.num_rows == 0 or "final_decision" not in t.column_names:
+        return _EDGE_SCHEMA.empty_table()
+    mask = pc.equal(t["final_decision"], "match")
+    if member_arr is not None:
+        mask = pc.and_(mask, pc.is_in(t["source_record_id_a"],
+                                      value_set=member_arr))
+    m = t.filter(mask)
+    return pa.table({"src": m["source_record_id_a"],
+                     "dst": m["source_record_id_b"],
+                     "score": pc.cast(m["overall_score"], pa.float64())})
+
+
+def _gids_hit_block(t: pa.Table, eps) -> pa.Table:
+    """Distinct group ids of one MATCH_GROUPS block with a member in
+    ``eps``. scatter_blocks kernel."""
+    if t.num_rows == 0 or "source_record_id" not in t.column_names:
+        return pa.table({"match_group_id": pa.array([], pa.string())})
+    hit = pc.is_in(t["source_record_id"], value_set=eps)
+    return pa.table({"match_group_id":
+                     pc.unique(t["match_group_id"].filter(hit))})
+
+
+def _members_of_gids_block(t: pa.Table, gid_arr) -> pa.Table:
+    """Member record ids of one MATCH_GROUPS block restricted to
+    ``gid_arr`` groups. scatter_blocks kernel."""
+    if t.num_rows == 0 or "match_group_id" not in t.column_names:
+        return pa.table({"source_record_id": pa.array([], pa.string())})
+    ghit = pc.is_in(t["match_group_id"], value_set=gid_arr)
+    return pa.table({"source_record_id":
+                     t["source_record_id"].filter(ghit)})
+
+
+def _unified_slice_block(t: pa.Table, node_arr, u_schema) -> pa.Table | None:
+    """One unified block filtered to ``node_arr`` records, cast to the
+    dataset schema (blocks of a unioned Dataset can disagree on
+    string/large_string). scatter_blocks kernel."""
+    if t.num_rows == 0 or "source_record_id" not in t.column_names:
+        return None
+    ft = t.filter(pc.is_in(t["source_record_id"], value_set=node_arr))
+    if u_schema is not None and ft.schema != u_schema:
+        ft = ft.cast(u_schema)
+    return ft
+
+
 def incremental_match_groups(prior_groups: Dataset, prior_candidates: Dataset,
                              cands_delta: Dataset, unified: Dataset,
                              new_ids, cfg: ClusterConfig | None = None,
@@ -458,7 +511,10 @@ def incremental_match_groups(prior_groups: Dataset, prior_candidates: Dataset,
     drop, the MATERIALIZED delta-bounded slice of ``unified``
     restricted to the affected node set (handed back so the
     survivorship/xref patch stages stream it instead of re-filtering
-    the full corpus), and — when the subgraph fit the driver tier —
+    the full corpus; ``None`` on the driver tier, where the Arrow
+    table in ``local`` carries the slice instead — serializing it back
+    into a Dataset nobody reads was the costliest step of this
+    function), and — when the subgraph fit the driver tier —
     ``(groups_tbl, unified_tbl)`` Arrow tables so those patch stages
     can run driver-local as well (else ``None``). Returns ``None``
     overall when the delta touches more than ``max_affected_frac`` of
@@ -483,21 +539,14 @@ def incremental_match_groups(prior_groups: Dataset, prior_candidates: Dataset,
     new_arr = pa.array(sorted(set(new_ids)), pa.string())
     delta_edges = None
     if driver_tier:
-        # delta match edges: filter+project each delta block driver-side
-        eparts = []
-        for t in ray.get(cands_delta.to_arrow_refs()):
-            # unions can carry 0-row schema-less blocks — skip them
-            if t.num_rows == 0 or "final_decision" not in t.column_names:
-                continue
-            m = t.filter(pc.equal(t["final_decision"], "match"))
-            eparts.append(pa.table({
-                "src": m["source_record_id_a"],
-                "dst": m["source_record_id_b"],
-                "score": m["overall_score"]}))
-        _edge_s = pa.schema([("src", pa.string()), ("dst", pa.string()),
-                             ("score", pa.float64())])
-        etbl = pa.concat_tables(eparts, promote_options="default") \
-            if eparts else _edge_s.empty_table()
+        # delta match edges: filter+project each delta block as a raw
+        # Ray task (scatter_blocks — no Dataset stage launch, no driver
+        # deserialization of full blocks; 0-row schema-less union blocks
+        # are handled inside the kernel)
+        from payor_linkage.rayutil import scatter_blocks
+
+        etbl = scatter_blocks(cands_delta, _match_edge_block,
+                              schema=_EDGE_SCHEMA)
     else:
         delta_edges = match_edges(cands_delta).materialize()
         etbl = pa.concat_tables(ray.get(delta_edges.to_arrow_refs()),
@@ -513,23 +562,18 @@ def incremental_match_groups(prior_groups: Dataset, prior_candidates: Dataset,
         old_eps = pa.array([], pa.string())
 
     # prior gids with a delta-edge endpoint → their full member sets.
-    # Driver tier: prior_groups is 4 narrow columns and materialized —
-    # collect its blocks directly (no projection pass) and run both
-    # probes as Arrow kernels.
-    gm_tbl = None
-    if driver_tier:
-        gm_parts = [t for t in ray.get(prior_groups.to_arrow_refs())
-                    if t.num_rows and "source_record_id" in t.column_names]
-        gm_tbl = pa.concat_tables(gm_parts, promote_options="default") \
-            if gm_parts else _GROUPS_SCHEMA.empty_table()
-
+    # Driver tier: both probes scatter over prior_groups' in-plasma
+    # blocks as raw Ray tasks (parallel, ~ms each, only the delta-
+    # bounded hits return to the driver).
     if len(old_eps):
-        if gm_tbl is not None:
-            hit = pc.is_in(gm_tbl["source_record_id"].combine_chunks(),
-                           value_set=old_eps)
+        if driver_tier:
+            from payor_linkage.rayutil import scatter_blocks
+
+            gtbl = scatter_blocks(
+                prior_groups, _gids_hit_block, old_eps,
+                schema=pa.schema([("match_group_id", pa.string())]))
             affected_gids = sorted(pc.unique(
-                gm_tbl["match_group_id"].combine_chunks().filter(hit)
-            ).to_pylist())
+                gtbl["match_group_id"].combine_chunks()).to_pylist())
         else:
             ep_ref = ray.put(old_eps)
             tds = prior_groups.map_batches(
@@ -546,11 +590,13 @@ def incremental_match_groups(prior_groups: Dataset, prior_candidates: Dataset,
 
     if affected_gids:
         gid_arr = pa.array(affected_gids, pa.string())
-        if gm_tbl is not None:
-            ghit = pc.is_in(gm_tbl["match_group_id"].combine_chunks(),
-                            value_set=gid_arr)
-            member_arr = gm_tbl["source_record_id"].combine_chunks() \
-                .filter(ghit)
+        if driver_tier:
+            from payor_linkage.rayutil import scatter_blocks
+
+            mtbl = scatter_blocks(
+                prior_groups, _members_of_gids_block, gid_arr,
+                schema=pa.schema([("source_record_id", pa.string())]))
+            member_arr = mtbl["source_record_id"].combine_chunks()
             if n_prior and len(member_arr) > max_affected_frac * n_prior:
                 return None  # delta too diffuse — full rebuild is cheaper
         else:
@@ -578,46 +624,36 @@ def incremental_match_groups(prior_groups: Dataset, prior_candidates: Dataset,
 
     if driver_tier:
         # prior subgraph edges: filter+project each (wide, materialized)
-        # candidates block driver-side — plasma views in, only the
-        # delta-bounded matches copied out
-        pe_parts = []
-        for t in ray.get(prior_candidates.to_arrow_refs()):
-            if t.num_rows == 0 or "final_decision" not in t.column_names:
-                continue
-            m = t.filter(pc.and_(
-                pc.equal(t["final_decision"], "match"),
-                pc.is_in(t["source_record_id_a"], value_set=member_arr)))
-            pe_parts.append(pa.table({
-                "src": m["source_record_id_a"],
-                "dst": m["source_record_id_b"],
-                "score": m["overall_score"]}))
-        petbl = pa.concat_tables(pe_parts, promote_options="default") \
-            if pe_parts else etbl.schema.empty_table()
+        # candidates block in a raw Ray task — the block never leaves
+        # its worker, only the delta-bounded matches return
+        from payor_linkage.rayutil import scatter_blocks
+
+        petbl = scatter_blocks(prior_candidates, _match_edge_block,
+                               member_arr, schema=_EDGE_SCHEMA)
         n_sub = len(node_arr) + petbl.num_rows + etbl.num_rows
         if n_sub <= INCR_LOCAL_ROWS_BOUND:
             import ray.data as _rd
 
-            # unified slice: filter each block driver-side, cast the
-            # (small) filtered piece — never a promote copy of the
-            # full corpus on one thread
-            parts = []
-            for t in ray.get(unified.to_arrow_refs()):
-                if t.num_rows == 0 or \
-                        "source_record_id" not in t.column_names:
-                    continue
-                ft = t.filter(pc.is_in(t["source_record_id"],
-                                       value_set=node_arr))
-                if u_schema is not None and ft.schema != u_schema:
-                    ft = ft.cast(u_schema)
-                parts.append(ft)
-            unified_tbl = pa.concat_tables(parts,
-                                           promote_options="default")
-            edges_tbl = pa.concat_tables([petbl, etbl],
-                                         promote_options="default")
-            groups_tbl = _local_match_groups(edges_tbl, unified_tbl)
+            # unified slice: same scatter shape (cast inside the task —
+            # blocks of a unioned Dataset can disagree on
+            # string/large_string)
+            unified_tbl = scatter_blocks(
+                unified, _unified_slice_block, node_arr, u_schema,
+                schema=u_schema)
+            edges_tbl = pa.concat_tables(
+                [petbl, etbl], promote_options="default").combine_chunks()
+            # combine_chunks before from_arrow: Ray's put serializer
+            # walks every chunk and copies offset buffers — a many-
+            # chunk table measured 8 s where the combined one is ~0.2 s
+            groups_tbl = _local_match_groups(
+                edges_tbl, unified_tbl).combine_chunks()
             groups_sub = _rd.from_arrow(groups_tbl)
-            return groups_sub, affected_gids, \
-                _rd.from_arrow(unified_tbl), (groups_tbl, unified_tbl)
+            # unified_sub is returned as None: the local_tbls branch of
+            # incremental_update reads the Arrow tables directly, and
+            # serializing the corpus-slice Dataset nobody consumes was
+            # the single biggest cost of this function
+            return groups_sub, affected_gids, None, \
+                (groups_tbl, unified_tbl)
         # subgraph exceeds the driver tier — fall through to the
         # distributed construction below (the crossover band pays the
         # probe twice; correctness is unaffected)

@@ -57,6 +57,56 @@ def _runs_slice_task(runs_fn, tbl: pa.Table, starts, ends) -> pa.Table:
     return runs_fn(tbl, starts, ends)
 
 
+def _scatter_block_task(fn, shared, *tbls) -> pa.Table:
+    outs = [t for t in (fn(tbl, *shared) for tbl in tbls)
+            if t is not None and t.num_rows]
+    if not outs:
+        return None
+    return pa.concat_tables(
+        outs, promote_options="default").combine_chunks()
+
+
+def scatter_blocks(ds: Dataset, fn, *shared, schema: pa.Schema = None,
+                   combine: bool = True) -> pa.Table:
+    """Apply ``fn(block, *shared)`` to every block of a MATERIALIZED
+    dataset as raw Ray tasks and concat the results on the driver.
+
+    For delta-bounded filters over corpus-sized in-plasma state, this
+    beats both alternatives: a ``map_batches`` stage pays ~0.5-1 s of
+    fixed stage-launch latency, and a driver-side ``ray.get`` loop pays
+    single-threaded deserialization of every (wide) block just to throw
+    most rows away. Raw tasks cost ~ms each, the block never leaves the
+    worker, and only the (small) filtered pieces return. ``shared``
+    values (e.g. an is_in value set) are ``ray.put`` once, not pickled
+    per task. ``fn`` must be module-level (cheap to pickle) and must
+    handle 0-row / schema-less blocks itself (it may return ``None``
+    for them). Blocks are batched ~2 per CPU slot per round: one task
+    per block made the driver deserialize hundreds of tiny result
+    pieces (~3 s measured across 5 scatters) where ~2·cpus combined
+    pieces cost ~0.3 s. The concat result is ``combine_chunks``-ed by
+    default — downstream ``ray.put`` / ``from_arrow`` of a many-chunk
+    table pays per-chunk offset-buffer copies (measured 8 s on a
+    78k-chunk table)."""
+    refs = ds.to_arrow_refs()
+    if not refs:
+        return schema.empty_table() if schema is not None else None
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    n_tasks = max(1, min(len(refs), cpus * 2))
+    per = -(-len(refs) // n_tasks)
+    shared_ref = ray.put(list(shared))
+    rfn = ray.remote(num_returns=1)(_scatter_block_task)
+    futs = [rfn.remote(fn, shared_ref, *refs[i:i + per])
+            for i in range(0, len(refs), per)]
+    parts = [t for t in ray.get(futs) if t is not None and t.num_rows]
+    if not parts:
+        return schema.empty_table() if schema is not None else None
+    out = pa.concat_tables(parts, promote_options="default")
+    return out.combine_chunks() if combine else out
+
+
 def local_grouped_runs(tbl: pa.Table, key: str, out_schema: pa.Schema,
                        group_fn=None, runs_fn=None,
                        scatter_above_rows: int = 100_000) -> pa.Table:
