@@ -501,6 +501,26 @@ def blocking_pairs(unified: Dataset, cfg: BlockingConfig | None = None,
                          runs_fn=make_runs_pair_emitter(hot))
 
 
+def _counts_probe_block(t: pa.Table, tset, low_cap) -> pa.Table | None:
+    """One (bkey, n) counts block filtered to touched-or-hot rows with
+    an is_touched flag — the single scatter_blocks pass that replaces
+    the separate touched-slice and hot-candidate Dataset stages of the
+    incremental hot-map rebuild."""
+    if t.num_rows == 0 or "bkey" not in t.column_names:
+        return None
+    tch = pc.is_in(t["bkey"], value_set=tset)
+    mask = tch if low_cap is None else pc.or_(tch, pc.greater(t["n"], low_cap))
+    f = t.filter(mask)
+    return pa.table({"bkey": f["bkey"], "n": pc.cast(f["n"], pa.int64()),
+                     "is_touched": pc.is_in(f["bkey"], value_set=tset)})
+
+
+# delta corpora below this row count emit their key rows / counts as
+# driver-local Arrow kernels (the exploded key rows are ~5× the docs;
+# 200k docs ≈ 1M key rows ≈ tens of MB) — above it the Dataset path runs
+_DELTA_LOCAL_ROWS_BOUND = 200_000
+
+
 def delta_blocking_pairs(unified_all: Dataset, new_ids,
                          cfg: BlockingConfig | None = None,
                          unified_new: Dataset | None = None,
@@ -539,18 +559,33 @@ def delta_blocking_pairs(unified_all: Dataset, new_ids,
     nid_arr = pa.array(sorted(set(new_ids)), pa.string())
     nid_ref = ray.put(nid_arr)
 
-    delta_rows = None
     touched: list | None = None
     dpart: Dataset | None = None
     if unified_new is not None:
-        delta_rows = blocking_key_rows(unified_new, cfg)
-        # ONE delta map pass yields both the touched-key set (a new
+        # ONE delta key pass yields both the touched-key set (a new
         # record's keys ARE the touched keys) and the delta's count
         # partials (bkeys repeat across blocks; the merge's grouped Sum
-        # finishes them) — no delta-side shuffle at all
-        dpart = partial_key_counts(delta_rows).materialize()
-        ptbl = pa.concat_tables(ray.get(dpart.to_arrow_refs()),
-                                promote_options="default")
+        # finishes them) — no delta-side shuffle at all. Small deltas
+        # run the same kernels driver-locally (zero Ray stages — the
+        # delta's exploded key rows are delta-bounded by definition).
+        if unified_new.count() <= _DELTA_LOCAL_ROWS_BOUND:
+            import ray.data as _rd
+
+            new_tbl = pa.concat_tables(
+                [t for t in ray.get(unified_new.to_arrow_refs())
+                 if t.num_rows], promote_options="default")
+            krows = _key_rows_batch(new_tbl, cfg.use_phonetic_key)
+            ptbl = (krows.select(["bkey"]).group_by("bkey")
+                    .aggregate([([], "count_all")])
+                    .rename_columns(["bkey", "n"]))
+            ptbl = ptbl.set_column(
+                1, "n", pc.cast(ptbl["n"], pa.int64())).combine_chunks()
+            dpart = _rd.from_arrow(ptbl)
+        else:
+            delta_rows = blocking_key_rows(unified_new, cfg)
+            dpart = partial_key_counts(delta_rows).materialize()
+            ptbl = pa.concat_tables(ray.get(dpart.to_arrow_refs()),
+                                    promote_options="default")
         touched = pc.unique(ptbl["bkey"].combine_chunks()).to_pylist()
 
     key_rows = blocking_key_rows(unified_all, cfg)
@@ -565,22 +600,28 @@ def delta_blocking_pairs(unified_all: Dataset, new_ids,
         # untouched keys are read off the prior counts unchanged; the
         # touched slice is re-decided exactly — together identical to
         # `_hot_from_counts(merge_key_counts(prior, delta))`.
-        tset_ref = ray.put(pa.array(sorted(touched), pa.string()))
+        from payor_linkage.rayutil import scatter_blocks
 
-        def only_touched(b: pa.Table) -> pa.Table:
-            return b.filter(pc.is_in(b["bkey"],
-                                     value_set=ray.get(tset_ref)))
+        tset_arr = pa.array(sorted(touched), pa.string())
+        tset_ref = ray.put(tset_arr)
 
         def drop_touched(b: pa.Table) -> pa.Table:
             return b.filter(pc.invert(pc.is_in(
                 b["bkey"], value_set=ray.get(tset_ref))))
 
-        pt_ds = prior_counts.map_batches(
-            only_touched, batch_format="pyarrow").materialize()
-        pt = pa.concat_tables(ray.get(pt_ds.to_arrow_refs()),
-                              promote_options="default")
+        # ONE raw-task scatter over the prior counts yields both the
+        # touched slice (spliced with the delta partials below) and the
+        # untouched hot-candidate rows — replacing two sequential
+        # Dataset stages (touched filter + _hot_from_counts pre-pass)
+        low_cap = (min(cfg.hot_key_cap, cfg.pho_key_cap or cfg.hot_key_cap)
+                   if cfg.hot_key_cap else None)
+        probe = scatter_blocks(
+            prior_counts, _counts_probe_block, tset_arr, low_cap,
+            schema=pa.schema([("bkey", pa.string()), ("n", pa.int64()),
+                              ("is_touched", pa.bool_())]))
+        pt = probe.filter(probe["is_touched"]).select(["bkey", "n"])
         merged = (pa.concat_tables(
-            [pt.select(["bkey", "n"]), ptbl.select(["bkey", "n"])],
+            [pt, ptbl.select(["bkey", "n"])],
             promote_options="default")
             .group_by("bkey").aggregate([("n", "sum")])
             .rename_columns(["bkey", "n"]))
@@ -592,11 +633,13 @@ def delta_blocking_pairs(unified_all: Dataset, new_ids,
             drop_touched, batch_format="pyarrow").union(
             _rd.from_arrow(merged))
         if cfg.hot_key_cap:
-            hot = _hot_from_counts(prior_counts, cfg.hot_key_cap,
-                                   cfg.park_degenerate_hot_keys,
-                                   cfg.park_key_above, cfg.pho_key_cap)
-            tset_py = set(touched)
-            hot = {k: v for k, v in hot.items() if k not in tset_py}
+            uh = probe.filter(pc.and_(
+                pc.invert(probe["is_touched"].combine_chunks()),
+                pc.greater(probe["n"].combine_chunks(), low_cap)))
+            hot = _hot_entries(
+                zip(uh["bkey"].to_pylist(), uh["n"].to_pylist()),
+                cfg.hot_key_cap, cfg.park_degenerate_hot_keys,
+                cfg.park_key_above, cfg.pho_key_cap)
             hot.update(_hot_from_table(merged, cfg.hot_key_cap,
                                        cfg.park_degenerate_hot_keys,
                                        cfg.park_key_above,

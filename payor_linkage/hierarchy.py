@@ -361,6 +361,46 @@ def _refs_with_child(unified: Dataset, xref: Dataset) -> Dataset:
     return smart_join(refs, child_map, "source_record_id")
 
 
+def _gold_slim_block(t: pa.Table) -> pa.Table | None:
+    """(master_payor_id, payor_name) projection of one golden block —
+    scatter_blocks kernel for the patch path's broadcast map build."""
+    if t.num_rows == 0 or "master_payor_id" not in t.column_names:
+        return None
+    return t.select(["master_payor_id", "payor_name"])
+
+
+def _refs_probe_block(t: pa.Table, aff_maps) -> pa.Table | None:
+    """One unified block → parent_ref rows probed against the
+    affected-parent maps (signal-1b hits) — scatter_blocks kernel
+    fusing the refs filter and the probe into a single raw-task pass."""
+    if t.num_rows == 0 or "parent_ref" not in t.column_names:
+        return None
+    b = t.select(["source_record_id", "parent_ref"])
+    b = b.filter(pc.and_(pc.is_valid(b["parent_ref"]),
+                         pc.not_equal(b["parent_ref"], "")))
+    return _probe_parent_refs(b, aff_maps, "source_record_id")
+
+
+def _xref_slim_hit_block(t: pa.Table, hid) -> pa.Table | None:
+    """One xref block restricted to hit record ids, slimmed to the
+    (record, golden) map — scatter_blocks kernel."""
+    if t.num_rows == 0 or "source_record_id" not in t.column_names:
+        return None
+    b = t.filter(pc.is_in(t["source_record_id"], value_set=hid))
+    return b.select(["source_record_id", "master_payor_id"])
+
+
+def _unaffected_edges_block(t: pa.Table, aff) -> pa.Table | None:
+    """One prior-hierarchy block restricted to edges with BOTH
+    endpoints unaffected — scatter_blocks kernel for the kept side."""
+    if t.num_rows == 0 or "parent_master_id" not in t.column_names:
+        return None
+    keep = pc.and_(
+        pc.invert(pc.is_in(t["parent_master_id"], value_set=aff)),
+        pc.invert(pc.is_in(t["child_master_id"], value_set=aff)))
+    return t.filter(keep)
+
+
 def patch_hierarchy(golden: Dataset, unified: Dataset, xref: Dataset,
                     prior_hierarchy: Dataset, affected_ids,
                     local_sub: tuple | None = None) -> Dataset:
@@ -385,18 +425,31 @@ def patch_hierarchy(golden: Dataset, unified: Dataset, xref: Dataset,
     delta-bounded HITS get their child golden attached. Probe-then-
     attach ≡ attach-then-probe because the probe never reads the child
     id; the self-edge filter runs post-attach as in a full run."""
-    from payor_linkage.rayutil import lookup_join
+    from payor_linkage.rayutil import lookup_join, scatter_blocks
 
-    golden_slim = golden.select_columns(
-        ["master_payor_id", "payor_name"]).materialize()
-    if golden_slim.count() > BROADCAST_GOLDEN_BOUND or not len(affected_ids):
+    golden_slim = None
+    if local_sub is not None:
+        # golden is a materialized patched table — project its blocks
+        # with raw tasks instead of launching a select stage
+        n_gold = golden.count()
+    else:
+        golden_slim = golden.select_columns(
+            ["master_payor_id", "payor_name"]).materialize()
+        n_gold = golden_slim.count()
+    if n_gold > BROADCAST_GOLDEN_BOUND or not len(affected_ids):
         return infer_hierarchy(golden, unified, xref)
 
     aff_pa = pa.array(sorted(set(affected_ids)), pa.string())
     aff_arr = ray.put(aff_pa)
-    gold_tbl = pa.concat_tables(
-        ray.get(golden_slim.to_arrow_refs()),
-        promote_options="default").combine_chunks()
+    if golden_slim is not None:
+        gold_tbl = pa.concat_tables(
+            ray.get(golden_slim.to_arrow_refs()),
+            promote_options="default").combine_chunks()
+    else:
+        gold_tbl = scatter_blocks(
+            golden, _gold_slim_block,
+            schema=pa.schema([("master_payor_id", pa.string()),
+                              ("payor_name", pa.string())]))
 
     def only_aff(col):
         def f(b: pa.Table) -> pa.Table:
@@ -461,11 +514,16 @@ def patch_hierarchy(golden: Dataset, unified: Dataset, xref: Dataset,
         s1a, s2a = _broadcast_signals(refs_aff, children_aff, full_maps)
 
     # (b) ALL refs vs affected parents: probe first (map-only), attach
-    # the child golden only for the delta-bounded hits
-    hits = refs_raw.map_batches(
-        lambda b: _probe_parent_refs(b, ray.get(aff_maps),
-                                     "source_record_id"),
-        batch_format="pyarrow").materialize()
+    # the child golden only for the delta-bounded hits. Local path:
+    # one raw-task scatter fuses the refs filter + probe per block.
+    hits = htbl = None
+    if local_sub is not None:
+        htbl = scatter_blocks(unified, _refs_probe_block, aff_maps_s)
+    else:
+        hits = refs_raw.map_batches(
+            lambda b: _probe_parent_refs(b, ray.get(aff_maps),
+                                         "source_record_id"),
+            batch_format="pyarrow").materialize()
     import ray.data as rd
 
     def finish_s1b(b: pa.Table) -> pa.Table:
@@ -480,7 +538,20 @@ def patch_hierarchy(golden: Dataset, unified: Dataset, xref: Dataset,
 
     s1b_tbl = _EDGE_SCHEMA.empty_table()
     s1b = None
-    if hits.count():
+    if local_sub is not None:
+        if htbl is not None and htbl.num_rows:
+            # hits are already in hand — pull the delta-bounded child
+            # map with one more scatter and finish driver-side
+            hid = pc.unique(htbl["source_record_id"].combine_chunks())
+            cm_tbl = scatter_blocks(
+                xref, _xref_slim_hit_block, hid,
+                schema=pa.schema([("source_record_id", pa.string()),
+                                  ("master_payor_id", pa.string())]))
+            from payor_linkage.survivorship import _attach_by_key
+
+            s1b_tbl = finish_s1b(_attach_by_key(
+                htbl, cm_tbl, on="source_record_id"))
+    elif hits.count():
         htbl = pa.concat_tables(ray.get(hits.to_arrow_refs()),
                                 promote_options="default")
         hid_ref = ray.put(pc.unique(
@@ -493,23 +564,20 @@ def patch_hierarchy(golden: Dataset, unified: Dataset, xref: Dataset,
         child_map = xref.map_batches(
             only_hit_ids, batch_format="pyarrow").select_columns(
             ["source_record_id", "master_payor_id"])
-        if local_sub is not None:
-            # hits are already collected — attach the child golden from
-            # the (delta-bounded) child_map collect and finish locally
-            cm = child_map.materialize()
-            cm_tbl = pa.concat_tables(ray.get(cm.to_arrow_refs()),
-                                      promote_options="default")
-            from payor_linkage.survivorship import _attach_by_key
-
-            s1b_tbl = finish_s1b(_attach_by_key(
-                htbl, cm_tbl, on="source_record_id"))
-        else:
-            joined = lookup_join(hits, child_map, on="source_record_id")
-            s1b = joined.map_batches(finish_s1b, batch_format="pyarrow")
+        joined = lookup_join(hits, child_map, on="source_record_id")
+        s1b = joined.map_batches(finish_s1b, batch_format="pyarrow")
     if local_sub is not None:
+        # kept edges scatter too, and the whole patched table returns
+        # as ONE combined block — prior_hierarchy is delta-small and
+        # the downstream materialize becomes a no-op
         recomputed_tbl = _distinct_finalize_tbl(
             [s1a_tbl, s1b_tbl, s2a_tbl, s2b_tbl])
-        recomputed = rd.from_arrow(recomputed_tbl)
+        kept_tbl = scatter_blocks(prior_hierarchy,
+                                  _unaffected_edges_block, aff_pa,
+                                  schema=recomputed_tbl.schema)
+        return rd.from_arrow(pa.concat_tables(
+            [kept_tbl, recomputed_tbl],
+            promote_options="default").combine_chunks())
     else:
         if s1b is None:
             s1b = rd.from_arrow(_EDGE_SCHEMA.empty_table())

@@ -235,23 +235,34 @@ def incremental_update(prior: LinkageResult, new_documents: Dataset,
 
     from payor_linkage.rayutil import coalesce_small_blocks
 
-    unified_new = coalesce_small_blocks(unify(new_documents).materialize())
-    new_ids = unified_new.unique("source_record_id")
-    from payor_linkage.cluster import INCR_LOCAL_ROWS_BOUND
-    if unified_new.count() <= INCR_LOCAL_ROWS_BOUND:
-        # zero-copy splice: the combined corpus is the prior blocks +
-        # ONE delta block by reference (rd.from_arrow_refs) — measured
-        # 0.1 s where union().materialize() rewrote the corpus for
-        # 1.5-2.5 s. Row order matches the union exactly (prior blocks
-        # then delta); block count grows +1 per generation.
-        import ray.data as _rd
+    import pyarrow.compute as _pc
+    import ray.data as _rd
 
-        new_tbl = pa.concat_tables(
-            [t for t in ray.get(unified_new.to_arrow_refs())
-             if t.num_rows], promote_options="default").combine_chunks()
+    from payor_linkage.blocking import _DELTA_LOCAL_ROWS_BOUND
+    from payor_linkage.normalize import normalize_batch
+    from payor_linkage.rayutil import scatter_blocks
+
+    small_delta = new_documents.count() <= _DELTA_LOCAL_ROWS_BOUND
+    if small_delta:
+        # delta tier: normalize through raw scatter tasks (same
+        # normalize_batch kernel, no Dataset stage launch), splice the
+        # combined corpus as prior blocks + ONE delta block by
+        # reference (rd.from_arrow_refs — 0.1 s where
+        # union().materialize() rewrote the corpus for 1.5-2.5 s). Row
+        # order matches the union exactly (prior blocks then delta);
+        # block count grows +1 per generation. One ray.put serves both
+        # the delta dataset and the splice.
+        new_tbl = scatter_blocks(new_documents, normalize_batch)
+        new_ref = ray.put(new_tbl)
+        unified_new = _rd.from_arrow_refs([new_ref])
+        new_ids = _pc.unique(
+            new_tbl["source_record_id"].combine_chunks()).to_pylist()
         unified = _rd.from_arrow_refs(
-            list(prior.unified.to_arrow_refs()) + [ray.put(new_tbl)])
+            list(prior.unified.to_arrow_refs()) + [new_ref])
     else:
+        unified_new = coalesce_small_blocks(
+            unify(new_documents).materialize())
+        new_ids = unified_new.unique("source_record_id")
         unified = coalesce_small_blocks(
             prior.unified.union(unified_new).materialize())
 
@@ -259,7 +270,8 @@ def incremental_update(prior: LinkageResult, new_documents: Dataset,
         unified, new_ids, cfg.blocking, unified_new=unified_new,
         prior_counts=prior.block_counts, return_counts=True)
     cands_delta = coalesce_small_blocks(
-        decide(score_pairs(pairs_delta, cfg.scoring), cfg.scoring,
+        decide(score_pairs(pairs_delta, cfg.scoring,
+                           task_mode=small_delta), cfg.scoring,
                steward_overlay).materialize())
     candidates = coalesce_small_blocks(
         prior.candidates.union(cands_delta).materialize())

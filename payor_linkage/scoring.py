@@ -419,17 +419,46 @@ class EnsembleScorer:
         return pa.table(out_cols)
 
 
-def score_pairs(pairs, cfg=None):
+_TASK_SCORERS: dict = {}
+
+
+def _score_batch_task(b, emit_ensemble_detail: bool = False):
+    """Task-mode scoring fn: the same EnsembleScorer, lazily built ONCE
+    per worker process via a module-level cache (worker processes are
+    long-lived, so state persists across tasks exactly like an actor's
+    __init__ — without paying the pool's actor-spawn latency). For
+    delta-sized inputs where spawning ≥16 actors costs more than the
+    scoring itself; output is byte-identical to the pool path."""
+    s = _TASK_SCORERS.get(emit_ensemble_detail)
+    if s is None:
+        s = _TASK_SCORERS[emit_ensemble_detail] = EnsembleScorer(
+            emit_ensemble_detail=emit_ensemble_detail)
+    return s(b)
+
+
+def score_pairs(pairs, cfg=None, task_mode: bool = False):
     """pairs Dataset → scored pairs Dataset via the EnsembleScorer pool.
 
     Pool autoscales (1, cluster CPUs) by default — scoring is the
     dominant compute stage, but the autoscaler releases actors when the
-    read/shuffle stages need room."""
+    read/shuffle stages need room. ``task_mode=True`` (the incremental
+    path's delta-bounded inputs) scores through plain tasks with a
+    per-worker-process scorer cache instead of spawning the pool."""
     import ray
 
     from payor_linkage.config import ScoringConfig
 
     cfg = cfg or ScoringConfig()
+    if task_mode:
+        pairs = pairs.repartition(
+            target_num_rows_per_block=4 * cfg.batch_size)
+        return pairs.map_batches(
+            _score_batch_task,
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            num_cpus=1,
+            fn_kwargs=dict(emit_ensemble_detail=cfg.emit_ensemble_detail),
+        )
     if cfg.concurrency is not None:
         concurrency = cfg.concurrency
     else:
