@@ -269,11 +269,13 @@ def _reduce_edge_block(b: pa.Table) -> pa.Table:
     a local union-find collapses each block's edges to ≤ (block-distinct
     -nodes − 1) forest edges with identical connectivity — the driver
     then merges forests instead of raw edges."""
-    src = b["src"].to_numpy(zero_copy_only=False)
-    dst = b["dst"].to_numpy(zero_copy_only=False)
-    if len(src) == 0:
+    if b.num_rows == 0 or "src" not in b.column_names:
+        # unions can carry 0-row schema-less blocks (scatter kernels see
+        # raw blocks, not map_batches-normalized batches)
         return pa.table({"src": pa.array([], pa.string()),
                          "dst": pa.array([], pa.string())})
+    src = b["src"].to_numpy(zero_copy_only=False)
+    dst = b["dst"].to_numpy(zero_copy_only=False)
     both = np.concatenate([src, dst])
     uniq, inv = np.unique(both, return_inverse=True)
     parent = _int_union_find(inv[:len(src)], inv[len(src):], len(uniq))
@@ -293,22 +295,26 @@ def _propagate_local(edges: Dataset, nodes: Dataset,
     already-contracted forest (the sort-contract tier)."""
     import ray
 
-    if reduced is None:
-        try:
-            cpus = int(ray.cluster_resources().get("CPU", 4))
-        except Exception:
-            cpus = 4
-        reduced = (edges.select_columns(["src", "dst"])
-                   .repartition(cpus)
-                   .map_batches(_reduce_edge_block, batch_format="pyarrow",
-                                batch_size=None))
     # collect the forest as Arrow and factorize with Arrow kernels —
     # dictionary_encode + a rank remap never boxes the ~2|V| strings into
     # Python objects (to_pandas + np.unique did, at seconds of driver
     # time); only the ~node-count dictionary gets sorted, and the rank
     # remap preserves min-code ≙ min node id
-    tbl = pa.concat_tables(ray.get(reduced.to_arrow_refs()),
-                           promote_options="default")
+    if reduced is None:
+        # per-block forest reduction through raw scatter tasks over the
+        # (materialized) edge blocks — the repartition + map_batches
+        # stage pair this replaces cost two barriers of fixed latency;
+        # forest shape depends on partitioning but the merged labels
+        # don't (tier-equivalence test-gated)
+        from payor_linkage.rayutil import scatter_blocks
+
+        tbl = scatter_blocks(
+            edges, _reduce_edge_block,
+            schema=pa.schema([("src", pa.string()),
+                              ("dst", pa.string())]))
+    else:
+        tbl = pa.concat_tables(ray.get(reduced.to_arrow_refs()),
+                               promote_options="default")
     both = pa.chunked_array(
         list(tbl["src"].chunks) + list(tbl["dst"].chunks)).combine_chunks()
     enc = pc.dictionary_encode(both)
