@@ -49,6 +49,13 @@ class ScoringConfig:
     # off by default — json.dumps per pair costs real throughput at scale
     emit_ensemble_detail: bool = False
     concurrency: tuple[int, int] | int | None = None  # actor pool size (None → auto)
+    # score through plain tasks with a per-worker-process scorer cache
+    # (module state persists across tasks like an actor's __init__)
+    # instead of spawning an actor pool: byte-identical output, no pool
+    # ramp — which hits the high-CPU side hardest (N actor spawns) and
+    # so directly helps scaling efficiency. Set False to force the pool
+    # (dedicated processes, caches bounded by actor lifetime).
+    task_mode: bool = True
 
 
 @dataclass

@@ -188,6 +188,13 @@ class EnsembleScorer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        # memo caches are unbounded by construction; in task mode the
+        # scorer outlives a single stage (module-level worker cache), so
+        # cap them — eviction only costs recomputation, never parity
+        if len(self._name_cache) > 2_000_000:
+            self._name_cache.clear()
+        if len(self._addr_cache) > 2_000_000:
+            self._addr_cache.clear()
         # one JW kernel (and its DuckDB connection) per actor, reused
         # across batches — its queues clear on resolve()
         if not hasattr(self, "_jw"):
@@ -436,19 +443,23 @@ def _score_batch_task(b, emit_ensemble_detail: bool = False):
     return s(b)
 
 
-def score_pairs(pairs, cfg=None, task_mode: bool = False):
-    """pairs Dataset → scored pairs Dataset via the EnsembleScorer pool.
+def score_pairs(pairs, cfg=None, task_mode: bool | None = None):
+    """pairs Dataset → scored pairs Dataset.
 
-    Pool autoscales (1, cluster CPUs) by default — scoring is the
-    dominant compute stage, but the autoscaler releases actors when the
-    read/shuffle stages need room. ``task_mode=True`` (the incremental
-    path's delta-bounded inputs) scores through plain tasks with a
-    per-worker-process scorer cache instead of spawning the pool."""
+    Default (``cfg.task_mode``): plain tasks with a per-worker-process
+    EnsembleScorer cache — byte-identical to the pool, no actor-spawn
+    ramp (measured ~1.5 s at 2.85M pairs / 32 cpus, and the ramp cost
+    scales with CPU count, so task mode directly improves scaling
+    efficiency). ``task_mode=False`` / ``cfg.task_mode=False`` forces
+    the autoscaling actor pool (dedicated processes, caches bounded by
+    actor lifetime)."""
     import ray
 
     from payor_linkage.config import ScoringConfig
 
     cfg = cfg or ScoringConfig()
+    if task_mode is None:
+        task_mode = cfg.task_mode
     if task_mode:
         pairs = pairs.repartition(
             target_num_rows_per_block=4 * cfg.batch_size)

@@ -86,3 +86,26 @@ def test_scorer_matches_reference_ensemble():
         assert ref["strategies_used"] == g["strategies_used"], i
         if g["match_rule"] == "FUZZY":
             assert ref["composite"] == g["overall_score"], i
+
+
+def test_task_mode_matches_pool(ray_session):
+    """score_pairs task mode (per-worker module cache) must be
+    byte-identical to the actor-pool path on the same pairs."""
+    import pandas as pd
+
+    from payor_linkage.blocking import blocking_pairs
+    from payor_linkage.normalize import unify
+    from payor_linkage.scoring import score_pairs
+    from payor_linkage.synth import synth_documents
+
+    pairs = blocking_pairs(unify(synth_documents(2)).materialize()) \
+        .materialize()
+
+    def canon(ds):
+        df = ds.to_pandas()
+        return df.sort_values(["source_record_id_a", "source_record_id_b"]) \
+            .reset_index(drop=True)
+
+    pool = canon(score_pairs(pairs, task_mode=False))
+    task = canon(score_pairs(pairs, task_mode=True))
+    pd.testing.assert_frame_equal(pool, task)
