@@ -1201,6 +1201,7 @@ def _write_mdm_sidecars(res) -> None:
     _dump_sidecar("strategy_inputs", res.candidates.select_columns(
         ["strategies_used", "winning_name_strategy",
          "winning_addr_strategy"]))
+    _dump_sidecar("block_counts", res.block_counts)
 
     # group members with every survivorship input (golden oracle)
     cols = ["source_record_id", "source_system", "source_trust_rank",
@@ -1416,6 +1417,22 @@ def q_mdm_hierarchy_edges(sf_dir: str):
 
 
 _QUALITY_FIELDS = ["payor_name", "tax_id", "npi", "address_line_1", "phone"]
+
+
+def q_mdm_block_stats(sf_dir: str):
+    """Parked/salted blocking-key accounting (SURVEY §4 dropped-pair
+    accounting; surfaced in audit.pipeline_metrics round 5). The oracle
+    re-derives every hot/park decision in SQL from the block_counts
+    sidecar using the same thresholds (`config.BlockingConfig`:
+    hot_key_cap=1000, pho_key_cap=32, park_key_above=50000,
+    degenerate = name key ≤2 chars / zip key ≤3 chars after the type
+    prefix — `blocking._is_degenerate_key`)."""
+    import pyarrow as pa
+
+    from payor_linkage.blocking import blocking_key_stats
+
+    s = blocking_key_stats(_mdm_result(sf_dir).block_counts)
+    return pa.table({k: pa.array([v], pa.int64()) for k, v in s.items()})
 
 
 def q_mdm_source_completeness(sf_dir: str):
@@ -2665,6 +2682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mdm_threshold_sweep": q_mdm_threshold_sweep,
         "q_mdm_children_count": q_mdm_children_count,
         "q_mdm_hierarchy_orphans": q_mdm_hierarchy_orphans,
+        "q_mdm_block_stats": q_mdm_block_stats,
         "q_mdm_source_completeness": q_mdm_source_completeness,
         "q_mdm_source_pair_match_rate": q_mdm_source_pair_match_rate,
         "q_mdm_strategy_performance": q_mdm_strategy_performance,
@@ -3715,6 +3733,40 @@ def oracle_sql() -> dict[str, str]:
         # snowflake/12_abbreviation_dict.sql:9-25 — STRATEGY_PERFORMANCE
         # telemetry recomputed in SQL: unnest the strategies_used list
         # for times_selected, union the two winner columns for times_won
+        # blocking.blocking_key_stats re-derived in SQL: same thresholds
+        # as BlockingConfig (cap 1000 / pho 32 / park_above 50000),
+        # degenerate = name key <=2 chars or zip key <=3 chars after the
+        # 'type|' prefix (blocking._is_degenerate_key)
+        "q_mdm_block_stats": f"""
+            WITH c AS (
+              SELECT bkey, n,
+                     split_part(bkey, '|', 1) AS btype,
+                     length(bkey) - length(split_part(bkey, '|', 1)) - 1
+                         AS key_len
+              FROM read_parquet('{_SIDECAR_DIR}/block_counts/*.parquet')),
+            d AS (
+              SELECT n,
+                     CASE WHEN btype = 'pho' THEN 32 ELSE 1000 END AS k_cap,
+                     ((btype = 'name' AND key_len <= 2)
+                      OR (btype = 'zip' AND key_len <= 3)) AS degen
+              FROM c),
+            e AS (
+              SELECT n, (n > k_cap) AS is_hot,
+                     (n > k_cap AND (degen OR n > 50000)) AS parked
+              FROM d)
+            SELECT CAST(COUNT(*) AS BIGINT) AS keys,
+                   CAST(COALESCE(SUM(CASE WHEN is_hot AND NOT parked
+                                          THEN 1 END), 0) AS BIGINT)
+                       AS salted_keys,
+                   CAST(COALESCE(SUM(CASE WHEN parked THEN 1 END), 0)
+                       AS BIGINT) AS parked_keys,
+                   CAST(COALESCE(SUM(CASE WHEN is_hot AND NOT parked
+                                          THEN n END), 0) AS BIGINT)
+                       AS salted_records,
+                   CAST(COALESCE(SUM(CASE WHEN parked THEN n END), 0)
+                       AS BIGINT) AS parked_records
+            FROM e
+        """,
         "q_mdm_strategy_performance": f"""
             WITH sc AS (
               SELECT * FROM read_parquet(
