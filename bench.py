@@ -148,8 +148,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         })
 
     # ── dataops over the driver tables ────────────────────────────────
+    # scaling attempts set GRAFT_MDM_ONLY=1: only mdm_pipeline feeds the
+    # scaling ratio, and halving each inner run's wall time doubles the
+    # chance a short-lived quiet host window survives the whole attempt
+    mdm_only = os.environ.get("GRAFT_MDM_ONLY") == "1"
     docs_path = os.path.join(sf_dir, "documents.parquet")
-    if os.path.exists(docs_path):
+    if os.path.exists(docs_path) and not mdm_only:
         dd = rd.read_parquet(docs_path)
 
         t0 = time.time()
@@ -182,14 +186,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         queries["corpus_pipeline"] = round(time.time() - t0, 2)
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    if os.path.exists(emb_path):
+    if os.path.exists(emb_path) and not mdm_only:
         ee = rd.read_parquet(emb_path)
         t0 = time.time()
         ann_topk(ee, query_ids=[0, 1, 2, 3, 4], k=10).count()
         queries["ann_topk"] = round(time.time() - t0, 2)
 
     ev_path = os.path.join(sf_dir, "events.parquet")
-    if os.path.exists(ev_path):
+    if os.path.exists(ev_path) and not mdm_only:
         import pyarrow as pa
         import pyarrow.compute as pc
 
@@ -267,7 +271,7 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
         for _ in range(attempts):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
                        GRAFT_MDM_REPLICAS=scaling_replicas,
-                       GRAFT_SKIP_INCREMENTAL="1")
+                       GRAFT_SKIP_INCREMENTAL="1", GRAFT_MDM_ONLY="1")
             out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                                  env=env, capture_output=True, text=True,
                                  check=True,

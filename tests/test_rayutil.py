@@ -79,3 +79,38 @@ def test_broadcast_semi_anti_join(ray_session):
     assert sorted(semi.x.tolist()) == [2, 4]
     anti = broadcast_semi_join(big, keys, "k", "kk", anti=True).to_pandas()
     assert sorted(anti.x.tolist()) == [1, 3]
+
+
+def test_scatter_blocks_filters_and_batches(ray_session):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from payor_linkage.rayutil import scatter_blocks
+
+    ds = rd.from_items([{"k": f"id_{i:03d}", "v": i} for i in range(500)]) \
+        .repartition(20).materialize()
+
+    def keep_in(t, wanted):
+        if t.num_rows == 0:
+            return None
+        return t.filter(pc.is_in(t["k"], value_set=wanted))
+
+    wanted = pa.array([f"id_{i:03d}" for i in range(0, 500, 50)])
+    out = scatter_blocks(ds, keep_in, wanted)
+    assert out.num_rows == 10
+    assert sorted(out["k"].to_pylist()) == sorted(wanted.to_pylist())
+    # concat result is combined (single chunk per column)
+    assert out["k"].num_chunks == 1
+
+
+def test_scatter_blocks_empty_result_schema(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from payor_linkage.rayutil import scatter_blocks
+
+    ds = rd.range(10).materialize()
+    schema = pa.schema([("x", pa.string())])
+    out = scatter_blocks(ds, lambda t, *_: None, schema=schema)
+    assert out.num_rows == 0 and out.schema == schema
