@@ -266,7 +266,11 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     # throughput — the regime a real N vs 4N cluster would run in
     scaling_replicas = os.environ.get("GRAFT_SCALING_REPLICAS", "4800")
     attempts = int(os.environ.get("GRAFT_SCALING_ATTEMPTS", "2"))
-    for ncpu in (lo, hi):
+    # hi first: attempts launch right after a good ceiling probe and
+    # host windows decay within minutes — the 32-cpu side is the
+    # throughput-fragile one, so it gets the freshest part of the window
+    # (the 8-cpu side is single-core-speed-bound and far less sensitive)
+    for ncpu in (hi, lo):
         best = None
         for _ in range(attempts):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
