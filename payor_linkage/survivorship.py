@@ -170,12 +170,215 @@ def make_golden_fn(cfg: SurvivorshipConfig):
     return golden_for_group
 
 
+# rules the vectorized election kernel handles — each is "first value
+# under a per-rule sort order", so the whole election becomes Arrow
+# multi-key sorts + one np.minimum.reduceat per column (no boxing).
+# most_frequent (mode) is the one declared rule without a first-by-order
+# form; a config using it falls back to the python kernel.
+_VECTOR_RULES = {"source_priority", "cms_priority", "most_recent",
+                 "most_complete", "any_true", "any_non_null",
+                 "earliest", "latest", "manual"}
+
+
+def make_golden_runs_vec(cfg: SurvivorshipConfig, with_spans: bool = True):
+    """Vectorized election kernel — byte-identical to the python kernel
+    (``_make_golden_runs_py``, equality pytest-gated) for every rule in
+    ``_VECTOR_RULES``.
+
+    Key identity: every supported rule elects "the first valid value
+    under some total order": source_priority/any_non_null by
+    (trust-or-999, rid), cms_priority by (cms-first, trust+10, rid),
+    most_recent by (loaded desc nulls-last, rid), most_complete by
+    (len desc, value asc) over non-empty candidates, any_true by
+    (value desc) — the first valid IS any(), earliest/latest by
+    (value asc/desc). So the kernel computes one Arrow sort permutation
+    per order and, per column, the first valid row per group via a
+    masked ``np.minimum.reduceat`` — zero per-group python, zero
+    ``to_pylist`` boxing (measured 11.9 s → sub-second single-thread at
+    409k members / 112k groups)."""
+    import numpy as np
+
+    rules = cfg.rules
+    schema = (_GOLDEN_JSON_SCHEMA if with_spans else
+              pa.schema([f for f in _GOLDEN_JSON_SCHEMA if f.name != "spans_json"]))
+    py_fn = None  # lazy fallback for non-string most_complete columns
+
+    def golden_runs(b: pa.Table, starts, ends) -> pa.Table:
+        nonlocal py_fn
+        import pyarrow.compute as pc
+
+        if len(starts) == 0:
+            return schema.empty_table()
+        for col, rule in rules.items():
+            if rule == "most_complete" and col in b.column_names \
+                    and not pa.types.is_string(b.schema.field(col).type):
+                # str(v)/len(v) on non-string types has python semantics
+                # the Arrow path can't reproduce — use the exact kernel
+                if py_fn is None:
+                    py_fn = _make_golden_runs_py(cfg, with_spans)
+                return py_fn(b, starts, ends)
+        starts = np.asarray(starts, np.int64)
+        ends = np.asarray(ends, np.int64)
+        off = int(starts[0])
+        n = int(ends[-1]) - off
+        if off or int(ends[-1]) != b.num_rows:
+            b = b.slice(off, n)
+            starts = starts - off
+            ends = ends - off
+        b = b.combine_chunks()
+        ng = len(starts)
+        idx_np = np.arange(n, dtype=np.int64)
+        seg = np.zeros(n, np.int64)
+        seg[starts] = 1
+        seg_pa = pa.array(np.cumsum(seg) - 1)
+        starts_pa = pa.array(starts)
+
+        rid = b["source_record_id"].combine_chunks()
+        trust = b["source_trust_rank"].combine_chunks()
+
+        def perm_of(*keys) -> np.ndarray:
+            cols = {"__s": seg_pa}
+            sort_keys = [("__s", "ascending")]
+            for i, (arr, order) in enumerate(keys):
+                cols[f"__k{i}"] = arr
+                sort_keys.append((f"__k{i}", order))
+            return pc.sort_indices(
+                pa.table(cols), sort_keys=sort_keys,
+                null_placement="at_end").to_numpy().astype(np.int64)
+
+        def first_rows(perm: np.ndarray, valid_np: np.ndarray) -> np.ndarray:
+            # per group: original-domain row of the first valid value
+            # under `perm`, or -1 when the group has none
+            pos = np.where(valid_np[perm], idx_np, n)
+            firsts = np.minimum.reduceat(pos, starts)
+            return np.where(firsts < n, perm[np.minimum(firsts, n - 1)], -1)
+
+        def take_rows(col, rows: np.ndarray):
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            return col.take(pa.array(rows, pa.int64(), mask=rows < 0))
+
+        def valid_np_of(col) -> np.ndarray:
+            v = pc.is_valid(col)
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            return v.to_numpy(zero_copy_only=False)
+
+        # shared order permutations
+        tz = pc.fill_null(trust, 0)
+        trust_key = pc.if_else(pc.equal(tz, 0), pa.scalar(999, tz.type), tz)
+        perm_trust = perm_of((trust_key, "ascending"), (rid, "ascending"))
+        perm_cms = perm_recent = None
+        if "cms_priority" in rules.values():
+            ss = b["source_system"].combine_chunks()
+            cms_key = pc.if_else(
+                pc.equal(ss, "cms_reference"),
+                pa.scalar(1, tz.type), pc.add(tz, pa.scalar(10, tz.type)))
+            perm_cms = perm_of((cms_key, "ascending"), (rid, "ascending"))
+        if "most_recent" in rules.values():
+            loaded = b["loaded_us"].combine_chunks()
+            lnull = pc.is_null(loaded)
+            neg = pc.multiply(pc.fill_null(loaded, 0),
+                              pa.scalar(-1, pa.int64()))
+            perm_recent = perm_of((lnull, "ascending"), (neg, "ascending"),
+                                  (rid, "ascending"))
+
+        out = {"master_payor_id": b["match_group_id"].combine_chunks()
+               .take(starts_pa)}
+        for col in GOLDEN_FIELDS:
+            rule = rules[col]
+            c = b[col].combine_chunks()
+            if rule == "manual":
+                out[col] = pa.nulls(ng, c.type)
+                continue
+            if rule in ("source_priority", "any_non_null"):
+                rows = first_rows(perm_trust, valid_np_of(c))
+            elif rule == "cms_priority":
+                rows = first_rows(perm_cms, valid_np_of(c))
+            elif rule == "most_recent":
+                rows = first_rows(perm_recent, valid_np_of(c))
+            elif rule == "most_complete":
+                nonempty = pc.and_kleene(
+                    pc.is_valid(c),
+                    pc.not_equal(pc.utf8_trim_whitespace(pc.fill_null(c, "")),
+                                 ""))
+                ln = pc.fill_null(pc.utf8_length(c), -1)
+                perm = perm_of((ln, "descending"), (c, "ascending"))
+                rows = first_rows(perm, nonempty.to_numpy(
+                    zero_copy_only=False))
+            elif rule == "any_true":
+                perm = perm_of((c, "descending"))
+                rows = first_rows(perm, valid_np_of(c))
+            elif rule == "earliest":
+                perm = perm_of((c, "ascending"))
+                rows = first_rows(perm, valid_np_of(c))
+            elif rule == "latest":
+                perm = perm_of((c, "descending"))
+                rows = first_rows(perm, valid_np_of(c))
+            else:  # pragma: no cover - guarded by the dispatcher
+                raise ValueError(f"unvectorizable rule: {rule}")
+            out[col] = take_rows(c, rows)
+
+        # completeness: non-null count over the ELECTED outputs
+        nn = np.zeros(ng, np.int64)
+        for col in COMPLETENESS_FIELDS:
+            nn += valid_np_of(out[col]).astype(np.int64)
+        out["completeness_score"] = pa.array(
+            [round(v / 15.0, 4) for v in nn.tolist()], pa.float64())
+
+        # distinct source systems per group
+        ssc = b["source_system"].combine_chunks()
+        perm_ss = perm_of((ssc, "ascending"))
+        ssp = ssc.take(pa.array(perm_ss))
+        if n > 1:
+            flags = pc.not_equal(ssp.slice(1), ssp.slice(0, n - 1)) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            flags = np.concatenate([[1], flags])
+        else:
+            flags = np.ones(1, np.int64)
+        flags[starts] = 1
+        out["source_count"] = pa.array(
+            np.add.reduceat(flags, starts), pa.int64())
+
+        conf = b["group_confidence"].combine_chunks().take(starts_pa)
+        out["confidence_score"] = pc.fill_null(
+            pc.cast(conf, pa.float64()), 1.0)
+
+        surv = pc.fill_null(b["is_survivor"].combine_chunks(), False) \
+            .to_numpy(zero_copy_only=False)
+        srows = first_rows(idx_np, surv)
+        srows = np.where(srows >= 0, srows, starts)
+        out["survivor_record_id"] = rid.take(pa.array(srows))
+        if with_spans:
+            if "spans_json" in b.column_names:
+                out["spans_json"] = b["spans_json"].combine_chunks() \
+                    .take(pa.array(srows))
+            else:
+                out["spans_json"] = pa.nulls(ng, pa.string())
+
+        return pa.Table.from_arrays(
+            [pc.cast(out[f.name], f.type) for f in schema], schema=schema)
+
+    return golden_runs
+
+
 def make_golden_runs_fn(cfg: SurvivorshipConfig, with_spans: bool = True):
+    """Election kernel dispatcher: the vectorized kernel when every
+    configured rule supports it (the default config does), else the
+    python reference kernel (``most_frequent`` needs per-group mode)."""
+    if all(r in _VECTOR_RULES for r in cfg.rules.values()):
+        return make_golden_runs_vec(cfg, with_spans)
+    return _make_golden_runs_py(cfg, with_spans)
+
+
+def _make_golden_runs_py(cfg: SurvivorshipConfig, with_spans: bool = True):
     """Block-level variant: extract columns once per block, run the
     per-group rules on python list slices, emit ONE table per block —
     kills the per-group Arrow overhead (rules are identical to
     make_golden_fn). ``with_spans=False`` elects without the span payload
-    (the caller joins the survivor's spans back afterwards)."""
+    (the caller joins the survivor's spans back afterwards). Kept as the
+    semantic REFERENCE kernel: the vectorized path is tested equal to
+    this one, and non-vectorizable rule vocab (most_frequent) runs it."""
     rules = cfg.rules
     schema = (_GOLDEN_JSON_SCHEMA if with_spans else
               pa.schema([f for f in _GOLDEN_JSON_SCHEMA if f.name != "spans_json"]))

@@ -142,3 +142,59 @@ def test_build_golden_end_to_end(pipeline_result):
     assert (g.source_count >= 1).all()
     # every golden carries its survivor's spans
     assert g.spans.map(len).min() > 0
+
+
+def test_vectorized_election_matches_python_kernel(ray_session):
+    """The vectorized election kernel must be byte-identical to the
+    python reference kernel on a real member table (every rule in the
+    default config, all orders/tie-breaks exercised)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from payor_linkage.blocking import blocking_pairs
+    from payor_linkage.cluster import build_match_groups
+    from payor_linkage.decide import decide
+    from payor_linkage.normalize import unify
+    from payor_linkage.rayutil import lookup_join
+    from payor_linkage.scoring import score_pairs
+    from payor_linkage.survivorship import (SurvivorshipConfig,
+                                            _make_golden_runs_py,
+                                            make_golden_runs_vec)
+    from payor_linkage.synth import synth_documents
+
+    unified = unify(synth_documents(3)).materialize()
+    cands = decide(score_pairs(blocking_pairs(unified).materialize())) \
+        .materialize()
+    groups = build_match_groups(cands, unified).materialize()
+    slim = [c for c in unified.schema().names if c != "spans_json"]
+    members = lookup_join(unified.select_columns(slim), groups,
+                          on="source_record_id")
+
+    def precast(b):
+        loaded = pc.cast(b["loaded_at"], pa.int64())
+        return b.drop_columns(["loaded_at"]).append_column(
+            "loaded_us", loaded)
+
+    tbl = pa.concat_tables(
+        ray.get(members.map_batches(precast, batch_format="pyarrow")
+                .materialize().to_arrow_refs()),
+        promote_options="default").sort_by("match_group_id") \
+        .combine_chunks()
+    arr = tbl["match_group_id"].to_numpy(zero_copy_only=False)
+    starts = np.nonzero(np.concatenate([[True], arr[1:] != arr[:-1]]))[0]
+    ends = np.concatenate([starts[1:], [len(arr)]])
+
+    cfg = SurvivorshipConfig()
+    vec = make_golden_runs_vec(cfg, with_spans=False)(tbl, starts, ends)
+    ref = _make_golden_runs_py(cfg, with_spans=False)(tbl, starts, ends)
+    assert vec.schema == ref.schema
+    assert vec.equals(ref)
+    # interior-slice form (grouped_apply passes run subsets)
+    if len(starts) > 4:
+        vec2 = make_golden_runs_vec(cfg, with_spans=False)(
+            tbl, starts[1:-1], ends[1:-1])
+        ref2 = _make_golden_runs_py(cfg, with_spans=False)(
+            tbl, starts[1:-1], ends[1:-1])
+        assert vec2.equals(ref2)
