@@ -316,13 +316,15 @@ def lookup_join(big: Dataset, small: Dataset, on: str,
         return smart_join(big, small, on)
     tbl = pa.concat_tables(
         ray.get(small.to_arrow_refs()), promote_options="default")
-    # Arrow-native sort (C kernel) — np.argsort on an object-dtype key
-    # array pays a Python richcompare per comparison (~1s/M keys)
+    # keep keys/payload as ARROW end to end: boxing keys to a numpy
+    # object array (the old np.searchsorted probe) paid a python
+    # richcompare per comparison AND pickled the broadcast string by
+    # string; pc.index_in is a C hash probe over plasma-shared buffers
     tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[(on, "ascending")]))
-    keys = tbl[on].to_numpy(zero_copy_only=False)
+    k_arrow = tbl[on].combine_chunks()
     payload_names = [c for c in tbl.column_names if c != on]
     payload = {c: tbl[c].combine_chunks() for c in payload_names}
-    ref = ray.put((keys, payload))
+    ref = ray.put((k_arrow, payload))
 
     def attach(b: pa.Table) -> pa.Table:
         k, pay = ray.get(ref)
@@ -338,25 +340,23 @@ def lookup_join(big: Dataset, small: Dataset, on: str,
                     m = m.append_column(
                         c, pa.nulls(m.num_rows, pay[c].type))
             return m
-        bk = b[on].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(k, bk)
-        pos_c = np.minimum(pos, len(k) - 1)
-        hit = k[pos_c] == bk
+        col = b[on]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        pos = pc.index_in(col, value_set=k)
         if how == "inner":
-            m = b.filter(pa.array(hit))
-            idx = pa.array(pos_c[hit])
+            hit = pc.is_valid(pos)
+            m = b.filter(hit)
+            idx = pos.filter(hit)
             for c in payload_names:
                 if c not in m.column_names:
                     m = m.append_column(c, pay[c].take(idx))
             return m
-        # left: misses keep the row with null payload (take(null) → null)
-        idx = pa.array(np.where(hit, pos_c, -1), pa.int64())
-        idx = pc.if_else(pc.equal(idx, -1), pa.nulls(len(idx), pa.int64()),
-                         idx)
+        # left: misses keep the row; take(null index) → null payload
         m = b
         for c in payload_names:
             if c not in m.column_names:
-                m = m.append_column(c, pay[c].take(idx))
+                m = m.append_column(c, pay[c].take(pos))
         return m
 
     return big.map_batches(attach, batch_format="pyarrow")
