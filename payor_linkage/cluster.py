@@ -355,14 +355,39 @@ def _propagate_local(edges: Dataset, nodes: Dataset,
 
     labels = nodes.map_batches(label_nodes, batch_format="pyarrow")
 
-    def label_edges(b: pa.Table) -> pa.Table:
-        lab = _lookup(b["src"])
-        return pa.table({
-            "src": b["src"], "dst": b["dst"], "score": b["score"],
-            "label_a": lab, "label_b": lab,
-        })
+    # edges: label DRIVER-side once — the edge list is bounded by the
+    # local-CC tier (local_cc_max_edges), and a distributed map here
+    # rebuilt the ~|V|-entry index_in hash in EVERY edge-block task:
+    # more CPUs → more blocks → more rebuilds, measured as the cluster
+    # stage running 2× slower at 32 cpus than at 8. One index_in over
+    # the bounded edge table replaces them all; the labeled slices are
+    # re-published as ~2·cpus plasma blocks.
+    import ray.data as _rd
 
-    el = edges.map_batches(label_edges, batch_format="pyarrow")
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    e_tbl = pa.concat_tables(ray.get(edges.to_arrow_refs()),
+                             promote_options="default").combine_chunks()
+    if e_tbl.num_rows:
+        epos = pc.index_in(e_tbl["src"], value_set=uniques_arrow)
+        elab = label_arrow.take(epos)
+        labeled = pa.table({
+            "src": e_tbl["src"], "dst": e_tbl["dst"],
+            "score": e_tbl["score"], "label_a": elab, "label_b": elab})
+        n_parts = max(1, min(cpus * 2, -(-labeled.num_rows // 8192)))
+        step = -(-labeled.num_rows // n_parts)
+        el = _rd.from_arrow_refs(
+            [ray.put(labeled.slice(i, step))
+             for i in range(0, labeled.num_rows, step)])
+    else:
+        el = _rd.from_arrow(pa.table({
+            "src": pa.array([], pa.string()),
+            "dst": pa.array([], pa.string()),
+            "score": pa.array([], pa.float64()),
+            "label_a": pa.array([], pa.string()),
+            "label_b": pa.array([], pa.string())}))
     return labels, el
 
 
