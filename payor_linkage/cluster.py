@@ -319,14 +319,13 @@ def _propagate_local(edges: Dataset, nodes: Dataset,
         list(tbl["src"].chunks) + list(tbl["dst"].chunks)).combine_chunks()
     enc = pc.dictionary_encode(both)
     codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    dictionary = enc.dictionary
-    sort_idx = pc.array_sort_indices(dictionary).to_numpy(
-        zero_copy_only=False).astype(np.int64)
-    rank = np.empty(len(sort_idx), dtype=np.int64)
-    rank[sort_idx] = np.arange(len(sort_idx), dtype=np.int64)
-    codes = rank[codes]
-    # sorted → min code = min id
-    uniques_arrow = dictionary.take(pa.array(sort_idx))
+    # labels are INTERNAL grouping keys only — every output identity is
+    # uuid5-of-sorted-members (_finalize_runs), so any deterministic
+    # component representative works. min-CODE root = first-seen member
+    # in edge order; the former dictionary sort + rank remap (min node
+    # id) bought nothing downstream and cost ~1 s of driver time at
+    # 1.2M edges.
+    uniques_arrow = enc.dictionary
     n_edges_local = tbl.num_rows
     src_codes = codes[:n_edges_local]
     dst_codes = codes[n_edges_local:]
