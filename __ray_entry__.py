@@ -121,6 +121,47 @@ def q_exact_dedup(sf_dir: str):
     return exact_dedup(_docs(sf_dir))
 
 
+def q_incremental_dedup(sf_dir: str):
+    """Incremental exact dedup against persisted bucketed hash state
+    (`dedup.exact_dedup_incremental`): prior corpus = docs with
+    doc_id % 7 != 0 (its distinct-hash state written bucketed at call
+    time), delta = doc_id % 7 == 0. Only delta-touched bucket files are
+    read; kept = first delta doc per previously-unseen hash; kept
+    hashes APPEND to the state (O(delta) part files). The state dir is
+    recreated per call so the query is rerun-stable."""
+    import os
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+
+    from payor_linkage.dataops.dedup import (_content_md5,
+                                             exact_dedup_incremental,
+                                             write_dedup_state)
+
+    docs = _docs(sf_dir)
+    state = ("/tmp/payor_linkage_dedup_state_"
+             + os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(state, ignore_errors=True)
+
+    def split(keep_delta: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = (b["doc_id"].to_numpy(zero_copy_only=False) % 7) == 0
+            return b.filter(pa.array(m if keep_delta else ~m))
+        return f
+
+    write_dedup_state(docs.map_batches(split(False),
+                                       batch_format="pyarrow"), state)
+    kept, _ = exact_dedup_incremental(
+        docs.map_batches(split(True), batch_format="pyarrow"), state)
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["doc_id"],
+                         "h": _content_md5(b["text"])})
+
+    return kept.map_batches(proj, batch_format="pyarrow")
+
+
 def q_events_by_type(sf_dir: str):
     from ray.data.aggregate import Count, Max, Min
 
@@ -2724,6 +2765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_block_counts": q_block_counts,
         "q_charset_jaccard_pairs": q_charset_jaccard_pairs,
         "q_exact_dedup": q_exact_dedup,
+        "q_incremental_dedup": q_incremental_dedup,
         "q_events_by_type": q_events_by_type,
         "q_top_events": q_top_events,
         "q_user_windows": q_user_windows,
@@ -2858,6 +2900,21 @@ def oracle_sql() -> dict[str, str]:
               ON a.source = b.source AND a.lang = b.lang
              AND a.doc_id < b.doc_id
             WHERE round(jaccard(substr(a.text, 1, 32), substr(b.text, 1, 32)), 4) >= 0.9
+        """,
+        # dedup.exact_dedup_incremental: kept = first delta doc (min id)
+        # per hash unseen in the prior corpus (doc_id % 7 split)
+        "q_incremental_dedup": """
+            WITH delta AS (
+              SELECT doc_id, md5(text) AS h FROM documents
+              WHERE doc_id % 7 = 0),
+            prior AS (
+              SELECT DISTINCT md5(text) AS h FROM documents
+              WHERE doc_id % 7 <> 0),
+            firsts AS (
+              SELECT h, CAST(min(doc_id) AS BIGINT) AS doc_id
+              FROM delta GROUP BY h)
+            SELECT doc_id, h FROM firsts
+            WHERE h NOT IN (SELECT h FROM prior)
         """,
         "q_exact_dedup": """
             SELECT text, min(doc_id) AS keeper_id, count(*) AS n_dups

@@ -285,7 +285,8 @@ def _reduce_edge_block(b: pa.Table) -> pa.Table:
 
 
 def _propagate_local(edges: Dataset, nodes: Dataset,
-                     reduced: Dataset | None = None):
+                     reduced: Dataset | None = None,
+                     min_id_labels: bool = False):
     """Local-CC variant of propagate_labels: same outputs, one broadcast.
 
     The edge list is first reduced DISTRIBUTED (per-block union-find →
@@ -319,13 +320,24 @@ def _propagate_local(edges: Dataset, nodes: Dataset,
         list(tbl["src"].chunks) + list(tbl["dst"].chunks)).combine_chunks()
     enc = pc.dictionary_encode(both)
     codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    # labels are INTERNAL grouping keys only — every output identity is
-    # uuid5-of-sorted-members (_finalize_runs), so any deterministic
-    # component representative works. min-CODE root = first-seen member
-    # in edge order; the former dictionary sort + rank remap (min node
-    # id) bought nothing downstream and cost ~1 s of driver time at
-    # 1.2M edges.
-    uniques_arrow = enc.dictionary
+    if min_id_labels:
+        # callers that EXPOSE the label (neardup_components' cluster_id
+        # = min member id) need min-code ≙ min node id: sort the
+        # dictionary and remap codes to ranks
+        dictionary = enc.dictionary
+        sort_idx = pc.array_sort_indices(dictionary).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        rank = np.empty(len(sort_idx), dtype=np.int64)
+        rank[sort_idx] = np.arange(len(sort_idx), dtype=np.int64)
+        codes = rank[codes]
+        uniques_arrow = dictionary.take(pa.array(sort_idx))
+    else:
+        # linkage labels are INTERNAL grouping keys only — every output
+        # identity is uuid5-of-sorted-members (_finalize_runs), so any
+        # deterministic representative works. min-CODE root =
+        # first-seen member in edge order; the dictionary sort cost
+        # ~1 s of driver time at 1.2M edges for nothing there.
+        uniques_arrow = enc.dictionary
     n_edges_local = tbl.num_rows
     src_codes = codes[:n_edges_local]
     dst_codes = codes[n_edges_local:]

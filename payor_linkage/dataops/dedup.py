@@ -60,6 +60,29 @@ def _pool_shape(ds: Dataset, rows_per_actor: int = 4096) -> tuple[int, int, int]
 # ── exact dedup ────────────────────────────────────────────────────────────
 
 
+def _content_md5(col) -> pa.Array:
+    """md5 of a string column through DuckDB's vectorized C++ kernel
+    (the grouped_checksum precedent) — at 100 TB the hash pass IS the
+    dedup cost, so a per-row Python hashlib loop here would dominate
+    the stage. One connection per worker process (module-level cache),
+    with a pure-python hashlib fallback when duckdb is unavailable (the
+    scoring.py use_duckdb pattern)."""
+    try:
+        con = _duck_con()
+    except ImportError:
+        import hashlib
+
+        return pa.array(
+            [hashlib.md5(v.encode()).hexdigest() if v is not None
+             else None for v in col.to_pylist()], pa.string())
+    t = pa.table({"_t": col})
+    con.register("t", t)
+    h = con.execute("SELECT md5(_t) AS h FROM t").arrow()["h"] \
+        .combine_chunks()
+    con.unregister("t")
+    return h
+
+
 def exact_dedup(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
     """One row per distinct text: (text, keeper_id = min id, n_dups).
 
@@ -71,28 +94,8 @@ def exact_dedup(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> 
     from payor_linkage.rayutil import lookup_join
 
     def add_hash(b: pa.Table) -> pa.Table:
-        # md5 through DuckDB's vectorized C++ kernel (the grouped_checksum
-        # precedent) — at 100 TB the hash pass IS the dedup cost, so a
-        # per-row Python hashlib loop here would dominate the stage.
-        # One connection per worker process (module-level cache), with a
-        # pure-python hashlib fallback when duckdb is unavailable (the
-        # scoring.py use_duckdb pattern).
-        try:
-            con = _duck_con()
-        except ImportError:
-            import hashlib
-
-            h = pa.array([hashlib.md5(v.encode()).hexdigest() if v is not None
-                          else None for v in b[text_col].to_pylist()],
-                         pa.string())
-        else:
-            t = pa.table({"_t": b[text_col]})
-            con.register("t", t)
-            h = con.execute("SELECT md5(_t) AS h FROM t").arrow()["h"] \
-                .combine_chunks()
-            con.unregister("t")
         return pa.table({
-            "_h": h,
+            "_h": _content_md5(b[text_col]),
             id_col: b[id_col],
         })
 
@@ -113,6 +116,102 @@ def exact_dedup(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> 
     return out.map_batches(
         lambda b: b.select([text_col, "keeper_id", "n_dups"]),
         batch_format="pyarrow")
+
+
+def write_dedup_state(ds: Dataset, state_dir: str, text_col: str = "text",
+                      n_buckets: int = 64) -> list:
+    """Persist the bucketed content-hash state ``exact_dedup_incremental``
+    probes: one distinct md5 per row, hash-bucketed on disk
+    (``storage.write_bucketed``) so any hash's location is computable
+    without reading data. Size ``n_buckets`` so one bucket's hashes fit
+    a worker (corpus_hashes / n_buckets rows)."""
+    from payor_linkage import storage
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({"h": _content_md5(b[text_col])})
+
+    distinct = (ds.map_batches(project, batch_format="pyarrow")
+                .groupby("h").count()
+                .map_batches(lambda b: b.select(["h"]),
+                             batch_format="pyarrow"))
+    return storage.write_bucketed(distinct, state_dir, "h", n_buckets)
+
+
+def exact_dedup_incremental(new_docs: Dataset, state_dir: str,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            n_buckets: int = 64):
+    """Incremental exact dedup against persisted bucketed hash state —
+    the O(delta) maintenance form of ``exact_dedup``: a new landing
+    drop is deduped against a 100 TB corpus WITHOUT touching the
+    corpus.
+
+    I/O shape: the delta's hashes pick their buckets arithmetically
+    (crc32 % n_buckets); ONLY those bucket files are read (touched ×
+    corpus/n_buckets rows — size n_buckets so a bucket fits a worker),
+    the delta keeps the first doc (min ``id_col``) per previously
+    unseen hash, and the kept hashes are APPENDED to the state
+    (``storage.append_bucketed`` — O(delta) new part files, existing
+    files untouched, crash-idempotent). Returns ``(kept, buckets)``:
+    the kept delta docs as a streaming filter over ``new_docs`` and the
+    touched bucket ids."""
+    import os
+    import zlib
+
+    import ray
+    import ray.data as rd
+
+    from payor_linkage import storage
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({id_col: b[id_col],
+                         "h": _content_md5(b[text_col])})
+
+    parts = [t for t in ray.get(
+        new_docs.map_batches(project, batch_format="pyarrow")
+        .materialize().to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return new_docs, []
+    dtbl = pa.concat_tables(parts, promote_options="default") \
+        .combine_chunks()
+
+    hashes = dtbl["h"].to_pylist()
+    buckets = sorted({zlib.crc32(h.encode()) % n_buckets for h in hashes})
+    dirs = [d for d in (os.path.join(state_dir, f"_bucket={b}")
+                        for b in buckets) if os.path.isdir(d)]
+    if dirs:
+        prior = rd.read_parquet(dirs, columns=["h"],
+                                file_extensions=["parquet"])
+        ptbl = pa.concat_tables(
+            [t for t in ray.get(prior.materialize().to_arrow_refs())
+             if t.num_rows], promote_options="default")
+        prior_h = ptbl["h"].combine_chunks() if ptbl.num_rows \
+            else pa.array([], pa.string())
+    else:
+        prior_h = pa.array([], pa.string())
+
+    unseen = dtbl.filter(pc.invert(pc.is_in(
+        dtbl["h"], value_set=prior_h)))
+    # first delta doc per unseen hash: one Arrow sort + run firsts
+    unseen = unseen.sort_by([("h", "ascending"),
+                             (id_col, "ascending")]).combine_chunks()
+    if unseen.num_rows:
+        harr = unseen["h"].to_numpy(zero_copy_only=False)
+        firsts = np.nonzero(
+            np.concatenate([[True], harr[1:] != harr[:-1]]))[0]
+        kept_tbl = unseen.take(pa.array(firsts))
+    else:
+        kept_tbl = unseen
+    kept_ids = kept_tbl[id_col].combine_chunks()
+    kid_ref = ray.put(kept_ids)
+
+    def only_kept(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b[id_col], value_set=ray.get(kid_ref)))
+
+    kept = new_docs.map_batches(only_kept, batch_format="pyarrow")
+    if kept_tbl.num_rows:
+        storage.append_bucketed(rd.from_arrow(kept_tbl.select(["h"])),
+                                state_dir, "h", n_buckets)
+    return kept, buckets
 
 
 # ── MinHash + LSH ──────────────────────────────────────────────────────────
@@ -627,7 +726,8 @@ def neardup_components(ds: Dataset, pairs: Dataset,
             lambda b: pa.table({"node": b["node"], "label": b["node"]}),
             batch_format="pyarrow")
     elif n_edges <= 2_000_000:
-        labels, _ = _propagate_local(edges, nodes)
+        labels, _ = _propagate_local(edges, nodes,
+                                        min_id_labels=True)
     else:
         labels, _ = propagate_labels(edges, nodes)
 

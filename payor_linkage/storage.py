@@ -211,6 +211,58 @@ def write_bucketed(ds: Dataset, path: str, key: str,
                              path, "_bucket")
 
 
+def append_bucketed(new_rows: Dataset, path: str, key: str,
+                    n_buckets: int = 64) -> list:
+    """Append-only bucketed-state maintenance: add ``new_rows`` to a
+    ``write_bucketed`` layout WITHOUT touching any existing file —
+    O(delta) part-file additions into only the buckets the new keys
+    hash to (the complement of ``patch_bucketed``, for state that only
+    grows: content-hash sets, seen-id ledgers, fingerprint indexes).
+
+    Idempotent under crash/retry: each bucket's part file is named by
+    the md5 of its parquet bytes and written tmp+rename, so re-running
+    the same append replaces files with byte-identical ones. A bucket's
+    ``_done`` marker is created if missing so resume logic never treats
+    an append-created bucket as crash garbage. Returns touched bucket
+    ids."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column("_bucket", _bucket_of(b[key], n_buckets))
+
+    parts = [t for t in ray.get(
+        new_rows.map_batches(add_bucket, batch_format="pyarrow")
+        .materialize().to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return []
+    tbl = pa.concat_tables(parts, promote_options="default") \
+        .combine_chunks()
+    os.makedirs(path, exist_ok=True)
+    written = []
+    for bucket in sorted(set(tbl["_bucket"].to_pylist())):
+        sub = tbl.filter(pc.equal(tbl["_bucket"], bucket)) \
+            .drop_columns(["_bucket"])
+        bdir = os.path.join(path, f"_bucket={bucket}")
+        os.makedirs(bdir, exist_ok=True)
+        buf = pa.BufferOutputStream()
+        pq.write_table(sub, buf)
+        data = buf.getvalue().to_pybytes()
+        name = f"append-{hashlib.md5(data).hexdigest()[:16]}.parquet"
+        tmp = os.path.join(bdir, name + ".tmp")
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, os.path.join(bdir, name))
+        marker = os.path.join(bdir, "_done")
+        if not os.path.exists(marker):
+            open(marker, "w").close()
+        written.append(bucket)
+    return written
+
+
 def read_bucketed(path: str) -> Dataset:
     """Read a ``write_bucketed`` layout back (drops the bucket column)."""
     ds = read_partitioned(path, "_bucket")

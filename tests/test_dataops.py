@@ -1181,3 +1181,38 @@ def test_k_core_matches_reference(ray_session):
         got = {r["node"]: r["deg"]
                for r in k_core(edges, k).take_all()}
         assert got == ref_k_core(pairs, k), k
+
+
+def test_exact_dedup_incremental_two_generations(ray_session, tmp_path):
+    import ray.data as rd
+
+    from payor_linkage.dataops.dedup import (exact_dedup_incremental,
+                                             write_dedup_state)
+
+    state = str(tmp_path / "dedup_state")
+    prior = rd.from_items([
+        {"doc_id": 1, "text": "alpha"},
+        {"doc_id": 2, "text": "beta"},
+        {"doc_id": 3, "text": "alpha"},   # prior-internal dup
+    ])
+    write_dedup_state(prior, state)
+
+    delta = rd.from_items([
+        {"doc_id": 10, "text": "alpha"},   # dup of prior → dropped
+        {"doc_id": 11, "text": "gamma"},   # new → kept
+        {"doc_id": 13, "text": "delta"},   # internal dup, higher id
+        {"doc_id": 12, "text": "delta"},   # internal dup, min id → kept
+    ])
+    kept, buckets = exact_dedup_incremental(delta, state)
+    kd = kept.to_pandas().sort_values("doc_id")
+    assert list(kd.doc_id) == [11, 12]
+    assert len(buckets) >= 1
+
+    # generation 2: previously-kept delta content is now in the state
+    delta2 = rd.from_items([
+        {"doc_id": 20, "text": "gamma"},   # kept in gen-1 → dropped
+        {"doc_id": 21, "text": "epsilon"}, # new → kept
+        {"doc_id": 22, "text": "beta"},    # prior → dropped
+    ])
+    kept2, _ = exact_dedup_incremental(delta2, state)
+    assert list(kept2.to_pandas().doc_id) == [21]
