@@ -256,19 +256,11 @@ def _salt_batch(batch: pa.Table, hot: dict[str, int]) -> pa.Table:
     return pa.concat_tables(parts) if len(parts) > 1 else parts[0]
 
 
-def _pairs_schema(encoded: bool = False) -> pa.Schema:
-    """Pair schema. ``encoded=True`` is the production wire format:
-    every carried column is dictionary-encoded so a record's payload
-    strings live ONCE per block (each record appears in ~7 pairs × 2
-    sides — plain-string pair blocks are ~10× the bytes, and they
-    transit plasma twice: the scorer's granularity repartition + the
-    scoring map). The scorer decodes on entry; parquet checkpoints
-    round-trip either form."""
-    typ = pa.dictionary(pa.int32(), pa.string()) if encoded else pa.string()
+def _pairs_schema() -> pa.Schema:
     fields = []
     for c in _CARRY:
-        fields.append((f"{c}_a", typ))
-        fields.append((f"{c}_b", typ))
+        fields.append((f"{c}_a", pa.string()))
+        fields.append((f"{c}_b", pa.string()))
     return pa.schema(fields)
 
 
@@ -312,7 +304,7 @@ def make_runs_pair_emitter(hot: dict[str, int], new_ids_ref=None):
 
     def emit_runs(b: pa.Table, starts, ends) -> pa.Table:
         if len(starts) == 0:
-            return _pairs_schema(encoded=True).empty_table()
+            return _pairs_schema().empty_table()
         ids = b["source_record_id"].to_numpy(zero_copy_only=False)
         bkeys = b["bkey"].to_numpy(zero_copy_only=False)
         n = b.num_rows
@@ -383,7 +375,7 @@ def make_runs_pair_emitter(hot: dict[str, int], new_ids_ref=None):
             bi_parts.append(order[ju])
             rank_parts.append(np.full(len(iu), own_rank, dtype=np.int64))
         if not ai_parts:
-            return _pairs_schema(encoded=True).empty_table()
+            return _pairs_schema().empty_table()
         ai = np.concatenate(ai_parts)
         bi = np.concatenate(bi_parts)
         own_rank = np.concatenate(rank_parts)
@@ -402,18 +394,13 @@ def make_runs_pair_emitter(hot: dict[str, int], new_ids_ref=None):
 
         mask = best == own_rank
         if not mask.any():
-            return _pairs_schema(encoded=True).empty_table()
+            return _pairs_schema().empty_table()
         ai, bi = ai[mask], bi[mask]
         cols: dict[str, pa.Array] = {}
-        ai_idx, bi_idx = pa.array(ai), pa.array(bi)
         for c in _CARRY:
             arr = b[c].combine_chunks() if isinstance(b[c], pa.ChunkedArray) else b[c]
-            # dictionary-encode ONCE per source column; both sides' takes
-            # share the dictionary, so the pair block stores each record
-            # string once + int32 indices (see _pairs_schema)
-            enc = pc.dictionary_encode(arr)
-            cols[f"{c}_a"] = enc.take(ai_idx)
-            cols[f"{c}_b"] = enc.take(bi_idx)
+            cols[f"{c}_a"] = arr.take(pa.array(ai))
+            cols[f"{c}_b"] = arr.take(pa.array(bi))
         return pa.table(cols)
 
     return emit_runs
@@ -510,7 +497,7 @@ def blocking_pairs(unified: Dataset, cfg: BlockingConfig | None = None,
 
     from payor_linkage.rayutil import grouped_apply
 
-    return grouped_apply(key_rows, "bkey", out_schema=_pairs_schema(encoded=True),
+    return grouped_apply(key_rows, "bkey", out_schema=_pairs_schema(),
                          runs_fn=make_runs_pair_emitter(hot))
 
 
@@ -697,7 +684,7 @@ def delta_blocking_pairs(unified_all: Dataset, new_ids,
     # emission skips grouped_apply's repartition+sort shuffles (the
     # emitter itself is scattered back over Ray tasks by
     # local_grouped_runs, so pair compute stays parallel)
-    pairs = grouped_apply(sub, "bkey", out_schema=_pairs_schema(encoded=True),
+    pairs = grouped_apply(sub, "bkey", out_schema=_pairs_schema(),
                           runs_fn=make_runs_pair_emitter(
                               hot, new_ids_ref=nid_ref),
                           local_rows_bound=_PAIRS_LOCAL_BOUND)

@@ -220,19 +220,9 @@ class EnsembleScorer:
         import numpy as np
         import pyarrow.compute as pc
 
-        def plain(col):
-            # pairs arrive dictionary-encoded off the wire (see
-            # blocking._pairs_schema) — decode ONCE here, inside the
-            # worker, so the duplicated per-pair strings never transit
-            # the object store; checkpoint-resumed plain blocks pass
-            # through untouched
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            if pa.types.is_dictionary(col.type):
-                col = pc.cast(col, col.type.value_type)
-            return col
-
-        ac = {c: plain(batch[c]) for c in self._COLS}
+        ac = {c: (batch[c].combine_chunks()
+                  if isinstance(batch[c], pa.ChunkedArray) else batch[c])
+              for c in self._COLS}
         empty = pa.scalar("", pa.string())
 
         def eq_nn(a, b):
