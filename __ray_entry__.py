@@ -351,6 +351,27 @@ def q_vocab_coverage(sf_dir: str):
     return vocab_coverage(_docs(sf_dir), 500)
 
 
+def q_prune_rare_tokens(sf_dir: str):
+    """Corpus token pruning (word-level LM preprocessing): tokens with
+    corpus-wide count < 100 become <unk>; each document is rebuilt from
+    its token stream in order with exact kept/unk counts. One bounded
+    vocabulary aggregate, keep-set broadcast once, one streaming
+    is_in + if_else + binary_join pass — no per-row Python."""
+    from payor_linkage.dataops.text import prune_rare_tokens
+
+    return prune_rare_tokens(_docs(sf_dir), min_count=100)
+
+
+def q_source_token_overlap(sf_dir: str):
+    """Cross-feed vocabulary overlap matrix: per source pair the
+    distinct-token set sizes, intersection and union (integer Jaccard
+    inputs — byte-exact oracle). One bounded distributed distinct,
+    then a sources×vocab boolean matmul; no token self-join."""
+    from payor_linkage.dataops.text import source_token_overlap
+
+    return source_token_overlap(_docs(sf_dir))
+
+
 def q_densify(sf_dir: str):
     """Time-grid densification with LOCF (resample / gap-fill): one row
     per user per 6-hour slot between their first and last event,
@@ -2846,6 +2867,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_longest_streak": q_longest_streak,
         "q_rank_against": q_rank_against,
         "q_vocab_coverage": q_vocab_coverage,
+        "q_prune_rare_tokens": q_prune_rare_tokens,
+        "q_source_token_overlap": q_source_token_overlap,
         "q_bag_except": q_bag_except,
         "q_densify": q_densify,
         "q_union_by_name": q_union_by_name,
@@ -3114,6 +3137,52 @@ def oracle_sql() -> dict[str, str]:
                        AS n_oov
             FROM documents d LEFT JOIN tok t USING (doc_id)
             GROUP BY 1
+        """,
+        "q_prune_rare_tokens": """
+            WITH tok AS (
+              SELECT doc_id, tok, p FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(
+                           lower(text), '[^a-z0-9]+')) AS tok,
+                       generate_subscripts(regexp_split_to_array(
+                           lower(text), '[^a-z0-9]+'), 1) AS p
+                FROM documents)
+              WHERE tok <> ''),
+            cnt AS (SELECT tok, count(*) AS n FROM tok GROUP BY 1),
+            rep AS (SELECT t.doc_id, t.p,
+                           CASE WHEN c.n >= 100 THEN t.tok
+                                ELSE '<unk>' END AS tok2
+                    FROM tok t JOIN cnt c ON t.tok = c.tok)
+            SELECT doc_id,
+                   string_agg(tok2, ' ' ORDER BY p) AS text,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN tok2 = '<unk>' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_unk
+            FROM rep GROUP BY doc_id
+        """,
+        "q_source_token_overlap": """
+            WITH tok AS (
+              SELECT DISTINCT source, tok FROM (
+                SELECT source,
+                       unnest(regexp_split_to_array(
+                           lower(text), '[^a-z0-9]+')) AS tok
+                FROM documents)
+              WHERE tok <> ''),
+            sz AS (SELECT source, count(*) AS n FROM tok GROUP BY 1),
+            inter AS (
+              SELECT a.source AS source_a, b.source AS source_b,
+                     count(*) AS ni
+              FROM tok a JOIN tok b
+                ON a.tok = b.tok AND a.source < b.source
+              GROUP BY 1, 2)
+            SELECT i.source_a, i.source_b,
+                   CAST(sa.n AS BIGINT) AS n_a,
+                   CAST(sb.n AS BIGINT) AS n_b,
+                   CAST(i.ni AS BIGINT) AS n_inter,
+                   CAST(sa.n + sb.n - i.ni AS BIGINT) AS n_union
+            FROM inter i
+            JOIN sz sa ON i.source_a = sa.source
+            JOIN sz sb ON i.source_b = sb.source
         """,
         "q_weighted_median": """
             WITH b AS (

@@ -1141,3 +1141,140 @@ def vocab_coverage(ds: Dataset, vocab_size: int, text_col: str = "text",
 
     return ds.select_columns([id_col, text_col]).map_batches(
         cover, batch_format="pyarrow")
+
+
+def source_token_overlap(ds: Dataset, key_col: str = "source",
+                         text_col: str = "text") -> "pa.Table":
+    """Cross-feed vocabulary overlap: for every pair of sources with at
+    least one shared token, the distinct-token set sizes, intersection
+    and union — the corpus-diagnostics matrix behind 'how much does
+    feed A's language overlap feed B's' (all-integer Jaccard inputs,
+    so the oracle is byte-exact; ratio left to the reader per the
+    float-parity rule).
+
+    Scale shape: ONE distributed distinct over (source, token) — per-
+    batch distinct partials shrink the exchange to bounded size (vocab
+    is sublinear in corpus, sources are a handful of feeds), then the
+    bounded table collects and the pairwise intersections are one
+    boolean matmul (sources × vocab) — no token-level self-join ever
+    runs. Bound: sources × vocab rows on the driver (~|V|·|feeds|,
+    megabytes at 100 TB corpus scale); above it, swap the matmul for a
+    token-keyed self-join via ``rayutil.smart_join``."""
+    pairs = (ds.select_columns([key_col, text_col])
+             .map_batches(
+                 lambda b: _distinct_key_tokens(b, key_col, text_col),
+                 batch_format="pyarrow")
+             .groupby([key_col, "token"]).count())
+    t = pa.concat_tables(
+        _collect_refs(pairs), promote_options="default")
+    keys = t[key_col].combine_chunks()
+    kcodes = pc.dictionary_encode(keys)
+    kd = kcodes.dictionary if isinstance(kcodes, pa.Array) \
+        else kcodes.chunk(0).dictionary
+    ki = (kcodes.indices if isinstance(kcodes, pa.Array)
+          else kcodes.chunk(0).indices).to_numpy(zero_copy_only=False)
+    tcodes = pc.dictionary_encode(t["token"].combine_chunks())
+    ti = (tcodes.indices if isinstance(tcodes, pa.Array)
+          else tcodes.chunk(0).indices).to_numpy(zero_copy_only=False)
+    nk, nv = len(kd), int(ti.max()) + 1 if len(ti) else 0
+    m = np.zeros((nk, nv), dtype=np.int64)
+    m[ki, ti] = 1
+    inter = m @ m.T
+    sizes = m.sum(axis=1)
+    names = np.asarray(kd.to_pylist())
+    order = np.argsort(names, kind="stable")
+    a_idx, b_idx = [], []
+    for x in range(nk):
+        for y in range(nk):
+            sa, sb = order[x], order[y]
+            if names[sa] < names[sb] and inter[sa, sb] > 0:
+                a_idx.append(sa)
+                b_idx.append(sb)
+    a = np.asarray(a_idx, dtype=np.int64)
+    b = np.asarray(b_idx, dtype=np.int64)
+    return pa.table({
+        "source_a": pa.array(names[a] if len(a) else [], pa.string()),
+        "source_b": pa.array(names[b] if len(b) else [], pa.string()),
+        "n_a": pa.array(sizes[a] if len(a) else [], pa.int64()),
+        "n_b": pa.array(sizes[b] if len(b) else [], pa.int64()),
+        "n_inter": pa.array(inter[a, b] if len(a) else [], pa.int64()),
+        "n_union": pa.array(
+            sizes[a] + sizes[b] - inter[a, b] if len(a) else [],
+            pa.int64()),
+    })
+
+
+def _distinct_key_tokens(b: pa.Table, key_col: str,
+                         text_col: str) -> pa.Table:
+    """Per-batch distinct (key, token) partial for source_token_overlap
+    (shared tokenization contract)."""
+    row_of, flat = _tokenize_flat(b, text_col)
+    t = pa.table({key_col: b[key_col].take(pa.array(row_of)),
+                  "token": flat})
+    return t.group_by([key_col, "token"]).aggregate([])
+
+
+def _collect_refs(ds: Dataset) -> list:
+    """Collect a BOUNDED Dataset's blocks as Arrow tables via plasma
+    refs (zero-copy reads; callers document their bound)."""
+    import ray
+
+    return ray.get(ds.materialize().to_arrow_refs())
+
+
+def prune_rare_tokens(ds: Dataset, min_count: int,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      unk: str = "<unk>") -> Dataset:
+    """Corpus token pruning (classic word-level LM preprocessing):
+    every token whose corpus-wide occurrence count is below
+    ``min_count`` is replaced by ``unk``, and each document's text is
+    rebuilt from its surviving token stream (single-space joined, in
+    original order) with exact kept/unk counts. Documents that tokenize
+    to nothing are dropped (matching the SQL GROUP BY semantics).
+
+    Scale shape: ONE bounded vocabulary aggregate (``_word_counts`` —
+    per-block Arrow partials, one grouped Sum), the keep-set (words
+    with count ≥ min_count, sublinear in corpus size) broadcast once
+    via ``ray.put``; then a single streaming map pass whose per-batch
+    work is one ``pc.is_in`` hash probe over the flat token stream, an
+    ``if_else`` substitution, and a zero-Python ``binary_join`` over a
+    rebuilt ListArray — no second shuffle, no per-row loop. Above
+    broadcast scale swap the keep-set probe for ``rayutil.smart_join``
+    on token (the rare tail is the LONG side; the kept head is the
+    broadcastable one, which is why the keep-set — not the prune-set —
+    is shipped)."""
+    import ray
+
+    kept = _word_counts(ds, text_col).map_batches(
+        lambda b: b.filter(pc.greater_equal(b["n"], min_count)),
+        batch_format="pyarrow")
+    toks = pa.concat_tables(
+        ray.get(kept.select_columns(["word"]).materialize()
+                .to_arrow_refs()),
+        promote_options="default")["word"].combine_chunks()
+    kref = ray.put(toks)
+
+    def prune(b: pa.Table) -> pa.Table:
+        row_of, flat = _tokenize_flat(b, text_col)
+        flat = flat.combine_chunks() if isinstance(
+            flat, pa.ChunkedArray) else flat
+        lens = np.bincount(row_of, minlength=b.num_rows).astype(np.int64)
+        offsets = np.concatenate(
+            [[0], np.cumsum(lens)]).astype(np.int32)
+        keep = pc.is_in(flat, value_set=ray.get(kref))
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        out_toks = pc.if_else(keep, flat, pa.scalar(unk, pa.string()))
+        la = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            out_toks.combine_chunks() if isinstance(
+                out_toks, pa.ChunkedArray) else out_toks)
+        text_out = pc.binary_join(la, " ")
+        n_unk = np.bincount(row_of[~keep_np],
+                            minlength=b.num_rows).astype(np.int64)
+        t = pa.table({id_col: b[id_col], "text": text_out,
+                      "n_tokens": pa.array(lens, pa.int64()),
+                      "n_unk": pa.array(n_unk, pa.int64())})
+        return t.filter(pa.array(lens > 0))
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        prune, batch_format="pyarrow")

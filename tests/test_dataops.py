@@ -1104,6 +1104,56 @@ def test_vocab_encode_roundtrip(ray_session):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_prune_rare_tokens_crafted(ray_session):
+    """Hand-computed corpus pruning: counts over 4 docs — 'the' (4×)
+    and 'cat' (3×) survive min_count=3; 'dog' (2×), 'sat' (1×),
+    'x9' (1×) become <unk>. Order preserved, empty doc dropped,
+    tokenization contract (lowercase, non-[a-z0-9] splits) applied."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from payor_linkage.dataops.text import prune_rare_tokens
+
+    texts = ["The cat sat", "the DOG, the dog", "cat cat the x9!", "", "?!"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    out = prune_rare_tokens(ds, min_count=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    exp = pd.DataFrame({
+        "doc_id": pa.array([0, 1, 2], pa.int64()).to_pandas(),
+        "text": ["the cat <unk>", "the <unk> the <unk>",
+                 "cat cat the <unk>"],
+        "n_tokens": pa.array([3, 4, 4], pa.int64()).to_pandas(),
+        "n_unk": pa.array([1, 2, 1], pa.int64()).to_pandas()})
+    pd.testing.assert_frame_equal(out, exp)
+
+
+def test_source_token_overlap_crafted(ray_session):
+    """Hand-computed feed-vocabulary overlap: A={the,cat,sat,dog},
+    B={the,cat,fox}, C={zz} — (A,B) inter 2 / union 5; C shares
+    nothing so no (·,C) rows."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from payor_linkage.dataops.text import source_token_overlap
+
+    ds = rd.from_arrow(pa.table({
+        "source": pa.array(["A", "A", "B", "C"], pa.string()),
+        "text": pa.array(["the cat sat", "the dog", "The cat, fox",
+                          "zz"], pa.string())}))
+    out = source_token_overlap(ds).to_pandas()
+    exp = pd.DataFrame({
+        "source_a": ["A"], "source_b": ["B"],
+        "n_a": pa.array([4], pa.int64()).to_pandas(),
+        "n_b": pa.array([3], pa.int64()).to_pandas(),
+        "n_inter": pa.array([2], pa.int64()).to_pandas(),
+        "n_union": pa.array([5], pa.int64()).to_pandas()})
+    pd.testing.assert_frame_equal(out, exp)
+
+
 def test_bcubed_and_blocking_quality_crafted(ray_session):
     """Hand-computed B-cubed + blocking metrics on a 6-record corpus:
     cluster X = {r0,r1,r2} with entities (1,1,2), cluster Y = {r3,r4}
