@@ -658,6 +658,47 @@ def _dump_sidecar(name: str, ds) -> None:
     ds.write_parquet(d)
 
 
+def q_incremental_lsh(sf_dir: str):
+    """Incremental MinHash-LSH near-dup against persisted band-bucket
+    state (`dedup.minhash_lsh_incremental`): prior corpus = docs with
+    doc_id % 7 != 0 (its text-free (bucket, id) band index written
+    bucketed at call time), delta = doc_id % 7 == 0. Only delta-touched
+    state files are read; pairs need ≥1 new side (old-old emitted when
+    the old docs arrived); exact shingle-Jaccard verify; delta band
+    rows APPEND to the state. Oracle: the full all-pairs k=5 Jaccard
+    restricted to delta-touching pairs (LSH recall is exactly 1.0 at
+    this config on this corpus — gated by the hash compare itself, as
+    for q_minhash_lsh); byte-parity to a fresh full run is pytest-gated
+    across two chained generations. State dir recreated per call so the
+    query is rerun-stable."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+
+    from payor_linkage.dataops.dedup import (minhash_lsh_incremental,
+                                             write_lsh_state)
+
+    docs = _docs(sf_dir)
+    state = ("/tmp/payor_linkage_lsh_state_"
+             + os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(state, ignore_errors=True)
+
+    def split(keep_delta: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = (b["doc_id"].to_numpy(zero_copy_only=False) % 7) == 0
+            return b.filter(pa.array(m if keep_delta else ~m))
+        return f
+
+    prior = docs.map_batches(split(False), batch_format="pyarrow")
+    delta = docs.map_batches(split(True), batch_format="pyarrow")
+    write_lsh_state(prior, state, num_perm=64, bands=16, shingle_k=5)
+    pairs, _ = minhash_lsh_incremental(
+        delta, prior, state, threshold=0.5, num_perm=64, bands=16,
+        shingle_k=5)
+    return pairs
+
+
 def q_minhash_lsh(sf_dir: str):
     """MinHash+LSH near-dup, text-free band shuffle, exact shingle verify.
     Oracle: all-pairs k=5 shingle Jaccard in SQL (the corpus separates
@@ -2805,6 +2846,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_embedding_neardup": q_embedding_neardup,
         "q_ann_topk": q_ann_topk,
         "q_minhash_lsh": q_minhash_lsh,
+        "q_incremental_lsh": q_incremental_lsh,
         "q_simhash": q_simhash,
         "q_read_filtered": q_read_filtered,
         "q_token_topk": q_token_topk,
@@ -3308,6 +3350,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.5
+        """,
+        "q_incremental_lsh": """
+            WITH grams AS (
+              SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS gram
+              FROM documents,
+                   LATERAL (SELECT unnest(range(1, greatest(length(text) - 3, 2))) AS i) t
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+              FROM grams a JOIN grams b
+                ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, n_inter, sa.n + sb.n - n_inter AS n_union
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.5
+              AND (id_a % 7 = 0 OR id_b % 7 = 0)
         """,
         # blocked k=3 shingle Jaccard
         "q_ngram_jaccard": """

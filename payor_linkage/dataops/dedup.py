@@ -357,6 +357,169 @@ def minhash_lsh_pairs(ds: Dataset, threshold: float = 0.5, num_perm: int = 64,
                            threshold, text_col, id_col)
 
 
+_LSH_DELTA_LOCAL_BOUND = 5_000_000
+
+
+def write_lsh_state(ds: Dataset, state_dir: str, num_perm: int = 64,
+                    bands: int = 16, shingle_k: int = 3,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    n_buckets: int = 64) -> list:
+    """Persist the band-bucket index ``minhash_lsh_incremental`` probes:
+    the corpus's TEXT-FREE (bucket, id) band rows, hash-bucketed on disk
+    by bucket string (``storage.write_bucketed``) so any band bucket's
+    location is computable without reading data. Signature params must
+    match the incremental probe's (same seed → same permutations)."""
+    from payor_linkage import storage
+
+    _cpus, rpb, pool_max = _pool_shape(ds)
+    band_rows = ds.repartition(target_num_rows_per_block=rpb).map_batches(
+        MinHasher, batch_format="pyarrow",
+        fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands,
+                                   shingle_k=shingle_k, text_col=text_col,
+                                   id_col=id_col),
+        concurrency=(1, pool_max), batch_size=None)
+    return storage.write_bucketed(band_rows, state_dir, "bucket", n_buckets)
+
+
+def minhash_lsh_incremental(new_docs: Dataset, corpus_ds: Dataset,
+                            state_dir: str, threshold: float = 0.5,
+                            num_perm: int = 64, bands: int = 16,
+                            shingle_k: int = 3, text_col: str = "text",
+                            id_col: str = "doc_id", max_bucket: int = 2000,
+                            n_buckets: int = 64):
+    """Incremental MinHash-LSH near-dup against persisted band-bucket
+    state — the O(delta) maintenance form of ``minhash_lsh_pairs``: a
+    new landing drop is near-dup-checked against a 100 TB corpus
+    WITHOUT re-hashing the corpus.
+
+    I/O shape: the delta's band rows pick their state buckets
+    arithmetically (crc32(bucket) % n_buckets); ONLY those bucket files
+    are read and immediately filtered to the delta's exact bucket
+    strings, so prior rows entering the computation are
+    delta-proportional under stable bucket occupancy. Pairs are emitted
+    per shared band bucket with at least one NEW side (old–old pairs
+    were emitted when the old docs arrived — the delta-blocking
+    emission rule), deduped, then exact-Jaccard verified by
+    ``_content_verify`` over ``corpus_ds.union(new_docs)`` (content
+    moves once per surviving candidate). The delta's band rows APPEND
+    to the state (``storage.append_bucketed`` — O(delta) part files,
+    crash-idempotent).
+
+    Exactness: because the state holds EVERY prior doc's band rows, a
+    touched bucket's total occupancy here equals its occupancy in a
+    fresh full run — so the ``max_bucket`` cap binds identically and
+    the output equals ``minhash_lsh_pairs`` over the full corpus
+    restricted to pairs with ≥1 delta side (pytest parity gate).
+
+    Driver tier: the delta band table (bands × |delta| rows of
+    (bucket, id)) and the touched prior rows collect to the driver —
+    bounded by ``_LSH_DELTA_LOCAL_BOUND`` (5M rows, the
+    ``exact_dedup_incremental`` precedent); above it, raise and run the
+    full ``minhash_lsh_pairs`` recompute instead.
+
+    Returns ``(pairs, buckets)``: verified (id_a, id_b, n_inter,
+    n_union) pairs and the touched state bucket ids."""
+    import os
+    import zlib
+
+    import ray
+    import ray.data as rd
+
+    from payor_linkage import storage
+
+    k = shingle_k
+    _cpus, rpb, pool_max = _pool_shape(new_docs)
+    band_ds = new_docs.repartition(target_num_rows_per_block=rpb) \
+        .map_batches(
+            MinHasher, batch_format="pyarrow",
+            fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands,
+                                       shingle_k=k, text_col=text_col,
+                                       id_col=id_col),
+            concurrency=(1, pool_max), batch_size=None).materialize()
+    parts = [t for t in ray.get(band_ds.to_arrow_refs()) if t.num_rows]
+    sch = new_docs.schema()
+    idt = dict(zip(sch.names, sch.types))[id_col]
+    empty_pairs = pa.schema([("id_a", idt), ("id_b", idt),
+                             ("n_inter", pa.int64()),
+                             ("n_union", pa.int64())]).empty_table()
+    if not parts:
+        return rd.from_arrow(empty_pairs), []
+    dband = pa.concat_tables(parts, promote_options="default") \
+        .combine_chunks()
+    if dband.num_rows > _LSH_DELTA_LOCAL_BOUND:
+        raise ValueError(
+            f"delta band rows {dband.num_rows} exceed the driver bound "
+            f"{_LSH_DELTA_LOCAL_BOUND}; run minhash_lsh_pairs over the "
+            "full corpus instead")
+
+    dbuckets = pc.unique(dband["bucket"])
+    touched = sorted({zlib.crc32(s.encode()) % n_buckets
+                      for s in dbuckets.to_pylist()})
+    dirs = [d for d in (os.path.join(state_dir, f"_bucket={b}")
+                        for b in touched) if os.path.isdir(d)]
+    if dirs:
+        prior = rd.read_parquet(dirs, columns=["bucket", "id"],
+                                file_extensions=["parquet"])
+        ptbl = pa.concat_tables(
+            [t for t in ray.get(prior.materialize().to_arrow_refs())
+             if t.num_rows], promote_options="default")
+        ptbl = ptbl.filter(pc.is_in(ptbl["bucket"], value_set=dbuckets)) \
+            if ptbl.num_rows else ptbl
+    else:
+        ptbl = pa.schema([("bucket", pa.string()), ("id", idt)]) \
+            .empty_table()
+    if ptbl.num_rows + dband.num_rows > _LSH_DELTA_LOCAL_BOUND:
+        raise ValueError(
+            "touched prior band rows exceed the driver bound; "
+            "run minhash_lsh_pairs over the full corpus instead")
+
+    both = pa.concat_tables([
+        ptbl.append_column("is_new", pa.array(
+            np.zeros(ptbl.num_rows, dtype=bool))),
+        dband.append_column("is_new", pa.array(
+            np.ones(dband.num_rows, dtype=bool)))],
+        promote_options="default") \
+        .sort_by([("bucket", "ascending"), ("id", "ascending")]) \
+        .combine_chunks()
+    barr = both["bucket"].to_numpy(zero_copy_only=False)
+    ids = both["id"].combine_chunks()
+    newf = both["is_new"].to_numpy(zero_copy_only=False)
+    brk = np.nonzero(np.concatenate(
+        [[True], barr[1:] != barr[:-1], [True]]))[0]
+    starts, ends = brk[:-1], brk[1:]
+    lens = ends - starts
+    live = np.nonzero((lens >= 2) & (lens <= max_bucket))[0]
+    tri_cache: dict = {}
+    ai_parts, bi_parts = [], []
+    for ri in live:
+        s_, n = starts[ri], lens[ri]
+        tri = tri_cache.get(n)
+        if tri is None:
+            tri = tri_cache[n] = np.triu_indices(n, k=1)
+        ai, bi = tri[0] + s_, tri[1] + s_
+        m = newf[ai] | newf[bi]
+        ai_parts.append(ai[m])
+        bi_parts.append(bi[m])
+    if ai_parts:
+        ai = np.concatenate(ai_parts)
+        bi = np.concatenate(bi_parts)
+        cand = pa.table({"id_a": ids.take(pa.array(ai)),
+                         "id_b": ids.take(pa.array(bi))}) \
+            .group_by(["id_a", "id_b"]).aggregate([])
+    else:
+        cand = empty_pairs.select(["id_a", "id_b"])
+
+    storage.append_bucketed(rd.from_arrow(dband.select(["bucket", "id"])),
+                            state_dir, "bucket", n_buckets)
+    if cand.num_rows == 0:
+        return rd.from_arrow(empty_pairs), touched
+    pairs = _content_verify(
+        corpus_ds.union(new_docs), rd.from_arrow(cand),
+        lambda t: set(_shingles(t, k).tolist()), threshold,
+        text_col, id_col)
+    return pairs, touched
+
+
 def _content_verify(ds: Dataset, deduped: Dataset, set_of, threshold: float,
                     text_col: str, id_col: str) -> Dataset:
     """Exact set-Jaccard verification of candidate (id_a, id_b) pairs:

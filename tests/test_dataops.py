@@ -1154,6 +1154,63 @@ def test_source_token_overlap_crafted(ray_session):
     pd.testing.assert_frame_equal(out, exp)
 
 
+def test_minhash_lsh_incremental_two_generations(ray_session, tmp_path):
+    """Incremental LSH equals the full run restricted to delta-touching
+    pairs, across TWO chained deltas (state appended between them) —
+    same signatures (shared seed) ⇒ same buckets ⇒ identical candidate
+    sets, so parity holds at any LSH recall."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from payor_linkage.dataops.dedup import (minhash_lsh_incremental,
+                                             minhash_lsh_pairs,
+                                             write_lsh_state)
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    texts = [base, base.replace("lazy", "idle"),
+             base.replace("quick", "swift"), base + "extra tail words",
+             "completely different text about ray data pipelines",
+             "another unrelated document with its own words entirely",
+             base.replace("dog", "cat"), base.replace("fox", "wolf"),
+             "yet another distinct filler document goes right here",
+             base.replace("jumps", "leaps"), base[:-10],
+             "final noise document with nothing shared at all ok"]
+    ids = list(range(len(texts)))
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+
+    def part(mod):
+        return rd.from_arrow(tbl.filter(pa.array(
+            [i % 3 == mod for i in ids])))
+
+    cfg = dict(threshold=0.5, num_perm=64, bands=16, shingle_k=3)
+    state = str(tmp_path / "lsh_state")
+
+    def canon(df):
+        return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    def full_restricted(docs_ds, delta_mod):
+        f = minhash_lsh_pairs(docs_ds, **cfg).to_pandas()
+        m = (f.id_a % 3 == delta_mod) | (f.id_b % 3 == delta_mod)
+        return canon(f[m])
+
+    prior = part(2)
+    write_lsh_state(prior, state, num_perm=64, bands=16, shingle_k=3)
+
+    gen1 = part(0)
+    inc1, touched1 = minhash_lsh_incremental(gen1, prior, state, **cfg)
+    exp1 = full_restricted(prior.union(gen1), 0)
+    pd.testing.assert_frame_equal(canon(inc1.to_pandas()), exp1)
+    assert touched1
+
+    gen2 = part(1)
+    inc2, _ = minhash_lsh_incremental(gen2, prior.union(gen1), state,
+                                      **cfg)
+    exp2 = full_restricted(rd.from_arrow(tbl), 1)
+    pd.testing.assert_frame_equal(canon(inc2.to_pandas()), exp2)
+
+
 def test_bcubed_and_blocking_quality_crafted(ray_session):
     """Hand-computed B-cubed + blocking metrics on a 6-record corpus:
     cluster X = {r0,r1,r2} with entities (1,1,2), cluster Y = {r3,r4}
