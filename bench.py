@@ -172,6 +172,33 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         exact_dedup(dd).count()
         queries["exact_dedup"] = round(time.time() - t0, 2)
 
+        # incremental LSH: state over the ~86% prior docs (untimed),
+        # then the delta probed against only its touched state files
+        import shutil
+
+        import pyarrow as pa
+
+        from payor_linkage.dataops.dedup import (minhash_lsh_incremental,
+                                                 write_lsh_state)
+
+        def _doc_split(keep_delta: bool):
+            def f(b: pa.Table) -> pa.Table:
+                m = (b["doc_id"].to_numpy(zero_copy_only=False) % 7) == 0
+                return b.filter(pa.array(m if keep_delta else ~m))
+            return dd.map_batches(f, batch_format="pyarrow").materialize()
+
+        lsh_prior, lsh_delta = _doc_split(False), _doc_split(True)
+        lsh_state = "/tmp/payor_linkage_bench_lsh_state"
+        shutil.rmtree(lsh_state, ignore_errors=True)
+        write_lsh_state(lsh_prior, lsh_state, num_perm=64, bands=8,
+                        shingle_k=5)
+        t0 = time.time()
+        inc_pairs, _ = minhash_lsh_incremental(
+            lsh_delta, lsh_prior, lsh_state, threshold=0.5, num_perm=64,
+            bands=8, shingle_k=5)
+        extra["incremental_lsh_pairs"] = inc_pairs.count()
+        queries["incremental_lsh"] = round(time.time() - t0, 2)
+
         t0 = time.time()
         doc_stats(dd).count()
         fingerprint(dd).count()
