@@ -723,6 +723,47 @@ def q_simhash(sf_dir: str):
     return simhash_pairs_from_sigs(sigs, max_hamming=7, n_chunks=8)
 
 
+def q_incremental_simhash(sf_dir: str):
+    """Incremental SimHash near-dup against persisted band-bucket state
+    (`dedup.simhash_incremental`): prior corpus = doc_id % 7 != 0 (its
+    (bucket, id, sig) band index written bucketed at call time), delta
+    = doc_id % 7 == 0. Only delta-touched state files are read; the
+    persisted sigs make the hamming verify content-free; pairs need ≥1
+    new side; delta bands APPEND to the state. Oracle: brute-force
+    hamming over the full signature sidecar restricted to
+    delta-touching pairs (pigeonhole-complete at max_hamming 7 <
+    n_chunks 8, as for q_simhash); two-generation byte-parity is
+    pytest-gated. State dir recreated per call (rerun-stable)."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+
+    from payor_linkage.dataops.dedup import (simhash_incremental,
+                                             simhash_signatures,
+                                             write_simhash_state)
+
+    docs = _docs(sf_dir)
+    state = ("/tmp/payor_linkage_simhash_state_"
+             + os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(state, ignore_errors=True)
+
+    def split(keep_delta: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = (b["doc_id"].to_numpy(zero_copy_only=False) % 7) == 0
+            return b.filter(pa.array(m if keep_delta else ~m))
+        return f
+
+    prior = docs.map_batches(split(False), batch_format="pyarrow")
+    delta = docs.map_batches(split(True), batch_format="pyarrow")
+    write_simhash_state(prior, state, n_chunks=8)
+    _dump_sidecar("simhash_incr_sigs",
+                  simhash_signatures(docs).materialize())
+    pairs, _ = simhash_incremental(delta, state, max_hamming=7,
+                                   n_chunks=8)
+    return pairs
+
+
 def q_read_filtered(sf_dir: str):
     """Pruned scan (S8 read API): projection + row-group predicate pushed
     into the parquet read — only 3 of 11 lineitem columns and matching
@@ -2848,6 +2889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_minhash_lsh": q_minhash_lsh,
         "q_incremental_lsh": q_incremental_lsh,
         "q_simhash": q_simhash,
+        "q_incremental_simhash": q_incremental_simhash,
         "q_read_filtered": q_read_filtered,
         "q_token_topk": q_token_topk,
         "q_hash_sample": q_hash_sample,
@@ -3402,6 +3444,15 @@ def oracle_sql() -> dict[str, str]:
             JOIN read_parquet('{_SIDECAR_DIR}/simhash_sigs/*.parquet') b
               ON a.id < b.id
             WHERE bit_count(xor(a.sig, b.sig)) <= 7
+        """,
+        "q_incremental_simhash": f"""
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+            FROM read_parquet('{_SIDECAR_DIR}/simhash_incr_sigs/*.parquet') a
+            JOIN read_parquet('{_SIDECAR_DIR}/simhash_incr_sigs/*.parquet') b
+              ON a.id < b.id
+            WHERE bit_count(xor(a.sig, b.sig)) <= 7
+              AND (a.id % 7 = 0 OR b.id % 7 = 0)
         """,
         # the stopword-hit-rate language-ID heuristic, exactly: argmax of
         # per-language hit counts with alphabetical tie-break; integer

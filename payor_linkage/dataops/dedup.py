@@ -651,6 +651,162 @@ def simhash_signatures(ds: Dataset, text_col: str = "text",
         concurrency=(1, pool_max), batch_size=None)
 
 
+def _simhash_band_tbl(b: pa.Table, n_chunks: int) -> pa.Table:
+    """Pigeonhole band rows with INTEGER bucket ids (chunk·2^width +
+    part) — vectorized per chunk, so the downstream grouped sort runs
+    on int64 keys instead of strings. Shared by the full bucketing pass
+    and the persisted-state write/probe sides (one bucket formula)."""
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    ids = b["id"].combine_chunks()
+    sigs = b["sig"].to_numpy(zero_copy_only=False).view(np.uint64)
+    n = len(sigs)
+    buckets = np.empty(n * n_chunks, dtype=np.int64)
+    for chunk in range(n_chunks):
+        part = ((sigs >> np.uint64(width * chunk))
+                & np.uint64(mask)).astype(np.int64)
+        buckets[chunk * n:(chunk + 1) * n] = chunk * (mask + 1) + part
+    rep = pa.array(np.tile(np.arange(n, dtype=np.int64), n_chunks))
+    return pa.table({"bucket": pa.array(buckets),
+                     "id": ids.take(rep),
+                     "sig": pa.array(np.tile(sigs.view(np.int64),
+                                             n_chunks))})
+
+
+def write_simhash_state(ds: Dataset, state_dir: str,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n_chunks: int = 4, n_buckets: int = 64) -> list:
+    """Persist the pigeonhole band index ``simhash_incremental`` probes:
+    (bucket:int64, id, sig) rows hash-bucketed on disk by bucket value
+    (``storage.write_bucketed``). Unlike the LSH state, the SIGNATURE
+    rides along — hamming verification needs no content join, ever."""
+    from payor_linkage import storage
+
+    assert 64 % n_chunks == 0, "n_chunks must divide 64"
+    band = simhash_signatures(ds, text_col=text_col, id_col=id_col) \
+        .map_batches(lambda b: _simhash_band_tbl(b, n_chunks),
+                     batch_format="pyarrow")
+    return storage.write_bucketed(band, state_dir, "bucket", n_buckets)
+
+
+def simhash_incremental(new_docs: Dataset, state_dir: str,
+                        max_hamming: int = 3, n_chunks: int = 4,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        max_bucket: int = 2000, n_buckets: int = 64):
+    """Incremental SimHash near-dup against persisted band-bucket state
+    — the O(delta) maintenance form of ``simhash_pairs``, completing
+    the incremental dedup family (exact / MinHash-LSH / SimHash). A new
+    landing drop is checked against a 100 TB corpus WITHOUT re-hashing
+    it, and WITHOUT any content join: the persisted rows carry the
+    64-bit signature, so hamming verification is one vectorized
+    xor+popcount over candidate index pairs.
+
+    Same shape and guarantees as ``minhash_lsh_incremental``: only
+    delta-touched state files are read (then filtered to the delta's
+    exact integer buckets), pairs need ≥1 new side, the ``max_bucket``
+    cap binds identically to a fresh full run (state holds every prior
+    doc's bands), and the delta's band rows APPEND as O(delta) part
+    files. Output equals ``simhash_pairs`` over the full corpus
+    restricted to delta-touching pairs (pytest parity gate); driver
+    tier bounded by ``_LSH_DELTA_LOCAL_BOUND`` with the full recompute
+    as the documented fallback.
+
+    Returns ``(pairs, buckets)``: (id_a, id_b, hamming ≤ max_hamming)
+    and the touched state bucket ids."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    from payor_linkage import storage
+
+    assert 64 % n_chunks == 0, "n_chunks must divide 64"
+    sig_ds = simhash_signatures(new_docs, text_col=text_col,
+                                id_col=id_col).materialize()
+    parts = [t for t in ray.get(sig_ds.to_arrow_refs()) if t.num_rows]
+    sch = new_docs.schema()
+    idt = dict(zip(sch.names, sch.types))[id_col]
+    pair_schema = pa.schema([("id_a", idt), ("id_b", idt),
+                             ("hamming", pa.int64())])
+    if not parts:
+        return rd.from_arrow(pair_schema.empty_table()), []
+    dsig = pa.concat_tables(parts, promote_options="default") \
+        .combine_chunks()
+    dband = _simhash_band_tbl(dsig, n_chunks)
+    if dband.num_rows > _LSH_DELTA_LOCAL_BOUND:
+        raise ValueError(
+            f"delta band rows {dband.num_rows} exceed the driver bound "
+            f"{_LSH_DELTA_LOCAL_BOUND}; run simhash_pairs over the "
+            "full corpus instead")
+
+    dbuckets = pc.unique(dband["bucket"])
+    touched = sorted(set(
+        storage._bucket_of(dbuckets, n_buckets).to_pylist()))
+    dirs = [d for d in (os.path.join(state_dir, f"_bucket={b}")
+                        for b in touched) if os.path.isdir(d)]
+    if dirs:
+        prior = rd.read_parquet(dirs, columns=["bucket", "id", "sig"],
+                                file_extensions=["parquet"])
+        ptbl = pa.concat_tables(
+            [t for t in ray.get(prior.materialize().to_arrow_refs())
+             if t.num_rows], promote_options="default")
+        ptbl = ptbl.filter(pc.is_in(ptbl["bucket"], value_set=dbuckets)) \
+            if ptbl.num_rows else ptbl
+    else:
+        ptbl = pa.schema([("bucket", pa.int64()), ("id", idt),
+                          ("sig", pa.int64())]).empty_table()
+    if ptbl.num_rows + dband.num_rows > _LSH_DELTA_LOCAL_BOUND:
+        raise ValueError(
+            "touched prior band rows exceed the driver bound; "
+            "run simhash_pairs over the full corpus instead")
+
+    both = pa.concat_tables([
+        ptbl.append_column("is_new", pa.array(
+            np.zeros(ptbl.num_rows, dtype=bool))),
+        dband.append_column("is_new", pa.array(
+            np.ones(dband.num_rows, dtype=bool)))],
+        promote_options="default") \
+        .sort_by([("bucket", "ascending"), ("id", "ascending")]) \
+        .combine_chunks()
+    barr = both["bucket"].to_numpy(zero_copy_only=False)
+    ids = both["id"].combine_chunks()
+    sig_all = both["sig"].to_numpy(zero_copy_only=False).view(np.uint64)
+    newf = both["is_new"].to_numpy(zero_copy_only=False)
+    brk = np.nonzero(np.concatenate(
+        [[True], barr[1:] != barr[:-1], [True]]))[0]
+    starts, ends = brk[:-1], brk[1:]
+    lens = ends - starts
+    live = np.nonzero((lens >= 2) & (lens <= max_bucket))[0]
+    tri_cache: dict = {}
+    ai_parts, bi_parts = [], []
+    for ri in live:
+        s_, n = starts[ri], lens[ri]
+        tri = tri_cache.get(n)
+        if tri is None:
+            tri = tri_cache[n] = np.triu_indices(n, k=1)
+        ai, bi = tri[0] + s_, tri[1] + s_
+        m = newf[ai] | newf[bi]
+        ai_parts.append(ai[m])
+        bi_parts.append(bi[m])
+
+    storage.append_bucketed(
+        rd.from_arrow(dband.select(["bucket", "id", "sig"])),
+        state_dir, "bucket", n_buckets)
+    if not ai_parts:
+        return rd.from_arrow(pair_schema.empty_table()), touched
+    ai = np.concatenate(ai_parts)
+    bi = np.concatenate(bi_parts)
+    ham = _popcount64(sig_all[ai] ^ sig_all[bi])
+    keep = ham <= max_hamming
+    ai, bi, ham = ai[keep], bi[keep], ham[keep]
+    cand = pa.table({"id_a": ids.take(pa.array(ai)),
+                     "id_b": ids.take(pa.array(bi)),
+                     "hamming": pa.array(ham.astype(np.int64))}) \
+        .group_by(["id_a", "id_b"]).aggregate([("hamming", "min")]) \
+        .rename_columns(["id_a", "id_b", "hamming"])
+    return rd.from_arrow(cand.cast(pair_schema)), touched
+
+
 def simhash_pairs_from_sigs(sig_ds: Dataset, max_hamming: int = 3,
                             n_chunks: int = 4, max_bucket: int = 2000) -> Dataset:
     """(id, sig) → near-dup pairs (id_a, id_b, hamming ≤ max_hamming).
@@ -664,25 +820,8 @@ def simhash_pairs_from_sigs(sig_ds: Dataset, max_hamming: int = 3,
     width = 64 // n_chunks
     mask = (1 << width) - 1
 
-    def explode(b: pa.Table) -> pa.Table:
-        """Band rows with INTEGER bucket ids (chunk·2^width + part) —
-        vectorized per chunk, and the downstream grouped sort runs on
-        int64 keys instead of strings."""
-        ids = b["id"].combine_chunks()
-        sigs = b["sig"].to_numpy(zero_copy_only=False).view(np.uint64)
-        n = len(sigs)
-        buckets = np.empty(n * n_chunks, dtype=np.int64)
-        for chunk in range(n_chunks):
-            part = ((sigs >> np.uint64(width * chunk))
-                    & np.uint64(mask)).astype(np.int64)
-            buckets[chunk * n:(chunk + 1) * n] = chunk * (mask + 1) + part
-        rep = pa.array(np.tile(np.arange(n, dtype=np.int64), n_chunks))
-        return pa.table({"bucket": pa.array(buckets),
-                         "id": ids.take(rep),
-                         "sig": pa.array(np.tile(sigs.view(np.int64),
-                                                 n_chunks))})
-
-    band_rows = sig_ds.map_batches(explode, batch_format="pyarrow")
+    band_rows = sig_ds.map_batches(
+        lambda b: _simhash_band_tbl(b, n_chunks), batch_format="pyarrow")
 
     sig_sch = sig_ds.schema()
     idt = dict(zip(sig_sch.names, sig_sch.types))["id"]

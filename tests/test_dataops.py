@@ -1211,6 +1211,64 @@ def test_minhash_lsh_incremental_two_generations(ray_session, tmp_path):
     pd.testing.assert_frame_equal(canon(inc2.to_pandas()), exp2)
 
 
+def test_simhash_incremental_two_generations(ray_session, tmp_path):
+    """Incremental SimHash equals the full run restricted to
+    delta-touching pairs across TWO chained deltas — deterministic
+    signatures ⇒ identical buckets, and the persisted sigs make the
+    hamming verify content-free."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from payor_linkage.dataops.dedup import (simhash_incremental,
+                                             simhash_pairs,
+                                             write_simhash_state)
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    texts = [base, base.replace("lazy", "idle"),
+             base.replace("quick", "swift"), base + "extra tail words",
+             "completely different text about ray data pipelines",
+             "another unrelated document with its own words entirely",
+             base.replace("dog", "cat"), base.replace("fox", "wolf"),
+             "yet another distinct filler document goes right here",
+             base.replace("jumps", "leaps"), base[:-10],
+             "final noise document with nothing shared at all ok"]
+    ids = list(range(len(texts)))
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+
+    def part(mod):
+        return rd.from_arrow(tbl.filter(pa.array(
+            [i % 3 == mod for i in ids])))
+
+    cfg = dict(max_hamming=7, n_chunks=8)
+    state = str(tmp_path / "simhash_state")
+
+    def canon(df):
+        df = df.copy()
+        df["hamming"] = df["hamming"].astype("int64")
+        return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    def full_restricted(docs_ds, delta_mod):
+        f = simhash_pairs(docs_ds, **cfg).to_pandas()
+        m = (f.id_a % 3 == delta_mod) | (f.id_b % 3 == delta_mod)
+        return canon(f[m])
+
+    prior = part(2)
+    write_simhash_state(prior, state, n_chunks=8)
+
+    gen1 = part(0)
+    inc1, touched1 = simhash_incremental(gen1, state, **cfg)
+    pd.testing.assert_frame_equal(canon(inc1.to_pandas()),
+                                  full_restricted(prior.union(gen1), 0))
+    assert touched1
+
+    gen2 = part(1)
+    inc2, _ = simhash_incremental(gen2, state, **cfg)
+    pd.testing.assert_frame_equal(canon(inc2.to_pandas()),
+                                  full_restricted(rd.from_arrow(tbl), 1))
+
+
 def test_bcubed_and_blocking_quality_crafted(ray_session):
     """Hand-computed B-cubed + blocking metrics on a 6-record corpus:
     cluster X = {r0,r1,r2} with entities (1,1,2), cluster Y = {r3,r4}
