@@ -915,6 +915,20 @@ def q_video_frames(sf_dir: str):
     return sample_frames(media, n_frames=3).drop_columns(["sum_luma"])
 
 
+def q_kmeans(sf_dir: str):
+    """Distributed Lloyd's k-means over the embeddings table: (vec_id,
+    cluster) for every vector. Per iteration one streaming pass —
+    broadcast centroids, k partial (count, sum) rows per block, k×dim
+    floats to the driver for the update; vectors never collected.
+    Float-iterative → rows-only (the pagerank/bm25 precedent);
+    correctness is pytest-gated against a pure-numpy Lloyd reference
+    with identical init and accumulation
+    (test_kmeans_matches_numpy_reference)."""
+    from payor_linkage.dataops.similarity import kmeans
+
+    return kmeans(_emb(sf_dir), k=8, iters=5)
+
+
 def q_pagerank(sf_dir: str):
     """Iterative numeric algorithm (PageRank) over the document
     similarity graph (shared-substring pairs, symmetrized): N rounds of
@@ -2904,6 +2918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_video_frames": q_video_frames,
         "q_media_pipeline": q_media_pipeline,
         "q_pagerank": q_pagerank,
+        "q_kmeans": q_kmeans,
         "q_triangle_counts": q_triangle_counts,
         "q_interval_coverage": q_interval_coverage,
         "q_edit_distance_join": q_edit_distance_join,

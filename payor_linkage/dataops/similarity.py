@@ -402,3 +402,94 @@ def knn_join(ds: Dataset, k: int = 5, n_centroids: int = 16,
     out = grouped_topk(cands, "query_id", "cos", k,
                        tie_col="neighbor_id", keep_cols=["neighbor_id"])
     return out
+
+
+# ── distributed k-means ────────────────────────────────────────────────────
+
+
+def kmeans_fit(ds: Dataset, k: int = 8, iters: int = 10,
+               sample_size: int = 4096, id_col: str = "vec_id",
+               vec_col: str = "embedding", seed: int = 11) -> np.ndarray:
+    """Distributed Lloyd's k-means (spherical / cosine) over an
+    embedding column: returns the (k, dim) L2-normalized centroid
+    matrix. The clustering primitive behind IVF partitioning, corpus
+    topic bucketing and diversity-aware sampling.
+
+    Scale shape: deterministic init from a BOUNDED sample (the
+    ``_mini_kmeans`` seed ``ivf_topk`` already uses), then per
+    iteration ONE streaming pass — centroids broadcast via ``ray.put``,
+    each block emits k partial rows (count, per-dim float64 sum) from a
+    single argmax matmul, and only k × dim × n_blocks floats reach the
+    driver for the update (corpus-size-free). Vectors are never
+    collected; assignment is a separate streaming pass
+    (``kmeans_assign``). Float-iterative by nature → exact pytest
+    reference gate rather than a SQL oracle (the pagerank/bm25
+    precedent)."""
+    sample = _to_matrix(
+        pa.chunked_array([pa.array([r[vec_col] for r in
+                                    ds.limit(sample_size).take_all()])]))
+    C = _mini_kmeans(sample, k, seed=seed)
+    proj = ds.select_columns([vec_col])
+    for _ in range(iters):
+        ref = ray.put(C)
+
+        def partial(b: pa.Table) -> pa.Table:
+            Cm = ray.get(ref)
+            B = _normalize(_to_matrix(b[vec_col]))
+            assign = np.argmax(B @ Cm.T, axis=1)
+            rows_c, rows_n, rows_s = [], [], []
+            for c in range(len(Cm)):
+                members = B[assign == c]
+                rows_c.append(c)
+                rows_n.append(len(members))
+                rows_s.append(members.sum(axis=0) if len(members)
+                              else np.zeros(Cm.shape[1]))
+            return pa.table({
+                "c": pa.array(rows_c, pa.int64()),
+                "n": pa.array(rows_n, pa.int64()),
+                "s": pa.array([s.tolist() for s in rows_s],
+                              pa.list_(pa.float64()))})
+
+        parts = pa.concat_tables(
+            [t for t in ray.get(
+                proj.map_batches(partial, batch_format="pyarrow")
+                .materialize().to_arrow_refs()) if t.num_rows],
+            promote_options="default")
+        cs = parts["c"].to_numpy(zero_copy_only=False)
+        ns = parts["n"].to_numpy(zero_copy_only=False)
+        S = _to_matrix(parts["s"])
+        newC = C.copy()
+        for c in range(k):
+            m = cs == c
+            n_tot = ns[m].sum()
+            if n_tot:
+                newC[c] = S[m].sum(axis=0) / n_tot
+        C = _normalize(newC)
+    return C
+
+
+def kmeans_assign(ds: Dataset, centroids: np.ndarray,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> Dataset:
+    """One streaming argmax pass: (id, cluster) against a broadcast
+    centroid matrix — the ``kmeans_fit`` output applied to any corpus."""
+    ref = ray.put(np.ascontiguousarray(centroids))
+
+    def f(b: pa.Table) -> pa.Table:
+        B = _normalize(_to_matrix(b[vec_col]))
+        a = np.argmax(B @ ray.get(ref).T, axis=1)
+        return pa.table({id_col: b[id_col],
+                         "cluster": pa.array(a.astype(np.int64))})
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def kmeans(ds: Dataset, k: int = 8, iters: int = 10,
+           sample_size: int = 4096, id_col: str = "vec_id",
+           vec_col: str = "embedding", seed: int = 11) -> Dataset:
+    """Fit + assign: (id, cluster) for every vector (see ``kmeans_fit``
+    for the scale shape and the determinism/parity gates)."""
+    C = kmeans_fit(ds, k=k, iters=iters, sample_size=sample_size,
+                   id_col=id_col, vec_col=vec_col, seed=seed)
+    return kmeans_assign(ds, C, id_col=id_col, vec_col=vec_col)

@@ -1269,6 +1269,54 @@ def test_simhash_incremental_two_generations(ray_session, tmp_path):
                                   full_restricted(rd.from_arrow(tbl), 1))
 
 
+def test_kmeans_matches_numpy_reference(ray_session):
+    """Distributed Lloyd's equals a pure-numpy reference running the
+    SAME algorithm (same deterministic sample init, same float64
+    blockwise accumulation — single input block, so partials are the
+    full sums) on 3 well-separated clusters; and is run-to-run
+    deterministic."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from payor_linkage.dataops.similarity import (_mini_kmeans,
+                                                  _normalize, kmeans)
+
+    rng = np.random.RandomState(3)
+    centers = np.eye(3, 8) * 5.0
+    X = np.vstack([centers[i] + rng.randn(40, 8) * 0.2
+                   for i in range(3)])
+    ids = np.arange(len(X), dtype=np.int64)
+    tbl = pa.table({"vec_id": pa.array(ids),
+                    "embedding": pa.array([r.tolist() for r in X],
+                                          pa.list_(pa.float32()))})
+    ds = rd.from_arrow(tbl)
+    out = kmeans(ds, k=3, iters=5).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+
+    # reference: identical algorithm, float64, same init
+    Xf = np.stack([np.asarray(r, dtype=np.float64)
+                   for r in tbl["embedding"].to_pylist()])
+    C = _mini_kmeans(Xf, 3, seed=11)
+    B = _normalize(Xf)
+    for _ in range(5):
+        assign = np.argmax(B @ C.T, axis=1)
+        newC = C.copy()
+        for c in range(3):
+            members = B[assign == c]
+            if len(members):
+                newC[c] = members.sum(axis=0) / len(members)
+        C = _normalize(newC)
+    exp_assign = np.argmax(B @ C.T, axis=1)
+    assert list(out.cluster) == list(exp_assign)
+    # cluster sizes are the crafted 40/40/40
+    assert sorted(out.cluster.value_counts().tolist()) == [40, 40, 40]
+    out2 = kmeans(ds, k=3, iters=5).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out2)
+
+
 def test_bcubed_and_blocking_quality_crafted(ray_session):
     """Hand-computed B-cubed + blocking metrics on a 6-record corpus:
     cluster X = {r0,r1,r2} with entities (1,1,2), cluster Y = {r3,r4}
