@@ -929,6 +929,43 @@ def q_kmeans(sf_dir: str):
     return kmeans(_emb(sf_dir), k=8, iters=5)
 
 
+def q_sq_encode(sf_dir: str):
+    """Scalar int8 quantization of the embedding column: per-dimension
+    exact (min, max) from one bounded streaming pass, then
+    ``code = min(floor((x-lo)·256/(hi-lo)), 255)`` in float64. Every
+    step is order-independent IEEE arithmetic (min/max + one rounding
+    division — no float sums), so the oracle recomputes the codes
+    bit-exactly in SQL; long output (vec_id, dim 1-based, code)."""
+    from payor_linkage.dataops.similarity import quantize_embeddings
+
+    return quantize_embeddings(_emb(sf_dir), levels=256)
+
+
+def q_sq_topk(sf_dir: str):
+    """Quantized ANN: top-5 neighbors by squared-L2 over the int8 codes
+    (self excluded, ties by neighbor id). Distances are INTEGER sums →
+    exactly oracle-checkable, unlike float cosine ranking. One bounded
+    range pass + one streaming integer-matmul pass + grouped_topk."""
+    from payor_linkage.dataops.similarity import quantized_topk
+
+    return quantized_topk(_emb(sf_dir), query_ids=[0, 1, 2, 3, 4], k=5)
+
+
+def q_chunk_dedup(sf_dir: str):
+    """C4-style repeated-span removal: documents split into 8-token
+    chunks, only the globally first occurrence of each distinct chunk
+    survives (ordered by doc_id, chunk position), documents rebuilt
+    from their surviving chunks — the corpus-rewriting dedup of C4-style
+    training-data pipelines. Chunk explosion and document rebuild are
+    single vectorized kernels (split_pattern + offsets-rewindowed
+    binary_join); the first-occurrence election is one
+    groupby(chunk).min(packed) whose winner rows ARE the rebuild input
+    (no join-back shuffle)."""
+    from payor_linkage.dataops.dedup import dedup_chunks
+
+    return dedup_chunks(_docs(sf_dir), w=8)
+
+
 def q_pagerank(sf_dir: str):
     """Iterative numeric algorithm (PageRank) over the document
     similarity graph (shared-substring pairs, symmetrized): N rounds of
@@ -2919,6 +2956,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_media_pipeline": q_media_pipeline,
         "q_pagerank": q_pagerank,
         "q_kmeans": q_kmeans,
+        "q_sq_encode": q_sq_encode,
+        "q_sq_topk": q_sq_topk,
+        "q_chunk_dedup": q_chunk_dedup,
         "q_triangle_counts": q_triangle_counts,
         "q_interval_coverage": q_interval_coverage,
         "q_edit_distance_join": q_edit_distance_join,
@@ -4148,6 +4188,81 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(CAST(doc_id AS VARCHAR), ','
                               ORDER BY doc_id) AS id_list
             FROM documents GROUP BY source, lang
+        """,
+        # Scalar quantization is bit-reproducible in SQL: min/max are
+        # exact, and (x-lo)*256/(hi-lo) is one IEEE double rounding —
+        # identical in numpy and DuckDB (floats CAST to DOUBLE exactly).
+        "q_sq_encode": """
+            WITH flat AS (
+              SELECT vec_id,
+                     CAST(generate_subscripts(embedding, 1) AS BIGINT)
+                         AS dim,
+                     CAST(unnest(embedding) AS DOUBLE) AS x
+              FROM embeddings
+            ), rng AS (
+              SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM flat GROUP BY dim
+            )
+            SELECT f.vec_id, f.dim,
+                   CAST(CASE WHEN r.hi > r.lo
+                             THEN LEAST(floor((f.x - r.lo) * 256.0
+                                              / (r.hi - r.lo)), 255.0)
+                             ELSE 0.0 END AS BIGINT) AS code
+            FROM flat f JOIN rng r ON f.dim = r.dim
+        """,
+        "q_sq_topk": """
+            WITH flat AS (
+              SELECT vec_id,
+                     CAST(generate_subscripts(embedding, 1) AS BIGINT)
+                         AS dim,
+                     CAST(unnest(embedding) AS DOUBLE) AS x
+              FROM embeddings
+            ), rng AS (
+              SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM flat GROUP BY dim
+            ), codes AS (
+              SELECT f.vec_id, f.dim,
+                     CAST(CASE WHEN r.hi > r.lo
+                               THEN LEAST(floor((f.x - r.lo) * 256.0
+                                                / (r.hi - r.lo)), 255.0)
+                               ELSE 0.0 END AS BIGINT) AS code
+              FROM flat f JOIN rng r ON f.dim = r.dim
+            ), dists AS (
+              SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     CAST(SUM((q.code - b.code) * (q.code - b.code))
+                          AS BIGINT) AS dist
+              FROM codes q JOIN codes b
+                ON q.dim = b.dim AND b.vec_id <> q.vec_id
+              WHERE q.vec_id IN (0, 1, 2, 3, 4)
+              GROUP BY 1, 2
+            )
+            SELECT query_id, CAST(rank AS BIGINT) AS rank,
+                   neighbor_id, dist
+            FROM (SELECT query_id, neighbor_id, dist,
+                         row_number() OVER (
+                             PARTITION BY query_id
+                             ORDER BY dist, neighbor_id) AS rank
+                  FROM dists)
+            WHERE rank <= 5
+        """,
+        "q_chunk_dedup": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split(text, ' ')) AS tok,
+                     CAST(generate_subscripts(string_split(text, ' '), 1)
+                          AS BIGINT) - 1 AS i
+              FROM documents
+            ), chunks AS (
+              SELECT doc_id, i // 8 AS chunk_no,
+                     string_agg(tok, ' ' ORDER BY i) AS chunk
+              FROM toks GROUP BY doc_id, i // 8
+            ), kept AS (
+              SELECT chunk,
+                     MIN(doc_id * 1000000 + chunk_no) AS packed
+              FROM chunks GROUP BY chunk
+            )
+            SELECT CAST(packed // 1000000 AS BIGINT) AS doc_id,
+                   string_agg(chunk, ' ' ORDER BY packed % 1000000)
+                       AS text_clean
+            FROM kept GROUP BY packed // 1000000
         """,
         "q_rollup_counts": """
             SELECT coalesce(source, 'ALL') AS source,

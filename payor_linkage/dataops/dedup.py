@@ -1483,3 +1483,110 @@ def prefix_jaccard_pairs(ds: Dataset, threshold: float = 0.5,
     return _content_verify(ds, deduped,
                            lambda t: _word_ngrams(t, word_ngram),
                            threshold, text_col, id_col)
+
+
+# ── C4-style duplicate-chunk removal ───────────────────────────────────────
+
+_CHUNK_PACK = 1_000_000  # packed = doc_id * PACK + chunk_no (chunk_no < PACK)
+
+
+def dedup_chunks(ds: Dataset, w: int = 8, id_col: str = "doc_id",
+                 text_col: str = "text") -> Dataset:
+    """C4-style repeated-span removal: split every document into
+    consecutive ``w``-token chunks, keep only the globally FIRST
+    occurrence of each distinct chunk (ordered by (doc_id, chunk_no)),
+    and rebuild each document from its surviving chunks in order — the
+    corpus-rewriting dedup used by C4/mC4-style training-data pipelines
+    (the reference has no corpus ops; this is graft-side scope per the
+    build brief). Documents whose every chunk first appeared elsewhere
+    drop out of the output entirely.
+
+    Output: (doc_id, text_clean), only docs with ≥1 surviving chunk.
+
+    Scale shape: chunk explosion is one vectorized ``map_batches`` pass —
+    tokens come from ONE ``split_pattern`` kernel and chunk strings from
+    ONE ``binary_join`` over an offsets-rewindowed list view of the
+    flattened tokens (zero-copy on the token values; no Python loop).
+    First-occurrence election is a per-block partial min combine then a
+    single ``groupby(chunk).min(packed)`` — the winner row IS the
+    reconstruction input (chunk text is the group key), so there is no
+    join-back shuffle at all. Rebuild is one ``grouped_apply`` over
+    doc_id with a cross-group vectorized runs_fn. Requires
+    doc_id < 2^63 / PACK and < PACK chunks per document (asserted)."""
+    out_schema = pa.schema([(id_col, pa.int64()),
+                            ("text_clean", pa.string())])
+
+    def explode(b: pa.Table) -> pa.Table:
+        empty = pa.table({"chunk": pa.array([], pa.string()),
+                          "packed": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        txt = b[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        toks = pc.split_pattern(txt, " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = pc.list_flatten(toks)
+        nchunks = -(-lens // w)
+        tot = int(nchunks.sum())
+        if tot == 0:
+            return empty
+        tok_starts = np.concatenate([[0], np.cumsum(lens)])
+        cum_nc = np.concatenate([[0], np.cumsum(nchunks)])
+        i_of = np.repeat(np.arange(len(lens), dtype=np.int64), nchunks)
+        j_of = np.arange(tot, dtype=np.int64) - cum_nc[i_of]
+        starts = tok_starts[i_of] + j_of * w
+        offsets = np.concatenate([starts, [tok_starts[-1]]])
+        la = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat)
+        chunk_str = pc.binary_join(la, " ")
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        assert (nchunks < _CHUNK_PACK).all() and \
+            (np.abs(ids) < (1 << 62) // _CHUNK_PACK).all()
+        packed = ids[i_of] * _CHUNK_PACK + j_of
+        t = pa.table({"chunk": chunk_str, "packed": pa.array(packed)})
+        # per-block partial first-occurrence combine: the grouped
+        # exchange then moves one row per distinct chunk per block
+        return (t.group_by("chunk").aggregate([("packed", "min")])
+                .rename_columns(["chunk", "packed"]))
+
+    kept = (ds.select_columns([id_col, text_col])
+            .map_batches(explode, batch_format="pyarrow")
+            .groupby("chunk").aggregate(Min("packed", alias_name="packed")))
+
+    def decode(b: pa.Table) -> pa.Table:
+        p = b["packed"].to_numpy(zero_copy_only=False)
+        return pa.table({id_col: pa.array(p // _CHUNK_PACK),
+                         "packed": b["packed"], "chunk": b["chunk"]})
+
+    dec = kept.map_batches(decode, batch_format="pyarrow")
+
+    def rebuild(block: pa.Table, starts: np.ndarray,
+                ends: np.ndarray) -> pa.Table:
+        if len(starts) == 0:
+            return out_schema.empty_table()
+        lens_ = ends - starts
+        base = np.concatenate([[0], np.cumsum(lens_)[:-1]])
+        idx = np.repeat(starts, lens_) + \
+            (np.arange(int(lens_.sum()), dtype=np.int64)
+             - np.repeat(base, lens_))
+        p = block["packed"].to_numpy(zero_copy_only=False)[idx]
+        ch = block["chunk"].combine_chunks() \
+            if isinstance(block["chunk"], pa.ChunkedArray) \
+            else block["chunk"]
+        ch = ch.take(pa.array(idx))
+        order = np.argsort(p, kind="stable")  # packed = (doc, chunk_no)
+        p_sorted = p[order]
+        ch = ch.take(pa.array(order))
+        docs = p_sorted // _CHUNK_PACK
+        run_starts = np.nonzero(
+            np.concatenate([[True], docs[1:] != docs[:-1]]))[0]
+        run_offsets = np.concatenate([run_starts, [len(docs)]])
+        la = pa.ListArray.from_arrays(pa.array(run_offsets, pa.int32()), ch)
+        return pa.table({id_col: pa.array(docs[run_starts]),
+                         "text_clean": pc.binary_join(la, " ")})
+
+    from payor_linkage.rayutil import grouped_apply
+
+    return grouped_apply(dec, id_col, runs_fn=rebuild,
+                         out_schema=out_schema)

@@ -404,6 +404,160 @@ def knn_join(ds: Dataset, k: int = 5, n_centroids: int = 16,
     return out
 
 
+# ── scalar quantization (int8 codes) ───────────────────────────────────────
+
+
+def embedding_ranges(ds: Dataset, vec_col: str = "embedding"
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """Exact per-dimension (lo, hi) over an embedding column in ONE
+    streaming pass: each block emits a single row of per-dim min/max
+    lists, the driver reduces n_blocks × dim floats (corpus-size-free).
+    min/max are exact (no float-sum order dependence), so the result is
+    bit-stable regardless of block layout."""
+    def partial(b: pa.Table) -> pa.Table:
+        M = _to_matrix(b[vec_col])
+        if M.size == 0:
+            return pa.table({"lo": pa.array([], pa.list_(pa.float64())),
+                             "hi": pa.array([], pa.list_(pa.float64()))})
+        return pa.table({"lo": pa.array([M.min(axis=0).tolist()],
+                                        pa.list_(pa.float64())),
+                         "hi": pa.array([M.max(axis=0).tolist()],
+                                        pa.list_(pa.float64()))})
+
+    parts = (ds.select_columns([vec_col])
+             .map_batches(partial, batch_format="pyarrow").take_all())
+    lo = np.min(np.stack([np.asarray(r["lo"]) for r in parts]), axis=0)
+    hi = np.max(np.stack([np.asarray(r["hi"]) for r in parts]), axis=0)
+    return lo, hi
+
+
+def quantize_embeddings(ds: Dataset, levels: int = 256,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        ranges: tuple[np.ndarray, np.ndarray] | None = None
+                        ) -> Dataset:
+    """Scalar (per-dimension min/max) quantization of an embedding
+    column to integer codes in [0, levels): the standard int8
+    compression step before quantized ANN — 4× smaller vectors, integer
+    distance kernels downstream.
+
+    ``code = min(floor((x - lo) * levels / (hi - lo)), levels - 1)``
+    computed in float64. Every operation (min/max, subtract, multiply,
+    divide, floor) is order-independent IEEE arithmetic, so the codes
+    are EXACTLY reproducible by any engine — the SQL oracle recomputes
+    them bit-for-bit (unlike float sums, which are order-dependent; see
+    CLAUDE.md oracle-parity notes). Output is long format
+    (id, dim 1-based, code) for direct comparison; ``dim==lo`` columns
+    quantize to 0.
+
+    Scale shape: one bounded range pass (``embedding_ranges``), then one
+    broadcast streaming encode pass — no shuffle anywhere."""
+    if ranges is None:
+        ranges = embedding_ranges(ds, vec_col)
+    lo, hi = ranges
+    ref = ray.put((np.asarray(lo, np.float64), np.asarray(hi, np.float64),
+                   float(levels)))
+
+    def encode(b: pa.Table) -> pa.Table:
+        lo_, hi_, lv = ray.get(ref)
+        M = _to_matrix(b[vec_col])
+        n, d = M.shape if M.size else (0, len(lo_))
+        span = hi_ - lo_
+        with np.errstate(divide="ignore", invalid="ignore"):
+            codes = np.floor((M - lo_) * lv / span)
+        codes = np.where(span > 0, codes, 0.0)
+        codes = np.minimum(codes, lv - 1).astype(np.int64)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, d)),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), n)),
+            "code": pa.array(codes.reshape(-1)),
+        })
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        encode, batch_format="pyarrow")
+
+
+def quantized_topk(ds: Dataset, query_ids: list[int], k: int = 5,
+                   levels: int = 256, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> Dataset:
+    """Top-k nearest neighbors by squared L2 over the quantized codes
+    (asymmetric-distance-style search on the compressed representation):
+    integer distances → exactly oracle-checkable, unlike float cosine.
+    Self excluded; ties broken by neighbor id.
+
+    Scale shape: bounded range pass, query codes collected via an
+    in-dataset id filter (never a full ``take_all``), then one streaming
+    pass — per batch a single (nq, batch) int64 distance matrix from the
+    ||q||² + ||b||² − 2q·b expansion (integer matmul), partial top-k per
+    batch, global ``grouped_topk`` merge."""
+    lo, hi = embedding_ranges(ds, vec_col)
+    lo64, hi64 = np.asarray(lo, np.float64), np.asarray(hi, np.float64)
+    lv = float(levels)
+
+    def codes_of(M: np.ndarray) -> np.ndarray:
+        span = hi64 - lo64
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c = np.floor((M - lo64) * lv / span)
+        c = np.where(span > 0, c, 0.0)
+        return np.minimum(c, lv - 1).astype(np.int64)
+
+    qids, Qraw = _query_rows(ds, query_ids, id_col, vec_col)
+    Qc = codes_of(Qraw)
+    ref = ray.put((qids, Qc))
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids_q, Qm = ray.get(ref)
+        bid = b[id_col].to_numpy(zero_copy_only=False)
+        Bc = codes_of(_to_matrix(b[vec_col]))
+        # int64 squared-L2 via the dot expansion: exact (codes < 2^8,
+        # dim ≲ 2^16 → no overflow near int64)
+        q2 = (Qm * Qm).sum(axis=1)[:, None]
+        b2 = (Bc * Bc).sum(axis=1)[None, :]
+        dist = q2 + b2 - 2 * (Qm @ Bc.T)
+        nq, nb = dist.shape
+        kk = min(k + 1, nb)
+        part = np.argpartition(dist, kk - 1, axis=1)[:, :kk]
+        return pa.table({
+            "query_id": pa.array(np.repeat(ids_q, kk)),
+            "neighbor_id": pa.array(bid[part.ravel()]),
+            "neg_dist": pa.array(
+                -np.take_along_axis(dist, part, axis=1).ravel()),
+            "dist": pa.array(
+                np.take_along_axis(dist, part, axis=1).ravel()),
+        })
+
+    from payor_linkage.dataops.aggregates import grouped_topk
+
+    cands = ds.select_columns([id_col, vec_col]).map_batches(
+        partial, batch_format="pyarrow")
+    noself = cands.map_batches(
+        lambda b: b.filter(pc.not_equal(b["query_id"], b["neighbor_id"])),
+        batch_format="pyarrow")
+    return grouped_topk(noself, "query_id", "neg_dist", k,
+                        tie_col="neighbor_id",
+                        keep_cols=["neighbor_id", "dist"])
+
+
+def _query_rows(ds: Dataset, query_ids: list[int], id_col: str,
+                vec_col: str) -> tuple[np.ndarray, np.ndarray]:
+    """Like ``_query_matrix`` but returns RAW (un-normalized) vectors —
+    quantization needs the original coordinates."""
+    qset = ray.put(np.asarray(sorted(set(query_ids))))
+
+    def pick(b: pa.Table) -> pa.Table:
+        wanted = ray.get(qset)
+        mask = np.isin(b[id_col].to_numpy(zero_copy_only=False), wanted)
+        return b.filter(pa.array(mask))
+
+    rows = (ds.select_columns([id_col, vec_col])
+            .map_batches(pick, batch_format="pyarrow").take_all())
+    rows.sort(key=lambda r: r[id_col])
+    qids = np.array([r[id_col] for r in rows])
+    Q = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    return qids, Q
+
+
 # ── distributed k-means ────────────────────────────────────────────────────
 
 

@@ -1429,3 +1429,69 @@ def test_exact_dedup_incremental_two_generations(ray_session, tmp_path):
     ])
     kept2, _ = exact_dedup_incremental(delta2, state)
     assert list(kept2.to_pandas().doc_id) == [21]
+
+
+def test_dedup_chunks_keeps_first_occurrence(ray_session):
+    import ray.data as rd
+
+    from payor_linkage.dataops.dedup import dedup_chunks
+
+    # w=2 chunks: doc0 = [a b][c d]; doc1 repeats chunk "a b" then has a
+    # fresh chunk; doc2 is entirely chunks seen before → drops out.
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["a b c d", "a b x y", "c d a b"]),
+    }))
+    out = {r["doc_id"]: r["text_clean"]
+           for r in dedup_chunks(docs, w=2).take_all()}
+    assert out == {0: "a b c d", 1: "x y"}
+
+
+def test_dedup_chunks_within_doc_and_tail(ray_session):
+    import ray.data as rd
+
+    from payor_linkage.dataops.dedup import dedup_chunks
+
+    # repeated chunk WITHIN one doc keeps only the first; ragged tail
+    # chunk ("e") is its own chunk and survives.
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([7], pa.int64()),
+        "text": pa.array(["a b a b e"]),
+    }))
+    out = dedup_chunks(docs, w=2).take_all()
+    assert out == [{"doc_id": 7, "text_clean": "a b e"}]
+
+
+def test_quantize_embeddings_bounds_and_extremes(ray_session):
+    import ray.data as rd
+
+    from payor_linkage.dataops.similarity import quantize_embeddings
+
+    docs = rd.from_arrow(pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array([[0.0, 5.0], [1.0, 5.0], [0.5, 5.0]],
+                              pa.list_(pa.float32())),
+    }))
+    rows = quantize_embeddings(docs, levels=256).take_all()
+    codes = {(r["vec_id"], r["dim"]): r["code"] for r in rows}
+    # dim 1: lo=0 hi=1 → 0.0→0, 1.0→255 (clamped), 0.5→128
+    assert codes[(0, 1)] == 0 and codes[(1, 1)] == 255
+    assert codes[(2, 1)] == 128
+    # constant dimension (hi==lo) → all zero
+    assert codes[(0, 2)] == codes[(1, 2)] == codes[(2, 2)] == 0
+
+
+def test_quantized_topk_integer_distances(ray_session):
+    import ray.data as rd
+
+    from payor_linkage.dataops.similarity import quantized_topk
+
+    docs = rd.from_arrow(pa.table({
+        "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "embedding": pa.array([[0.0, 0.0], [0.1, 0.1], [0.9, 0.9],
+                               [1.0, 1.0]], pa.list_(pa.float32())),
+    }))
+    out = quantized_topk(docs, query_ids=[0], k=2).take_all()
+    assert [r["neighbor_id"] for r in out] == [1, 2]
+    assert all(isinstance(r["dist"], int) and r["dist"] >= 0 for r in out)
+    assert [r["rank"] for r in out] == [1, 2]
