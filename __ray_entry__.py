@@ -966,6 +966,42 @@ def q_chunk_dedup(sf_dir: str):
     return dedup_chunks(_docs(sf_dir), w=8)
 
 
+def q_chunk_dedup_incremental(sf_dir: str):
+    """Incremental C4-style chunk dedup against persisted chunk-hash
+    state (`dedup.dedup_chunks_incremental`): prior corpus = docs with
+    doc_id % 7 != 0 (its distinct chunk-md5 state written bucketed at
+    call time), delta = doc_id % 7 == 0. Only delta-touched bucket
+    files are read; a delta chunk survives iff unseen in the prior
+    corpus AND first within the delta; surviving hashes APPEND to the
+    state (O(delta) part files). Oracle: the same election in SQL
+    (prior chunk set = distinct chunks of prior docs). Two-generation
+    chaining parity vs a full arrival-ordered run is pytest-gated.
+    State dir recreated per call so the query is rerun-stable."""
+    import shutil
+
+    import pyarrow as pa
+
+    from payor_linkage.dataops.dedup import (chunk_state_build,
+                                             dedup_chunks_incremental)
+
+    docs = _docs(sf_dir)
+    state = ("/tmp/payor_linkage_chunk_state_"
+             + os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(state, ignore_errors=True)
+
+    def split(keep_delta: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = (b["doc_id"].to_numpy(zero_copy_only=False) % 7) == 0
+            return b.filter(pa.array(m if keep_delta else ~m))
+        return f
+
+    chunk_state_build(docs.map_batches(split(False),
+                                       batch_format="pyarrow"), state, w=8)
+    cleaned, _ = dedup_chunks_incremental(
+        docs.map_batches(split(True), batch_format="pyarrow"), state, w=8)
+    return cleaned
+
+
 def q_pagerank(sf_dir: str):
     """Iterative numeric algorithm (PageRank) over the document
     similarity graph (shared-substring pairs, symmetrized): N rounds of
@@ -2959,6 +2995,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sq_encode": q_sq_encode,
         "q_sq_topk": q_sq_topk,
         "q_chunk_dedup": q_chunk_dedup,
+        "q_chunk_dedup_incremental": q_chunk_dedup_incremental,
         "q_triangle_counts": q_triangle_counts,
         "q_interval_coverage": q_interval_coverage,
         "q_edit_distance_join": q_edit_distance_join,
@@ -4263,6 +4300,34 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(chunk, ' ' ORDER BY packed % 1000000)
                        AS text_clean
             FROM kept GROUP BY packed // 1000000
+        """,
+        # Incremental variant: the prior corpus's distinct chunk set
+        # plays the persisted state; delta chunks survive iff unseen
+        # there and first within the delta.
+        "q_chunk_dedup_incremental": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split(text, ' ')) AS tok,
+                     CAST(generate_subscripts(string_split(text, ' '), 1)
+                          AS BIGINT) - 1 AS i
+              FROM documents
+            ), chunks AS (
+              SELECT doc_id, i // 8 AS chunk_no,
+                     string_agg(tok, ' ' ORDER BY i) AS chunk
+              FROM toks GROUP BY doc_id, i // 8
+            ), prior_chunks AS (
+              SELECT DISTINCT chunk FROM chunks WHERE doc_id % 7 <> 0
+            ), fresh AS (
+              SELECT d.chunk,
+                     MIN(d.doc_id * 1000000 + d.chunk_no) AS packed
+              FROM chunks d LEFT JOIN prior_chunks p ON d.chunk = p.chunk
+              WHERE d.doc_id % 7 = 0 AND p.chunk IS NULL
+              GROUP BY d.chunk
+            )
+            SELECT CAST(packed // 1000000 AS BIGINT) AS doc_id,
+                   string_agg(chunk, ' ' ORDER BY packed % 1000000)
+                       AS text_clean
+            FROM fresh GROUP BY packed // 1000000
         """,
         "q_rollup_counts": """
             SELECT coalesce(source, 'ALL') AS source,

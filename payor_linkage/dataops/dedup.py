@@ -1490,6 +1490,63 @@ def prefix_jaccard_pairs(ds: Dataset, threshold: float = 0.5,
 _CHUNK_PACK = 1_000_000  # packed = doc_id * PACK + chunk_no (chunk_no < PACK)
 
 
+def _explode_chunk_rows(b: pa.Table, w: int, id_col: str,
+                        text_col: str) -> pa.Table:
+    """Vectorized chunk explosion: every ``w``-token chunk of every
+    document as one (chunk, packed) row — tokens from ONE
+    ``split_pattern`` kernel, chunk strings from ONE ``binary_join``
+    over an offsets-rewindowed list view of the flattened tokens."""
+    empty = pa.table({"chunk": pa.array([], pa.string()),
+                      "packed": pa.array([], pa.int64())})
+    if b.num_rows == 0:
+        return empty
+    txt = b[text_col]
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    toks = pc.split_pattern(txt, " ")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    flat = pc.list_flatten(toks)
+    nchunks = -(-lens // w)
+    tot = int(nchunks.sum())
+    if tot == 0:
+        return empty
+    tok_starts = np.concatenate([[0], np.cumsum(lens)])
+    cum_nc = np.concatenate([[0], np.cumsum(nchunks)])
+    i_of = np.repeat(np.arange(len(lens), dtype=np.int64), nchunks)
+    j_of = np.arange(tot, dtype=np.int64) - cum_nc[i_of]
+    starts = tok_starts[i_of] + j_of * w
+    offsets = np.concatenate([starts, [tok_starts[-1]]])
+    la = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat)
+    chunk_str = pc.binary_join(la, " ")
+    ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    assert (nchunks < _CHUNK_PACK).all() and \
+        (np.abs(ids) < (1 << 62) // _CHUNK_PACK).all()
+    packed = ids[i_of] * _CHUNK_PACK + j_of
+    return pa.table({"chunk": chunk_str, "packed": pa.array(packed)})
+
+
+def _rebuild_docs(chunks: pa.Array, packed: np.ndarray,
+                  id_col: str) -> pa.Table:
+    """(chunk, packed) rows → one (doc_id, text_clean) row per doc:
+    sort by packed (= (doc, chunk_no) order), slice doc runs, ONE
+    ``binary_join`` over the run-windowed chunk list."""
+    out_schema = pa.schema([(id_col, pa.int64()),
+                            ("text_clean", pa.string())])
+    if len(packed) == 0:
+        return out_schema.empty_table()
+    order = np.argsort(packed, kind="stable")
+    p_sorted = packed[order]
+    ch = chunks.take(pa.array(order))
+    docs = p_sorted // _CHUNK_PACK
+    run_starts = np.nonzero(
+        np.concatenate([[True], docs[1:] != docs[:-1]]))[0]
+    run_offsets = np.concatenate([run_starts, [len(docs)]])
+    la = pa.ListArray.from_arrays(pa.array(run_offsets, pa.int32()), ch)
+    return pa.table({id_col: pa.array(docs[run_starts]),
+                     "text_clean": pc.binary_join(la, " ")})
+
+
 def dedup_chunks(ds: Dataset, w: int = 8, id_col: str = "doc_id",
                  text_col: str = "text") -> Dataset:
     """C4-style repeated-span removal: split every document into
@@ -1517,34 +1574,7 @@ def dedup_chunks(ds: Dataset, w: int = 8, id_col: str = "doc_id",
                             ("text_clean", pa.string())])
 
     def explode(b: pa.Table) -> pa.Table:
-        empty = pa.table({"chunk": pa.array([], pa.string()),
-                          "packed": pa.array([], pa.int64())})
-        if b.num_rows == 0:
-            return empty
-        txt = b[text_col]
-        if isinstance(txt, pa.ChunkedArray):
-            txt = txt.combine_chunks()
-        toks = pc.split_pattern(txt, " ")
-        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        flat = pc.list_flatten(toks)
-        nchunks = -(-lens // w)
-        tot = int(nchunks.sum())
-        if tot == 0:
-            return empty
-        tok_starts = np.concatenate([[0], np.cumsum(lens)])
-        cum_nc = np.concatenate([[0], np.cumsum(nchunks)])
-        i_of = np.repeat(np.arange(len(lens), dtype=np.int64), nchunks)
-        j_of = np.arange(tot, dtype=np.int64) - cum_nc[i_of]
-        starts = tok_starts[i_of] + j_of * w
-        offsets = np.concatenate([starts, [tok_starts[-1]]])
-        la = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat)
-        chunk_str = pc.binary_join(la, " ")
-        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        assert (nchunks < _CHUNK_PACK).all() and \
-            (np.abs(ids) < (1 << 62) // _CHUNK_PACK).all()
-        packed = ids[i_of] * _CHUNK_PACK + j_of
-        t = pa.table({"chunk": chunk_str, "packed": pa.array(packed)})
+        t = _explode_chunk_rows(b, w, id_col, text_col)
         # per-block partial first-occurrence combine: the grouped
         # exchange then moves one row per distinct chunk per block
         return (t.group_by("chunk").aggregate([("packed", "min")])
@@ -1574,19 +1604,118 @@ def dedup_chunks(ds: Dataset, w: int = 8, id_col: str = "doc_id",
         ch = block["chunk"].combine_chunks() \
             if isinstance(block["chunk"], pa.ChunkedArray) \
             else block["chunk"]
-        ch = ch.take(pa.array(idx))
-        order = np.argsort(p, kind="stable")  # packed = (doc, chunk_no)
-        p_sorted = p[order]
-        ch = ch.take(pa.array(order))
-        docs = p_sorted // _CHUNK_PACK
-        run_starts = np.nonzero(
-            np.concatenate([[True], docs[1:] != docs[:-1]]))[0]
-        run_offsets = np.concatenate([run_starts, [len(docs)]])
-        la = pa.ListArray.from_arrays(pa.array(run_offsets, pa.int32()), ch)
-        return pa.table({id_col: pa.array(docs[run_starts]),
-                         "text_clean": pc.binary_join(la, " ")})
+        return _rebuild_docs(ch.take(pa.array(idx)), p, id_col)
 
     from payor_linkage.rayutil import grouped_apply
 
     return grouped_apply(dec, id_col, runs_fn=rebuild,
                          out_schema=out_schema)
+
+
+def chunk_state_build(docs: Dataset, state_dir: str, w: int = 8,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      n_buckets: int = 64) -> None:
+    """Seed the persisted chunk-hash state for
+    ``dedup_chunks_incremental`` from an existing corpus: the DISTINCT
+    set of chunk md5s (one grouped shuffle — same cost as one
+    ``dedup_chunks`` election), written bucketed by crc32(h) so later
+    deltas read only their touched buckets."""
+    import ray.data as rd
+
+    from payor_linkage import storage
+
+    def to_hashes(b: pa.Table) -> pa.Table:
+        t = _explode_chunk_rows(b, w, id_col, text_col)
+        h = _content_md5(t["chunk"])
+        return (pa.table({"h": h}).group_by("h").aggregate([])
+                if t.num_rows else pa.table({"h": pa.array([], pa.string())}))
+
+    distinct = (docs.select_columns([id_col, text_col])
+                .map_batches(to_hashes, batch_format="pyarrow")
+                .groupby("h").count()
+                .map_batches(lambda b: b.select(["h"]),
+                             batch_format="pyarrow"))
+    storage.append_bucketed(distinct, state_dir, "h", n_buckets)
+
+
+def dedup_chunks_incremental(new_docs: Dataset, state_dir: str, w: int = 8,
+                             id_col: str = "doc_id", text_col: str = "text",
+                             n_buckets: int = 64):
+    """Incremental C4-style chunk dedup against persisted chunk-hash
+    state — the O(delta) maintenance form of ``dedup_chunks``: a new
+    landing drop is span-cleaned against a 100 TB corpus WITHOUT
+    touching the corpus. A delta chunk survives iff its md5 is absent
+    from the state AND it is the first occurrence within the delta
+    (by (doc_id, chunk position)); each delta doc is rebuilt from its
+    surviving chunks, and the surviving hashes are APPENDED to the
+    state (``storage.append_bucketed`` — O(delta) new part files,
+    existing files untouched, crash-idempotent).
+
+    The state stores the corpus's DISTINCT chunk set, which equals its
+    first-occurrence set — so chaining deltas is byte-equivalent to one
+    full ``dedup_chunks`` run under arrival order (prior corpus first,
+    then deltas in order); two-generation parity is pytest-gated.
+
+    I/O shape: the delta's chunk hashes pick their buckets
+    arithmetically (crc32 % n_buckets); ONLY those bucket files are
+    read. Delta processing runs on the driver tier over collected
+    Arrow blocks (the incremental-family precedent: a delta-bounded
+    input pays more in Ray stage barriers than in work).
+
+    Returns ``(cleaned, buckets)``: (doc_id, text_clean) rows for delta
+    docs with ≥1 surviving chunk, and the touched bucket ids."""
+    import os
+    import zlib
+
+    import ray
+    import ray.data as rd
+
+    from payor_linkage import storage
+
+    parts = [t for t in ray.get(
+        new_docs.select_columns([id_col, text_col])
+        .map_batches(lambda b: _explode_chunk_rows(b, w, id_col, text_col),
+                     batch_format="pyarrow")
+        .materialize().to_arrow_refs()) if t.num_rows]
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "text_clean": pa.array([], pa.string())})
+    if not parts:
+        return rd.from_arrow(empty), []
+    dtbl = pa.concat_tables(parts, promote_options="default") \
+        .combine_chunks()
+    h = _content_md5(dtbl["chunk"])
+    dtbl = dtbl.append_column("h", h)
+
+    buckets = sorted({zlib.crc32(x.encode()) % n_buckets
+                      for x in set(h.to_pylist())})
+    dirs = [d for d in (os.path.join(state_dir, f"_bucket={b}")
+                        for b in buckets) if os.path.isdir(d)]
+    if dirs:
+        prior = rd.read_parquet(dirs, columns=["h"],
+                                file_extensions=["parquet"])
+        ptbl = pa.concat_tables(
+            [t for t in ray.get(prior.materialize().to_arrow_refs())
+             if t.num_rows], promote_options="default")
+        prior_h = ptbl["h"].combine_chunks() if ptbl.num_rows \
+            else pa.array([], pa.string())
+    else:
+        prior_h = pa.array([], pa.string())
+
+    fresh = dtbl.filter(pc.invert(pc.is_in(dtbl["h"], value_set=prior_h)))
+    # first occurrence within the delta: min packed per chunk hash
+    fresh = fresh.sort_by([("h", "ascending"), ("packed", "ascending")]) \
+        .combine_chunks()
+    if fresh.num_rows:
+        ha = fresh["h"].to_numpy(zero_copy_only=False)
+        firsts = np.nonzero(
+            np.concatenate([[True], ha[1:] != ha[:-1]]))[0]
+        kept = fresh.take(pa.array(firsts))
+    else:
+        kept = fresh
+    cleaned = _rebuild_docs(
+        kept["chunk"].combine_chunks(),
+        kept["packed"].to_numpy(zero_copy_only=False), id_col)
+    if kept.num_rows:
+        storage.append_bucketed(rd.from_arrow(kept.select(["h"])),
+                                state_dir, "h", n_buckets)
+    return rd.from_arrow(cleaned), buckets

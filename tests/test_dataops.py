@@ -1495,3 +1495,45 @@ def test_quantized_topk_integer_distances(ray_session):
     assert [r["neighbor_id"] for r in out] == [1, 2]
     assert all(isinstance(r["dist"], int) and r["dist"] >= 0 for r in out)
     assert [r["rank"] for r in out] == [1, 2]
+
+
+def test_dedup_chunks_incremental_two_generations(ray_session, tmp_path):
+    """Chaining two deltas through the persisted chunk state must equal
+    ONE full dedup_chunks run over the arrival-ordered corpus (prior ids
+    < delta1 ids < delta2 ids, so packed order == arrival order)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from payor_linkage.dataops.dedup import (chunk_state_build,
+                                             dedup_chunks,
+                                             dedup_chunks_incremental)
+
+    state = str(tmp_path / "chunk_state")
+    prior = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["a b c d", "c d e f"]),
+    })
+    delta1 = pa.table({
+        "doc_id": pa.array([10, 11], pa.int64()),
+        "text": pa.array(["a b p q", "p q r s"]),
+    })
+    delta2 = pa.table({
+        "doc_id": pa.array([20], pa.int64()),
+        "text": pa.array(["r s e f z"]),
+    })
+    chunk_state_build(rd.from_arrow(prior), state, w=2)
+    out1, _ = dedup_chunks_incremental(rd.from_arrow(delta1), state, w=2)
+    out2, _ = dedup_chunks_incremental(rd.from_arrow(delta2), state, w=2)
+
+    full = dedup_chunks(
+        rd.from_arrow(pa.concat_tables([prior, delta1, delta2])), w=2)
+    full_df = full.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    inc_df = pd.concat([out1.to_pandas(), out2.to_pandas()]) \
+        .sort_values("doc_id").reset_index(drop=True)
+    ref_delta = full_df[full_df.doc_id >= 10].reset_index(drop=True)
+    pd.testing.assert_frame_equal(inc_df, ref_delta)
+    # spot semantics: "a b" seen in prior → dropped from doc 10;
+    # "p q" first in doc 10 → dropped from doc 11; doc 20 keeps only
+    # its fresh tail chunk "z"
+    got = dict(zip(inc_df.doc_id, inc_df.text_clean))
+    assert got == {10: "p q", 11: "r s", 20: "z"}
