@@ -1002,6 +1002,19 @@ def q_chunk_dedup_incremental(sf_dir: str):
     return cleaned
 
 
+def q_temperature_sample(sf_dir: str):
+    """Temperature (α=0.5) corpus mixing: 200 documents allocated
+    across sources ∝ isqrt(n_source) by integer largest-remainder
+    arithmetic (exact — no float shares), each source contributing its
+    quota of highest-md5-hash docs. The multilingual up/down-sampling
+    step of training-data pipelines, fully deterministic and
+    SQL-reproducible."""
+    from payor_linkage.dataops.text import temperature_sample
+
+    return temperature_sample(_docs(sf_dir), group_col="source",
+                              total=200)
+
+
 def q_pagerank(sf_dir: str):
     """Iterative numeric algorithm (PageRank) over the document
     similarity graph (shared-substring pairs, symmetrized): N rounds of
@@ -2996,6 +3009,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sq_topk": q_sq_topk,
         "q_chunk_dedup": q_chunk_dedup,
         "q_chunk_dedup_incremental": q_chunk_dedup_incremental,
+        "q_temperature_sample": q_temperature_sample,
         "q_triangle_counts": q_triangle_counts,
         "q_interval_coverage": q_interval_coverage,
         "q_edit_distance_join": q_edit_distance_join,
@@ -4328,6 +4342,41 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(chunk, ' ' ORDER BY packed % 1000000)
                        AS text_clean
             FROM fresh GROUP BY packed // 1000000
+        """,
+        # α=0.5 temperature mixing: isqrt weights + integer
+        # largest-remainder quotas (exact), md5-desc rank selection.
+        "q_temperature_sample": """
+            WITH c AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n
+              FROM documents GROUP BY source
+            ), w AS (
+              SELECT source, CAST(floor(sqrt(n)) AS BIGINT) AS wt FROM c
+            ), t AS (
+              SELECT CAST(SUM(wt) AS BIGINT) AS tw FROM w
+            ), base AS (
+              SELECT source, (200 * wt) // tw AS q0, (200 * wt) % tw AS rem
+              FROM w, t
+            ), quota AS (
+              SELECT b.source,
+                     LEAST(q0 + CASE WHEN row_number() OVER (
+                                         ORDER BY rem DESC, b.source)
+                                     <= 200 - (SELECT CAST(SUM(q0)
+                                                           AS BIGINT)
+                                               FROM base)
+                                THEN 1 ELSE 0 END,
+                           c.n) AS q
+              FROM base b JOIN c ON b.source = c.source
+            ), ranked AS (
+              SELECT doc_id, source,
+                     CAST(row_number() OVER (
+                         PARTITION BY source
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)) DESC,
+                                  doc_id) AS BIGINT) AS rank
+              FROM documents
+            )
+            SELECT r.source, r.rank, r.doc_id
+            FROM ranked r JOIN quota USING (source)
+            WHERE r.rank <= q
         """,
         "q_rollup_counts": """
             SELECT coalesce(source, 'ALL') AS source,

@@ -1278,3 +1278,70 @@ def prune_rare_tokens(ds: Dataset, min_count: int,
 
     return ds.select_columns([id_col, text_col]).map_batches(
         prune, batch_format="pyarrow")
+
+
+def temperature_sample(ds: Dataset, group_col: str = "source",
+                       total: int = 200, id_col: str = "doc_id") -> Dataset:
+    """Temperature-based corpus mixing (the multilingual up/down-
+    sampling step of large-scale training pipelines): allocate ``total``
+    output documents across groups proportional to ``n_g^0.5`` (α = 0.5
+    temperature — flattens the group-size distribution, boosting small
+    sources), then pick each group's quota deterministically as its
+    highest-md5-hash documents.
+
+    Exactness contract: weights are ``isqrt(n_g)`` (INTEGER sqrt) and
+    quotas come from integer largest-remainder arithmetic (floor shares
+    + one extra unit per largest remainder, ties by group ascending) —
+    no order-dependent float sums anywhere, so the SQL oracle reproduces
+    the allocation bit-exactly (the ``prorate_integer`` precedent).
+    Selection is the md5-prefix rank order ``q_stratified_sample``
+    already uses (hex-lexicographic ⇔ integer-prefix order).
+
+    Scale shape: one bounded grouped count (rows = distinct groups),
+    driver-side integer quota math, then one hash pass + one
+    ``grouped_topk`` (per-batch combiner keeps ≤ max-quota rows per
+    group per batch) + a broadcast-quota filter. The corpus is never
+    collected."""
+    import math
+
+    import ray
+
+    from payor_linkage.dataops.aggregates import grouped_topk
+
+    counts = {r[group_col]: r["count()"]
+              for r in ds.groupby(group_col).count().take_all()}
+    groups = sorted(counts)
+    w = {g: math.isqrt(int(counts[g])) for g in groups}
+    W = sum(w.values())
+    if W == 0:
+        raise ValueError("temperature_sample: all groups empty")
+    q0 = {g: (total * w[g]) // W for g in groups}
+    rem = {g: (total * w[g]) % W for g in groups}
+    extra = total - sum(q0.values())
+    for g in sorted(groups, key=lambda g: (-rem[g], g))[:extra]:
+        q0[g] += 1
+    # sampling is WITHOUT replacement: a group cannot supply more docs
+    # than it has, so quotas truncate at group size (the output may then
+    # total < ``total`` — documented, and mirrored by the oracle's LEAST)
+    quotas = {g: min(q0[g], int(counts[g])) for g in groups}
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        hh = [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+              for i in b[id_col].to_pylist()]
+        return b.append_column("h", pa.array(hh, pa.int64()))
+
+    hashed = (ds.select_columns([id_col, group_col])
+              .map_batches(add_hash, batch_format="pyarrow"))
+    kmax = max(quotas.values())
+    top = grouped_topk(hashed, key=group_col, order_col="h", k=kmax,
+                       tie_col=id_col, keep_cols=[id_col])
+    qref = ray.put(quotas)
+
+    def within_quota(b: pa.Table) -> pa.Table:
+        qs = ray.get(qref)
+        ranks = b["rank"].to_numpy(zero_copy_only=False)
+        lim = np.array([qs.get(g, 0) for g in b[group_col].to_pylist()],
+                       dtype=np.int64)
+        return b.filter(pa.array(ranks <= lim))
+
+    return top.map_batches(within_quota, batch_format="pyarrow")

@@ -1537,3 +1537,26 @@ def test_dedup_chunks_incremental_two_generations(ray_session, tmp_path):
     # its fresh tail chunk "z"
     got = dict(zip(inc_df.doc_id, inc_df.text_clean))
     assert got == {10: "p q", 11: "r s", 20: "z"}
+
+
+def test_temperature_sample_quota_exactness(ray_session):
+    import ray.data as rd
+
+    from payor_linkage.dataops.text import temperature_sample
+
+    # 90 docs in group a, 10 in b: proportional would give 180/20;
+    # α=0.5 (isqrt weights 9 and 3) gives 150/50 — small group boosted.
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(100)), pa.int64()),
+        "source": pa.array(["a"] * 90 + ["b"] * 10),
+    }))
+    out = temperature_sample(docs, group_col="source", total=60,
+                             id_col="doc_id").to_pandas()
+    per = out.groupby("source").size().to_dict()
+    # isqrt weights: w_a=9, w_b=3, W=12 → raw quotas 45 and 15; b has
+    # only 10 docs so its quota truncates (without-replacement cap)
+    assert per == {"a": 45, "b": 10}
+    # deterministic: same call → same ids
+    out2 = temperature_sample(docs, group_col="source", total=60,
+                              id_col="doc_id").to_pandas()
+    assert sorted(out.doc_id) == sorted(out2.doc_id)
