@@ -1015,6 +1015,25 @@ def q_temperature_sample(sf_dir: str):
                               total=200)
 
 
+def q_islands(sf_dir: str):
+    """Gaps-and-islands: maximal runs of consecutive event_ids per user
+    — the distributed seq − ROW_NUMBER() grouping trick, island
+    detection one vectorized diff across every run in a block."""
+    from payor_linkage.dataops.aggregates import grouped_islands
+
+    return grouped_islands(_events(sf_dir), key="user_id",
+                           seq_col="event_id")
+
+
+def q_grouped_bits(sf_dir: str):
+    """Per-(source) bitwise OR / AND over document n_chars — mergeable
+    bit aggregates: per-batch reduceat partials collapse each block to
+    ≤ distinct-keys rows before the one grouped exchange."""
+    from payor_linkage.dataops.aggregates import grouped_bits
+
+    return grouped_bits(_docs(sf_dir), key="source", value_col="n_chars")
+
+
 def q_pagerank(sf_dir: str):
     """Iterative numeric algorithm (PageRank) over the document
     similarity graph (shared-substring pairs, symmetrized): N rounds of
@@ -3010,6 +3029,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_chunk_dedup": q_chunk_dedup,
         "q_chunk_dedup_incremental": q_chunk_dedup_incremental,
         "q_temperature_sample": q_temperature_sample,
+        "q_islands": q_islands,
+        "q_grouped_bits": q_grouped_bits,
         "q_triangle_counts": q_triangle_counts,
         "q_interval_coverage": q_interval_coverage,
         "q_edit_distance_join": q_edit_distance_join,
@@ -4377,6 +4398,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.source, r.rank, r.doc_id
             FROM ranked r JOIN quota USING (source)
             WHERE r.rank <= q
+        """,
+        "q_islands": """
+            SELECT user_id,
+                   CAST(MIN(event_id) AS BIGINT) AS island_start,
+                   CAST(MAX(event_id) AS BIGINT) AS island_end,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT user_id, event_id,
+                         event_id - row_number() OVER (
+                             PARTITION BY user_id ORDER BY event_id)
+                             AS grp
+                  FROM events)
+            GROUP BY user_id, grp
+        """,
+        "q_grouped_bits": """
+            SELECT source,
+                   CAST(bit_or(n_chars) AS BIGINT) AS bits_or,
+                   CAST(bit_and(n_chars) AS BIGINT) AS bits_and
+            FROM documents GROUP BY source
         """,
         "q_rollup_counts": """
             SELECT coalesce(source, 'ALL') AS source,

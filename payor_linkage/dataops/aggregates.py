@@ -1174,3 +1174,93 @@ def pareto_frontier(ds: Dataset, x_col: str, y_col: str,
         frontier, batch_format="pyarrow")
     return partial.repartition(1).map_batches(
         frontier, batch_format="pyarrow", batch_size=None)
+
+
+def grouped_islands(ds: Dataset, key: str, seq_col: str) -> Dataset:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE integers in
+    ``seq_col`` per key → (key, island_start, island_end, n) — the
+    distributed form of the classic ``seq - ROW_NUMBER()`` grouping
+    trick. All-integer outputs → byte-exact oracle parity.
+
+    One grouped sort (inside grouped_apply); island detection is a
+    single vectorized diff across every run in a block — a new island
+    starts at a run boundary or wherever the sorted sequence steps by
+    ≠ 1. Distinct ``seq_col`` values per key assumed (true for id
+    columns; duplicates would merge into one island both here and in
+    the SQL trick only if deduped first)."""
+    s = ds.schema().base_schema
+    out_schema = pa.schema([(key, s.field(key).type),
+                            ("island_start", pa.int64()),
+                            ("island_end", pa.int64()),
+                            ("n", pa.int64())])
+
+    def runs(b: pa.Table, starts, ends) -> pa.Table:
+        lo, hi = starts[0], ends[-1]
+        rid = _run_ids(starts, ends)
+        seq = b[seq_col].to_numpy(zero_copy_only=False)[lo:hi] \
+            .astype(np.int64)
+        order = np.lexsort((seq, rid))
+        sseq = seq[order]
+        new_island = np.concatenate(
+            [[True], (rid[order][1:] != rid[order][:-1])
+             | (sseq[1:] != sseq[:-1] + 1)])
+        is_starts = np.nonzero(new_island)[0]
+        is_ends = np.concatenate([is_starts[1:], [len(sseq)]])
+        row_take = order[is_starts] + lo
+        return pa.table({
+            key: b[key].take(pa.array(row_take)),
+            "island_start": pa.array(sseq[is_starts]),
+            "island_end": pa.array(sseq[is_ends - 1]),
+            "n": pa.array(is_ends - is_starts),
+        }).cast(out_schema)
+
+    return grouped_apply(ds.select_columns([key, seq_col]), key,
+                         out_schema=out_schema, runs_fn=runs)
+
+
+def grouped_bits(ds: Dataset, key: str, value_col: str) -> Dataset:
+    """Per-key bitwise OR and AND of an integer column — mergeable
+    (associative + commutative), so a per-batch partial collapses each
+    block to ≤ distinct-keys rows before the one grouped exchange; the
+    final fold reuses the same reduceat kernel inside grouped_apply."""
+    s = ds.schema().base_schema
+    out_schema = pa.schema([(key, s.field(key).type),
+                            ("bits_or", pa.int64()),
+                            ("bits_and", pa.int64())])
+
+    def _fold(keyc, orv, andv):
+        order = np.argsort(keyc, kind="stable")
+        ks = keyc[order]
+        rs = np.nonzero(np.concatenate([[True], ks[1:] != ks[:-1]]))[0]
+        return (order[rs],
+                np.bitwise_or.reduceat(orv[order], rs),
+                np.bitwise_and.reduceat(andv[order], rs))
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        codes = pc.dictionary_encode(b[key]).combine_chunks().indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        take, orv, andv = _fold(codes, v, v)
+        return pa.table({key: b[key].take(pa.array(take)),
+                         "bits_or": pa.array(orv),
+                         "bits_and": pa.array(andv)}).cast(out_schema)
+
+    partials = ds.select_columns([key, value_col]).map_batches(
+        partial, batch_format="pyarrow")
+
+    def final_runs(b: pa.Table, starts, ends) -> pa.Table:
+        lo, hi = starts[0], ends[-1]
+        rid = _run_ids(starts, ends)
+        orv = b["bits_or"].to_numpy(zero_copy_only=False)[lo:hi]
+        andv = b["bits_and"].to_numpy(zero_copy_only=False)[lo:hi]
+        rs = starts - lo
+        return pa.table({
+            key: b[key].take(pa.array(starts)),
+            "bits_or": pa.array(np.bitwise_or.reduceat(orv, rs)),
+            "bits_and": pa.array(np.bitwise_and.reduceat(andv, rs)),
+        }).cast(out_schema)
+
+    return grouped_apply(partials, key, out_schema=out_schema,
+                         runs_fn=final_runs)

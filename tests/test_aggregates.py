@@ -1095,3 +1095,32 @@ def test_union_by_name_aligns_and_guards(ray_session):
     bad = pd.DataFrame({"x": ["not-int"]})
     with pytest.raises(ValueError):
         union_by_name(_ds(a), _ds(bad))
+
+
+def test_grouped_islands_crafted(ray_session):
+    import ray.data as rd
+
+    from payor_linkage.dataops.aggregates import grouped_islands
+
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(["a"] * 6 + ["b"] * 3),
+        "seq": pa.array([1, 2, 3, 7, 8, 12, 5, 6, 7], pa.int64()),
+    }))
+    out = sorted((r["k"], r["island_start"], r["island_end"], r["n"])
+                 for r in grouped_islands(ds, "k", "seq").take_all())
+    assert out == [("a", 1, 3, 3), ("a", 7, 8, 2), ("a", 12, 12, 1),
+                   ("b", 5, 7, 3)]
+
+
+def test_grouped_bits_crafted(ray_session):
+    import ray.data as rd
+
+    from payor_linkage.dataops.aggregates import grouped_bits
+
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(["x", "x", "x", "y"]),
+        "v": pa.array([0b1100, 0b1010, 0b1001, 0b0111], pa.int64()),
+    }))
+    out = {r["k"]: (r["bits_or"], r["bits_and"])
+           for r in grouped_bits(ds, "k", "v").take_all()}
+    assert out == {"x": (0b1111, 0b1000), "y": (0b0111, 0b0111)}
