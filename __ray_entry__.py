@@ -258,6 +258,26 @@ def q_asof_join(sf_dir: str):
     return asof_join(clicks, views, on="user_id", ts_col="ts")
 
 
+def q_asof_nearest(sf_dir: str):
+    """Nearest as-of join by ABSOLUTE time distance: each click gets
+    the view minimizing |Δts| per user (distance ties → earlier view,
+    same-timestamp ties → min id) — both direction candidates from one
+    searchsorted pair, no per-row scan."""
+    import pyarrow.compute as pc
+
+    from payor_linkage.dataops.temporal import asof_join
+
+    ev = _events(sf_dir)
+    clicks = ev.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "click")),
+        batch_format="pyarrow")
+    views = ev.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "view")),
+        batch_format="pyarrow")
+    return asof_join(clicks, views, on="user_id", ts_col="ts",
+                     out_col="nearest_event_id", direction="nearest")
+
+
 def q_asof_forward(sf_dir: str):
     """Forward as-of join: each view event gets the NEXT click at-or-
     after it per user (smallest ts ≥, ties → min event_id) — the
@@ -1013,6 +1033,20 @@ def q_temperature_sample(sf_dir: str):
 
     return temperature_sample(_docs(sf_dir), group_col="source",
                               total=200)
+
+
+def q_pq_encode(sf_dir: str):
+    """Product quantization of the embedding column: 4 subspaces × 16
+    L2-kmeans centroids (codebooks trained in streaming passes, m·k
+    partial sums per block), every vector encoded to its 4×4-bit code —
+    16× compression before ADC search. Float-iterative training →
+    rows-only (the kmeans precedent); exact numpy-reference parity is
+    pytest-gated (test_pq_matches_numpy_reference)."""
+    from payor_linkage.dataops.similarity import pq_encode, pq_fit
+
+    emb = _emb(sf_dir)
+    C = pq_fit(emb, m=4, k=16, iters=4)
+    return pq_encode(emb, C)
 
 
 def q_islands(sf_dir: str):
@@ -2994,6 +3028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hopping_windows": q_hopping_windows,
         "q_first_event": q_first_event,
         "q_asof_join": q_asof_join,
+        "q_asof_nearest": q_asof_nearest,
         "q_range_join": q_range_join,
         "q_sessionize": q_sessionize,
         "q_anti_join": q_anti_join,
@@ -3031,6 +3066,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_temperature_sample": q_temperature_sample,
         "q_islands": q_islands,
         "q_grouped_bits": q_grouped_bits,
+        "q_pq_encode": q_pq_encode,
         "q_triangle_counts": q_triangle_counts,
         "q_interval_coverage": q_interval_coverage,
         "q_edit_distance_join": q_edit_distance_join,
@@ -3193,6 +3229,17 @@ def oracle_sql() -> dict[str, str]:
                             FROM events WHERE event_type = 'view'
                             GROUP BY 1, 2) v
               ON c.user_id = v.user_id AND v.ts <= c.ts
+        """,
+        "q_asof_nearest": """
+            SELECT c.event_id, c.user_id,
+                   (SELECT v.event_id
+                    FROM events v
+                    WHERE v.event_type = 'view'
+                      AND v.user_id = c.user_id
+                    ORDER BY abs(epoch_us(v.ts) - epoch_us(c.ts)),
+                             v.ts, v.event_id
+                    LIMIT 1) AS nearest_event_id
+            FROM events c WHERE c.event_type = 'click'
         """,
         "q_asof_forward": """
             SELECT v.event_id, v.user_id,

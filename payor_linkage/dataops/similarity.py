@@ -558,6 +558,112 @@ def _query_rows(ds: Dataset, query_ids: list[int], id_col: str,
     return qids, Q
 
 
+# ── product quantization ───────────────────────────────────────────────────
+
+
+def pq_fit(ds: Dataset, m: int = 4, k: int = 16, iters: int = 8,
+           sample_size: int = 4096, vec_col: str = "embedding",
+           seed: int = 23) -> np.ndarray:
+    """Product-quantization codebooks: split the embedding dimension
+    into ``m`` contiguous subspaces and fit ``k`` L2 (plain Lloyd, NOT
+    spherical) centroids per subspace — the standard PQ compression
+    trainer (m log2(k)-bit codes per vector, e.g. 4×4 bits here vs 64
+    float32s). Returns (m, k, dim/m) float64 codebooks.
+
+    Scale shape mirrors ``kmeans_fit``: deterministic init from a
+    BOUNDED sample, then per iteration ONE streaming pass over the
+    corpus — all m subspaces assigned in the same batch kernel, each
+    block emitting m·k partial (count, sum) rows; only m·k·dim floats
+    reach the driver per round. Float-iterative → pytest reference gate
+    (numpy Lloyd with identical init/accumulation), not a SQL oracle —
+    the kmeans/pagerank precedent."""
+    sample = _to_matrix(
+        pa.chunked_array([pa.array([r[vec_col] for r in
+                                    ds.limit(sample_size).take_all()])]))
+    n, dim = sample.shape
+    assert dim % m == 0, "dim must divide evenly into m subspaces"
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    C = np.stack([sample[rng.choice(n, size=min(k, n), replace=False),
+                         s * dsub:(s + 1) * dsub].copy()
+                  for s in range(m)])                       # (m, k, dsub)
+
+    proj = ds.select_columns([vec_col])
+    for _ in range(iters):
+        ref = ray.put(C)
+
+        def partial(b: pa.Table) -> pa.Table:
+            Cm = ray.get(ref)                               # (m, k, dsub)
+            M = _to_matrix(b[vec_col])
+            mm, kk, dd = Cm.shape
+            rows_s, rows_c, rows_n, rows_sum = [], [], [], []
+            for s in range(mm):
+                X = M[:, s * dd:(s + 1) * dd]               # (n, dsub)
+                d2 = ((X[:, None, :] - Cm[s][None, :, :]) ** 2).sum(axis=2)
+                a = np.argmin(d2, axis=1)
+                for c in range(kk):
+                    mem = X[a == c]
+                    rows_s.append(s)
+                    rows_c.append(c)
+                    rows_n.append(len(mem))
+                    rows_sum.append(mem.sum(axis=0) if len(mem)
+                                    else np.zeros(dd))
+            return pa.table({
+                "s": pa.array(rows_s, pa.int64()),
+                "c": pa.array(rows_c, pa.int64()),
+                "n": pa.array(rows_n, pa.int64()),
+                "sum": pa.array([x.tolist() for x in rows_sum],
+                                pa.list_(pa.float64()))})
+
+        parts = pa.concat_tables(
+            [t for t in ray.get(
+                proj.map_batches(partial, batch_format="pyarrow")
+                .materialize().to_arrow_refs()) if t.num_rows],
+            promote_options="default")
+        ss = parts["s"].to_numpy(zero_copy_only=False)
+        cs = parts["c"].to_numpy(zero_copy_only=False)
+        ns = parts["n"].to_numpy(zero_copy_only=False)
+        S = _to_matrix(parts["sum"])
+        newC = C.copy()
+        for s in range(m):
+            for c in range(k):
+                sel = (ss == s) & (cs == c)
+                n_tot = ns[sel].sum()
+                if n_tot:
+                    newC[s, c] = S[sel].sum(axis=0) / n_tot
+        C = newC
+    return C
+
+
+def pq_encode(ds: Dataset, codebooks: np.ndarray, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> Dataset:
+    """One streaming pass: every vector → its m-subspace PQ code
+    (nearest codebook centroid per subspace, ties by centroid id via
+    argmin's first-hit). Output (id, sub 1-based, code) long format."""
+    ref = ray.put(np.ascontiguousarray(codebooks))
+
+    def encode(b: pa.Table) -> pa.Table:
+        Cm = ray.get(ref)
+        M = _to_matrix(b[vec_col])
+        mm, kk, dd = Cm.shape
+        n = M.shape[0] if M.size else 0
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        codes = np.empty((n, mm), dtype=np.int64)
+        for s in range(mm):
+            X = M[:, s * dd:(s + 1) * dd]
+            d2 = ((X[:, None, :] - Cm[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = np.argmin(d2, axis=1)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, mm)),
+            "sub": pa.array(np.tile(np.arange(1, mm + 1, dtype=np.int64),
+                                    n)),
+            "code": pa.array(codes.reshape(-1)),
+        })
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        encode, batch_format="pyarrow")
+
+
 # ── distributed k-means ────────────────────────────────────────────────────
 
 

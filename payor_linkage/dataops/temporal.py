@@ -27,12 +27,15 @@ def asof_join(left: Dataset, right: Dataset, on: str = "user_id",
     ``direction="backward"`` (default): greatest right ``ts_col`` ≤ the
     left row's, ties on right timestamps resolving to the max
     ``right_id``; ``direction="forward"``: smallest right ``ts_col`` ≥
-    the left row's, ties resolving to the min ``right_id`` (both
-    deterministic).
+    the left row's, ties resolving to the min ``right_id``;
+    ``direction="nearest"``: minimal ``|l_ts − r_ts|``, distance ties
+    to the EARLIER right timestamp, same-timestamp ties to the min
+    ``right_id`` — i.e. SQL's ``ORDER BY abs(diff), r_ts, r_id LIMIT
+    1``. All deterministic.
 
     Output: (``left_id``, ``on``, ``out_col``).
     """
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"asof_join: unknown direction={direction!r}")
     lt = left.map_batches(
         lambda b: pa.table({on: b[on],
@@ -82,11 +85,26 @@ def asof_join(left: Dataset, right: Dataset, on: str = "user_id",
                 pos = np.searchsorted(r_ts, l_ts, side="right") - 1
                 matched = pos >= 0
                 vals = np.where(matched, r_id[np.maximum(pos, 0)], 0)
-            else:
+            elif direction == "forward":
                 pos = np.searchsorted(r_ts, l_ts, side="left")
                 matched = pos < len(r_ts)
                 vals = np.where(matched,
                                 r_id[np.minimum(pos, len(r_ts) - 1)], 0)
+            else:  # nearest
+                nxt = np.searchsorted(r_ts, l_ts, side="right")
+                prv = nxt - 1                       # last ts ≤ l_ts
+                has_p, has_n = prv >= 0, nxt < len(r_ts)
+                dp = l_ts - r_ts[np.maximum(prv, 0)]
+                dn = r_ts[np.minimum(nxt, len(r_ts) - 1)] - l_ts
+                pick_prev = has_p & (~has_n | (dp <= dn))
+                chosen_ts = np.where(pick_prev,
+                                     r_ts[np.maximum(prv, 0)],
+                                     r_ts[np.minimum(nxt, len(r_ts) - 1)])
+                # min right_id at the chosen timestamp: first index of
+                # that ts in the (ts, id)-sorted right side
+                first = np.searchsorted(r_ts, chosen_ts, side="left")
+                matched = has_p | has_n
+                vals = np.where(matched, r_id[first], 0)
             out_l.extend(l_id.tolist())
             out_k.extend([keys[s]] * len(l_id))
             out_r.extend([int(v) if m else None

@@ -1560,3 +1560,62 @@ def test_temperature_sample_quota_exactness(ray_session):
     out2 = temperature_sample(docs, group_col="source", total=60,
                               id_col="doc_id").to_pandas()
     assert sorted(out.doc_id) == sorted(out2.doc_id)
+
+
+def test_pq_matches_numpy_reference(ray_session):
+    """Distributed PQ training equals a pure-numpy Lloyd per subspace
+    running the SAME algorithm (same seeded init draws, float64, single
+    input block so partials are full sums); encode is deterministic."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from payor_linkage.dataops.similarity import pq_encode, pq_fit
+
+    rng = np.random.RandomState(5)
+    X = np.vstack([np.tile([i * 3.0, -i * 2.0], 4) + rng.randn(30, 8) * 0.1
+                   for i in range(4)])
+    ids = np.arange(len(X), dtype=np.int64)
+    tbl = pa.table({"vec_id": pa.array(ids),
+                    "embedding": pa.array([r.tolist() for r in X],
+                                          pa.list_(pa.float32()))})
+    ds = rd.from_arrow(tbl)
+    m, k, iters, seed = 2, 4, 5, 23
+    C = pq_fit(ds, m=m, k=k, iters=iters, seed=seed)
+    assert C.shape == (m, k, 4)
+
+    # reference: identical init draws and update order, float64
+    Xf = np.stack([np.asarray(r, dtype=np.float64)
+                   for r in tbl["embedding"].to_pylist()])
+    n, dim = Xf.shape
+    dsub = dim // m
+    rr = np.random.RandomState(seed)
+    Cr = np.stack([Xf[rr.choice(n, size=k, replace=False),
+                      s * dsub:(s + 1) * dsub].copy() for s in range(m)])
+    for _ in range(iters):
+        newC = Cr.copy()
+        for s in range(m):
+            Xs = Xf[:, s * dsub:(s + 1) * dsub]
+            d2 = ((Xs[:, None, :] - Cr[s][None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            for c in range(k):
+                mem = Xs[a == c]
+                if len(mem):
+                    newC[s, c] = mem.sum(axis=0) / len(mem)
+        Cr = newC
+    assert np.allclose(C, Cr, rtol=0, atol=0)
+
+    codes = pq_encode(ds, C).to_pandas() \
+        .sort_values(["vec_id", "sub"]).reset_index(drop=True)
+    assert len(codes) == n * m
+    # encode parity vs a reference argmin over the SAME codebooks
+    wide = codes.pivot(index="vec_id", columns="sub", values="code") \
+        .sort_index()
+    for s in range(m):
+        Xs = Xf[:, s * dsub:(s + 1) * dsub]
+        d2 = ((Xs[:, None, :] - Cr[s][None, :, :]) ** 2).sum(axis=2)
+        assert list(wide[s + 1]) == list(np.argmin(d2, axis=1))
+    codes2 = pq_encode(ds, C).to_pandas() \
+        .sort_values(["vec_id", "sub"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(codes, codes2)
