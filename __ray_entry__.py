@@ -1068,6 +1068,29 @@ def q_grouped_bits(sf_dir: str):
     return grouped_bits(_docs(sf_dir), key="source", value_col="n_chars")
 
 
+def q_interval_gaps(sf_dir: str):
+    """Complement of the merged event intervals: per user each maximal
+    uncovered gap between consecutive coverage islands, as (user,
+    gap_start, gap_end) µs rows — interval_coverage's segmented
+    running-max kernel emitting the boundaries instead of the sums."""
+    from payor_linkage.dataops.temporal import interval_gaps
+
+    return interval_gaps(_events(sf_dir))
+
+
+def q_running_distinct(sf_dir: str):
+    """Cumulative COUNT(DISTINCT event_type) per user in (ts, event_id)
+    order — every event annotated with its key's distinct-to-date count
+    via first-occurrence flags + one segmented cumsum, both vectorized
+    across runs."""
+    from payor_linkage.dataops.aggregates import running_distinct
+
+    return running_distinct(_events(sf_dir), key="user_id",
+                            value_col="event_type",
+                            order_cols=["ts", "event_id"],
+                            id_col="event_id")
+
+
 def q_pagerank(sf_dir: str):
     """Iterative numeric algorithm (PageRank) over the document
     similarity graph (shared-substring pairs, symmetrized): N rounds of
@@ -3067,6 +3090,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_islands": q_islands,
         "q_grouped_bits": q_grouped_bits,
         "q_pq_encode": q_pq_encode,
+        "q_interval_gaps": q_interval_gaps,
+        "q_running_distinct": q_running_distinct,
         "q_triangle_counts": q_triangle_counts,
         "q_interval_coverage": q_interval_coverage,
         "q_edit_distance_join": q_edit_distance_join,
@@ -5328,6 +5353,35 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT user_id, count(*) AS n_islands,
                          CAST(SUM(i_e - i_s) AS BIGINT) AS covered_us
                   FROM agg GROUP BY 1) a USING (user_id)
+        """,
+        "q_interval_gaps": """
+            WITH iv AS (
+              SELECT user_id, epoch_us(ts) AS s,
+                     epoch_us(ts)
+                     + GREATEST(CAST(floor(value * 1000000) AS BIGINT), 0)
+                         AS e
+              FROM events),
+            m AS (
+              SELECT user_id, s, e,
+                     MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING) AS pm
+              FROM iv)
+            SELECT user_id, CAST(pm AS BIGINT) AS gap_start,
+                   CAST(s AS BIGINT) AS gap_end
+            FROM m WHERE pm IS NOT NULL AND s > pm
+        """,
+        "q_running_distinct": """
+            SELECT user_id, event_id,
+                   CAST(SUM(is_first) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_distinct
+            FROM (SELECT user_id, event_id, ts,
+                         CASE WHEN row_number() OVER (
+                                  PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) = 1
+                              THEN 1 ELSE 0 END AS is_first
+                  FROM events)
         """,
         # triangles via the classic 3-way edge self-join over the same
         # shared-substring graph q_substring_dup's oracle derives —

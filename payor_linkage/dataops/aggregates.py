@@ -1264,3 +1264,56 @@ def grouped_bits(ds: Dataset, key: str, value_col: str) -> Dataset:
 
     return grouped_apply(partials, key, out_schema=out_schema,
                          runs_fn=final_runs)
+
+
+def running_distinct(ds: Dataset, key: str, value_col: str,
+                     order_cols: list[str], id_col: str) -> Dataset:
+    """Cumulative COUNT(DISTINCT value) per key in event order — every
+    row annotated with how many distinct values its key has seen so far
+    (the window form SQL expresses as SUM(first-occurrence flag) OVER).
+    One grouped sort; first-occurrence flags come from ONE extra lexsort
+    over (run, value, order) and the cumulative count from a segmented
+    cumsum — both vectorized across every run in a block."""
+    s = ds.schema().base_schema
+    out_schema = pa.schema([(key, s.field(key).type),
+                            (id_col, s.field(id_col).type),
+                            ("n_distinct", pa.int64())])
+
+    def runs(b: pa.Table, starts, ends) -> pa.Table:
+        lo, hi = starts[0], ends[-1]
+        rid = _run_ids(starts, ends)
+        vals = pc.dictionary_encode(
+            b[value_col].slice(lo, hi - lo).combine_chunks()).indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ordv = [b[c].to_numpy(zero_copy_only=False)[lo:hi]
+                for c in order_cols]
+        # event order within runs
+        ev_order = np.lexsort(tuple(reversed(ordv)) + (rid,))
+        pos = np.empty(hi - lo, np.int64)
+        pos[ev_order] = np.arange(hi - lo)      # event rank in block
+        # first occurrence of (run, value) = the min event rank
+        vo = np.lexsort((pos, vals, rid))
+        first = np.concatenate([[True], (rid[vo][1:] != rid[vo][:-1])
+                                | (vals[vo][1:] != vals[vo][:-1])])
+        flag = np.zeros(hi - lo, np.int64)
+        flag[vo[first]] = 1
+        # segmented cumsum of flags in event order
+        f_ev = flag[ev_order]
+        cs = np.cumsum(f_ev)
+        run_of_ev = rid[ev_order]
+        run_first_ev = np.nonzero(np.concatenate(
+            [[True], run_of_ev[1:] != run_of_ev[:-1]]))[0]
+        base = np.repeat(cs[run_first_ev] - f_ev[run_first_ev],
+                         np.diff(np.concatenate([run_first_ev,
+                                                 [hi - lo]])))
+        nd = cs - base
+        take = pa.array(ev_order + lo)
+        return pa.table({
+            key: b[key].take(take),
+            id_col: b[id_col].take(take),
+            "n_distinct": pa.array(nd),
+        }).cast(out_schema)
+
+    proj = list(dict.fromkeys([key, value_col, id_col] + order_cols))
+    return grouped_apply(ds.select_columns(proj), key,
+                         out_schema=out_schema, runs_fn=runs)

@@ -882,3 +882,62 @@ def densify_locf(events: Dataset, step_us: int, on: str = "user_id",
         }).cast(out_schema)
 
     return grouped_apply(slim, on, out_schema=out_schema, runs_fn=runs)
+
+
+def interval_gaps(events: Dataset, on: str = "user_id",
+                  ts_col: str = "ts", dur_col: str = "value") -> Dataset:
+    """Complement of the merged-interval islands (``interval_coverage``'s
+    sibling): per key, each maximal UNCOVERED gap between consecutive
+    islands as one (key, gap_start, gap_end) row (microsecond epoch
+    ints, half-open). A gap row exists exactly at every island start
+    except the run's first — where the sorted start strictly exceeds
+    the running max end of all preceding intervals.
+
+    Same one-grouped-sort shape and segmented rank-based running-max
+    kernel as ``interval_coverage`` (see its overflow note)."""
+    s = events.schema()
+    key_type = dict(zip(s.names, s.types))[on]
+    out_schema = pa.schema([(on, key_type), ("gap_start", pa.int64()),
+                            ("gap_end", pa.int64())])
+
+    def slim(b: pa.Table) -> pa.Table:
+        start = pa.compute.cast(b[ts_col], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        dur = np.maximum(np.floor(
+            b[dur_col].to_numpy(zero_copy_only=False) * 1_000_000
+        ).astype(np.int64), 0)
+        return pa.table({on: b[on],
+                         "_s": pa.array(start, pa.int64()),
+                         "_e": pa.array(start + dur, pa.int64())})
+
+    def runs(b: pa.Table, starts, ends) -> pa.Table:
+        lo, hi = int(starts[0]), int(ends[-1])
+        rid = np.repeat(np.arange(len(starts), dtype=np.int64),
+                        ends - starts)
+        sarr = b["_s"].to_numpy(zero_copy_only=False)[lo:hi]
+        earr = b["_e"].to_numpy(zero_copy_only=False)[lo:hi]
+        order = np.lexsort((earr, sarr, rid))
+        r_, s_, e_ = rid[order], sarr[order], earr[order]
+        n = len(s_)
+        se = np.sort(e_)
+        rk = np.searchsorted(se, e_).astype(np.int64)
+        cm = np.maximum.accumulate(rk + r_ * (n + 1)) - r_ * (n + 1)
+        cme = se[cm]  # running max end within run, inclusive
+        first = np.concatenate([[True], r_[1:] != r_[:-1]])
+        gap_rows = np.nonzero(~first & np.concatenate(
+            [[False], s_[1:] > cme[:-1]]))[0]
+        take = pa.array((starts[r_[gap_rows]]).astype(np.int64)) \
+            if len(gap_rows) else pa.array([], pa.int64())
+        return pa.table({
+            on: b[on].take(take),
+            "gap_start": pa.array(cme[gap_rows - 1]
+                                  if len(gap_rows) else
+                                  np.array([], np.int64)),
+            "gap_end": pa.array(s_[gap_rows] if len(gap_rows) else
+                                np.array([], np.int64)),
+        }).cast(out_schema)
+
+    from payor_linkage.rayutil import grouped_apply
+
+    return grouped_apply(events.map_batches(slim, batch_format="pyarrow"),
+                         on, out_schema=out_schema, runs_fn=runs)

@@ -1124,3 +1124,20 @@ def test_grouped_bits_crafted(ray_session):
     out = {r["k"]: (r["bits_or"], r["bits_and"])
            for r in grouped_bits(ds, "k", "v").take_all()}
     assert out == {"x": (0b1111, 0b1000), "y": (0b0111, 0b0111)}
+
+
+def test_running_distinct_crafted(ray_session):
+    import ray.data as rd
+
+    from payor_linkage.dataops.aggregates import running_distinct
+
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(["u"] * 5 + ["v"] * 2),
+        "typ": pa.array(["a", "b", "a", "c", "b", "x", "x"]),
+        "t": pa.array([1, 2, 3, 4, 5, 1, 2], pa.int64()),
+        "i": pa.array([10, 11, 12, 13, 14, 20, 21], pa.int64()),
+    }))
+    out = running_distinct(ds, key="k", value_col="typ",
+                           order_cols=["t", "i"], id_col="i").take_all()
+    got = {r["i"]: r["n_distinct"] for r in out}
+    assert got == {10: 1, 11: 2, 12: 2, 13: 3, 14: 3, 20: 1, 21: 1}

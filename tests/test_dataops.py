@@ -1619,3 +1619,33 @@ def test_pq_matches_numpy_reference(ray_session):
     codes2 = pq_encode(ds, C).to_pandas() \
         .sort_values(["vec_id", "sub"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(codes, codes2)
+
+
+def test_interval_gaps_crafted(ray_session):
+    import datetime as dt
+
+    import ray.data as rd
+
+    from payor_linkage.dataops.temporal import interval_gaps
+
+    # user u: [0,2]s, [1,3]s merge; [5,6]s → gap (3s, 5s); user v: one
+    # island → no gaps
+    base = dt.datetime(2024, 1, 1)
+    rows = [("u", 0, 2.0), ("u", 1, 2.0), ("u", 5, 1.0), ("v", 0, 1.0)]
+    ds = rd.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows]),
+        "ts": pa.array([base + dt.timedelta(seconds=r[1]) for r in rows],
+                       pa.timestamp("us")),
+        "value": pa.array([r[2] for r in rows], pa.float64()),
+    }))
+    out = interval_gaps(ds).take_all()
+    assert len(out) == 1
+    g = out[0]
+    # Arrow casts naive timestamps as wall-clock µs since epoch — use
+    # the same convention for the expectation (never .timestamp(),
+    # which is local-TZ-dependent)
+    epoch0 = int((base - dt.datetime(1970, 1, 1)).total_seconds()) \
+        * 1_000_000
+    assert g["user_id"] == "u"
+    assert g["gap_start"] == epoch0 + 3_000_000
+    assert g["gap_end"] == epoch0 + 5_000_000
