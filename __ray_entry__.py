@@ -1068,6 +1068,24 @@ def q_grouped_bits(sf_dir: str):
     return grouped_bits(_docs(sf_dir), key="source", value_col="n_chars")
 
 
+def q_sq_recall(sf_dir: str):
+    """Retrieval evaluation: recall@5 overlap counts between the
+    int8-quantized ANN ranking and the exact float-cosine ranking per
+    query — per-key set-intersection size via one tagged union + one
+    grouped bitmask Sum (no join). Output (query_id, n_common) with
+    n_common ∈ [0, 5]; both rankings AND their overlap are
+    SQL-recomputable, so the whole evaluation is oracle-checked."""
+    from payor_linkage.dataops.aggregates import grouped_intersection_count
+    from payor_linkage.dataops.similarity import ann_topk, quantized_topk
+
+    emb = _emb(sf_dir)
+    qids = [0, 1, 2, 3, 4]
+    approx = quantized_topk(emb, query_ids=qids, k=5)
+    exact = ann_topk(emb, query_ids=qids, k=5)
+    return grouped_intersection_count(approx, exact, key="query_id",
+                                      val="neighbor_id")
+
+
 def q_interval_gaps(sf_dir: str):
     """Complement of the merged event intervals: per user each maximal
     uncovered gap between consecutive coverage islands, as (user,
@@ -3092,6 +3110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pq_encode": q_pq_encode,
         "q_interval_gaps": q_interval_gaps,
         "q_running_distinct": q_running_distinct,
+        "q_sq_recall": q_sq_recall,
         "q_triangle_counts": q_triangle_counts,
         "q_interval_coverage": q_interval_coverage,
         "q_edit_distance_join": q_edit_distance_join,
@@ -5353,6 +5372,55 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT user_id, count(*) AS n_islands,
                          CAST(SUM(i_e - i_s) AS BIGINT) AS covered_us
                   FROM agg GROUP BY 1) a USING (user_id)
+        """,
+        "q_sq_recall": """
+            WITH flat AS (
+              SELECT vec_id,
+                     CAST(generate_subscripts(embedding, 1) AS BIGINT)
+                         AS dim,
+                     CAST(unnest(embedding) AS DOUBLE) AS x
+              FROM embeddings
+            ), rng AS (
+              SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM flat GROUP BY dim
+            ), codes AS (
+              SELECT f.vec_id, f.dim,
+                     CAST(CASE WHEN r.hi > r.lo
+                               THEN LEAST(floor((f.x - r.lo) * 256.0
+                                                / (r.hi - r.lo)), 255.0)
+                               ELSE 0.0 END AS BIGINT) AS code
+              FROM flat f JOIN rng r ON f.dim = r.dim
+            ), approx AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY SUM((q.code - b.code)
+                                        * (q.code - b.code)),
+                                    b.vec_id) AS rank
+                FROM codes q JOIN codes b
+                  ON q.dim = b.dim AND b.vec_id <> q.vec_id
+                WHERE q.vec_id IN (0, 1, 2, 3, 4)
+                GROUP BY q.vec_id, b.vec_id
+              ) WHERE rank <= 5
+            ), exact AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(
+                               CAST(q.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) DESC,
+                           b.vec_id) AS rank
+                FROM embeddings q JOIN embeddings b
+                  ON b.vec_id != q.vec_id
+                WHERE q.vec_id IN (0, 1, 2, 3, 4)
+              ) WHERE rank <= 5
+            )
+            SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_common
+            FROM approx a JOIN exact e
+              ON a.query_id = e.query_id
+             AND a.neighbor_id = e.neighbor_id
+            GROUP BY a.query_id
         """,
         "q_interval_gaps": """
             WITH iv AS (

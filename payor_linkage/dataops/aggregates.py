@@ -1317,3 +1317,34 @@ def running_distinct(ds: Dataset, key: str, value_col: str,
     proj = list(dict.fromkeys([key, value_col, id_col] + order_cols))
     return grouped_apply(ds.select_columns(proj), key,
                          out_schema=out_schema, runs_fn=runs)
+
+
+def grouped_intersection_count(a: Dataset, b: Dataset, key: str,
+                               val: str) -> Dataset:
+    """Per-key set-intersection size between two datasets' value sets —
+    the retrieval-evaluation primitive (recall@k = overlap of an
+    approximate and an exact ranking per query). Values are assumed
+    unique per (key, side) (true for rankings). One tagged union, one
+    grouped Sum over (key, val) bitmask tags, one bounded count — no
+    join."""
+    from ray.data.aggregate import Sum
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({key: t[key], val: t[val],
+                             "side": pa.array([side] * t.num_rows,
+                                              pa.int64())})
+        return f
+
+    both = (a.select_columns([key, val])
+            .map_batches(tag(1), batch_format="pyarrow")
+            .union(b.select_columns([key, val])
+                   .map_batches(tag(2), batch_format="pyarrow")))
+    summed = both.groupby([key, val]).aggregate(
+        Sum("side", alias_name="side"))
+    inter = summed.map_batches(
+        lambda t: t.filter(pc.equal(t["side"], 3)),
+        batch_format="pyarrow")
+    return (inter.groupby(key).count()
+            .map_batches(lambda t: t.rename_columns([key, "n_common"]),
+                         batch_format="pyarrow"))

@@ -1141,3 +1141,22 @@ def test_running_distinct_crafted(ray_session):
                            order_cols=["t", "i"], id_col="i").take_all()
     got = {r["i"]: r["n_distinct"] for r in out}
     assert got == {10: 1, 11: 2, 12: 2, 13: 3, 14: 3, 20: 1, 21: 1}
+
+
+def test_grouped_intersection_count_crafted(ray_session):
+    import ray.data as rd
+
+    from payor_linkage.dataops.aggregates import grouped_intersection_count
+
+    a = rd.from_arrow(pa.table({
+        "q": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "v": pa.array([10, 11, 12, 20, 21], pa.int64()),
+    }))
+    b = rd.from_arrow(pa.table({
+        "q": pa.array([1, 1, 2, 2, 3], pa.int64()),
+        "v": pa.array([11, 12, 22, 23, 30], pa.int64()),
+    }))
+    out = {r["q"]: r["n_common"]
+           for r in grouped_intersection_count(a, b, "q", "v").take_all()}
+    # q=1 shares {11,12}; q=2 shares nothing (no row); q=3 one-sided
+    assert out == {1: 2}
