@@ -849,6 +849,83 @@ def q_ivf_ann(sf_dir: str):
                     n_centroids=16, nprobe=16)
 
 
+def q_hard_negatives(sf_dir: str):
+    """Hard-negative mining for contrastive training: per query vector,
+    the top-5 cosine neighbors whose label DIFFERS from the query's —
+    the masked-matmul variant of `q_ann_topk` (same broadcast-queries /
+    partial-top-k exchange shape; same-label columns masked below the
+    cosine floor inside the batch kernel)."""
+    from payor_linkage.dataops.similarity import hard_negatives
+
+    return hard_negatives(_emb(sf_dir), query_ids=[0, 1, 2, 3, 4], k=5)
+
+
+def q_winsorize(sf_dir: str):
+    """Per-type winsorization of event values at the exact discrete
+    [p10, p90] group quantiles — outlier capping before training-stat
+    computation. Bounds are one row per key (single sort exchange),
+    attached by broadcast lookup; emitted values are SELECTED (original
+    or stored quantile), so float parity vs GREATEST/LEAST is exact."""
+    from fractions import Fraction as F
+
+    from payor_linkage.dataops.aggregates import grouped_winsorize
+
+    return grouped_winsorize(_events(sf_dir), "event_type", "value",
+                             lo=F(1, 10), hi=F(9, 10),
+                             keep_cols=["event_id"])
+
+
+def q_bloom_semi_join(sf_dir: str):
+    """Semi-join via broadcast Bloom prefilter + exact verify
+    (`sketch.bloom_semi_join`): lineitem rows of high-value orders. The
+    scale path when the build side outgrows `q_semi_join`'s exact
+    broadcast set — only the Bloom-surviving slice is shuffled into the
+    exact verify join; no false negatives, so the result is exactly the
+    semi-join."""
+    import os as _os
+
+    import pyarrow.compute as _pc
+    import ray.data as rd
+
+    from payor_linkage.dataops.sketch import bloom_semi_join
+
+    li = rd.read_parquet(_os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_linenumber",
+                                  "l_quantity"])
+    hi = (rd.read_parquet(_os.path.join(sf_dir, "orders.parquet"),
+                          columns=["o_orderkey", "o_totalprice"])
+          .filter(expr="o_totalprice > 400000")
+          .map_batches(lambda b: b.select(["o_orderkey"])
+                       .rename_columns(["l_orderkey"]),
+                       batch_format="pyarrow"))
+    return bloom_semi_join(li, hi, "l_orderkey")
+
+
+def q_neardup_keep_best(sf_dir: str):
+    """Near-dup representative selection: MinHash-verified pairs →
+    connected components → keep the best document per cluster (longest
+    text, tie = min doc_id) — the canonical "collapse near-duplicate
+    clusters to one survivor" curation step. Components reuse the
+    linkage CC tiers; the per-cluster argmax is `grouped_topk(k=1)`
+    (combiner-bounded exchange). Oracle: recursive min-reachability CTE
+    over the pairs sidecar + a ROW_NUMBER argmax."""
+    from payor_linkage import rayutil
+    from payor_linkage.dataops.aggregates import grouped_topk
+    from payor_linkage.dataops.dedup import (minhash_lsh_pairs,
+                                             neardup_components)
+
+    docs = _docs(sf_dir)
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, shingle_k=5,
+                              num_perm=64, bands=16).materialize()
+    _dump_sidecar("keepbest_pairs", pairs.select_columns(["id_a", "id_b"]))
+    comp = neardup_components(docs, pairs).drop_columns(["is_canonical"])
+    joined = rayutil.lookup_join(
+        comp, docs.select_columns(["doc_id", "n_chars"]), "doc_id")
+    best = grouped_topk(joined, "cluster_id", "n_chars", 1,
+                        tie_col="doc_id", keep_cols=["doc_id", "n_chars"])
+    return best.drop_columns(["rank"])
+
+
 # ── rows-only queries (non-SQL-expressible semantics) ──────────────────────
 
 
@@ -3091,6 +3168,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_neardup_components": q_neardup_components,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_ivf_ann": q_ivf_ann,
+        "q_hard_negatives": q_hard_negatives,
+        "q_winsorize": q_winsorize,
+        "q_bloom_semi_join": q_bloom_semi_join,
+        "q_neardup_keep_best": q_neardup_keep_best,
         "q_lsh_neardup": q_lsh_neardup,
         "q_lang_id": q_lang_id,
         "q_media_decode": q_media_decode,
@@ -3575,6 +3656,37 @@ def oracle_sql() -> dict[str, str]:
                 WHERE q.vec_id IN (0, 1, 2, 3, 4)
             ) WHERE rank <= 5
         """,
+        # hard negatives = ann_topk restricted to label-mismatched
+        # neighbors (self is excluded automatically: same label)
+        "q_hard_negatives": """
+            SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(
+                               CAST(q.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) DESC,
+                           b.vec_id) AS rank
+                FROM embeddings q JOIN embeddings b ON b.label != q.label
+                WHERE q.vec_id IN (0, 1, 2, 3, 4)
+            ) WHERE rank <= 5
+        """,
+        "q_winsorize": """
+            WITH b AS (
+                SELECT event_type,
+                       quantile_disc(value, 0.1) AS lo,
+                       quantile_disc(value, 0.9) AS hi
+                FROM events GROUP BY event_type
+            )
+            SELECT e.event_type, e.value, e.event_id,
+                   LEAST(GREATEST(e.value, b.lo), b.hi) AS value_w
+            FROM events e JOIN b USING (event_type)
+        """,
+        "q_bloom_semi_join": """
+            SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_totalprice > 400000)
+        """,
         # IVF in exact mode (nprobe = n_centroids) equals brute force —
         # same oracle as q_ann_topk.
         "q_ivf_ann": """
@@ -3859,6 +3971,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, min(r) AS cluster_id,
                    node = min(r) AS is_canonical
             FROM reach GROUP BY node
+        """,
+        # same recursive components as q_neardup_components over the
+        # keepbest pairs sidecar, then a ROW_NUMBER argmax per cluster
+        "q_neardup_keep_best": f"""
+            WITH RECURSIVE
+            p AS (
+              SELECT id_a, id_b
+              FROM read_parquet('{_SIDECAR_DIR}/keepbest_pairs/*.parquet')
+            ),
+            e AS (
+              SELECT id_a AS a, id_b AS b FROM p
+              UNION ALL
+              SELECT id_b, id_a FROM p
+            ),
+            reach(node, r) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT reach.node, e.b FROM reach JOIN e ON reach.r = e.a
+            ),
+            comp AS (
+              SELECT node AS doc_id, min(r) AS cluster_id
+              FROM reach GROUP BY node
+            )
+            SELECT cluster_id, doc_id, n_chars FROM (
+                SELECT c.cluster_id, d.doc_id, d.n_chars,
+                       row_number() OVER (
+                           PARTITION BY c.cluster_id
+                           ORDER BY d.n_chars DESC, d.doc_id) AS rn
+                FROM comp c JOIN documents d USING (doc_id)
+            ) WHERE rn = 1
         """,
         "q_mdm_components": f"""
             WITH RECURSIVE

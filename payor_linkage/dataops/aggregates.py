@@ -133,6 +133,40 @@ def grouped_quantiles(ds: Dataset, key: str, value_col: str,
                          out_schema=out_schema, runs_fn=runs)
 
 
+def grouped_winsorize(ds: Dataset, key: str, value_col: str,
+                      lo: Fraction = Fraction(1, 10),
+                      hi: Fraction = Fraction(9, 10),
+                      out_col: str = "value_w",
+                      keep_cols: list[str] | None = None) -> Dataset:
+    """Per-key winsorization — clip ``value_col`` into the key's exact
+    discrete [lo, hi] quantiles (``quantile_disc`` semantics), the
+    standard outlier-capping step before training-statistics or
+    loss-weight computation.
+
+    Scale shape: the bounds table is ONE row per key (grouped_quantiles
+    — a single sort exchange over (key, value) only), then attached by
+    broadcast binary-search (``rayutil.lookup_join``) and clipped in one
+    vectorized map pass; the wide row payload is never shuffled. The
+    emitted value is SELECTED from stored inputs (the original or a
+    stored quantile — no arithmetic), so float parity vs SQL
+    ``GREATEST/LEAST`` is byte-exact."""
+    from payor_linkage import rayutil
+
+    keep_cols = keep_cols if keep_cols is not None else []
+    bounds = grouped_quantiles(ds, key, value_col,
+                               qs={"__lo": lo, "__hi": hi})
+    proj = list(dict.fromkeys([key, value_col] + keep_cols))
+    joined = rayutil.lookup_join(ds.select_columns(proj), bounds, key)
+
+    def clip(b: pa.Table) -> pa.Table:
+        w = pc.min_element_wise(
+            pc.max_element_wise(b[value_col], b["__lo"]), b["__hi"])
+        return (b.drop_columns(["__lo", "__hi"])
+                .append_column(out_col, w))
+
+    return joined.map_batches(clip, batch_format="pyarrow")
+
+
 def grouped_lag_delta(ds: Dataset, key: str, order_cols: list[str],
                       value_col: str, out_col: str = "delta") -> Dataset:
     """Per-key LAG delta: ``value - LAG(value) OVER (PARTITION BY key

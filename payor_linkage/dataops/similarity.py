@@ -147,6 +147,58 @@ def _finalize_topk(cands: Dataset, k: int) -> Dataset:
                         tie_col="neighbor_id", keep_cols=["neighbor_id"])
 
 
+def hard_negatives(ds: Dataset, query_ids: list[int], k: int = 5,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label") -> Dataset:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-k cosine neighbors whose ``label_col`` DIFFERS from
+    the query's — the standard "closest wrong-class examples" selection
+    a retrieval/embedding trainer feeds back as negatives. Output
+    (query_id, rank, neighbor_id), ties broken by neighbor id.
+
+    Scale shape: identical to ``ann_topk`` — queries are broadcast once
+    (ray.put), each batch computes one masked matmul against the corpus
+    stream, per-batch partial top-(k+1) bounds the exchange to
+    O(k · queries · blocks) rows. Same-label columns are masked with a
+    sentinel below the cosine floor and dropped from the partial, so a
+    masked row can never reach the global top-k."""
+    qset = ray.put(np.asarray(sorted(set(query_ids))))
+
+    def pick(b: pa.Table) -> pa.Table:
+        wanted = ray.get(qset)
+        mask = np.isin(np.asarray(b[id_col].to_pylist()), wanted)
+        return b.filter(pa.array(mask))
+
+    rows = (ds.select_columns([id_col, vec_col, label_col])
+            .map_batches(pick, batch_format="pyarrow").take_all())
+    rows.sort(key=lambda r: r[id_col])
+    qids = np.array([r[id_col] for r in rows])
+    qlab = np.array([r[label_col] for r in rows])
+    Q = _normalize(np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                             for r in rows]))
+    ref = ray.put((qids, qlab, Q))
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids_q, lab_q, Qm = ray.get(ref)
+        bid = np.asarray(b[id_col].to_numpy(zero_copy_only=False))
+        blab = np.asarray(b[label_col].to_numpy(zero_copy_only=False))
+        B = _normalize(_to_matrix(b[vec_col]))
+        cos = Qm @ B.T                        # (nq, batch)
+        cos = np.where(lab_q[:, None] == blab[None, :], -2.0, cos)
+        nq, nb = cos.shape
+        kk = min(k + 1, nb)
+        part = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
+        vals = np.take_along_axis(cos, part, axis=1).ravel()
+        keep = vals > -1.5                    # drop masked same-label slots
+        return pa.table({
+            "query_id": pa.array(np.repeat(ids_q, kk)[keep]),
+            "neighbor_id": pa.array(bid[part.ravel()[keep]]),
+            "cos": pa.array(vals[keep], pa.float64()),
+        })
+
+    return _finalize_topk(ds.map_batches(partial, batch_format="pyarrow"), k)
+
+
 def _mini_kmeans(sample: np.ndarray, n_centroids: int, iters: int = 10,
                  seed: int = 11) -> np.ndarray:
     rng = np.random.RandomState(seed)

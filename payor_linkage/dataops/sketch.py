@@ -216,6 +216,55 @@ def bloom_contains(bits: Dataset, item, n_hashes: int = 3,
     return found == n_hashes
 
 
+def bloom_semi_join(big: Dataset, small: Dataset, key: str,
+                    n_hashes: int = 3, m_bits: int = 1 << 14) -> Dataset:
+    """Semi-join (rows of ``big`` whose ``key`` appears in ``small``)
+    via a broadcast Bloom prefilter + exact verify — the scale path when
+    the build side's distinct-key set is too large to broadcast exactly
+    (`q_semi_join`'s set / `rayutil.lookup_join`'s 5M bound) but
+    ``m_bits`` of filter still fits in every worker. Bloom has NO false
+    negatives, so prefilter → exact join returns exactly the semi-join;
+    false positives only cost verify work on survivors (rate
+    ≈ (1 − e^{−kn/m})^k).
+
+    Shape: ``bloom_bits`` partials (bounded ≤ n_hashes·m_bits rows) →
+    packed bool matrix broadcast once via ray.put → one map pass drops
+    ``big`` rows missing any bit → the already-cut survivors join the
+    build side's distinct keys (smart_join) for exactness — the shuffle
+    moves only the Bloom-surviving slice, never the full probe side."""
+    import pyarrow.compute as pc
+    import ray
+
+    from payor_linkage import rayutil
+
+    bt = pa.concat_tables(
+        ray.get(bloom_bits(small, key, n_hashes=n_hashes, m_bits=m_bits)
+                .materialize().to_arrow_refs()),
+        promote_options="default")
+    M = np.zeros((n_hashes, m_bits), dtype=bool)
+    M[bt["hash_i"].to_numpy(zero_copy_only=False),
+      bt["bit"].to_numpy(zero_copy_only=False)] = True
+    bref = ray.put(M)
+
+    def prefilter(b: pa.Table) -> pa.Table:
+        Mm = ray.get(bref)
+        vals = [str(v) for v in b[key].to_pylist()]
+        ok = np.ones(len(vals), dtype=bool)
+        for h in range(n_hashes):
+            if not ok.any():
+                break
+            idx = np.array([int(hashlib.md5(f"{h}:{v}".encode())
+                                .hexdigest()[:8], 16) % m_bits
+                            for v in vals], dtype=np.int64)
+            ok &= Mm[h][idx]
+        return b.filter(pa.array(ok))
+
+    survivors = big.map_batches(prefilter, batch_format="pyarrow")
+    keys = (small.select_columns([key]).groupby(key).count()
+            .map_batches(lambda t: t.select([key]), batch_format="pyarrow"))
+    return rayutil.smart_join(survivors, keys, on=key)
+
+
 def histogram_quantile(ds, value_col: str, divisor: float,
                        qs: list[float]) -> dict[float, float]:
     """Approximate quantiles from the fixed-width histogram sketch —

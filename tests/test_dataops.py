@@ -1649,3 +1649,61 @@ def test_interval_gaps_crafted(ray_session):
     assert g["user_id"] == "u"
     assert g["gap_start"] == epoch0 + 3_000_000
     assert g["gap_end"] == epoch0 + 5_000_000
+
+
+def test_hard_negatives_excludes_same_label(ray_session):
+    import ray.data as rd
+
+    from payor_linkage.dataops.similarity import hard_negatives
+
+    # two tight same-label clusters near each query: the nearest
+    # same-label vector must NEVER appear; the k wrong-label ones must,
+    # ranked by cosine
+    vecs = [
+        (0, [1.0, 0.0, 0.0], 0),   # query
+        (1, [0.99, 0.1, 0.0], 0),  # same label, closest — excluded
+        (2, [0.9, 0.3, 0.0], 1),
+        (3, [0.7, 0.7, 0.0], 1),
+        (4, [0.0, 1.0, 0.0], 2),
+    ]
+    ds = rd.from_items([{"vec_id": i, "embedding": v, "label": l}
+                        for i, v, l in vecs])
+    out = hard_negatives(ds, query_ids=[0], k=3).to_pandas() \
+        .sort_values("rank")
+    assert list(out["neighbor_id"]) == [2, 3, 4]
+    assert 1 not in set(out["neighbor_id"])
+
+
+def test_grouped_winsorize_crafted(ray_session):
+    import ray.data as rd
+    from fractions import Fraction as F
+
+    from payor_linkage.dataops.aggregates import grouped_winsorize
+
+    # group a: values 1..10 → p10 = 1 (ceil(0.1*10)-1 = idx 0),
+    # p90 = 9 (ceil(9)-1 = idx 8); 10 clips to 9, 1 stays
+    rows = [{"k": "a", "v": float(i), "rid": i} for i in range(1, 11)]
+    rows += [{"k": "b", "v": 100.0, "rid": 11}]  # singleton: lo=hi=100
+    ds = rd.from_items(rows)
+    out = grouped_winsorize(ds, "k", "v", lo=F(1, 10), hi=F(9, 10),
+                            keep_cols=["rid"]).to_pandas() \
+        .set_index("rid")["value_w"]
+    assert out[10] == 9.0          # clipped down to p90
+    assert out[1] == 1.0           # p10 is the min itself
+    assert out[5] == 5.0           # interior untouched
+    assert out[11] == 100.0        # singleton group maps to itself
+
+
+def test_bloom_semi_join_exact(ray_session):
+    import ray.data as rd
+
+    from payor_linkage.dataops.sketch import bloom_semi_join
+
+    big = rd.from_items([{"key": i % 50, "payload": i} for i in range(400)])
+    small = rd.from_items([{"key": k} for k in [3, 7, 7, 11, 999]])
+    out = bloom_semi_join(big, small, "key", m_bits=64).to_pandas()
+    # tiny m_bits forces false positives through the prefilter — the
+    # exact verify join must still remove every one of them
+    expect = {i for i in range(400) if i % 50 in (3, 7, 11)}
+    assert set(out["payload"]) == expect
+    assert set(out["key"]) == {3, 7, 11}
