@@ -926,6 +926,44 @@ def q_neardup_keep_best(sf_dir: str):
     return best.drop_columns(["rank"])
 
 
+def q_debounce(sf_dir: str):
+    """Event debounce (LAG-based burst suppression): per (user, type)
+    stream, keep only rows arriving > 7 days after their predecessor
+    (or the stream's first). One grouped sort; predecessor test
+    vectorized across runs (`temporal.debounce`)."""
+    from payor_linkage.dataops.temporal import debounce
+
+    return debounce(_events(sf_dir), gap_us=604_800_000_000)
+
+
+def q_cluster_split(sf_dir: str):
+    """Leakage-free train/eval split: near-dup clusters assigned to a
+    side as a UNIT (md5 of the cluster's canonical id), so eval can
+    never hold a near-duplicate of a training doc. Oracle: recursive
+    min-reachability CTE over the pairs sidecar + the same md5-prefix
+    rule in SQL."""
+    from payor_linkage.dataops.dedup import cluster_split, minhash_lsh_pairs
+
+    docs = _docs(sf_dir)
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, shingle_k=5,
+                              num_perm=64, bands=16).materialize()
+    _dump_sidecar("clustersplit_pairs", pairs.select_columns(["id_a", "id_b"]))
+    return cluster_split(docs, pairs, eval_hex="33333333")
+
+
+def q_mdm_span_stats(sf_dir: str):
+    """Per-span-kind profile of the interleaved text+media payload:
+    (kind, n_spans, total_chars, n_media) over the unified corpus
+    (`audit.span_kind_stats` — spans re-hydrated per batch, flattened
+    with pc.list_flatten, partial-aggregated; the shuffle moves counts
+    only). Oracle: DuckDB JSON unnest over the spans_json sidecar."""
+    from payor_linkage.audit import span_kind_stats
+
+    res = _mdm_result(sf_dir)
+    _dump_sidecar("span_stats", res.unified.select_columns(["spans_json"]))
+    return span_kind_stats(res.unified)
+
+
 # ── rows-only queries (non-SQL-expressible semantics) ──────────────────────
 
 
@@ -3172,6 +3210,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_winsorize": q_winsorize,
         "q_bloom_semi_join": q_bloom_semi_join,
         "q_neardup_keep_best": q_neardup_keep_best,
+        "q_debounce": q_debounce,
+        "q_cluster_split": q_cluster_split,
+        "q_mdm_span_stats": q_mdm_span_stats,
         "q_lsh_neardup": q_lsh_neardup,
         "q_lang_id": q_lang_id,
         "q_media_decode": q_media_decode,
@@ -3971,6 +4012,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, min(r) AS cluster_id,
                    node = min(r) AS is_canonical
             FROM reach GROUP BY node
+        """,
+        "q_debounce": """
+            SELECT event_id, user_id, event_type, ts FROM (
+                SELECT event_id, user_id, event_type, ts,
+                       lag(ts) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS pts
+                FROM events)
+            WHERE pts IS NULL
+               OR date_diff('microsecond', pts, ts) > CAST(604800000000 AS BIGINT)
+        """,
+        "q_cluster_split": f"""
+            WITH RECURSIVE
+            p AS (
+              SELECT id_a, id_b
+              FROM read_parquet('{_SIDECAR_DIR}/clustersplit_pairs/*.parquet')
+            ),
+            e AS (
+              SELECT id_a AS a, id_b AS b FROM p
+              UNION ALL
+              SELECT id_b, id_a FROM p
+            ),
+            reach(node, r) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT reach.node, e.b FROM reach JOIN e ON reach.r = e.a
+            ),
+            comp AS (
+              SELECT node AS doc_id, min(r) AS cluster_id
+              FROM reach GROUP BY node
+            )
+            SELECT doc_id, cluster_id,
+                   CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)
+                             < '33333333'
+                        THEN 'eval' ELSE 'train' END AS split
+            FROM comp
+        """,
+        "q_mdm_span_stats": f"""
+            WITH s AS (
+                SELECT unnest(CAST(CAST(spans_json AS JSON) AS JSON[])) AS j
+                FROM read_parquet('{_SIDECAR_DIR}/span_stats/*.parquet')
+            )
+            SELECT j->>'$.kind' AS kind,
+                   CAST(count(*) AS BIGINT) AS n_spans,
+                   CAST(sum(length(coalesce(j->>'$.text', ''))) AS BIGINT)
+                       AS total_chars,
+                   CAST(count(j->>'$.media_ref') AS BIGINT) AS n_media
+            FROM s GROUP BY kind
         """,
         # same recursive components as q_neardup_components over the
         # keepbest pairs sidecar, then a ROW_NUMBER argmax per cluster

@@ -138,6 +138,42 @@ def pipeline_metrics(unified: Dataset, candidates: Dataset, groups: Dataset,
     }
 
 
+def span_kind_stats(unified: Dataset) -> Dataset:
+    """Per-span-kind corpus profile over the interleaved text+media
+    payload: (kind, n_spans, total_chars, n_media) — how much text vs
+    media rides the documents. spans_json is re-hydrated per batch
+    (`normalize.spans_from_json`), flattened to span grain with
+    ``pc.list_flatten`` (no Python row loop), partially aggregated per
+    batch, then one bounded grouped sum — the shuffle moves
+    (kind, counts) partials only, never span payloads."""
+    import numpy as np
+
+    from payor_linkage.normalize import spans_from_json
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(spans_from_json(b["spans_json"]))
+        t = pa.table({
+            "kind": pc.struct_field(flat, "kind"),
+            "n_spans": pa.array(np.ones(len(flat), np.int64)),
+            "total_chars": pc.cast(
+                pc.coalesce(pc.utf8_length(pc.struct_field(flat, "text")),
+                            pa.scalar(0, pa.int32())), pa.int64()),
+            "n_media": pc.cast(pc.is_valid(pc.struct_field(flat, "media_ref")),
+                               pa.int64()),
+        })
+        agg = t.group_by("kind").aggregate(
+            [("n_spans", "sum"), ("total_chars", "sum"), ("n_media", "sum")])
+        return agg.rename_columns(["kind", "n_spans", "total_chars",
+                                   "n_media"])
+
+    partials = unified.select_columns(["spans_json"]) \
+        .map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("kind").aggregate(
+        Sum("n_spans", alias_name="n_spans"),
+        Sum("total_chars", alias_name="total_chars"),
+        Sum("n_media", alias_name="n_media"))
+
+
 def source_field_completeness(unified: Dataset, fields: list[str]) -> Dataset:
     """Per-source field-completeness percentages (`DataQuality.tsx:31-40`):
     partial counts per batch (validity bitmaps via Arrow's native

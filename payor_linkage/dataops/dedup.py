@@ -1042,6 +1042,36 @@ def neardup_components(ds: Dataset, pairs: Dataset,
     return labels.map_batches(out, batch_format="pyarrow")
 
 
+def cluster_split(ds: Dataset, pairs: Dataset, id_col: str = "doc_id",
+                  eval_hex: str = "33333333") -> Dataset:
+    """Leakage-free train/eval split: every document in a near-dup
+    cluster lands on the SAME side — the split key is the cluster's
+    canonical id, not the document's, so eval can never contain a
+    near-duplicate of a training doc (the contamination mode a
+    doc-level hash split leaves open). Deterministic and rerun-stable:
+    eval iff ``substr(md5(str(cluster_id)), 1, 8) < eval_hex``
+    (``eval_hex='33333333'`` ≈ 20% of clusters).
+
+    Shape: components reuse the tiered CC; the md5 runs once per
+    DISTINCT cluster id per batch (dictionary-encode + remap), never
+    per row. Output (id, cluster_id, split)."""
+    comp = neardup_components(ds, pairs, id_col=id_col) \
+        .drop_columns(["is_canonical"])
+    sides = pa.array(["train", "eval"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        d = pc.dictionary_encode(b["cluster_id"].combine_chunks())
+        idx = d.indices.to_numpy(zero_copy_only=False)
+        is_eval = np.fromiter(
+            (hashlib.md5(str(u).encode()).hexdigest()[:8] < eval_hex
+             for u in d.dictionary.to_pylist()),
+            bool, len(d.dictionary))
+        return b.append_column(
+            "split", sides.take(pa.array(is_eval[idx].astype(np.int8))))
+
+    return comp.map_batches(assign, batch_format="pyarrow")
+
+
 # ── embedding cosine near-dup ──────────────────────────────────────────────
 
 

@@ -421,6 +421,50 @@ def _run_ids_local(starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
     return np.repeat(np.arange(len(starts), dtype=np.int64), ends - starts)
 
 
+def debounce(events: Dataset, on: str = "user_id",
+             type_col: str = "event_type", ts_col: str = "ts",
+             id_col: str = "event_id",
+             gap_us: int = 604_800_000_000) -> Dataset:
+    """Event debounce: within each (key, type) stream ordered by
+    (ts, id), keep a row only if it is the stream's first or arrived
+    more than ``gap_us`` after its predecessor — LAG-based burst
+    suppression. The kept set depends on the predecessor ROW, not the
+    previously-kept one, so the semantics are exactly
+    ``lag(ts) IS NULL OR ts - lag(ts) > gap`` (SQL-checkable; the
+    keep-chain variant would be iterative).
+
+    One grouped sort (grouped_apply on the key); the per-(key, type)
+    predecessor test is vectorized across every run in a block via
+    dictionary codes + one lexsort — no Python loop over runs."""
+    import pyarrow.compute as pc
+
+    s = events.schema()
+    types = dict(zip(s.names, s.types))
+    proj = [on, type_col, ts_col, id_col]
+    out_schema = pa.schema([(c, types[c]) for c in proj])
+
+    def runs(b: pa.Table, starts, ends) -> pa.Table:
+        lo, hi = starts[0], ends[-1]
+        rid = _run_ids_local(starts, ends)
+        codes = pc.dictionary_encode(
+            b[type_col].combine_chunks().slice(lo, hi - lo)) \
+            .indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = pc.cast(b[ts_col], pa.int64()) \
+            .to_numpy(zero_copy_only=False)[lo:hi]
+        eid = b[id_col].to_numpy(zero_copy_only=False)[lo:hi]
+        order = np.lexsort((eid, ts, codes, rid))
+        r, c, t = rid[order], codes[order], ts[order]
+        first = np.concatenate(
+            [[True], (r[1:] != r[:-1]) | (c[1:] != c[:-1])])
+        gap_ok = np.concatenate([[True], (t[1:] - t[:-1]) > gap_us])
+        take = pa.array(order[first | gap_ok] + lo)
+        return pa.table({c2: b[c2].take(take)
+                         for c2 in proj}).cast(out_schema)
+
+    return grouped_apply(events.select_columns(proj), on,
+                         out_schema=out_schema, runs_fn=runs)
+
+
 def interval_coverage(events: Dataset, on: str = "user_id",
                       ts_col: str = "ts", dur_col: str = "value") -> Dataset:
     """Gaps-and-islands interval merge: each event opens an interval

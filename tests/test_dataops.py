@@ -1707,3 +1707,48 @@ def test_bloom_semi_join_exact(ray_session):
     expect = {i for i in range(400) if i % 50 in (3, 7, 11)}
     assert set(out["payload"]) == expect
     assert set(out["key"]) == {3, 7, 11}
+
+
+def test_debounce_crafted(ray_session):
+    import datetime as dt
+
+    import ray.data as rd
+
+    from payor_linkage.dataops.temporal import debounce
+
+    base = dt.datetime(2024, 1, 1)
+    # (user, type, sec, id): u/a at 0s, 1s, 12s → keep 0s (first),
+    # drop 1s (gap 1 ≤ 10), keep 12s (gap 11 > 10); u/b independent
+    # stream keeps its first even though u/a fired just before it
+    rows = [("u", "a", 0, 1), ("u", "a", 1, 2), ("u", "a", 12, 3),
+            ("u", "b", 1, 4), ("v", "a", 0, 5)]
+    ds = rd.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows]),
+        "event_type": pa.array([r[1] for r in rows]),
+        "ts": pa.array([base + dt.timedelta(seconds=r[2]) for r in rows],
+                       pa.timestamp("us")),
+        "event_id": pa.array([r[3] for r in rows], pa.int64()),
+    }))
+    out = debounce(ds, gap_us=10_000_000).to_pandas()
+    assert sorted(out["event_id"]) == [1, 3, 4, 5]
+
+
+def test_cluster_split_no_leakage(ray_session):
+    import ray.data as rd
+
+    from payor_linkage.dataops.dedup import cluster_split
+
+    docs = rd.from_items([{"doc_id": i} for i in range(20)])
+    # two clusters: {0,1,2} and {10,11}; rest singletons
+    pairs = rd.from_items([{"id_a": 0, "id_b": 1}, {"id_a": 1, "id_b": 2},
+                           {"id_a": 10, "id_b": 11}])
+    out = cluster_split(docs, pairs, eval_hex="80000000").to_pandas()
+    assert len(out) == 20
+    # every cluster is entirely on one side
+    sides = out.groupby("cluster_id")["split"].nunique()
+    assert (sides == 1).all()
+    assert set(out[out["doc_id"].isin([0, 1, 2])]["cluster_id"]) == {0}
+    # deterministic across runs
+    out2 = cluster_split(docs, pairs, eval_hex="80000000").to_pandas()
+    m = out.merge(out2, on="doc_id", suffixes=("", "_2"))
+    assert (m["split"] == m["split_2"]).all()
