@@ -951,6 +951,38 @@ def q_cluster_split(sf_dir: str):
     return cluster_split(docs, pairs, eval_hex="33333333")
 
 
+def q_decontam_neardup(sf_dir: str):
+    """Cross-corpus near-dup decontamination: train docs (md5 ≥ 12.5%
+    bucket) with NO MinHash-verified near-dup in the eval split —
+    paraphrase-grain eval protection. Only CROSS-side pairs are emitted
+    inside band buckets (`dedup.cross_corpus_filter`); LSH recall is
+    1.0 at this config on this corpus (the q_minhash_lsh gate), so the
+    NOT-EXISTS Jaccard oracle is exact."""
+    from payor_linkage.dataops.dedup import cross_corpus_filter
+    from payor_linkage.dataops.text import hash_sample
+
+    docs = _docs(sf_dir)
+    train = hash_sample(docs, 0.125, complement=True)
+    ev = hash_sample(docs, 0.125)
+    return cross_corpus_filter(train, ev, threshold=0.5, shingle_k=5,
+                               num_perm=64, bands=16)
+
+
+def q_range_partition(sf_dir: str):
+    """Range-partitioner fit + balance check: exact equi-depth
+    boundaries at i/8 quantiles of event values (one sort; only 7
+    boundary values reach the driver), then per-partition row counts
+    via broadcast searchsorted — the pre-sort balanced-partitioning
+    primitive (`aggregates.fit_range_bounds` /
+    `range_partition_counts`)."""
+    from payor_linkage.dataops.aggregates import (fit_range_bounds,
+                                                  range_partition_counts)
+
+    ev = _events(sf_dir)
+    bounds = fit_range_bounds(ev, "value", 8)
+    return range_partition_counts(ev, "value", bounds)
+
+
 def q_mdm_span_stats(sf_dir: str):
     """Per-span-kind profile of the interleaved text+media payload:
     (kind, n_spans, total_chars, n_media) over the unified corpus
@@ -3211,6 +3243,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bloom_semi_join": q_bloom_semi_join,
         "q_neardup_keep_best": q_neardup_keep_best,
         "q_debounce": q_debounce,
+        "q_decontam_neardup": q_decontam_neardup,
+        "q_range_partition": q_range_partition,
         "q_cluster_split": q_cluster_split,
         "q_mdm_span_stats": q_mdm_span_stats,
         "q_lsh_neardup": q_lsh_neardup,
@@ -3763,6 +3797,51 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.5
+        """,
+        # train docs with no eval near-dup: the q_minhash_lsh Jaccard
+        # restricted to cross-split pairs, NOT EXISTS'd against train
+        "q_decontam_neardup": """
+            WITH ev AS (
+              SELECT doc_id FROM documents
+              WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '20000000'
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS gram
+              FROM documents,
+                   LATERAL (SELECT unnest(range(1, greatest(length(text) - 3, 2))) AS i) t
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+              FROM grams a JOIN grams b ON a.gram = b.gram
+              WHERE a.doc_id NOT IN (SELECT doc_id FROM ev)
+                AND b.doc_id IN (SELECT doc_id FROM ev)
+              GROUP BY 1, 2
+            ),
+            bad AS (
+              SELECT DISTINCT id_a FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.5
+            )
+            SELECT d.* FROM documents d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM ev)
+              AND d.doc_id NOT IN (SELECT id_a FROM bad)
+        """,
+        "q_range_partition": """
+            WITH b AS (
+              SELECT unnest(quantile_disc(value,
+                  [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875])) AS bound
+              FROM events
+            ),
+            a AS (
+              SELECT (SELECT count(*) FROM b WHERE b.bound < e.value)
+                         AS partition_id
+              FROM events e
+            )
+            SELECT CAST(partition_id AS BIGINT) AS partition_id,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM a GROUP BY partition_id
         """,
         "q_incremental_lsh": """
             WITH grams AS (

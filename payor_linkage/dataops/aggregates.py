@@ -167,6 +167,59 @@ def grouped_winsorize(ds: Dataset, key: str, value_col: str,
     return joined.map_batches(clip, batch_format="pyarrow")
 
 
+def fit_range_bounds(ds: Dataset, value_col: str, n_parts: int) -> list:
+    """Equi-depth range-partition boundaries: the exact quantile_disc
+    values at i/n_parts (i = 1..n_parts−1) — the fit step of a range
+    partitioner (pick boundaries once, then assign rows WITHOUT a global
+    sort). ONE distributed sort + per-block counts (global_ntile's
+    prefix shape); only the n_parts−1 boundary VALUES reach the driver.
+    Exact integer rank arithmetic (ceil(i·n/k)), so duplicates and
+    n % k ≠ 0 follow quantile_disc semantics byte-for-byte."""
+    from payor_linkage.dataops.reshape import global_ntile
+
+    slim = ds.select_columns([value_col])
+    n = slim.count()
+    ranks = sorted({-((-n * i) // n_parts) for i in range(1, n_parts)})
+    ranked = global_ntile(slim, [value_col], k=1)
+    want = set(ranks)
+
+    def pick(b: pa.Table) -> pa.Table:
+        m = np.isin(b["rn"].to_numpy(zero_copy_only=False),
+                    np.fromiter(want, np.int64, len(want)))
+        return b.filter(pa.array(m))
+
+    rows = ranked.map_batches(pick, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r["rn"])
+    return [r[value_col] for r in rows]
+
+
+def range_partition_counts(ds: Dataset, value_col: str,
+                           bounds: list) -> Dataset:
+    """Assign every row its range partition (count of boundaries
+    strictly below the value — ``np.searchsorted(bounds, v, 'left')``)
+    and return per-partition row counts: the balance check of a fitted
+    range partitioner (`fit_range_bounds`). Boundaries broadcast once
+    (ray.put); assignment is one vectorized searchsorted per batch; the
+    exchange moves (partition_id, count) partials only."""
+    import ray
+
+    bref = ray.put(np.asarray(bounds))
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b[value_col].to_numpy(zero_copy_only=False)
+        pid = np.searchsorted(ray.get(bref), v, side="left")
+        u, c = np.unique(pid, return_counts=True)
+        return pa.table({"partition_id": pa.array(u.astype(np.int64)),
+                         "n_rows": pa.array(c.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    return (ds.select_columns([value_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("partition_id")
+            .aggregate(Sum("n_rows", alias_name="n_rows")))
+
+
 def grouped_lag_delta(ds: Dataset, key: str, order_cols: list[str],
                       value_col: str, out_col: str = "delta") -> Dataset:
     """Per-key LAG delta: ``value - LAG(value) OVER (PARTITION BY key

@@ -1042,6 +1042,110 @@ def neardup_components(ds: Dataset, pairs: Dataset,
     return labels.map_batches(out, batch_format="pyarrow")
 
 
+def cross_corpus_filter(a_docs: Dataset, b_docs: Dataset,
+                        threshold: float = 0.5, num_perm: int = 64,
+                        bands: int = 16, shingle_k: int = 3,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        max_bucket: int = 2000,
+                        max_contaminated: int = 5_000_000) -> Dataset:
+    """Cross-corpus near-dup decontamination: rows of ``a_docs`` (train)
+    with NO MinHash-verified near-duplicate in ``b_docs`` (eval) —
+    paraphrase-grain eval protection the n-gram decontaminator
+    (`text.decontaminate`) misses. Ids must be unique across both
+    corpora.
+
+    Shape: each side's text-free band rows carry a side flag; ONE bucket
+    groupby; the triu emission masks to CROSS-side pairs only (A–A and
+    B–B pairs never materialize — same masking trick as
+    ``minhash_lsh_incremental``'s ≥1-new-side rule), oriented
+    (id_a = train, id_b = eval); exact shingle-Jaccard verify joins
+    content once per surviving candidate; then A is filtered by a
+    broadcast contaminated-id set (bounded by the verified-match count —
+    above ``max_contaminated`` raise and anti-join via smart_join
+    instead)."""
+    from payor_linkage.rayutil import grouped_apply
+
+    k = shingle_k
+
+    def banded(ds: Dataset, flag: bool) -> Dataset:
+        _cpus, rpb, pool_max = _pool_shape(ds)
+        rows = ds.repartition(target_num_rows_per_block=rpb).map_batches(
+            MinHasher, batch_format="pyarrow",
+            fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands,
+                                       shingle_k=k, text_col=text_col,
+                                       id_col=id_col),
+            concurrency=(1, pool_max), batch_size=None)
+        return rows.map_batches(
+            lambda b: b.append_column(
+                "is_b", pa.array(np.full(b.num_rows, flag))),
+            batch_format="pyarrow")
+
+    sch = a_docs.schema()
+    idt = dict(zip(sch.names, sch.types))[id_col]
+    pair_schema = pa.schema([("id_a", idt), ("id_b", idt)])
+
+    def emit_runs(b: pa.Table, starts, ends) -> pa.Table:
+        lens = ends - starts
+        live = np.nonzero((lens >= 2) & (lens <= max_bucket))[0]
+        if len(live) == 0:
+            return pair_schema.empty_table()
+        ids_arr = b["id"].combine_chunks()
+        ids_np = ids_arr.to_numpy(zero_copy_only=False)
+        flags = b["is_b"].to_numpy(zero_copy_only=False)
+        tri_cache: dict = {}
+        ai_parts, bi_parts = [], []
+        for ri in live:
+            s_, n = starts[ri], lens[ri]
+            tri = tri_cache.get(n)
+            if tri is None:
+                tri = tri_cache[n] = np.triu_indices(n, k=1)
+            order = np.argsort(ids_np[s_:s_ + n], kind="stable") + s_
+            ai, bi = order[tri[0]], order[tri[1]]
+            m = flags[ai] != flags[bi]
+            ai, bi = ai[m], bi[m]
+            swap = flags[ai]             # True → this side is eval: swap
+            ai_parts.append(np.where(swap, bi, ai))
+            bi_parts.append(np.where(swap, ai, bi))
+        ai = np.concatenate(ai_parts)
+        bi = np.concatenate(bi_parts)
+        return pa.table({
+            "id_a": ids_arr.take(pa.array(ai)),
+            "id_b": ids_arr.take(pa.array(bi)),
+        }).cast(pair_schema)
+
+    band_rows = banded(a_docs, False).union(banded(b_docs, True))
+    cand = grouped_apply(band_rows, "bucket", runs_fn=emit_runs,
+                         out_schema=pair_schema)
+    deduped = (cand.groupby(["id_a", "id_b"]).count()
+               .map_batches(lambda b: b.drop_columns(["count()"]),
+                            batch_format="pyarrow")).materialize()
+    if deduped.count() == 0:
+        # empty grouped output loses its schema — and with zero cross
+        # candidates nothing can be contaminated anyway
+        return a_docs
+    pairs = _content_verify(a_docs.union(b_docs), deduped,
+                            lambda t: set(_shingles(t, k).tolist()),
+                            threshold, text_col, id_col)
+
+    bad = pairs.select_columns(["id_a"]).groupby("id_a").count()
+    if bad.count() > max_contaminated:
+        raise ValueError(
+            "contaminated-id set exceeds the broadcast bound "
+            f"{max_contaminated}; anti-join via smart_join instead")
+    import ray
+    bad_ref = ray.put(pa.concat_tables(
+        ray.get(bad.materialize().to_arrow_refs()),
+        promote_options="default")["id_a"].combine_chunks())
+
+    def keep_clean(b: pa.Table) -> pa.Table:
+        bad_ids = ray.get(bad_ref)
+        if len(bad_ids) == 0:
+            return b
+        return b.filter(pc.invert(pc.is_in(b[id_col], value_set=bad_ids)))
+
+    return a_docs.map_batches(keep_clean, batch_format="pyarrow")
+
+
 def cluster_split(ds: Dataset, pairs: Dataset, id_col: str = "doc_id",
                   eval_hex: str = "33333333") -> Dataset:
     """Leakage-free train/eval split: every document in a near-dup

@@ -1752,3 +1752,46 @@ def test_cluster_split_no_leakage(ray_session):
     out2 = cluster_split(docs, pairs, eval_hex="80000000").to_pandas()
     m = out.merge(out2, on="doc_id", suffixes=("", "_2"))
     assert (m["split"] == m["split_2"]).all()
+
+
+def test_cross_corpus_filter_crafted(ray_session):
+    import ray.data as rd
+
+    from payor_linkage.dataops.dedup import cross_corpus_filter
+
+    long_a = "the quick brown fox jumps over the lazy dog " * 4
+    long_b = "completely different content about database systems " * 4
+    a = rd.from_items([
+        {"doc_id": 1, "text": long_a},          # near-dup of eval 10 → drop
+        {"doc_id": 2, "text": long_a + "tail"}, # also dups eval 10 → drop
+        {"doc_id": 3, "text": "short unique text nothing like the others"},
+    ])
+    b = rd.from_items([{"doc_id": 10, "text": long_a},
+                       {"doc_id": 11, "text": long_b}])
+    out = cross_corpus_filter(a, b, threshold=0.5, shingle_k=5,
+                              num_perm=64, bands=16).to_pandas()
+    # A-internal duplication (1 vs 2) must NOT cause a drop — only
+    # cross-corpus matches do
+    assert sorted(out["doc_id"]) == [3]
+    a2 = rd.from_items([{"doc_id": 1, "text": long_a},
+                        {"doc_id": 2, "text": long_a}])
+    out2 = cross_corpus_filter(a2, rd.from_items(
+        [{"doc_id": 11, "text": long_b}]), threshold=0.5, shingle_k=5,
+        num_perm=64, bands=16).to_pandas()
+    assert sorted(out2["doc_id"]) == [1, 2]
+
+
+def test_range_partition_bounds_and_balance(ray_session):
+    import ray.data as rd
+
+    from payor_linkage.dataops.aggregates import (fit_range_bounds,
+                                                  range_partition_counts)
+
+    # 1..100: quantile_disc at i/4 → ceil(25i)-1 idx → 25, 50, 75
+    ds = rd.from_items([{"v": float(i)} for i in range(1, 101)])
+    bounds = fit_range_bounds(ds, "v", 4)
+    assert bounds == [25.0, 50.0, 75.0]
+    counts = range_partition_counts(ds, "v", bounds).to_pandas() \
+        .set_index("partition_id")["n_rows"]
+    # strict-less assignment: p0 = v ≤ 25 (25 rows), p1 = 26..50, ...
+    assert counts.to_dict() == {0: 25, 1: 25, 2: 25, 3: 25}
