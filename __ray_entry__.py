@@ -983,6 +983,25 @@ def q_range_partition(sf_dir: str):
     return range_partition_counts(ev, "value", bounds)
 
 
+def q_normalized_dedup(sf_dir: str):
+    """Exact dedup after canonicalization (lowercase, collapse
+    non-alnum runs, trim) — catches reformatted duplicates plain hash
+    dedup misses (`dedup.normalized_dedup`; content-pointer shape, only
+    (md5, id) shuffles)."""
+    from payor_linkage.dataops.dedup import normalized_dedup
+
+    return normalized_dedup(_docs(sf_dir))
+
+
+def q_lang_token_topk(sf_dir: str):
+    """Per-language top-10 tokens with rank — the grouped vocabulary
+    profile (`text.grouped_token_topk`: partial counts per batch, one
+    vocab-bounded grouped sum, per-group C-sorted top-k)."""
+    from payor_linkage.dataops.text import grouped_token_topk
+
+    return grouped_token_topk(_docs(sf_dir), "lang", k=10)
+
+
 def q_mdm_span_stats(sf_dir: str):
     """Per-span-kind profile of the interleaved text+media payload:
     (kind, n_spans, total_chars, n_media) over the unified corpus
@@ -3244,6 +3263,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_neardup_keep_best": q_neardup_keep_best,
         "q_debounce": q_debounce,
         "q_decontam_neardup": q_decontam_neardup,
+        "q_normalized_dedup": q_normalized_dedup,
+        "q_lang_token_topk": q_lang_token_topk,
         "q_range_partition": q_range_partition,
         "q_cluster_split": q_cluster_split,
         "q_mdm_span_stats": q_mdm_span_stats,
@@ -3979,6 +4000,29 @@ def oracle_sql() -> dict[str, str]:
         "q_read_filtered": """
             SELECT l_orderkey, l_quantity, l_discount
             FROM lineitem WHERE l_quantity > 45
+        """,
+        "q_normalized_dedup": """
+            SELECT min(doc_id) AS keeper_id,
+                   CAST(count(*) AS BIGINT) AS n_dups
+            FROM (SELECT doc_id,
+                         trim(regexp_replace(lower(text),
+                                             '[^a-z0-9]+', ' ', 'g')) AS norm
+                  FROM documents)
+            GROUP BY norm
+        """,
+        "q_lang_token_topk": """
+            SELECT lang, token, n, CAST(rank AS BIGINT) AS rank FROM (
+                SELECT lang, t AS token, CAST(count(*) AS BIGINT) AS n,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY count(*) DESC, t ASC) AS rank
+                FROM (SELECT lang,
+                             unnest(regexp_split_to_array(lower(text),
+                                                          '[^a-z0-9]+')) AS t
+                      FROM documents)
+                WHERE t != ''
+                GROUP BY lang, t
+            ) WHERE rank <= 10
         """,
         "q_token_topk": """
             SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS n

@@ -118,6 +118,33 @@ def exact_dedup(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> 
         batch_format="pyarrow")
 
 
+def normalized_dedup(ds: Dataset, text_col: str = "text",
+                     id_col: str = "doc_id") -> Dataset:
+    """Exact dedup after canonicalization (lowercase, collapse runs of
+    non-[a-z0-9] to one space, trim) — the C4/RefinedWeb-style
+    "normalize before hashing" step that catches trivially-reformatted
+    duplicates (case, punctuation, whitespace) plain ``exact_dedup``
+    misses. Output one row per distinct normalized text:
+    (keeper_id = min id, n_dups).
+
+    Same content-pointer shape as ``exact_dedup``: normalization and
+    hashing are vectorized Arrow kernels per batch; only (md5, id)
+    rides the group shuffle — the normalized text itself never moves."""
+    def add_hash(b: pa.Table) -> pa.Table:
+        norm = pc.utf8_trim(
+            pc.replace_substring_regex(
+                pc.utf8_lower(b[text_col]), "[^a-z0-9]+", " "),
+            " ")
+        return pa.table({"_h": _content_md5(norm), id_col: b[id_col]})
+
+    return (ds.map_batches(add_hash, batch_format="pyarrow")
+            .groupby("_h")
+            .aggregate(Min(id_col, alias_name="keeper_id"),
+                       Count(alias_name="n_dups"))
+            .map_batches(lambda b: b.drop_columns(["_h"]),
+                         batch_format="pyarrow"))
+
+
 def write_dedup_state(ds: Dataset, state_dir: str, text_col: str = "text",
                       n_buckets: int = 64) -> list:
     """Persist the bucketed content-hash state ``exact_dedup_incremental``

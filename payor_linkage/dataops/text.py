@@ -169,6 +169,76 @@ def token_topk(ds: Dataset, k: int = 50, text_col: str = "text") -> Dataset:
     return counts.sort(["n", "token"], descending=[True, False]).limit(k)
 
 
+def grouped_token_topk(ds: Dataset, group_col: str, k: int = 10,
+                       text_col: str = "text") -> Dataset:
+    """Per-group top-k tokens (the vocabulary profile per language /
+    source): same tokenization contract as ``token_topk``. Per-batch
+    (group, token) partial counts → one grouped sum (the exchange moves
+    vocabularies, never token streams) → per-group top-k with 1-based
+    rank, ties (count desc, token asc).
+
+    The string tiebreak rules out ``grouped_topk`` (numeric-tie
+    contract); the final selection is a grouped_apply whose run kernel
+    sorts (run, n desc, token) with ``pc.sort_indices`` — a C-level
+    sort, never a Python string compare."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from payor_linkage.rayutil import grouped_apply
+
+    gt = ds.schema().base_schema.field(group_col).type
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(b[text_col]), "[^a-z0-9]+").combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = pc.list_flatten(toks)
+        gvals = b[group_col].combine_chunks().take(
+            pa.array(np.repeat(np.arange(b.num_rows, dtype=np.int64), lens)))
+        mask = pc.not_equal(flat, "")
+        t = pa.table({group_col: gvals.filter(mask),
+                      "token": flat.filter(mask)})
+        agg = t.group_by([group_col, "token"]).aggregate([([], "count_all")])
+        return agg.rename_columns([group_col, "token", "n"])
+
+    counts = (ds.select_columns([group_col, text_col])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby([group_col, "token"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    out_schema = pa.schema([(group_col, gt), ("token", pa.string()),
+                            ("n", pa.int64()), ("rank", pa.int64())])
+
+    def runs(b: pa.Table, starts, ends) -> pa.Table:
+        lo, hi = starts[0], ends[-1]
+        rid = np.repeat(np.arange(len(starts), dtype=np.int64),
+                        ends - starts)
+        sub = pa.table({
+            "rid": pa.array(rid),
+            "n": b["n"].combine_chunks().slice(lo, hi - lo),
+            "token": b["token"].combine_chunks().slice(lo, hi - lo)})
+        order = pc.sort_indices(sub, sort_keys=[
+            ("rid", "ascending"), ("n", "descending"),
+            ("token", "ascending")]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        r = rid[order]
+        run_starts = np.nonzero(np.concatenate([[True], r[1:] != r[:-1]]))[0]
+        rlens = np.diff(np.concatenate([run_starts, [len(r)]]))
+        pos = np.arange(len(r), dtype=np.int64) - np.repeat(run_starts, rlens)
+        m = pos < k
+        take = pa.array(order[m] + lo)
+        return pa.table({group_col: b[group_col].take(take),
+                         "token": b["token"].take(take),
+                         "n": b["n"].take(take),
+                         "rank": pa.array(pos[m] + 1, pa.int64())}) \
+            .cast(out_schema)
+
+    return grouped_apply(counts, group_col, out_schema=out_schema,
+                         runs_fn=runs)
+
+
 def token_explode(ds: Dataset, id_col: str = "doc_id",
                   text_col: str = "text") -> Dataset:
     """Explode / flat_map / UNNEST WITH ORDINALITY: one output row per

@@ -1795,3 +1795,40 @@ def test_range_partition_bounds_and_balance(ray_session):
         .set_index("partition_id")["n_rows"]
     # strict-less assignment: p0 = v ≤ 25 (25 rows), p1 = 26..50, ...
     assert counts.to_dict() == {0: 25, 1: 25, 2: 25, 3: 25}
+
+
+def test_normalized_dedup_catches_reformatting(ray_session):
+    import ray.data as rd
+
+    from payor_linkage.dataops.dedup import normalized_dedup
+
+    ds = rd.from_items([
+        {"doc_id": 1, "text": "Hello,  World!"},
+        {"doc_id": 2, "text": "hello world"},       # same after norm
+        {"doc_id": 3, "text": "HELLO--WORLD"},      # same after norm
+        {"doc_id": 4, "text": "goodbye world"},
+    ])
+    out = normalized_dedup(ds).to_pandas().sort_values("keeper_id") \
+        .reset_index(drop=True)
+    assert list(out["keeper_id"]) == [1, 4]
+    assert list(out["n_dups"]) == [3, 1]
+
+
+def test_grouped_token_topk_ties_and_k(ray_session):
+    import ray.data as rd
+
+    from payor_linkage.dataops.text import grouped_token_topk
+
+    ds = rd.from_items([
+        {"lang": "en", "text": "a a a b b c"},
+        {"lang": "en", "text": "b z"},
+        {"lang": "fr", "text": "x y"},
+    ])
+    out = grouped_token_topk(ds, "lang", k=2).to_pandas()
+    en = out[out["lang"] == "en"].sort_values("rank")
+    # counts: a=3, b=3, c=1, z=1 → tie at 3 broken by token asc
+    assert list(en["token"]) == ["a", "b"]
+    assert list(en["n"]) == [3, 3]
+    fr = out[out["lang"] == "fr"].sort_values("rank")
+    assert list(fr["token"]) == ["x", "y"]
+    assert list(fr["n"]) == [1, 1]
