@@ -1002,6 +1002,73 @@ def q_lang_token_topk(sf_dir: str):
     return grouped_token_topk(_docs(sf_dir), "lang", k=10)
 
 
+def q_rate_cap(sf_dir: str):
+    """Per-key rate limiting: within each (user, tumbling day) keep the
+    first 2 events by (ts, id) — quota enforcement at ingest
+    (`temporal.rate_cap`; one grouped sort, window/position/mask
+    vectorized across runs)."""
+    from payor_linkage.dataops.temporal import rate_cap
+
+    return rate_cap(_events(sf_dir), window_us=86_400_000_000, k=2)
+
+
+def q_trending_events(sf_dir: str):
+    """Trending detection: per event type, the day with the largest
+    day-over-day count increase — a pure composition (daily bucket
+    counts → grouped LAG delta → grouped top-1), each stage the
+    already-proven operator."""
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    from payor_linkage.dataops.aggregates import (grouped_lag_delta,
+                                                  grouped_topk)
+
+    def day_of(b):
+        day = _pc.divide(_pc.cast(b["ts"], pa.int64()),
+                         pa.scalar(86_400_000_000, pa.int64()))
+        return pa.table({"event_type": b["event_type"], "day": day})
+
+    counts = (_events(sf_dir).select_columns(["event_type", "ts"])
+              .map_batches(day_of, batch_format="pyarrow")
+              .groupby(["event_type", "day"]).count()
+              .map_batches(lambda b: b.rename_columns(
+                  ["event_type", "day", "n"]), batch_format="pyarrow")
+              .map_batches(lambda b: b.set_column(
+                  b.schema.get_field_index("n"), "n",
+                  _pc.cast(b["n"], pa.int64())), batch_format="pyarrow"))
+    deltas = grouped_lag_delta(counts, "event_type", ["day"], "n",
+                               out_col="delta")
+    top = grouped_topk(deltas, "event_type", "delta", 1,
+                       tie_col="day", keep_cols=["day", "delta"])
+    return top.drop_columns(["rank"])
+
+
+def q_mdm_review_queue(sf_dir: str):
+    """Steward review-queue sampling: a deterministic md5-stratified
+    top-5 of candidates per final_decision bucket — the MatchReview
+    inbox with reproducible sampling instead of RNG. The 60-bit
+    integer-parsed md5 prefix orders identically to SQL's fixed-width
+    lowercase hex sort (the q_stratified_sample precedent)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from payor_linkage.dataops.aggregates import grouped_topk
+
+    slim = _mdm_result(sf_dir).candidates.select_columns(
+        ["candidate_id", "final_decision"])
+    _dump_sidecar("review_queue", slim)
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        hh = [int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+              for i in b["candidate_id"].to_pylist()]
+        return b.append_column("h", pa.array(hh, pa.int64()))
+
+    ds = slim.map_batches(add_hash, batch_format="pyarrow")
+    return grouped_topk(ds, key="final_decision", order_col="h", k=5,
+                        tie_col="h", keep_cols=["candidate_id"])
+
+
 def q_mdm_span_stats(sf_dir: str):
     """Per-span-kind profile of the interleaved text+media payload:
     (kind, n_spans, total_chars, n_media) over the unified corpus
@@ -3268,6 +3335,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_range_partition": q_range_partition,
         "q_cluster_split": q_cluster_split,
         "q_mdm_span_stats": q_mdm_span_stats,
+        "q_rate_cap": q_rate_cap,
+        "q_trending_events": q_trending_events,
+        "q_mdm_review_queue": q_mdm_review_queue,
         "q_lsh_neardup": q_lsh_neardup,
         "q_lang_id": q_lang_id,
         "q_media_decode": q_media_decode,
@@ -4001,6 +4071,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_quantity, l_discount
             FROM lineitem WHERE l_quantity > 45
         """,
+        "q_rate_cap": """
+            SELECT user_id, ts, event_id FROM (
+                SELECT user_id, ts, event_id,
+                       row_number() OVER (
+                           PARTITION BY user_id,
+                                        epoch_us(ts) // 86400000000
+                           ORDER BY ts, event_id) AS rn
+                FROM events) WHERE rn <= 2
+        """,
+        "q_trending_events": """
+            WITH c AS (
+                SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            d AS (
+                SELECT event_type, day,
+                       n - lag(n) OVER (PARTITION BY event_type
+                                        ORDER BY day) AS delta
+                FROM c
+            )
+            SELECT event_type, day, delta FROM (
+                SELECT event_type, day, delta,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY delta DESC, day) AS rn
+                FROM d WHERE delta IS NOT NULL
+            ) WHERE rn = 1
+        """,
         "q_normalized_dedup": """
             SELECT min(doc_id) AS keeper_id,
                    CAST(count(*) AS BIGINT) AS n_dups
@@ -4212,6 +4310,18 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY d.n_chars DESC, d.doc_id) AS rn
                 FROM comp c JOIN documents d USING (doc_id)
             ) WHERE rn = 1
+        """,
+        "q_mdm_review_queue": f"""
+            SELECT final_decision, CAST(rank AS BIGINT) AS rank,
+                   candidate_id
+            FROM (
+                SELECT final_decision, candidate_id,
+                       row_number() OVER (
+                           PARTITION BY final_decision
+                           ORDER BY substr(md5(candidate_id), 1, 15) DESC
+                       ) AS rank
+                FROM read_parquet('{_SIDECAR_DIR}/review_queue/*.parquet')
+            ) WHERE rank <= 5
         """,
         "q_mdm_components": f"""
             WITH RECURSIVE

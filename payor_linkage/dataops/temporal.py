@@ -465,6 +465,44 @@ def debounce(events: Dataset, on: str = "user_id",
                          out_schema=out_schema, runs_fn=runs)
 
 
+def rate_cap(events: Dataset, on: str = "user_id", ts_col: str = "ts",
+             id_col: str = "event_id", window_us: int = 86_400_000_000,
+             k: int = 2) -> Dataset:
+    """Per-key rate limiting: within each (key, tumbling window) keep
+    only the first ``k`` events by (ts, id) — quota enforcement /
+    sampling-at-ingest. Window assignment is integer floor-division of
+    the epoch-µs timestamp (SQL: ``ts_us // window``), so the oracle
+    reproduces buckets exactly.
+
+    One grouped sort on the key; window ids, within-window positions
+    and the ≤k mask are vectorized across every run in a block."""
+    import pyarrow.compute as pc
+
+    s = events.schema()
+    types = dict(zip(s.names, s.types))
+    proj = [on, ts_col, id_col]
+    out_schema = pa.schema([(c, types[c]) for c in proj])
+
+    def runs(b: pa.Table, starts, ends) -> pa.Table:
+        lo, hi = starts[0], ends[-1]
+        rid = _run_ids_local(starts, ends)
+        ts = pc.cast(b[ts_col], pa.int64()) \
+            .to_numpy(zero_copy_only=False)[lo:hi]
+        eid = b[id_col].to_numpy(zero_copy_only=False)[lo:hi]
+        win = ts // window_us
+        order = np.lexsort((eid, ts, win, rid))
+        r, w = rid[order], win[order]
+        first = np.concatenate([[True], (r[1:] != r[:-1]) | (w[1:] != w[:-1])])
+        run_starts = np.nonzero(first)[0]
+        rlens = np.diff(np.concatenate([run_starts, [len(r)]]))
+        pos = np.arange(len(r), dtype=np.int64) - np.repeat(run_starts, rlens)
+        take = pa.array(order[pos < k] + lo)
+        return pa.table({c: b[c].take(take) for c in proj}).cast(out_schema)
+
+    return grouped_apply(events.select_columns(proj), on,
+                         out_schema=out_schema, runs_fn=runs)
+
+
 def interval_coverage(events: Dataset, on: str = "user_id",
                       ts_col: str = "ts", dur_col: str = "value") -> Dataset:
     """Gaps-and-islands interval merge: each event opens an interval

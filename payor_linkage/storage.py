@@ -332,6 +332,66 @@ def patch_bucketed(path: str, key: str, rebuilt: Dataset, affected_keys,
     return buckets
 
 
+def _recover_bucket_swap(bdir: str) -> None:
+    """Crash recovery for the rename-swap protocol: a leftover ``.old``
+    is the authoritative old-complete state (restore it if ``bdir`` is
+    missing, else discard it — ``bdir`` already holds the new state); a
+    leftover ``.tmp`` is always discarded (unknown completeness)."""
+    tmp, old = bdir + ".tmp", bdir + ".old"
+    if os.path.exists(old):
+        if not os.path.exists(bdir):
+            os.rename(old, bdir)          # crashed between swap steps
+        else:
+            shutil.rmtree(old)            # crashed during final cleanup
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def compact_bucketed(path: str, max_parts: int = 1) -> list:
+    """State-maintenance compaction: merge each bucket's accumulated
+    part files (``append_bucketed`` adds one per append) back to a
+    single parquet file — the lifecycle closer for grow-only state
+    (write → append ×N → compact), bounding read fan-in and file-count
+    growth. Buckets with ≤ ``max_parts`` files are left byte-identical;
+    each compacted bucket is rewritten by its own Ray task with the
+    SAME crash-atomic rename swap as ``patch_bucketed`` (old-complete
+    or new-complete, never missing). Returns compacted bucket ids."""
+    futs, out = [], []
+    for d in sorted(os.listdir(path)):
+        if not d.startswith("_bucket="):
+            continue
+        bdir = os.path.join(path, d)
+        if not os.path.isdir(bdir):
+            continue
+        n = sum(1 for f in os.listdir(bdir) if f.endswith(".parquet"))
+        if n > max_parts:
+            futs.append(_compact_bucket_task.remote(bdir))
+            out.append(int(d.split("=", 1)[1]))
+    ray.get(futs)
+    return out
+
+
+@ray.remote
+def _compact_bucket_task(bdir: str) -> None:
+    """Merge one bucket's part files into part-0 via the rename swap
+    (same protocol as `_patch_bucket_task`; files concatenated in
+    sorted-name order — `read_bucketed` row order across part files is
+    unspecified, so contents are preserved as a multiset)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    _recover_bucket_swap(bdir)
+    tmp, old = bdir + ".tmp", bdir + ".old"
+    tbls = [pq.read_table(os.path.join(bdir, f))
+            for f in sorted(os.listdir(bdir)) if f.endswith(".parquet")]
+    merged = pa.concat_tables(tbls, promote_options="default")
+    os.makedirs(tmp)
+    pq.write_table(merged, os.path.join(tmp, "part-0.parquet"))
+    open(os.path.join(tmp, "_done"), "w").close()
+    os.rename(bdir, old)
+    os.rename(tmp, bdir)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 @ray.remote
 def _patch_bucket_task(bdir: str, key: str, aff_arr, new_slice) -> None:
     """Rewrite one bucket dir crash-atomically via a rename SWAP (never
@@ -344,21 +404,13 @@ def _patch_bucket_task(bdir: str, key: str, aff_arr, new_slice) -> None:
       3. ``os.rename(bdir.tmp, bdir)``   — new state live
       4. rmtree ``bdir.old``
 
-    On entry, recover from a prior crash: a leftover ``.old`` is the
-    authoritative old-complete state (restore it if ``bdir`` is missing,
-    else discard it — ``bdir`` already holds the new state); a leftover
-    ``.tmp`` is always discarded (unknown completeness)."""
+    On entry, recover from a prior crash via `_recover_bucket_swap`."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     tmp, old = bdir + ".tmp", bdir + ".old"
-    if os.path.exists(old):
-        if not os.path.exists(bdir):
-            os.rename(old, bdir)          # crashed between steps 2 and 3
-        else:
-            shutil.rmtree(old)            # crashed during step 4
-    shutil.rmtree(tmp, ignore_errors=True)
+    _recover_bucket_swap(bdir)
 
     old_tbls = []
     if os.path.exists(bdir):

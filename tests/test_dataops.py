@@ -1832,3 +1832,24 @@ def test_grouped_token_topk_ties_and_k(ray_session):
     fr = out[out["lang"] == "fr"].sort_values("rank")
     assert list(fr["token"]) == ["x", "y"]
     assert list(fr["n"]) == [1, 1]
+
+
+def test_rate_cap_crafted(ray_session):
+    import datetime as dt
+
+    import ray.data as rd
+
+    from payor_linkage.dataops.temporal import rate_cap
+
+    base = dt.datetime(2024, 1, 1)
+    # user u day 0: events at 0h,1h,2h → keep first 2; day 1: one event
+    rows = [("u", 0, 1), ("u", 1, 2), ("u", 2, 3), ("u", 25, 4),
+            ("v", 0, 5)]
+    ds = rd.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows]),
+        "ts": pa.array([base + dt.timedelta(hours=r[1]) for r in rows],
+                       pa.timestamp("us")),
+        "event_id": pa.array([r[2] for r in rows], pa.int64()),
+    }))
+    out = rate_cap(ds, window_us=86_400_000_000, k=2).to_pandas()
+    assert sorted(out["event_id"]) == [1, 2, 4, 5]

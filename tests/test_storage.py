@@ -382,3 +382,38 @@ def test_bucketed_patch_crash_recovery_and_validation(ray_session, tmp_path):
         write_bucketed(
             rd.from_arrow(pa.table({"k": [1.5, 2.5], "v": [1, 2]})),
             str(tmp_path / "floatkeys"), "k", n_buckets=2)
+
+
+def test_compact_bucketed_merges_and_preserves(ray_session, tmp_path):
+    import os
+
+    import pandas as pd
+    import ray.data as rd
+
+    from payor_linkage import storage
+
+    base = str(tmp_path / "state")
+    rows1 = [{"k": i, "v": f"a{i}"} for i in range(20)]
+    rows2 = [{"k": i + 100, "v": f"b{i}"} for i in range(20)]
+    rows3 = [{"k": i + 200, "v": f"c{i}"} for i in range(5)]
+    storage.write_bucketed(rd.from_items(rows1), base, "k", n_buckets=4)
+    storage.append_bucketed(rd.from_items(rows2), base, "k", n_buckets=4)
+    storage.append_bucketed(rd.from_items(rows3), base, "k", n_buckets=4)
+
+    def part_counts():
+        return {d: sum(1 for f in os.listdir(os.path.join(base, d))
+                       if f.endswith(".parquet"))
+                for d in os.listdir(base) if d.startswith("_bucket=")}
+
+    before = storage.read_bucketed(base).to_pandas() \
+        .sort_values(["k"]).reset_index(drop=True)
+    assert any(n > 1 for n in part_counts().values())
+    compacted = storage.compact_bucketed(base)
+    assert compacted, "multi-part buckets must be compacted"
+    counts = part_counts()
+    assert all(n == 1 for n in counts.values())
+    after = storage.read_bucketed(base).to_pandas() \
+        .sort_values(["k"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(before, after)
+    # idempotent: second compact is a no-op
+    assert storage.compact_bucketed(base) == []
