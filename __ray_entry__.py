@@ -1069,6 +1069,68 @@ def q_mdm_review_queue(sf_dir: str):
                         tie_col="h", keep_cols=["candidate_id"])
 
 
+def q_source_venn(sf_dir: str):
+    """Source-overlap Venn cells over the token vocabulary: each
+    token's presence bitmask across sources (bit i = i-th sorted
+    source), counted per mask — the n-way generalization of
+    `q_source_token_overlap` that feeds corpus-mixing decisions.
+    Composition: per-batch distinct (token, bit) flags → grouped
+    bitwise OR (`aggregates.grouped_bits`, mergeable partials) → a
+    bounded mask-count aggregate. Only (token, bit) rows shuffle."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    from payor_linkage.dataops.aggregates import grouped_bits
+
+    docs = _docs(sf_dir)
+    srcs = sorted(r["source"] for r in docs.groupby("source").count()
+                  .take_all())
+    rank = {s: i for i, s in enumerate(srcs)}
+
+    def flags(b: pa.Table) -> pa.Table:
+        toks = _pc.split_pattern_regex(
+            _pc.utf8_lower(b["text"]), "[^a-z0-9]+").combine_chunks()
+        lens = _pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = _pc.list_flatten(toks)
+        bits = np.repeat(np.array([1 << rank[s]
+                                   for s in b["source"].to_pylist()],
+                                  np.int64), lens)
+        mask = _pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        t = pa.table({"token": flat.filter(pa.array(mask)),
+                      "bit": pa.array(bits[mask])})
+        return t.group_by(["token", "bit"]).aggregate([])
+
+    per_tok = grouped_bits(
+        docs.select_columns(["source", "text"])
+        .map_batches(flags, batch_format="pyarrow"), "token", "bit")
+    return (per_tok.map_batches(
+                lambda b: pa.table({"mask": b["bits_or"]}),
+                batch_format="pyarrow")
+            .groupby("mask").count()
+            .map_batches(lambda b: pa.table({
+                "mask": b["mask"],
+                "n_tokens": _pc.cast(b["count()"], pa.int64())}),
+                batch_format="pyarrow"))
+
+
+def q_dup_size_histogram(sf_dir: str):
+    """Duplicate-cluster size spectrum: how many exact-dup groups exist
+    at each multiplicity — the dedup health diagnostic (composition:
+    exact_dedup's keeper grain → one bounded count-of-counts)."""
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    from payor_linkage.dataops.dedup import exact_dedup
+
+    return (exact_dedup(_docs(sf_dir)).groupby("n_dups").count()
+            .map_batches(lambda b: pa.table({
+                "n_dups": b["n_dups"],
+                "n_groups": _pc.cast(b["count()"], pa.int64())}),
+                batch_format="pyarrow"))
+
+
 def q_mdm_span_stats(sf_dir: str):
     """Per-span-kind profile of the interleaved text+media payload:
     (kind, n_spans, total_chars, n_media) over the unified corpus
@@ -3335,6 +3397,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_range_partition": q_range_partition,
         "q_cluster_split": q_cluster_split,
         "q_mdm_span_stats": q_mdm_span_stats,
+        "q_source_venn": q_source_venn,
+        "q_dup_size_histogram": q_dup_size_histogram,
         "q_rate_cap": q_rate_cap,
         "q_trending_events": q_trending_events,
         "q_mdm_review_queue": q_mdm_review_queue,
@@ -4070,6 +4134,32 @@ def oracle_sql() -> dict[str, str]:
         "q_read_filtered": """
             SELECT l_orderkey, l_quantity, l_discount
             FROM lineitem WHERE l_quantity > 45
+        """,
+        "q_source_venn": """
+            WITH tok AS (
+                SELECT DISTINCT source, t AS token FROM (
+                    SELECT source,
+                           unnest(regexp_split_to_array(lower(text),
+                                                        '[^a-z0-9]+')) AS t
+                    FROM documents) WHERE t != ''
+            ),
+            ranks AS (
+                SELECT source,
+                       row_number() OVER (ORDER BY source) - 1 AS r
+                FROM (SELECT DISTINCT source FROM documents)
+            ),
+            m AS (
+                SELECT token, CAST(sum(DISTINCT (1 << r)) AS BIGINT) AS mask
+                FROM tok JOIN ranks USING (source) GROUP BY token
+            )
+            SELECT mask, CAST(count(*) AS BIGINT) AS n_tokens
+            FROM m GROUP BY mask
+        """,
+        "q_dup_size_histogram": """
+            SELECT n_dups, CAST(count(*) AS BIGINT) AS n_groups FROM (
+                SELECT CAST(count(*) AS BIGINT) AS n_dups
+                FROM documents GROUP BY text
+            ) GROUP BY n_dups
         """,
         "q_rate_cap": """
             SELECT user_id, ts, event_id FROM (
