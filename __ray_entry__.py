@@ -1131,6 +1131,23 @@ def q_dup_size_histogram(sf_dir: str):
                 batch_format="pyarrow"))
 
 
+def q_fd_violations(sf_dir: str):
+    """Functional-dependency profiling (data quality): does
+    o_custkey → o_orderpriority hold? Emits the customers that placed
+    orders under more than one priority with their distinct-priority
+    count (`aggregates.fd_violations`; only distinct (det, dep) pairs
+    shuffle)."""
+    import os as _os
+
+    import ray.data as rd
+
+    from payor_linkage.dataops.aggregates import fd_violations
+
+    orders = rd.read_parquet(_os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey", "o_orderpriority"])
+    return fd_violations(orders, "o_custkey", "o_orderpriority")
+
+
 def q_mdm_span_stats(sf_dir: str):
     """Per-span-kind profile of the interleaved text+media payload:
     (kind, n_spans, total_chars, n_media) over the unified corpus
@@ -3398,6 +3415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cluster_split": q_cluster_split,
         "q_mdm_span_stats": q_mdm_span_stats,
         "q_source_venn": q_source_venn,
+        "q_fd_violations": q_fd_violations,
         "q_dup_size_histogram": q_dup_size_histogram,
         "q_rate_cap": q_rate_cap,
         "q_trending_events": q_trending_events,
@@ -4134,6 +4152,14 @@ def oracle_sql() -> dict[str, str]:
         "q_read_filtered": """
             SELECT l_orderkey, l_quantity, l_discount
             FROM lineitem WHERE l_quantity > 45
+        """,
+        "q_fd_violations": """
+            SELECT o_custkey AS det,
+                   CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+                       AS n_distinct_dep
+            FROM orders
+            GROUP BY o_custkey
+            HAVING count(DISTINCT o_orderpriority) > 1
         """,
         "q_source_venn": """
             WITH tok AS (

@@ -220,6 +220,37 @@ def range_partition_counts(ds: Dataset, value_col: str,
             .aggregate(Sum("n_rows", alias_name="n_rows")))
 
 
+def fd_violations(ds: Dataset, det_col: str, dep_col: str) -> Dataset:
+    """Functional-dependency profiling: for ``det_col → dep_col``, the
+    determinant values that map to MORE than one distinct dependent
+    value (the violation witnesses), with their distinct-dependent
+    count — the data-quality check behind "should this column key that
+    one". One row per violating determinant: (det, n_distinct_dep).
+
+    Shape: per-batch distinct (det, dep) pairs (a combiner — bounded by
+    the batch's pair vocabulary) → one grouped distinct + count; only
+    (det, dep) pairs ever shuffle."""
+    def pairs(b: pa.Table) -> pa.Table:
+        return (pa.table({"det": b[det_col], "dep": b[dep_col]})
+                .group_by(["det", "dep"]).aggregate([]))
+
+    distinct = (ds.select_columns([det_col, dep_col])
+                .map_batches(pairs, batch_format="pyarrow")
+                .groupby(["det", "dep"]).count()
+                .map_batches(lambda b: b.select(["det"]),
+                             batch_format="pyarrow"))
+    counts = distinct.groupby("det").count()
+
+    def viol(b: pa.Table) -> pa.Table:
+        m = pc.greater(b["count()"], 1)
+        t = b.filter(m)
+        return pa.table({"det": t["det"],
+                         "n_distinct_dep": pc.cast(t["count()"],
+                                                   pa.int64())})
+
+    return counts.map_batches(viol, batch_format="pyarrow")
+
+
 def grouped_lag_delta(ds: Dataset, key: str, order_cols: list[str],
                       value_col: str, out_col: str = "delta") -> Dataset:
     """Per-key LAG delta: ``value - LAG(value) OVER (PARTITION BY key
