@@ -1853,3 +1853,42 @@ def test_rate_cap_crafted(ray_session):
     }))
     out = rate_cap(ds, window_us=86_400_000_000, k=2).to_pandas()
     assert sorted(out["event_id"]) == [1, 2, 4, 5]
+
+
+def test_debounce_and_rate_cap_match_pandas_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    rng = np.random.RandomState(42)
+    n = 3000
+    us = rng.randint(0, 10**13, n)
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 25, n),
+        "event_type": rng.choice(["a", "b", "c"], n),
+        "ts_us": us,
+        "event_id": np.arange(n, dtype=np.int64),
+    })
+    ds = rd.from_arrow(pa.table({
+        "user_id": pa.array(df["user_id"], pa.int64()),
+        "event_type": pa.array(df["event_type"]),
+        "ts": pa.array(df["ts_us"], pa.int64()).cast(pa.timestamp("us")),
+        "event_id": pa.array(df["event_id"], pa.int64()),
+    }))
+
+    from payor_linkage.dataops.temporal import debounce, rate_cap
+
+    gap = 10**9  # µs
+    out = debounce(ds, gap_us=gap).to_pandas()
+    ref = df.sort_values(["user_id", "event_type", "ts_us", "event_id"])
+    prev = ref.groupby(["user_id", "event_type"])["ts_us"].shift()
+    keep = prev.isna() | ((ref["ts_us"] - prev) > gap)
+    assert set(out["event_id"]) == set(ref.loc[keep, "event_id"])
+
+    win = 2 * 10**9  # µs tumbling window
+    out2 = rate_cap(ds, window_us=win, k=3).to_pandas()
+    df2 = df.copy()
+    df2["w"] = df2["ts_us"] // win
+    df2 = df2.sort_values(["user_id", "w", "ts_us", "event_id"])
+    df2["pos"] = df2.groupby(["user_id", "w"]).cumcount()
+    assert set(out2["event_id"]) == set(df2.loc[df2["pos"] < 3, "event_id"])
