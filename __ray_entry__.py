@@ -3180,6 +3180,60 @@ def q_sliding_sum(sf_dir: str):
     return sliding_sum(base, "user_id", ["ts", "event_id"], "k", frame=5)
 
 
+def q_range_frame_sum(sf_dir: str):
+    """Value-based RANGE window frame: sum of the integer props field k
+    over each user's trailing 10-minute window (RANGE 600s PRECEDING,
+    peers included) — the RANGE complement of q_sliding_sum's ROWS
+    frame (`aggregates.range_frame_sum`: one cumsum + two vectorized
+    searchsorted probes over run-offset timestamps)."""
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    from payor_linkage.dataops.aggregates import range_frame_sum
+
+    def extract_k(b: pa.Table) -> pa.Table:
+        ex = _pc.extract_regex(b["props"], r'"k"\s*:\s*(?P<v>-?\d+)')
+        return pa.table({
+            "user_id": b["user_id"], "ts": b["ts"],
+            "k": _pc.cast(_pc.struct_field(ex, "v"), pa.int64()),
+        })
+
+    base = _events(sf_dir).map_batches(extract_k, batch_format="pyarrow")
+    return range_frame_sum(base, "user_id", "ts", "k",
+                           delta_us=600_000_000)
+
+
+def q_cross_join(sf_dir: str):
+    """CROSS JOIN (cartesian) of two bounded dimensions — region ×
+    nation name pairs. The small side is broadcast once (ray.put) and
+    each batch emits its cartesian block via repeat/tile index
+    arithmetic; the big side streams, nothing shuffles."""
+    import os as _os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    region = rd.read_parquet(_os.path.join(sf_dir, "region.parquet"),
+                             columns=["r_name"]).take_all()
+    rnames = pa.array(sorted(r["r_name"] for r in region))
+    ref = ray.put(rnames)
+
+    def cart(b: pa.Table) -> pa.Table:
+        rn = ray.get(ref)
+        n, m = b.num_rows, len(rn)
+        return pa.table({
+            "r_name": rn.take(pa.array(np.tile(np.arange(m), n))),
+            "n_name": b["n_name"].take(
+                pa.array(np.repeat(np.arange(n), m))),
+        })
+
+    nation = rd.read_parquet(_os.path.join(sf_dir, "nation.parquet"),
+                             columns=["n_name"])
+    return nation.map_batches(cart, batch_format="pyarrow")
+
+
 def q_global_ntile(sf_dir: str):
     """Global ROW_NUMBER + NTILE(4) over the whole events table ordered
     by (value, event_id) — equi-depth banding via the distributed
@@ -3416,6 +3470,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mdm_span_stats": q_mdm_span_stats,
         "q_source_venn": q_source_venn,
         "q_fd_violations": q_fd_violations,
+        "q_range_frame_sum": q_range_frame_sum,
+        "q_cross_join": q_cross_join,
         "q_dup_size_histogram": q_dup_size_histogram,
         "q_rate_cap": q_rate_cap,
         "q_trending_events": q_trending_events,
@@ -4152,6 +4208,21 @@ def oracle_sql() -> dict[str, str]:
         "q_read_filtered": """
             SELECT l_orderkey, l_quantity, l_discount
             FROM lineitem WHERE l_quantity > 45
+        """,
+        "q_range_frame_sum": """
+            SELECT user_id, ts, k,
+                   CAST(sum(k) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 600 SECOND PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS win_sum
+            FROM (
+                SELECT user_id, ts,
+                       CAST(regexp_extract(props, '"k"\\s*:\\s*(-?\\d+)', 1)
+                            AS BIGINT) AS k
+                FROM events)
+        """,
+        "q_cross_join": """
+            SELECT r_name, n_name FROM region CROSS JOIN nation
         """,
         "q_fd_violations": """
             SELECT o_custkey AS det,

@@ -1222,6 +1222,50 @@ def sliding_sum(ds: Dataset, key: str, order_cols: list[str],
                          out_schema=out_schema, runs_fn=runs)
 
 
+def range_frame_sum(ds: Dataset, key: str, ts_col: str, value_col: str,
+                    delta_us: int, out_col: str = "win_sum") -> Dataset:
+    """Value-based window frame over an INTEGER column:
+    ``sum(value) OVER (PARTITION BY key ORDER BY ts
+    RANGE BETWEEN delta PRECEDING AND CURRENT ROW)`` — the RANGE
+    complement of ``sliding_sum``'s ROWS frame. SQL RANGE semantics
+    kept exactly: all PEERS of the current row (equal ts) are inside
+    the frame, even ones later in the sort.
+
+    One grouped sort + ONE cumsum; both frame boundaries come from two
+    vectorized searchsorted probes over run-offset timestamps (each
+    run's ts shifted by run_index × K with K > span + delta, so the
+    concatenated block array is sorted and a probe can never cross a
+    run boundary) — O(n log n) in the block, no per-row Python."""
+    proj = [key, ts_col, value_col]
+    out_schema = pa.schema(
+        [(c, ds.schema().base_schema.field(c).type) for c in proj]
+        + [(out_col, pa.int64())])
+
+    def runs(b: pa.Table, starts, ends) -> pa.Table:
+        lo, hi = starts[0], ends[-1]
+        rid = _run_ids(starts, ends)
+        ts = pc.cast(b[ts_col], pa.int64()) \
+            .to_numpy(zero_copy_only=False)[lo:hi]
+        order = np.lexsort((ts, rid))
+        r, t = rid[order], ts[order]
+        v = b[value_col].to_numpy(zero_copy_only=False)[lo:hi][order] \
+            .astype(np.int64)
+        t0 = t - t.min()
+        K = np.int64(t0.max()) + np.int64(delta_us) + 2
+        tshift = t0 + r * K
+        c = np.cumsum(v)
+        left = np.searchsorted(tshift, tshift - delta_us, side="left")
+        right = np.searchsorted(tshift, tshift, side="right")
+        win = c[right - 1] - np.where(left > 0, c[left - 1], 0)
+        take = pa.array(order + lo)
+        cols = {col: b[col].take(take) for col in proj}
+        cols[out_col] = pa.array(win, pa.int64())
+        return pa.table(cols).cast(out_schema)
+
+    return grouped_apply(ds.select_columns(proj), key,
+                         out_schema=out_schema, runs_fn=runs)
+
+
 def profile_nulls(ds: Dataset, columns: list[str] | None = None) -> Dataset:
     """Column-level completeness profile: one row per column with total
     and null counts — the data-quality scan that decides which fields a

@@ -1160,3 +1160,30 @@ def test_grouped_intersection_count_crafted(ray_session):
            for r in grouped_intersection_count(a, b, "q", "v").take_all()}
     # q=1 shares {11,12}; q=2 shares nothing (no row); q=3 one-sided
     assert out == {1: 2}
+
+
+def test_range_frame_sum_includes_peers(ray_session):
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from payor_linkage.dataops.aggregates import range_frame_sum
+
+    base = dt.datetime(2024, 1, 1)
+    # u: ts 0s (k=1), 10s (k=2), 10s (k=4) — RANGE CURRENT ROW includes
+    # BOTH 10s peers for each 10s row; delta 5s excludes the 0s row
+    rows = [("u", 0, 1), ("u", 10, 2), ("u", 10, 4), ("v", 0, 8)]
+    ds = rd.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows]),
+        "ts": pa.array([base + dt.timedelta(seconds=r[1]) for r in rows],
+                       pa.timestamp("us")),
+        "k": pa.array([r[2] for r in rows], pa.int64()),
+    }))
+    out = range_frame_sum(ds, "user_id", "ts", "k",
+                          delta_us=5_000_000).to_pandas()
+    got = {(r.user_id, r.k): r.win_sum for r in out.itertuples()}
+    assert got[("u", 1)] == 1
+    assert got[("u", 2)] == 6   # both peers, 0s row outside delta
+    assert got[("u", 4)] == 6
+    assert got[("v", 8)] == 8
