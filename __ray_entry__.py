@@ -1148,6 +1148,15 @@ def q_fd_violations(sf_dir: str):
     return fd_violations(orders, "o_custkey", "o_orderpriority")
 
 
+def q_collapse_repeats(sf_dir: str):
+    """Consecutive-duplicate collapse: each user's event stream reduced
+    to its state-CHANGE points (`temporal.collapse_repeats` — the CDC
+    'distinct consecutive' form; comparison vectorized across runs)."""
+    from payor_linkage.dataops.temporal import collapse_repeats
+
+    return collapse_repeats(_events(sf_dir))
+
+
 def q_mdm_span_stats(sf_dir: str):
     """Per-span-kind profile of the interleaved text+media payload:
     (kind, n_spans, total_chars, n_media) over the unified corpus
@@ -1982,8 +1991,8 @@ def q_mdm_incremental(sf_dir: str):
             edges, batch_format="pyarrow"))
         _dump_sidecar("inc_unified", inc.unified.select_columns(
             ["source_record_id", "source_trust_rank"]))
-        _INC_CACHE[key] = inc
-    inc = _INC_CACHE[key]
+        _INC_CACHE[key] = (prior, inc)
+    _prior, inc = _INC_CACHE[key]
 
     groups = inc.groups
     canon = groups.groupby("match_group_id").aggregate(
@@ -1993,6 +2002,29 @@ def q_mdm_incremental(sf_dir: str):
         canon, "match_group_id")
     return j.select_columns(["source_record_id", "canonical_id",
                              "is_survivor"])
+
+
+def q_mdm_golden_diff(sf_dir: str):
+    """Golden-record CDC across the delta: `snapshot_diff` of the
+    prior run's goldens vs the post-incremental goldens, keyed by
+    survivor_record_id with source_count as the tracked value — the
+    "what did last night's landing change" ops view (added = new
+    entities, changed = groups that absorbed members, removed =
+    survivors merged away). Pure composition of the proven CDC
+    operator over the linkage outputs; oracle = the FULL OUTER JOIN +
+    CASE over the two golden sidecars."""
+    from payor_linkage.dataops.cdc import snapshot_diff
+
+    q_mdm_incremental(sf_dir)            # populate/reuse the run cache
+    prior, inc = _INC_CACHE[_mdm_replicas(sf_dir)]
+    old = prior.golden.select_columns(["survivor_record_id",
+                                       "source_count"])
+    new = inc.golden.select_columns(["survivor_record_id",
+                                     "source_count"])
+    _dump_sidecar("golden_old", old)
+    _dump_sidecar("golden_new", new)
+    return snapshot_diff(old, new, key="survivor_record_id",
+                         val="source_count")
 
 
 def q_mdm_blocking_quality(sf_dir: str):
@@ -3471,6 +3503,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_source_venn": q_source_venn,
         "q_fd_violations": q_fd_violations,
         "q_range_frame_sum": q_range_frame_sum,
+        "q_collapse_repeats": q_collapse_repeats,
+        "q_mdm_golden_diff": q_mdm_golden_diff,
         "q_cross_join": q_cross_join,
         "q_dup_size_histogram": q_dup_size_histogram,
         "q_rate_cap": q_rate_cap,
@@ -4209,6 +4243,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_quantity, l_discount
             FROM lineitem WHERE l_quantity > 45
         """,
+        "q_collapse_repeats": """
+            SELECT user_id, ts, event_id, event_type FROM (
+                SELECT user_id, ts, event_id, event_type,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS pv
+                FROM events)
+            WHERE pv IS NULL OR pv <> event_type
+        """,
         "q_range_frame_sum": """
             SELECT user_id, ts, k,
                    CAST(sum(k) OVER (
@@ -4497,6 +4539,24 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY d.n_chars DESC, d.doc_id) AS rn
                 FROM comp c JOIN documents d USING (doc_id)
             ) WHERE rn = 1
+        """,
+        "q_mdm_golden_diff": f"""
+            WITH o AS (
+                SELECT survivor_record_id AS k, source_count AS n
+                FROM read_parquet('{_SIDECAR_DIR}/golden_old/*.parquet')
+            ),
+            n AS (
+                SELECT survivor_record_id AS k, source_count AS n
+                FROM read_parquet('{_SIDECAR_DIR}/golden_new/*.parquet')
+            )
+            SELECT COALESCE(o.k, n.k) AS survivor_record_id,
+                   CAST(COALESCE(o.n, 0) AS BIGINT) AS old_val,
+                   CAST(COALESCE(n.n, 0) AS BIGINT) AS new_val,
+                   CASE WHEN o.k IS NULL THEN 'added'
+                        WHEN n.k IS NULL THEN 'removed'
+                        WHEN o.n <> n.n THEN 'changed'
+                        ELSE 'unchanged' END AS change
+            FROM o FULL OUTER JOIN n ON o.k = n.k
         """,
         "q_mdm_review_queue": f"""
             SELECT final_decision, CAST(rank AS BIGINT) AS rank,

@@ -465,6 +465,45 @@ def debounce(events: Dataset, on: str = "user_id",
                          out_schema=out_schema, runs_fn=runs)
 
 
+def collapse_repeats(events: Dataset, on: str = "user_id",
+                     ts_col: str = "ts", id_col: str = "event_id",
+                     value_col: str = "event_type") -> Dataset:
+    """Consecutive-duplicate collapse: per key ordered by (ts, id),
+    keep a row only if its value DIFFERS from the immediately previous
+    row's — state-stream compression (the CDC "distinct consecutive"
+    form: a sensor/status feed collapses to its change points).
+
+    One grouped sort; the previous-value comparison is vectorized
+    across every run in a block via dictionary codes — codes only need
+    equality, so per-batch code spaces are safe."""
+    import pyarrow.compute as pc
+
+    s = events.schema()
+    types = dict(zip(s.names, s.types))
+    proj = [on, ts_col, id_col, value_col]
+    out_schema = pa.schema([(c, types[c]) for c in proj])
+
+    def runs(b: pa.Table, starts, ends) -> pa.Table:
+        lo, hi = starts[0], ends[-1]
+        rid = _run_ids_local(starts, ends)
+        ts = pc.cast(b[ts_col], pa.int64()) \
+            .to_numpy(zero_copy_only=False)[lo:hi]
+        eid = b[id_col].to_numpy(zero_copy_only=False)[lo:hi]
+        codes = pc.dictionary_encode(
+            b[value_col].combine_chunks().slice(lo, hi - lo)) \
+            .indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, ts, rid))
+        r, c = rid[order], codes[order]
+        keep = np.concatenate(
+            [[True], (r[1:] != r[:-1]) | (c[1:] != c[:-1])])
+        take = pa.array(order[keep] + lo)
+        return pa.table({c2: b[c2].take(take)
+                         for c2 in proj}).cast(out_schema)
+
+    return grouped_apply(events.select_columns(proj), on,
+                         out_schema=out_schema, runs_fn=runs)
+
+
 def rate_cap(events: Dataset, on: str = "user_id", ts_col: str = "ts",
              id_col: str = "event_id", window_us: int = 86_400_000_000,
              k: int = 2) -> Dataset:

@@ -1892,3 +1892,24 @@ def test_debounce_and_rate_cap_match_pandas_reference(ray_session):
     df2 = df2.sort_values(["user_id", "w", "ts_us", "event_id"])
     df2["pos"] = df2.groupby(["user_id", "w"]).cumcount()
     assert set(out2["event_id"]) == set(df2.loc[df2["pos"] < 3, "event_id"])
+
+
+def test_collapse_repeats_crafted(ray_session):
+    import datetime as dt
+
+    import ray.data as rd
+
+    from payor_linkage.dataops.temporal import collapse_repeats
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [("u", 0, 1, "a"), ("u", 1, 2, "a"), ("u", 2, 3, "b"),
+            ("u", 3, 4, "b"), ("u", 4, 5, "a"), ("v", 0, 6, "a")]
+    ds = rd.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows]),
+        "ts": pa.array([base + dt.timedelta(seconds=r[1]) for r in rows],
+                       pa.timestamp("us")),
+        "event_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+    }))
+    out = collapse_repeats(ds).to_pandas()
+    assert sorted(out["event_id"]) == [1, 3, 5, 6]
