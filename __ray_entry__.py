@@ -3399,6 +3399,80 @@ def q_window_distinct(sf_dir: str):
         Count("user_id", alias_name="n_users"))
 
 
+def q_benford(sf_dir: str):
+    """Benford first-significant-digit profile of l_extendedprice —
+    data-forensics histogram over the widest numeric feed
+    (`aggregates.first_digit_profile`; digit extraction is pure Arrow
+    floor→string, no float log10; ≤9 rows per block shuffle)."""
+    import ray.data as rd
+
+    from payor_linkage.dataops.aggregates import first_digit_profile
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_extendedprice"])
+    return first_digit_profile(li, "l_extendedprice")
+
+
+def q_validate_mask(sf_dir: str):
+    """Expectation-suite validation profile over lineitem: three rule
+    predicates → per-row bitmask → count per observed mask
+    (`aggregates.rule_mask_profile`; mask 0 = fully-clean rows, any
+    per-rule total is a bit rollup of this table)."""
+    import pyarrow.compute as _pc
+
+    import ray.data as rd
+
+    from payor_linkage.dataops.aggregates import rule_mask_profile
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_quantity", "l_discount", "l_tax"])
+    rules = [
+        ("high_qty", lambda b: _pc.greater(b["l_quantity"], 30.0)),
+        ("deep_discount", lambda b: _pc.greater(b["l_discount"], 0.05)),
+        ("high_tax", lambda b: _pc.greater_equal(b["l_tax"], 0.04)),
+    ]
+    return rule_mask_profile(li, rules)
+
+
+def q_seeded_shuffle(sf_dir: str):
+    """Deterministic seeded global corpus shuffle: each document's
+    1-based position in the md5('r5s|'||doc_id) permutation — the
+    reproducible pre-sharding shuffle (`reshape.seeded_shuffle`:
+    vectorized DuckDB md5 kernel + ONE sort + distributed ROW_NUMBER
+    prefix construction)."""
+    from payor_linkage.dataops.reshape import seeded_shuffle
+
+    return seeded_shuffle(_docs(sf_dir), "doc_id", "r5s")
+
+
+def q_compression_signal(sf_dir: str):
+    """Per-document zlib compressibility (boilerplate / repetition
+    quality signal): (doc_id, raw_len, comp_len, ratio_bp) —
+    `text.compression_signal`. Rows-only at the driver gate (DuckDB
+    has no zlib; deterministic integers, pytest-gated against direct
+    zlib)."""
+    from payor_linkage.dataops.text import compression_signal
+
+    return compression_signal(_docs(sf_dir))
+
+
+def q_join_skew(sf_dir: str):
+    """Pre-shuffle join planning: top-20 orderkeys by orders⋈lineitem
+    output fan-out (`aggregates.join_skew_profile` — both sides
+    collapse to per-key counts before the counts-sized join; the skew
+    check run before committing to a hash join)."""
+    import ray.data as rd
+
+    from payor_linkage.dataops.aggregates import join_skew_profile
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey"])
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey"])
+    return join_skew_profile(orders, li, "o_orderkey", "l_orderkey")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # First 50 entries are the driver-correctness window for this round:
     # the full q_mdm_* core + queries not yet driver-verified in r02/r03.
@@ -3505,6 +3579,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_range_frame_sum": q_range_frame_sum,
         "q_collapse_repeats": q_collapse_repeats,
         "q_mdm_golden_diff": q_mdm_golden_diff,
+        "q_benford": q_benford,
+        "q_validate_mask": q_validate_mask,
+        "q_seeded_shuffle": q_seeded_shuffle,
+        "q_compression_signal": q_compression_signal,
+        "q_join_skew": q_join_skew,
         "q_cross_join": q_cross_join,
         "q_dup_size_histogram": q_dup_size_histogram,
         "q_rate_cap": q_rate_cap,
@@ -4273,6 +4352,43 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY o_custkey
             HAVING count(DISTINCT o_orderpriority) > 1
+        """,
+        "q_benford": """
+            SELECT CAST(substr(CAST(CAST(floor(l_extendedprice)
+                                     AS BIGINT) AS VARCHAR), 1, 1)
+                        AS BIGINT) AS digit,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lineitem
+            WHERE floor(l_extendedprice) >= 1
+            GROUP BY 1
+        """,
+        "q_validate_mask": """
+            SELECT (CASE WHEN l_quantity > 30.0 THEN 1 ELSE 0 END
+                    + CASE WHEN l_discount > 0.05 THEN 2 ELSE 0 END
+                    + CASE WHEN l_tax >= 0.04 THEN 4 ELSE 0 END)::BIGINT
+                       AS mask,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lineitem
+            GROUP BY 1
+        """,
+        "q_seeded_shuffle": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                       ORDER BY md5('r5s|' || CAST(doc_id AS VARCHAR)),
+                                doc_id) AS BIGINT) AS pos
+            FROM documents
+        """,
+        "q_join_skew": """
+            WITH lc AS (SELECT o_orderkey AS key, count(*) AS nl
+                        FROM orders GROUP BY 1),
+                 rc AS (SELECT l_orderkey AS key, count(*) AS nr
+                        FROM lineitem GROUP BY 1)
+            SELECT lc.key, CAST(nl AS BIGINT) AS n_left,
+                   CAST(nr AS BIGINT) AS n_right,
+                   CAST(nl * nr AS BIGINT) AS pairs
+            FROM lc JOIN rc USING (key)
+            ORDER BY pairs DESC, lc.key
+            LIMIT 20
         """,
         "q_source_venn": """
             WITH tok AS (

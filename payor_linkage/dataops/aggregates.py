@@ -1510,3 +1510,99 @@ def grouped_intersection_count(a: Dataset, b: Dataset, key: str,
     return (inter.groupby(key).count()
             .map_batches(lambda t: t.rename_columns([key, "n_common"]),
                          batch_format="pyarrow"))
+
+
+def first_digit_profile(ds: Dataset, col: str) -> Dataset:
+    """Benford-style first-significant-digit histogram of a positive
+    numeric column — the classic data-forensics profile (fabricated,
+    truncated or unit-mixed numeric feeds diverge from the expected
+    log-uniform digit law). Rows with value < 1 are excluded (no
+    leading significant digit in the integer part). One row per digit:
+    (digit ∈ 1..9, n).
+
+    Shape: digit extraction is pure Arrow — floor → int64 → string →
+    first code unit (NO float log10, so exact at powers of ten);
+    per-batch partial counts combine first, so the one grouped
+    exchange moves ≤ 9 rows per block."""
+    def partial(b: pa.Table) -> pa.Table:
+        x = pc.cast(pc.floor(pc.cast(b[col], pa.float64())), pa.int64())
+        x = pc.filter(x, pc.greater_equal(x, 1))
+        d = pc.cast(pc.utf8_slice_codeunits(
+            pc.cast(x, pa.string()), 0, 1), pa.int64())
+        g = pa.table({"digit": d}).group_by("digit") \
+            .aggregate([([], "count_all")])
+        return pa.table({"digit": g["digit"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    counts = ds.select_columns([col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("digit").sum("n")
+    return counts.map_batches(
+        lambda b: pa.table({"digit": b["digit"],
+                            "n": pc.cast(b["sum(n)"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def rule_mask_profile(ds: Dataset, rules) -> Dataset:
+    """Data-validation rule profile (expectation-suite / quarantine
+    routing summary): ``rules`` is an ordered list of ``(name,
+    predicate)`` where ``predicate(batch)`` returns a boolean array;
+    every row gets a bitmask (rule i → bit i, NULL predicate = rule
+    not violated) and the output is one row per observed mask with its
+    row count — mask 0 counts the fully-clean rows, and any per-rule
+    or per-combination total is a mask-bit rollup of this table.
+
+    Shape: predicates are vectorized Arrow kernels; per-batch partial
+    counts combine first, so the exchange moves ≤ 2**len(rules) rows
+    per block."""
+    def partial(b: pa.Table) -> pa.Table:
+        mask = np.zeros(b.num_rows, dtype=np.int64)
+        for i, (_name, fn) in enumerate(rules):
+            bits = pc.fill_null(pc.cast(fn(b), pa.bool_()), False)
+            mask |= bits.to_numpy(zero_copy_only=False) \
+                .astype(np.int64) << i
+        g = pa.table({"mask": pa.array(mask, pa.int64())}) \
+            .group_by("mask").aggregate([([], "count_all")])
+        return pa.table({"mask": g["mask"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("mask").sum("n")
+    return counts.map_batches(
+        lambda b: pa.table({"mask": b["mask"],
+                            "n": pc.cast(b["sum(n)"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def join_skew_profile(left: Dataset, right: Dataset, left_key: str,
+                      right_key: str, k: int = 20) -> Dataset:
+    """Pre-shuffle join planning: per-key fan-out of ``left ⋈ right``
+    — the top-``k`` keys by output cardinality ``n_left * n_right``
+    (ties broken by key), the skew check run BEFORE committing to a
+    hash join (a handful of hot keys producing most of the output is
+    the signal to salt or broadcast). One row per hot key:
+    (key, n_left, n_right, pairs).
+
+    Shape: both sides collapse to per-key counts first (grouped
+    count — the only corpus-sized exchange), so the join itself is
+    counts-sized; top-k is a sort + limit over the counts table."""
+    from payor_linkage.rayutil import smart_join
+
+    lc = left.select_columns([left_key]).groupby(left_key).count() \
+        .map_batches(lambda b: pa.table(
+            {"key": b[left_key],
+             "n_left": pc.cast(b["count()"], pa.int64())}),
+            batch_format="pyarrow")
+    rc = right.select_columns([right_key]).groupby(right_key).count() \
+        .map_batches(lambda b: pa.table(
+            {"key": b[right_key],
+             "n_right": pc.cast(b["count()"], pa.int64())}),
+            batch_format="pyarrow")
+    j = smart_join(lc, rc, "key")
+
+    def pairs(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "pairs", pc.multiply_checked(b["n_left"], b["n_right"]))
+
+    return (j.map_batches(pairs, batch_format="pyarrow")
+            .sort(["pairs", "key"], descending=[True, False]).limit(k))

@@ -316,3 +316,37 @@ def union_by_name(a: Dataset, b: Dataset) -> Dataset:
 
     return (a.map_batches(align(set(ta)), batch_format="pyarrow")
             .union(b.map_batches(align(set(tb)), batch_format="pyarrow")))
+
+
+def seeded_shuffle(ds: Dataset, id_col: str, seed: str,
+                   out_pos: str = "pos") -> Dataset:
+    """Deterministic seeded global shuffle: every row gets its 1-based
+    position in the permutation ordered by ``md5(seed || '|' || id)``
+    — the reproducible corpus-shuffle step before training-data
+    sharding (a different ``seed`` yields an independent permutation;
+    the same seed yields the same order on any cluster size, unlike
+    ``Dataset.random_shuffle``). SQL-exact: ``ROW_NUMBER() OVER (ORDER
+    BY md5(...), id)``.
+
+    Scale shape: hashing runs through the vectorized DuckDB md5 kernel
+    per batch (``dedup._content_md5``); then ONE global sort over the
+    32-char key and the ``global_ntile`` distributed-ROW_NUMBER prefix
+    construction — per-block row counts (one int each) to the driver,
+    no row moves after the sort."""
+    import pyarrow.compute as pc
+
+    from .dedup import _content_md5
+
+    def key(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b[id_col], pa.string())
+        joined = pc.binary_join_element_wise(
+            pa.scalar(seed, pa.string()), ids.combine_chunks()
+            if isinstance(ids, pa.ChunkedArray) else ids,
+            pa.scalar("|", pa.string()))
+        return pa.table({"_sk": _content_md5(joined), id_col: b[id_col]})
+
+    keyed = ds.select_columns([id_col]).map_batches(
+        key, batch_format="pyarrow")
+    nt = global_ntile(keyed, ["_sk", id_col], k=1, out_rn=out_pos)
+    return nt.map_batches(lambda b: b.select([id_col, out_pos]),
+                          batch_format="pyarrow")

@@ -1415,3 +1415,39 @@ def temperature_sample(ds: Dataset, group_col: str = "source",
         return b.filter(pa.array(ranks <= lim))
 
     return top.map_batches(within_quota, batch_format="pyarrow")
+
+
+def compression_signal(docs: Dataset, id_col: str = "doc_id",
+                       text_col: str = "text", level: int = 6) -> Dataset:
+    """Per-document zlib compressibility — the cheap boilerplate /
+    repetition quality signal (templated or machine-generated text
+    compresses far below natural prose; web-corpus pipelines gate on
+    it alongside the Gopher repetition stats). Emits (id, raw_len,
+    comp_len, ratio_bp) with ``ratio_bp = comp_len * 10000 //
+    max(raw_len, 1)`` — pure integers, and zlib at a fixed level is
+    bit-stable, so output is deterministic.
+
+    Shape: the per-row ``zlib.compress`` call IS the kernel (C code
+    per document, exactly like a decode stage); stateless, so the
+    default task pool suffices — no actor needed. Driver gate is
+    rows-only (DuckDB has no zlib); pytest gates the lengths against
+    direct zlib."""
+    import zlib
+
+    def f(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        raw = np.empty(len(texts), dtype=np.int64)
+        comp = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            enc = (t or "").encode("utf-8", "surrogatepass")
+            raw[i] = len(enc)
+            comp[i] = len(zlib.compress(enc, level))
+        return pa.table({
+            id_col: b[id_col],
+            "raw_len": pa.array(raw, pa.int64()),
+            "comp_len": pa.array(comp, pa.int64()),
+            "ratio_bp": pa.array(comp * 10000 // np.maximum(raw, 1),
+                                 pa.int64())})
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        f, batch_format="pyarrow")
