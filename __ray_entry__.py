@@ -2071,6 +2071,18 @@ def q_mdm_bcubed(sf_dir: str):
         ["source_record_id", "entity_id"]))
 
 
+def q_mdm_inferred_pairs(sf_dir: str):
+    """Transitive-match audit: pairs that share a match group but were
+    never directly auto-matched (`evaluate.inferred_pairs` — m²-index
+    pair expansion inside one grouped sort, broadcast matched-edge
+    probe). Oracle: membership self-join a<b LEFT JOIN the match-edge
+    sidecar, keeping edge-less pairs."""
+    from payor_linkage.evaluate import inferred_pairs
+
+    res = _mdm_result(sf_dir)
+    return inferred_pairs(res.groups, res.candidates)
+
+
 def q_mdm_xref(sf_dir: str):
     return _mdm_result(sf_dir).xref
 
@@ -3473,6 +3485,32 @@ def q_join_skew(sf_dir: str):
     return join_skew_profile(orders, li, "o_orderkey", "l_orderkey")
 
 
+def q_boilerplate_prune(sf_dir: str):
+    """C4-style boilerplate removal: units (tokens here — documents
+    are single-line) appearing in ≥395 distinct documents are dropped
+    and each text rebuilt in original order
+    (`text.boilerplate_prune`: one bounded DF aggregate, prune-set
+    broadcast, one streaming rewrite pass — split/is_in/binary_join,
+    no per-row loop)."""
+    from payor_linkage.dataops.text import boilerplate_prune
+
+    return boilerplate_prune(_docs(sf_dir), max_df=395)
+
+
+def q_pii_profile(sf_dir: str):
+    """Pattern-density census over the events JSON props column (the
+    "how much scrubbing would a redaction pass do" profile):
+    non-overlapping match counts for three RE2 classes per event
+    (`text.regex_count_profile` — one vectorized
+    count_substring_regex kernel per pattern per batch)."""
+    from payor_linkage.dataops.text import regex_count_profile
+
+    return regex_count_profile(
+        _events(sf_dir), "props",
+        {"digit_run": "[0-9]+", "long_digit": "[0-9]{3,}",
+         "quoted": '"[a-z_]+"'})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # First 50 entries are the driver-correctness window for this round:
     # the full q_mdm_* core + queries not yet driver-verified in r02/r03.
@@ -3584,6 +3622,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_seeded_shuffle": q_seeded_shuffle,
         "q_compression_signal": q_compression_signal,
         "q_join_skew": q_join_skew,
+        "q_boilerplate_prune": q_boilerplate_prune,
+        "q_pii_profile": q_pii_profile,
+        "q_mdm_inferred_pairs": q_mdm_inferred_pairs,
         "q_cross_join": q_cross_join,
         "q_dup_size_histogram": q_dup_size_histogram,
         "q_rate_cap": q_rate_cap,
@@ -4390,6 +4431,38 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY pairs DESC, lc.key
             LIMIT 20
         """,
+        "q_boilerplate_prune": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l
+                          FROM documents),
+                 u AS (SELECT doc_id, unnest(l) AS unit FROM toks),
+                 bp AS (SELECT unit FROM u GROUP BY unit
+                        HAVING count(DISTINCT doc_id) >= 395),
+                 bpl AS (SELECT coalesce(list(unit), []) AS bl FROM bp)
+            SELECT t.doc_id,
+                   array_to_string(list_filter(
+                       t.l, x -> NOT list_contains(bpl.bl, x)), ' ')
+                       AS text,
+                   CAST(len(list_filter(
+                       t.l, x -> NOT list_contains(bpl.bl, x)))
+                        AS BIGINT) AS n_kept,
+                   CAST(len(t.l) AS BIGINT)
+                   - CAST(len(list_filter(
+                         t.l, x -> NOT list_contains(bpl.bl, x)))
+                          AS BIGINT) AS n_dropped
+            FROM toks t, bpl
+            WHERE len(list_filter(
+                t.l, x -> NOT list_contains(bpl.bl, x))) > 0
+        """,
+        "q_pii_profile": """
+            SELECT event_id,
+                   CAST(len(regexp_extract_all(props, '[0-9]+'))
+                        AS BIGINT) AS n_digit_run,
+                   CAST(len(regexp_extract_all(props, '[0-9]{3,}'))
+                        AS BIGINT) AS n_long_digit,
+                   CAST(len(regexp_extract_all(props, '"[a-z_]+"'))
+                        AS BIGINT) AS n_quoted
+            FROM events
+        """,
         "q_source_venn": """
             WITH tok AS (
                 SELECT DISTINCT source, t AS token FROM (
@@ -4685,6 +4758,20 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rank
                 FROM read_parquet('{_SIDECAR_DIR}/review_queue/*.parquet')
             ) WHERE rank <= 5
+        """,
+        "q_mdm_inferred_pairs": f"""
+            WITH m AS (
+              SELECT match_group_id AS g, source_record_id AS id
+              FROM read_parquet('{_SIDECAR_DIR}/membership/*.parquet')
+            ),
+            e AS (
+              SELECT src, dst
+              FROM read_parquet('{_SIDECAR_DIR}/edges/*.parquet')
+            )
+            SELECT a.g AS match_group_id, a.id AS id_a, b.id AS id_b
+            FROM m a JOIN m b ON a.g = b.g AND a.id < b.id
+            LEFT JOIN e ON e.src = a.id AND e.dst = b.id
+            WHERE e.src IS NULL
         """,
         "q_mdm_components": f"""
             WITH RECURSIVE

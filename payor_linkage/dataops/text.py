@@ -1451,3 +1451,98 @@ def compression_signal(docs: Dataset, id_col: str = "doc_id",
 
     return docs.select_columns([id_col, text_col]).map_batches(
         f, batch_format="pyarrow")
+
+
+def boilerplate_prune(ds: Dataset, max_df: int, text_col: str = "text",
+                      id_col: str = "doc_id", sep: str = " ") -> Dataset:
+    """C4-style boilerplate removal: split each document into units on
+    ``sep`` (lines for newline-structured text, tokens here), count
+    each unit's DOCUMENT frequency, DROP every unit that appears in
+    ``max_df``-or-more distinct documents, and rebuild the text from
+    the surviving units in original order — the "remove lines shared
+    across many pages" dedup step of web-corpus curation (C4 removed
+    any three-sentence span occurring twice; the unit+DF form is the
+    same shape). Emits (id, text, n_kept, n_dropped); documents with
+    no surviving unit are dropped (SQL grouped-filter semantics).
+
+    Scale shape: DF is ONE bounded vocabulary aggregate (per-batch
+    distinct-doc partial counts — exact because a document never
+    straddles a batch — then one grouped sum); the PRUNE set (units
+    with df ≥ max_df) is broadcast once via ``ray.put`` — ubiquitous
+    units are few by definition, the opposite side from
+    ``prune_rare_tokens``'s kept head. The rewrite pass is one
+    streaming map: ``pc.split_pattern`` (same empty-preserving
+    semantics as SQL string_split), one ``pc.is_in`` probe over the
+    flat unit stream, a rebuilt ListArray and a zero-Python
+    ``binary_join`` — no second shuffle, no per-row loop."""
+    import ray
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(b[text_col], sep)
+        flat = pc.list_flatten(lists)
+        row_of = pc.list_parent_indices(lists)
+        pairs = pa.table({"unit": flat, "_r": row_of}) \
+            .group_by(["unit", "_r"]).aggregate([])
+        g = pairs.group_by("unit").aggregate([([], "count_all")])
+        return pa.table({"unit": g["unit"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    df = ds.select_columns([text_col]) \
+        .map_batches(df_partial, batch_format="pyarrow") \
+        .groupby("unit").sum("n")
+    prune = df.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["sum(n)"], max_df))
+        .select(["unit"]), batch_format="pyarrow")
+    prune_units = pa.concat_tables(
+        ray.get(prune.materialize().to_arrow_refs()),
+        promote_options="default")["unit"].combine_chunks()
+    pref = ray.put(prune_units)
+
+    def rewrite(b: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(b[text_col], sep)
+        flat = pc.list_flatten(lists).combine_chunks()
+        row_of = pc.list_parent_indices(lists) \
+            .to_numpy(zero_copy_only=False)
+        drop = pc.is_in(flat, value_set=ray.get(pref)) \
+            .to_numpy(zero_copy_only=False)
+        total = np.bincount(row_of, minlength=b.num_rows).astype(np.int64)
+        kept_n = np.bincount(row_of[~drop],
+                             minlength=b.num_rows).astype(np.int64)
+        offsets = np.concatenate([[0], np.cumsum(kept_n)]).astype(np.int32)
+        vals = flat.filter(pa.array(~drop))
+        la = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            vals.combine_chunks() if isinstance(vals, pa.ChunkedArray)
+            else vals)
+        t = pa.table({id_col: b[id_col],
+                      "text": pc.binary_join(la, sep),
+                      "n_kept": pa.array(kept_n, pa.int64()),
+                      "n_dropped": pa.array(total - kept_n, pa.int64())})
+        return t.filter(pa.array(kept_n > 0))
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        rewrite, batch_format="pyarrow")
+
+
+def regex_count_profile(ds: Dataset, col: str, patterns: dict,
+                        id_col: str = "event_id") -> Dataset:
+    """PII / pattern-density profiling: for each row, the number of
+    non-overlapping matches of every named pattern in ``patterns``
+    (name → RE2 regex) — the "how much scrubbing would this need"
+    census run BEFORE a redaction pass (``regex_redact`` is the
+    destructive sibling). One output column per pattern, prefixed
+    ``n_``.
+
+    Shape: map-only; each pattern is one vectorized
+    ``pc.count_substring_regex`` RE2 kernel per batch (pyarrow and
+    DuckDB both compile RE2, so `len(regexp_extract_all(...))`
+    oracles match exactly)."""
+    def f(b: pa.Table) -> pa.Table:
+        cols = {id_col: b[id_col]}
+        for name, pat in patterns.items():
+            cols[f"n_{name}"] = pc.cast(
+                pc.count_substring_regex(b[col], pat), pa.int64())
+        return pa.table(cols)
+
+    return ds.select_columns([id_col, col]).map_batches(
+        f, batch_format="pyarrow")

@@ -296,3 +296,87 @@ def threshold_sweep(unified, candidates, granularity: int = 20):
             .groupby("bucket").aggregate(
                 Sum("n_pairs", alias_name="n_pairs"),
                 Sum("n_true", alias_name="n_true")))
+
+
+def inferred_pairs(groups, candidates):
+    """Transitive-match audit: every unordered record pair that shares
+    a match group but was never auto-matched as a direct pair — the
+    steward's "inferred merge" review surface (a group of k records is
+    justified by as few as k−1 scored match edges; the remaining
+    C(k,2)−(k−1) pairs are accepted only by transitivity, and a bad
+    edge shows up here as an implausible inferred pair). One row per
+    inferred pair: (match_group_id, id_a, id_b) with id_a < id_b.
+
+    Shape: pair expansion runs inside ONE grouped sort with the
+    ``cooccurrence_counts`` m²-index arithmetic (vectorized across all
+    runs in a block — groups are small, so per-group fan-out is
+    bounded); the matched-edge key set (~O(records) — one edge per
+    scored match) is broadcast once via ``ray.put`` and probed with
+    one ``pc.is_in`` per block. Above the broadcast bound, swap the
+    probe for a ``rayutil.smart_join`` anti-join on the pair key."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from payor_linkage.rayutil import grouped_apply
+
+    def edge_key(b: pa.Table) -> pa.Table:
+        m = b.filter(pc.equal(b["final_decision"], "match"))
+        return pa.table({"k": pc.binary_join_element_wise(
+            m["source_record_id_a"], m["source_record_id_b"], "|")})
+
+    ekeys = pa.concat_tables(
+        ray.get(candidates.map_batches(edge_key, batch_format="pyarrow")
+                .materialize().to_arrow_refs()),
+        promote_options="default")["k"].combine_chunks()
+    eref = ray.put(ekeys)
+
+    out_schema = pa.schema([("match_group_id", pa.string()),
+                            ("id_a", pa.string()),
+                            ("id_b", pa.string())])
+
+    def runs(b: pa.Table, starts, ends) -> pa.Table:
+        lo, hi = starts[0], ends[-1]
+        rid = np.repeat(np.arange(len(starts), dtype=np.int64),
+                        ends - starts)
+        ids = b["source_record_id"].combine_chunks()
+        enc = ids.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[lo:hi]
+        drank = np.empty(len(enc.dictionary), dtype=np.int64)
+        drank[pc.sort_indices(enc.dictionary)
+              .to_numpy(zero_copy_only=False).astype(np.int64)] = \
+            np.arange(len(enc.dictionary))
+        codes = drank[codes]
+        order = np.lexsort((codes, rid))
+        r, g = rid[order], codes[order]
+        run_starts = np.nonzero(
+            np.concatenate([[True], r[1:] != r[:-1]]))[0]
+        m = np.diff(np.concatenate([run_starts, [len(r)]]))
+        sq = m * m
+        total = int(sq.sum())
+        if total == 0:
+            return out_schema.empty_table()
+        cum = np.concatenate([[0], np.cumsum(sq)[:-1]])
+        p = np.arange(total, dtype=np.int64) - np.repeat(cum, sq)
+        mrep = np.repeat(m, sq)
+        srep = np.repeat(run_starts, sq)
+        i = srep + p // mrep
+        j = srep + p % mrep
+        mask = i < j
+        inv = np.empty(len(drank), dtype=np.int64)
+        inv[drank] = np.arange(len(drank))
+        dict_sorted = enc.dictionary.take(pa.array(inv))
+        ida = dict_sorted.take(pa.array(g[i[mask]]))
+        idb = dict_sorted.take(pa.array(g[j[mask]]))
+        # run index of each pair → its group's first row in the block
+        grp = b["match_group_id"].take(pa.array(starts[r[i[mask]]]))
+        key = pc.binary_join_element_wise(ida, idb, "|")
+        keep = pc.invert(pc.is_in(key, value_set=ray.get(eref)))
+        return pa.table({"match_group_id": grp, "id_a": ida,
+                         "id_b": idb}).filter(keep).cast(out_schema)
+
+    return grouped_apply(
+        groups.select_columns(["match_group_id", "source_record_id"]),
+        "match_group_id", out_schema=out_schema, runs_fn=runs)

@@ -95,3 +95,51 @@ def test_join_skew_profile(ray_session):
     assert list(out["pairs"]) == [6, 3]
     assert list(out["n_left"]) == [3, 1]
     assert list(out["n_right"]) == [2, 3]
+
+
+def test_boilerplate_prune(ray_session):
+    import ray.data as rd
+
+    from payor_linkage.dataops.text import boilerplate_prune
+
+    t = pa.table({"doc_id": [1, 2, 3, 4],
+                  "text": ["a b c", "a d", "a c e", "a"]})
+    out = boilerplate_prune(rd.from_arrow(t), max_df=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # 'a' appears in 4 docs (>=3) -> dropped; 'c' in 2 docs -> kept;
+    # doc 4 loses its only unit -> dropped entirely
+    assert list(out["doc_id"]) == [1, 2, 3]
+    assert list(out["text"]) == ["b c", "d", "c e"]
+    assert list(out["n_kept"]) == [2, 1, 2]
+    assert list(out["n_dropped"]) == [1, 1, 1]
+
+
+def test_regex_count_profile(ray_session):
+    import ray.data as rd
+
+    from payor_linkage.dataops.text import regex_count_profile
+
+    t = pa.table({"event_id": [1, 2],
+                  "props": ['{"a": 123, "b": 7}', 'no digits here']})
+    out = regex_count_profile(
+        rd.from_arrow(t), "props", {"num": "[0-9]+"}).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert list(out["n_num"]) == [2, 0]
+
+
+def test_inferred_pairs(ray_session):
+    import ray.data as rd
+
+    from payor_linkage.evaluate import inferred_pairs
+
+    groups = rd.from_arrow(pa.table({
+        "match_group_id": ["g1", "g1", "g1", "g2"],
+        "source_record_id": ["r1", "r2", "r3", "r4"]}))
+    cands = rd.from_arrow(pa.table({
+        "source_record_id_a": ["r1", "r2", "r1"],
+        "source_record_id_b": ["r2", "r3", "r3"],
+        "final_decision": ["match", "match", "no_match"]}))
+    out = inferred_pairs(groups, cands).to_pandas()
+    # chain r1-r2-r3: the transitive (r1, r3) pair was scored no_match
+    # so it is NOT a direct match edge -> inferred; singleton g2 none
+    assert out.values.tolist() == [["g1", "r1", "r3"]]
