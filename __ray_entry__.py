@@ -3511,6 +3511,60 @@ def q_pii_profile(sf_dir: str):
          "quoted": '"[a-z_]+"'})
 
 
+def q_histogram_drift(sf_dir: str):
+    """Distribution-drift monitor between two order snapshots (orders
+    before vs from 1995-06-01): fixed-width o_totalprice bin counts
+    side by side (`aggregates.histogram_drift` — tagged-union grouped
+    sum, no join; ≤|bins| rows shuffled per block)."""
+    import datetime as _dt
+
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    import ray.data as rd
+
+    from payor_linkage.dataops.aggregates import histogram_drift
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_totalprice", "o_orderdate"])
+    cut = _pa.scalar(_dt.datetime(1995, 6, 1), type=_pa.timestamp("us"))
+
+    def side(keep_old: bool):
+        def f(b: _pa.Table) -> _pa.Table:
+            m = _pc.less(b["o_orderdate"], cut)
+            return b.filter(m if keep_old else _pc.invert(m))
+        return f
+
+    old = orders.map_batches(side(True), batch_format="pyarrow")
+    new = orders.map_batches(side(False), batch_format="pyarrow")
+    return histogram_drift(old, new, "o_totalprice", 25000.0)
+
+
+def q_k_anonymity(sf_dir: str):
+    """k-anonymity risk profile over customer quasi-identifiers
+    (nation, market segment): cohorts shared by fewer than 8 rows —
+    the re-identification check before releasing a column subset
+    (`aggregates.k_anonymity_risk`; one grouped count + map filter)."""
+    import ray.data as rd
+
+    from payor_linkage.dataops.aggregates import k_anonymity_risk
+
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_nationkey", "c_mktsegment"])
+    return k_anonymity_risk(cust, ["c_nationkey", "c_mktsegment"], 8)
+
+
+def q_state_dwell(sf_dir: str):
+    """Time-in-state accounting over the events feed: per event_type
+    total dwell (µs between entering the state and the next change)
+    and closed-span count (`temporal.state_dwell` — change-point
+    compression first, then one grouped sort with diffs vectorized
+    across runs; integer µs, no float accumulation)."""
+    from payor_linkage.dataops.temporal import state_dwell
+
+    return state_dwell(_events(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # First 50 entries are the driver-correctness window for this round:
     # the full q_mdm_* core + queries not yet driver-verified in r02/r03.
@@ -3624,6 +3678,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_join_skew": q_join_skew,
         "q_boilerplate_prune": q_boilerplate_prune,
         "q_pii_profile": q_pii_profile,
+        "q_histogram_drift": q_histogram_drift,
+        "q_k_anonymity": q_k_anonymity,
+        "q_state_dwell": q_state_dwell,
         "q_mdm_inferred_pairs": q_mdm_inferred_pairs,
         "q_cross_join": q_cross_join,
         "q_dup_size_histogram": q_dup_size_histogram,
@@ -4430,6 +4487,54 @@ def oracle_sql() -> dict[str, str]:
             FROM lc JOIN rc USING (key)
             ORDER BY pairs DESC, lc.key
             LIMIT 20
+        """,
+        "q_histogram_drift": """
+            WITH o AS (SELECT CAST(floor(CAST(o_totalprice AS DOUBLE)
+                                         / 25000.0) AS BIGINT) AS bin,
+                              count(*) AS n
+                       FROM orders
+                       WHERE o_orderdate < TIMESTAMP '1995-06-01'
+                       GROUP BY 1),
+                 nw AS (SELECT CAST(floor(CAST(o_totalprice AS DOUBLE)
+                                          / 25000.0) AS BIGINT) AS bin,
+                               count(*) AS n
+                        FROM orders
+                        WHERE o_orderdate >= TIMESTAMP '1995-06-01'
+                        GROUP BY 1)
+            SELECT coalesce(o.bin, nw.bin) AS bin,
+                   CAST(coalesce(o.n, 0) AS BIGINT) AS n_old,
+                   CAST(coalesce(nw.n, 0) AS BIGINT) AS n_new,
+                   CAST(coalesce(nw.n, 0) - coalesce(o.n, 0)
+                        AS BIGINT) AS delta
+            FROM o FULL OUTER JOIN nw ON o.bin = nw.bin
+        """,
+        "q_k_anonymity": """
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM customer
+            GROUP BY c_nationkey, c_mktsegment
+            HAVING count(*) < 8
+        """,
+        "q_state_dwell": """
+            WITH marked AS (
+                SELECT user_id, ts, event_id, event_type,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS pv
+                FROM events),
+            changes AS (
+                SELECT user_id, ts, event_id, event_type FROM marked
+                WHERE pv IS NULL OR pv <> event_type),
+            spans AS (
+                SELECT event_type AS state, ts,
+                       lead(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+                FROM changes)
+            SELECT state,
+                   CAST(sum(epoch_us(nxt) - epoch_us(ts)) AS BIGINT)
+                       AS dwell_us,
+                   CAST(count(*) AS BIGINT) AS n_spans
+            FROM spans WHERE nxt IS NOT NULL
+            GROUP BY state
         """,
         "q_boilerplate_prune": """
             WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l

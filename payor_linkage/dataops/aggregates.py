@@ -1606,3 +1606,70 @@ def join_skew_profile(left: Dataset, right: Dataset, left_key: str,
 
     return (j.map_batches(pairs, batch_format="pyarrow")
             .sort(["pairs", "key"], descending=[True, False]).limit(k))
+
+
+def histogram_drift(old: Dataset, new: Dataset, value_col: str,
+                    divisor: float) -> Dataset:
+    """Distribution-drift monitor between two snapshots: fixed-width
+    bin counts side by side — (bin, n_old, n_new, delta) — the
+    histogram-level diff run between pipeline generations (PSI-style
+    drift gates consume exactly this table; counts stay integers so
+    the check is exact, the float ratio belongs downstream).
+
+    Tagged-union grouped aggregate (the CDC shape): each side
+    collapses to per-batch (bin, n) partials with its count in its OWN
+    column, then ONE union + grouped sum — no join, one exchange over
+    ≤ |bins| rows per block."""
+    from ray.data.aggregate import Sum
+
+    def partial(is_new: bool):
+        def f(b: pa.Table) -> pa.Table:
+            bins = pc.cast(pc.floor(pc.divide(
+                pc.cast(b[value_col], pa.float64()), float(divisor))),
+                pa.int64())
+            g = pa.table({"bin": bins}).group_by("bin") \
+                .aggregate([([], "count_all")])
+            n = pc.cast(g["count_all"], pa.int64())
+            zero = pa.array(np.zeros(len(g), dtype=np.int64))
+            return pa.table({"bin": g["bin"],
+                             "n_old": zero if is_new else n,
+                             "n_new": n if is_new else zero})
+        return f
+
+    o = old.select_columns([value_col]).map_batches(
+        partial(False), batch_format="pyarrow")
+    n = new.select_columns([value_col]).map_batches(
+        partial(True), batch_format="pyarrow")
+    merged = o.union(n).groupby("bin").aggregate(
+        Sum("n_old", alias_name="n_old"),
+        Sum("n_new", alias_name="n_new"))
+
+    def fin(b: pa.Table) -> pa.Table:
+        no = pc.cast(b["n_old"], pa.int64())
+        nn = pc.cast(b["n_new"], pa.int64())
+        return pa.table({"bin": b["bin"], "n_old": no, "n_new": nn,
+                         "delta": pc.subtract(nn, no)})
+
+    return merged.map_batches(fin, batch_format="pyarrow")
+
+
+def k_anonymity_risk(ds: Dataset, quasi_cols: list[str],
+                     k: int) -> Dataset:
+    """k-anonymity risk profile: the quasi-identifier combinations
+    shared by FEWER than ``k`` rows (re-identifiable cohorts), with
+    their row counts — the privacy check run before releasing a
+    column subset. One grouped count over the quasi-identifier tuple;
+    the under-k filter runs in a map pass (``Dataset.filter(expr=…)``
+    cannot parse aggregate column names). Quasi-identifier columns keep
+    their input dtypes (Ray's groupby upcasts narrow ints)."""
+    base = ds.schema().base_schema
+    key_types = {c: base.field(c).type for c in quasi_cols}
+    counts = ds.select_columns(quasi_cols).groupby(quasi_cols).count()
+
+    def under(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.less(b["count()"], k))
+        cols = {c: pc.cast(t[c], key_types[c]) for c in quasi_cols}
+        cols["n"] = pc.cast(t["count()"], pa.int64())
+        return pa.table(cols)
+
+    return counts.map_batches(under, batch_format="pyarrow")

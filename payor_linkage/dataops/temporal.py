@@ -1062,3 +1062,56 @@ def interval_gaps(events: Dataset, on: str = "user_id",
 
     return grouped_apply(events.map_batches(slim, batch_format="pyarrow"),
                          on, out_schema=out_schema, runs_fn=runs)
+
+
+def state_dwell(events: Dataset, on: str = "user_id",
+                ts_col: str = "ts", id_col: str = "event_id",
+                value_col: str = "event_type") -> Dataset:
+    """Time-in-state: collapse each key's stream to its state-change
+    points (``collapse_repeats``), then attribute ``next_change_ts −
+    change_ts`` to the state ENTERED — per-state total dwell and
+    closed-span count, the session/uptime accounting aggregate over a
+    status feed. Each key's final open state has no end yet and is
+    excluded (SQL ``LEAD(...) IS NOT NULL`` semantics). Dwell is exact
+    integer µs (timestamp subtraction, no accumulation-order float).
+
+    Shape: change-point compression FIRST (the stream shrinks before
+    any pair arithmetic), then one grouped sort over the collapsed
+    stream with diffs vectorized across runs, per-batch
+    (state, dwell, n) partials → one bounded grouped sum."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    changes = collapse_repeats(events, on=on, ts_col=ts_col,
+                               id_col=id_col, value_col=value_col)
+    vtype = events.schema().base_schema.field(value_col).type
+    part_schema = pa.schema([("state", vtype), ("dwell_us", pa.int64()),
+                             ("n_spans", pa.int64())])
+
+    def runs(b: pa.Table, starts, ends) -> pa.Table:
+        lo, hi = starts[0], ends[-1]
+        rid = _run_ids_local(starts, ends)
+        ts = pc.cast(b[ts_col], pa.int64()) \
+            .to_numpy(zero_copy_only=False)[lo:hi]
+        eid = b[id_col].to_numpy(zero_copy_only=False)[lo:hi]
+        order = np.lexsort((eid, ts, rid))
+        r, t = rid[order], ts[order]
+        closed = np.concatenate([r[1:] == r[:-1], [False]])
+        dwell = np.zeros(len(t), dtype=np.int64)
+        if len(t) > 1:
+            dwell[:-1] = t[1:] - t[:-1]
+        state = b[value_col].take(pa.array(order[closed] + lo))
+        part = pa.table({"state": state,
+                         "d": pa.array(dwell[closed])}) \
+            .group_by("state").aggregate([("d", "sum"), ([], "count_all")])
+        return pa.table({
+            "state": part["state"],
+            "dwell_us": pc.cast(part["d_sum"], pa.int64()),
+            "n_spans": pc.cast(part["count_all"], pa.int64()),
+        }).cast(part_schema)
+
+    partials = grouped_apply(changes, on, out_schema=part_schema,
+                             runs_fn=runs)
+    return partials.groupby("state").aggregate(
+        Sum("dwell_us", alias_name="dwell_us"),
+        Sum("n_spans", alias_name="n_spans"))

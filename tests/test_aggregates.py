@@ -1187,3 +1187,38 @@ def test_range_frame_sum_includes_peers(ray_session):
     assert got[("u", 2)] == 6   # both peers, 0s row outside delta
     assert got[("u", 4)] == 6
     assert got[("v", 8)] == 8
+
+
+def test_histogram_drift_crafted(ray_session):
+    import ray.data as rd
+
+    from payor_linkage.dataops.aggregates import histogram_drift
+
+    old = rd.from_arrow(pa.table({"v": pa.array(
+        [1.0, 5.0, 12.0, 13.0, 25.0], pa.float64())}))
+    new = rd.from_arrow(pa.table({"v": pa.array(
+        [2.0, 14.0, 15.0, 16.0, 31.0, 35.0], pa.float64())}))
+    out = histogram_drift(old, new, "v", 10.0).to_pandas() \
+        .set_index("bin").sort_index()
+    # old bins: 0:2, 1:2, 2:1 ; new bins: 0:1, 1:3, 3:2
+    assert out.loc[0].tolist() == [2, 1, -1]
+    assert out.loc[1].tolist() == [2, 3, 1]
+    assert out.loc[2].tolist() == [1, 0, -1]
+    assert out.loc[3].tolist() == [0, 2, 2]
+
+
+def test_k_anonymity_risk_crafted(ray_session):
+    import ray.data as rd
+
+    from payor_linkage.dataops.aggregates import k_anonymity_risk
+
+    t = pa.table({
+        "zip": pa.array([10, 10, 10, 20, 20, 30], pa.int32()),
+        "seg": pa.array(["a", "a", "a", "a", "b", "a"]),
+    })
+    out = k_anonymity_risk(rd.from_arrow(t), ["zip", "seg"], 2) \
+        .to_pandas()
+    # cohorts under k=2: (20,a)=1, (20,b)=1, (30,a)=1; (10,a)=3 safe
+    got = {(r.zip, r.seg): r.n for r in out.itertuples()}
+    assert got == {(20, "a"): 1, (20, "b"): 1, (30, "a"): 1}
+    assert out["zip"].dtype == np.int32

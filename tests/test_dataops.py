@@ -1913,3 +1913,29 @@ def test_collapse_repeats_crafted(ray_session):
     }))
     out = collapse_repeats(ds).to_pandas()
     assert sorted(out["event_id"]) == [1, 3, 5, 6]
+
+
+def test_state_dwell_crafted(ray_session):
+    import datetime as dt
+
+    import ray.data as rd
+
+    from payor_linkage.dataops.temporal import state_dwell
+
+    base = dt.datetime(2024, 1, 1)
+    # u: a(0s) a(1s) b(3s) b(4s) a(9s-open); v: a(0s-open)
+    rows = [("u", 0, 1, "a"), ("u", 1, 2, "a"), ("u", 3, 3, "b"),
+            ("u", 4, 4, "b"), ("u", 9, 5, "a"), ("v", 0, 6, "a")]
+    ds = rd.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows]),
+        "ts": pa.array([base + dt.timedelta(seconds=r[1]) for r in rows],
+                       pa.timestamp("us")),
+        "event_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+    }))
+    out = state_dwell(ds).to_pandas().set_index("state")
+    # closed spans: a entered @0 closed @3 (3s); b entered @3 closed @9 (6s)
+    assert out.loc["a", "dwell_us"] == 3_000_000
+    assert out.loc["a", "n_spans"] == 1
+    assert out.loc["b", "dwell_us"] == 6_000_000
+    assert out.loc["b", "n_spans"] == 1
