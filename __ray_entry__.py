@@ -3554,6 +3554,49 @@ def q_k_anonymity(sf_dir: str):
     return k_anonymity_risk(cust, ["c_nationkey", "c_mktsegment"], 8)
 
 
+def q_corr_stats(sf_dir: str):
+    """Bivariate correlation sufficient statistics per return flag:
+    exact int64 (n, Σx, Σy, Σx², Σy², Σxy) over floored
+    quantity/extendedprice (`aggregates.grouped_corr_stats` — the
+    algebraic sketch Pearson r / OLS derive from downstream; no
+    order-dependent float sum rides the shuffle)."""
+    import ray.data as rd
+
+    from payor_linkage.dataops.aggregates import grouped_corr_stats
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    return grouped_corr_stats(li, "l_returnflag", "l_quantity",
+                              "l_extendedprice")
+
+
+def q_mad_outliers(sf_dir: str):
+    """Robust per-user outlier rows: events where |value − median| >
+    3 · MAD (`aggregates.mad_outliers` — median/MAD are selected
+    elements, the per-key stats table broadcasts back, one vectorized
+    filter map; the robust pre-training filter)."""
+    from payor_linkage.dataops.aggregates import mad_outliers
+
+    return mad_outliers(_events(sf_dir), "user_id", "value",
+                        "event_id", k=3.0)
+
+
+def q_l_diversity(sf_dir: str):
+    """l-diversity privacy risk over orders: customers whose order
+    stream uses fewer than 3 distinct priorities — quasi-identifier
+    cohorts whose sensitive attribute is guessable
+    (`aggregates.l_diversity_risk`; two staged grouped sums, the
+    distinct count never re-touches raw rows)."""
+    import ray.data as rd
+
+    from payor_linkage.dataops.aggregates import l_diversity_risk
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey", "o_orderpriority"])
+    return l_diversity_risk(orders, ["o_custkey"], "o_orderpriority", 3)
+
+
 def q_state_dwell(sf_dir: str):
     """Time-in-state accounting over the events feed: per event_type
     total dwell (µs between entering the state and the next change)
@@ -3681,6 +3724,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_histogram_drift": q_histogram_drift,
         "q_k_anonymity": q_k_anonymity,
         "q_state_dwell": q_state_dwell,
+        "q_corr_stats": q_corr_stats,
+        "q_mad_outliers": q_mad_outliers,
+        "q_l_diversity": q_l_diversity,
         "q_mdm_inferred_pairs": q_mdm_inferred_pairs,
         "q_cross_join": q_cross_join,
         "q_dup_size_histogram": q_dup_size_histogram,
@@ -4514,6 +4560,45 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
             GROUP BY c_nationkey, c_mktsegment
             HAVING count(*) < 8
+        """,
+        "q_corr_stats": """
+            SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sum_x,
+                   CAST(sum(y) AS BIGINT) AS sum_y,
+                   CAST(sum(x * x) AS BIGINT) AS sum_xx,
+                   CAST(sum(y * y) AS BIGINT) AS sum_yy,
+                   CAST(sum(x * y) AS BIGINT) AS sum_xy
+            FROM (SELECT l_returnflag,
+                         CAST(floor(l_quantity) AS BIGINT) AS x,
+                         CAST(floor(l_extendedprice) AS BIGINT) AS y
+                  FROM lineitem)
+            GROUP BY l_returnflag
+        """,
+        "q_mad_outliers": """
+            WITH med AS (
+                SELECT user_id,
+                       quantile_disc(value, 0.5) AS med
+                FROM events GROUP BY user_id),
+            mad AS (
+                SELECT e.user_id,
+                       quantile_disc(abs(e.value - m.med), 0.5) AS mad
+                FROM events e JOIN med m ON e.user_id = m.user_id
+                GROUP BY e.user_id)
+            SELECT e.user_id, e.event_id, e.value, m.med, d.mad
+            FROM events e
+            JOIN med m ON e.user_id = m.user_id
+            JOIN mad d ON e.user_id = d.user_id
+            WHERE abs(e.value - m.med) > 3.0 * d.mad
+        """,
+        "q_l_diversity": """
+            SELECT o_custkey,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+                       AS n_sensitive
+            FROM orders
+            GROUP BY o_custkey
+            HAVING count(DISTINCT o_orderpriority) < 3
         """,
         "q_state_dwell": """
             WITH marked AS (

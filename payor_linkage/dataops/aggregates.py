@@ -1673,3 +1673,113 @@ def k_anonymity_risk(ds: Dataset, quasi_cols: list[str],
         return pa.table(cols)
 
     return counts.map_batches(under, batch_format="pyarrow")
+
+
+def grouped_corr_stats(ds: Dataset, key: str, x_col: str,
+                       y_col: str) -> Dataset:
+    """Bivariate correlation sufficient statistics per key:
+    (n, sum_x, sum_y, sum_xx, sum_yy, sum_xy) as EXACT int64 — the
+    algebraic sketch from which Pearson r / covariance / OLS slope
+    derive downstream without any order-dependent float sum riding the
+    shuffle (the repo's float-parity rule; inputs cast with
+    truncation, so both engine and oracle floor identically).
+
+    Per-batch pyarrow combiner → one grouped Sum over the key grain
+    (the ``grouped_moments`` shape, widened to the cross term)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = b[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({key: b[key],
+                      "n": pa.array(np.ones(len(x), dtype=np.int64)),
+                      "sum_x": pa.array(x), "sum_y": pa.array(y),
+                      "sum_xx": pa.array(x * x),
+                      "sum_yy": pa.array(y * y),
+                      "sum_xy": pa.array(x * y)})
+        cols = ["n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"]
+        return (t.group_by(key).aggregate([(c, "sum") for c in cols])
+                .rename_columns([key] + cols))
+
+    return (ds.select_columns([key, x_col, y_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(key).aggregate(
+                *[Sum(c, alias_name=c)
+                  for c in ["n", "sum_x", "sum_y", "sum_xx",
+                            "sum_yy", "sum_xy"]]))
+
+
+def mad_outliers(ds: Dataset, key: str, value_col: str, id_col: str,
+                 k: float = 3.0) -> Dataset:
+    """Robust per-key outlier flags: rows where |value − median| >
+    k · MAD — the standard robust filter run before training
+    statistics (mean/σ break on the very rows being hunted). Both
+    median and MAD are SELECTED elements (``grouped_mad``'s
+    quantile_disc semantics), the comparison operands are single
+    float ops identical on any engine, and the output carries only
+    selected values — no computed float ever leaves the operator.
+
+    Scale shape: two grouped-quantile passes (via ``grouped_mad``),
+    the bounded per-key (med, mad) table broadcast back
+    (``lookup_join``), one vectorized filter map."""
+    from payor_linkage.rayutil import lookup_join
+
+    stats = grouped_mad(ds.select_columns([key, value_col]), key,
+                        value_col)
+    joined = lookup_join(ds.select_columns([key, id_col, value_col]),
+                         stats, key)
+
+    def flag(b: pa.Table) -> pa.Table:
+        dev = pc.abs(pc.subtract(b[value_col], b["med"]))
+        m = pc.greater(dev, pc.multiply(b["mad"], k))
+        return b.filter(m)
+
+    return joined.map_batches(flag, batch_format="pyarrow")
+
+
+def l_diversity_risk(ds: Dataset, quasi_cols: list[str],
+                     sensitive_col: str, l: int) -> Dataset:
+    """l-diversity risk profile (companion to ``k_anonymity_risk``):
+    quasi-identifier cohorts whose SENSITIVE attribute takes fewer
+    than ``l`` distinct values — cohorts where knowing the
+    quasi-identifiers reveals the sensitive value. Emits
+    (quasi..., n_rows, n_sensitive) for the at-risk cohorts.
+
+    Shape: per-batch (quasi, sensitive) collapse, one grouped sum
+    over the (quasi, sensitive) grain, then a counts-sized second
+    grouped sum over the quasi grain — the distinct count never
+    re-touches raw rows. Quasi columns keep their input dtypes."""
+    from ray.data.aggregate import Sum
+
+    base = ds.schema().base_schema
+    key_types = {c: base.field(c).type for c in quasi_cols}
+    cols = quasi_cols + [sensitive_col]
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (b.select(cols).group_by(cols)
+             .aggregate([([], "count_all")]))
+        return g.rename_columns(cols + ["n"])
+
+    pair_counts = (ds.select_columns(cols)
+                   .map_batches(partial, batch_format="pyarrow")
+                   .groupby(cols).aggregate(Sum("n", alias_name="n")))
+
+    def to_quasi(b: pa.Table) -> pa.Table:
+        t = {c: b[c] for c in quasi_cols}
+        t["n_rows"] = pc.cast(b["n"], pa.int64())
+        t["n_sensitive"] = pa.array(np.ones(len(b), dtype=np.int64))
+        return pa.table(t)
+
+    cohorts = (pair_counts.map_batches(to_quasi, batch_format="pyarrow")
+               .groupby(quasi_cols)
+               .aggregate(Sum("n_rows", alias_name="n_rows"),
+                          Sum("n_sensitive", alias_name="n_sensitive")))
+
+    def under(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.less(b["n_sensitive"], l))
+        out = {c: pc.cast(t[c], key_types[c]) for c in quasi_cols}
+        out["n_rows"] = pc.cast(t["n_rows"], pa.int64())
+        out["n_sensitive"] = pc.cast(t["n_sensitive"], pa.int64())
+        return pa.table(out)
+
+    return cohorts.map_batches(under, batch_format="pyarrow")

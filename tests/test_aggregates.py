@@ -1222,3 +1222,63 @@ def test_k_anonymity_risk_crafted(ray_session):
     got = {(r.zip, r.seg): r.n for r in out.itertuples()}
     assert got == {(20, "a"): 1, (20, "b"): 1, (30, "a"): 1}
     assert out["zip"].dtype == np.int32
+
+
+def test_grouped_corr_stats_crafted(ray_session):
+    import ray.data as rd
+
+    from payor_linkage.dataops.aggregates import grouped_corr_stats
+
+    t = pa.table({
+        "g": pa.array(["a", "a", "a", "b", "b"]),
+        "x": pa.array([1.0, 2.0, 3.0, 10.0, 20.0], pa.float64()),
+        "y": pa.array([2.0, 4.0, 6.0, 5.0, 7.0], pa.float64()),
+    })
+    out = grouped_corr_stats(rd.from_arrow(t), "g", "x", "y") \
+        .to_pandas().set_index("g")
+    assert out.loc["a"].tolist() == [3, 6, 12, 14, 56, 28]
+    assert out.loc["b"].tolist() == [2, 30, 12, 500, 74, 190]
+    # exact Pearson r for group a: perfectly linear -> 1.0
+    import math
+    r = out.loc["a"]
+    num = r.n * r.sum_xy - r.sum_x * r.sum_y
+    den = math.sqrt(r.n * r.sum_xx - r.sum_x**2) * \
+        math.sqrt(r.n * r.sum_yy - r.sum_y**2)
+    assert math.isclose(num / den, 1.0, rel_tol=1e-12)
+
+
+def test_mad_outliers_crafted(ray_session):
+    import ray.data as rd
+
+    from payor_linkage.dataops.aggregates import mad_outliers
+
+    vals = [10.0, 11.0, 12.0, 13.0, 14.0, 100.0]
+    t = pa.table({
+        "g": pa.array(["u"] * 6),
+        "id": pa.array(list(range(6)), pa.int64()),
+        "v": pa.array(vals, pa.float64()),
+    })
+    out = mad_outliers(rd.from_arrow(t), "g", "v", "id", k=3.0) \
+        .to_pandas()
+    # med = 12 (lower median), |v-12| = [2,1,0,1,2,88], MAD = 1
+    # outliers: |v-12| > 3 -> only 100.0
+    assert out["id"].tolist() == [5]
+    assert out["med"].iloc[0] == 12.0 and out["mad"].iloc[0] == 1.0
+
+
+def test_l_diversity_risk_crafted(ray_session):
+    import ray.data as rd
+
+    from payor_linkage.dataops.aggregates import l_diversity_risk
+
+    t = pa.table({
+        "zip": pa.array([1, 1, 1, 2, 2, 3], pa.int32()),
+        "dx": pa.array(["flu", "flu", "flu", "flu", "cold", "flu"]),
+    })
+    out = l_diversity_risk(rd.from_arrow(t), ["zip"], "dx", 2) \
+        .to_pandas()
+    got = {r.zip: (r.n_rows, r.n_sensitive) for r in out.itertuples()}
+    # zip 1: 3 rows, 1 distinct dx (at risk); zip 3: 1 row, 1 distinct
+    # zip 2 has 2 distinct -> safe
+    assert got == {1: (3, 1), 3: (1, 1)}
+    assert out["zip"].dtype == np.int32
