@@ -2071,6 +2071,18 @@ def q_mdm_bcubed(sf_dir: str):
         ["source_record_id", "entity_id"]))
 
 
+def q_mdm_ari(sf_dir: str):
+    """Adjusted-Rand pair-counting integers for the match clustering
+    vs ground-truth entities (`evaluate.ari_pair_counts` — one row of
+    exact BIGINTs; the ARI ratio derives downstream). Oracle: the
+    same three C(n,2) rollups over the membership ⋈ labels sidecars."""
+    from payor_linkage.evaluate import ari_pair_counts
+
+    res = _mdm_result(sf_dir)
+    return ari_pair_counts(res.groups, res.unified.select_columns(
+        ["source_record_id", "entity_id"]))
+
+
 def q_mdm_inferred_pairs(sf_dir: str):
     """Transitive-match audit: pairs that share a match group but were
     never directly auto-matched (`evaluate.inferred_pairs` — m²-index
@@ -3624,6 +3636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mdm_hierarchy": q_mdm_hierarchy,
         "q_mdm_blocking_quality": q_mdm_blocking_quality,
         "q_mdm_bcubed": q_mdm_bcubed,
+        "q_mdm_ari": q_mdm_ari,
         "q_mdm_threshold_sweep": q_mdm_threshold_sweep,
         "q_mdm_children_count": q_mdm_children_count,
         "q_mdm_hierarchy_orphans": q_mdm_hierarchy_orphans,
@@ -5096,6 +5109,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs,
                    CAST(sum(t) AS BIGINT) AS n_true
             FROM j GROUP BY 1
+        """,
+        # Adjusted-Rand pair counting: three C(n,2) rollups over
+        # membership ⋈ labels (orphans: singleton entities — in
+        # pairs_pred/pairs_total, never in a cell or true entity)
+        "q_mdm_ari": f"""
+            WITH j AS (
+              SELECT m.match_group_id AS g, l.entity_id AS e
+              FROM read_parquet('{_SIDECAR_DIR}/membership/*.parquet') m
+              JOIN read_parquet('{_SIDECAR_DIR}/labels/*.parquet') l
+                USING (source_record_id)),
+            cells AS (SELECT count(*) AS n FROM j WHERE e <> -1
+                      GROUP BY g, e),
+            pred AS (SELECT count(*) AS n FROM j GROUP BY g),
+            tru AS (SELECT count(*) AS n FROM j WHERE e <> -1
+                    GROUP BY e)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM j)
+                       AS n_records,
+                   (SELECT CAST(count(*) * (count(*) - 1) // 2
+                                AS BIGINT) FROM j) AS pairs_total,
+                   (SELECT CAST(COALESCE(sum(n * (n - 1) // 2), 0)
+                                AS BIGINT) FROM pred) AS pairs_pred,
+                   (SELECT CAST(COALESCE(sum(n * (n - 1) // 2), 0)
+                                AS BIGINT) FROM tru) AS pairs_true,
+                   (SELECT CAST(COALESCE(sum(n * (n - 1) // 2), 0)
+                                AS BIGINT) FROM cells) AS pairs_both
         """,
         # B-cubed per-record integers: three window counts over
         # membership ⋈ labels (orphans are singleton entities)

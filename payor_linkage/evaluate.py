@@ -380,3 +380,57 @@ def inferred_pairs(groups, candidates):
     return grouped_apply(
         groups.select_columns(["match_group_id", "source_record_id"]),
         "match_group_id", out_schema=out_schema, runs_fn=runs)
+
+
+def ari_pair_counts(groups, labels):
+    """Pair-counting cluster-agreement integers for Adjusted Rand:
+    one row of exact BIGINTs — ``n_records``, ``pairs_total``
+    (C(N,2)), ``pairs_pred`` (Σ C(|cluster|,2)), ``pairs_true``
+    (Σ C(|entity|,2)), ``pairs_both`` (Σ C(n_ij,2) over the
+    contingency cells). ARI = (both − pred·true/total) /
+    ((pred+true)/2 − pred·true/total) derives downstream; keeping the
+    output integral makes the DuckDB-oracle gate float-free (the
+    ``bcubed_stats`` convention). Orphans (entity_id = −1) are
+    singleton entities: they contribute to pairs_pred/pairs_total but
+    never to a true entity or a contingency cell (C(1,2) = 0).
+
+    Scale shape: one record-grain ``smart_join``, then three grouped
+    counts (cells / clusters / entities) each collapsed per batch to
+    C(n,2) partials and summed — only counts ride any exchange; the
+    final row is a bounded scalar collect."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from payor_linkage.rayutil import smart_join
+
+    ce = smart_join(
+        groups.select_columns(["match_group_id", "source_record_id"]),
+        labels.select_columns(["source_record_id", "entity_id"]),
+        "source_record_id")
+
+    def pair_sum(counts_ds) -> int:
+        def c2(b: pa.Table) -> pa.Table:
+            n = pc.cast(b["count()"], pa.int64())
+            p = pc.divide(pc.multiply(n, pc.subtract(n, 1)), 2)
+            return pa.table({"p": p})
+
+        s = counts_ds.map_batches(c2, batch_format="pyarrow").sum("p")
+        return int(s or 0)
+
+    def drop_orphans(b: pa.Table) -> pa.Table:
+        return b.filter(pc.not_equal(b["entity_id"], -1))
+
+    labeled = ce.map_batches(drop_orphans, batch_format="pyarrow")
+    pairs_both = pair_sum(
+        labeled.groupby(["match_group_id", "entity_id"]).count())
+    pairs_true = pair_sum(labeled.groupby("entity_id").count())
+    pairs_pred = pair_sum(ce.groupby("match_group_id").count())
+    n = ce.count()
+
+    return pa.table({
+        "n_records": pa.array([n], pa.int64()),
+        "pairs_total": pa.array([n * (n - 1) // 2], pa.int64()),
+        "pairs_pred": pa.array([pairs_pred], pa.int64()),
+        "pairs_true": pa.array([pairs_true], pa.int64()),
+        "pairs_both": pa.array([pairs_both], pa.int64()),
+    })

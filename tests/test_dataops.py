@@ -1939,3 +1939,30 @@ def test_state_dwell_crafted(ray_session):
     assert out.loc["a", "n_spans"] == 1
     assert out.loc["b", "dwell_us"] == 6_000_000
     assert out.loc["b", "n_spans"] == 1
+
+
+def test_ari_pair_counts_crafted(ray_session):
+    """Same 6-record corpus as the B-cubed test: cluster X = {r0,r1,r2}
+    entities (1,1,2), Y = {r3,r4} entity 3, singleton Z = {r5} orphan."""
+    import ray.data as rd
+
+    from payor_linkage.evaluate import ari_pair_counts
+
+    recs = [f"r{i}" for i in range(6)]
+    ents = [1, 1, 2, 3, 3, -1]
+    grps = ["X", "X", "X", "Y", "Y", "Z"]
+    labels = rd.from_arrow(pa.table({
+        "source_record_id": pa.array(recs, pa.string()),
+        "entity_id": pa.array(ents, pa.int64())}))
+    groups = rd.from_arrow(pa.table({
+        "match_group_id": pa.array(grps, pa.string()),
+        "source_record_id": pa.array(recs, pa.string())}))
+    out = ari_pair_counts(groups, labels).to_pandas().iloc[0]
+    assert out.n_records == 6
+    assert out.pairs_total == 15
+    # pred: C(3,2)+C(2,2? no C(2,2)=1)+C(1,2)=3+1+0
+    assert out.pairs_pred == 4
+    # true: entity 1 ->1, entity 2 ->0, entity 3 ->1, orphan singleton 0
+    assert out.pairs_true == 2
+    # cells: (X,1)=2 ->1, (X,2)=1 ->0, (Y,3)=2 ->1
+    assert out.pairs_both == 2
