@@ -3566,6 +3566,17 @@ def q_k_anonymity(sf_dir: str):
     return k_anonymity_risk(cust, ["c_nationkey", "c_mktsegment"], 8)
 
 
+def q_containment(sf_dir: str):
+    """Asymmetric set-containment self-join over word bigrams: ordered
+    pairs where |A∩B|/|A| ≥ 0.6 — the doc-inside-doc dedup symmetric
+    Jaccard misses (`dedup.containment_pairs`: one-sided prefix filter
+    × full inverted index, exact-complete; integer outputs keep the
+    quadratic-definition oracle exact)."""
+    from payor_linkage.dataops.dedup import containment_pairs
+
+    return containment_pairs(_docs(sf_dir), threshold=0.6, word_ngram=2)
+
+
 def q_corr_stats(sf_dir: str):
     """Bivariate correlation sufficient statistics per return flag:
     exact int64 (n, Σx, Σy, Σx², Σy², Σxy) over floored
@@ -3737,6 +3748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_histogram_drift": q_histogram_drift,
         "q_k_anonymity": q_k_anonymity,
         "q_state_dwell": q_state_dwell,
+        "q_containment": q_containment,
         "q_corr_stats": q_corr_stats,
         "q_mad_outliers": q_mad_outliers,
         "q_l_diversity": q_l_diversity,
@@ -4573,6 +4585,29 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
             GROUP BY c_nationkey, c_mktsegment
             HAVING count(*) < 8
+        """,
+        "q_containment": """
+            WITH s AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x != '') AS ts
+              FROM documents),
+            tok AS (
+              SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i + 1] AS token
+              FROM s, LATERAL unnest(generate_series(1, len(ts) - 1))
+                       AS t(i)
+            ),
+            sz AS (SELECT doc_id, count(*) AS m FROM tok GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS n_inter
+              FROM tok a JOIN tok b ON a.token = b.token
+                                   AND a.doc_id <> b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b, n_inter, sa.m AS n_a, sb.m AS n_b
+            FROM inter JOIN sz sa ON sa.doc_id = id_a
+                       JOIN sz sb ON sb.doc_id = id_b
+            WHERE CAST(n_inter AS DOUBLE) / sa.m >= 0.6
         """,
         "q_corr_stats": """
             SELECT l_returnflag,

@@ -547,13 +547,10 @@ def minhash_lsh_incremental(new_docs: Dataset, corpus_ds: Dataset,
     return pairs, touched
 
 
-def _content_verify(ds: Dataset, deduped: Dataset, set_of, threshold: float,
-                    text_col: str, id_col: str) -> Dataset:
-    """Exact set-Jaccard verification of candidate (id_a, id_b) pairs:
-    content moves once per surviving candidate. ``set_of(text)`` builds
-    the comparison set (shingle hashes, whitespace tokens, …); output is
-    integer (n_inter, n_union) with an unrounded ratio threshold — the
-    same IEEE division the DuckDB oracles perform.
+def _attach_pair_content(ds: Dataset, deduped: Dataset,
+                         text_col: str, id_col: str) -> Dataset:
+    """Attach both documents' content to candidate (id_a, id_b) pairs:
+    content moves once per surviving candidate.
 
     The candidate set is bounded by the near-dup rate (≪ corpus), so
     when provably small we broadcast the id set, filter the corpus in
@@ -596,8 +593,17 @@ def _content_verify(ds: Dataset, deduped: Dataset, set_of, threshold: float,
     # falls back to the hash join above its row bound
     from payor_linkage.rayutil import lookup_join
 
-    enriched = lookup_join(lookup_join(deduped, content_a, "id_a"),
-                           content_b, "id_b")
+    return lookup_join(lookup_join(deduped, content_a, "id_a"),
+                       content_b, "id_b")
+
+
+def _content_verify(ds: Dataset, deduped: Dataset, set_of, threshold: float,
+                    text_col: str, id_col: str) -> Dataset:
+    """Exact set-Jaccard verification over ``_attach_pair_content``'s
+    enriched candidates: integer (n_inter, n_union) output with an
+    unrounded ratio threshold — the same IEEE division the DuckDB
+    oracles perform."""
+    enriched = _attach_pair_content(ds, deduped, text_col, id_col)
 
     def verify(b: pa.Table) -> pa.Table:
         inter, union = [], []
@@ -1880,3 +1886,144 @@ def dedup_chunks_incremental(new_docs: Dataset, state_dir: str, w: int = 8,
         storage.append_bucketed(rd.from_arrow(kept.select(["h"])),
                                 state_dir, "h", n_buckets)
     return rd.from_arrow(cleaned), buckets
+
+
+def containment_pairs(ds: Dataset, threshold: float = 0.6,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      word_ngram: int = 2) -> Dataset:
+    """EXACT-COMPLETE asymmetric set-containment self-join (the
+    "document inside a larger document" dedup the symmetric Jaccard
+    joins miss): ordered pairs where C(A,B) = |A∩B| / |A| ≥ t, emitted
+    as integer (id_a, id_b, n_inter, n_a, n_b) with id_a the CONTAINED
+    side — the unrounded ratio belongs downstream, so the DuckDB
+    oracle (token self-join + group counts) is exact.
+
+    Candidate generation is one-sided prefix filtering: with every
+    document's distinct word-n-grams in a GLOBAL rarity order (df asc,
+    token asc), a contained document shares ≥ ceil(t·|A|) tokens with
+    its container, so at least one of its first ``|A| − ceil(t·|A|) + 1``
+    (prefix) tokens must appear in the container's FULL token set.
+    Prefix rows join the full inverted index on the token — the
+    contained side ships only prefixes (frequent tokens sort to the
+    end and stay home); the container side is a linear inverted index
+    (at 100 TB, cap the hottest postings with park accounting as in
+    ``blocking.py`` — capped tokens are never a document's rarest, so
+    recall loss is confined to stopword-only documents).
+
+    Stages: one vocab-bounded df groupby, one df attach
+    (``lookup_join``), one grouped prefix emission, one grouped
+    (prefix × index) candidate emission, pair dedup, then the shared
+    content-attach pass with an exact containment verify."""
+    import math
+
+    from ray.data.aggregate import Count
+
+    from payor_linkage.rayutil import grouped_apply, lookup_join
+
+    sch = ds.schema()
+    idt = dict(zip(sch.names, sch.types))[id_col]
+
+    def tok_rows(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_pylist()
+        out_id, out_tok = [], []
+        for i, t in zip(ids, b[text_col].to_pylist()):
+            for tok in sorted(_word_ngrams(t, word_ngram)):
+                out_id.append(i)
+                out_tok.append(tok)
+        return pa.table({id_col: pa.array(out_id, idt),
+                         "token": pa.array(out_tok, pa.string())})
+
+    toks = ds.select_columns([id_col, text_col]).map_batches(
+        tok_rows, batch_format="pyarrow").materialize()
+    df = toks.groupby("token").aggregate(Count(alias_name="df"))
+    with_df = lookup_join(toks, df, on="token")
+
+    tagged_schema = pa.schema([("token", pa.string()), ("id", idt),
+                               ("is_prefix", pa.bool_())])
+
+    def prefix_runs(b: pa.Table, starts, ends) -> pa.Table:
+        lo, hi = int(starts[0]), int(ends[-1])
+        rid = np.repeat(np.arange(len(starts), dtype=np.int64),
+                        ends - starts)
+        dfv = b["df"].to_numpy(zero_copy_only=False)[lo:hi]
+        tok = b["token"].combine_chunks().slice(lo, hi - lo)
+        enc = tok.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        drank = np.empty(len(enc.dictionary), dtype=np.int64)
+        drank[pc.sort_indices(enc.dictionary)
+              .to_numpy(zero_copy_only=False).astype(np.int64)] = \
+            np.arange(len(enc.dictionary))
+        order = np.lexsort((drank[codes], dfv, rid))
+        m = (ends - starts).astype(np.int64)
+        plen = m - np.ceil(threshold * m).astype(np.int64) + 1
+        within = np.arange(hi - lo, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(m)[:-1]]), m)
+        is_prefix = np.empty(hi - lo, dtype=bool)
+        is_prefix[order] = within < np.repeat(plen, m)
+        ids = b[id_col].slice(lo, hi - lo)
+        return pa.table({"token": tok, "id": ids,
+                         "is_prefix": pa.array(is_prefix)}) \
+            .cast(tagged_schema)
+
+    tagged = grouped_apply(with_df, id_col, out_schema=tagged_schema,
+                           runs_fn=prefix_runs)
+
+    pair_schema = pa.schema([("id_a", idt), ("id_b", idt)])
+
+    def emit_runs(b: pa.Table, starts, ends) -> pa.Table:
+        """Per token: ordered (prefix-id → any-other-id) candidates —
+        the contained side must hold the token in its prefix, the
+        container side merely holds it."""
+        lens = ends - starts
+        live = np.nonzero(lens >= 2)[0]
+        if len(live) == 0:
+            return pair_schema.empty_table()
+        ids_arr = b["id"].combine_chunks()
+        pref = b["is_prefix"].to_numpy(zero_copy_only=False)
+        ai_parts, bi_parts = [], []
+        for ri in live:
+            s_, e_ = int(starts[ri]), int(ends[ri])
+            idx = np.arange(s_, e_, dtype=np.int64)
+            p_idx = idx[pref[s_:e_]]
+            if len(p_idx) == 0:
+                continue
+            ai = np.repeat(p_idx, len(idx))
+            bi = np.tile(idx, len(p_idx))
+            keep = ai != bi
+            ai_parts.append(ai[keep])
+            bi_parts.append(bi[keep])
+        if not ai_parts:
+            return pair_schema.empty_table()
+        ai = np.concatenate(ai_parts)
+        bi = np.concatenate(bi_parts)
+        return pa.table({
+            "id_a": ids_arr.take(pa.array(ai)),
+            "id_b": ids_arr.take(pa.array(bi)),
+        }).cast(pair_schema)
+
+    pairs = grouped_apply(tagged, "token", runs_fn=emit_runs,
+                          out_schema=pair_schema)
+    deduped = (pairs.groupby(["id_a", "id_b"]).count()
+               .map_batches(lambda b: b.drop_columns(["count()"]),
+                            batch_format="pyarrow"))
+
+    enriched = _attach_pair_content(ds, deduped, text_col, id_col)
+
+    def verify(b: pa.Table) -> pa.Table:
+        inter, na, nb = [], [], []
+        for ta, tb in zip(b["text_a"].to_pylist(),
+                          b["text_b"].to_pylist()):
+            sa = _word_ngrams(ta, word_ngram)
+            sb = _word_ngrams(tb, word_ngram)
+            inter.append(len(sa & sb))
+            na.append(len(sa))
+            nb.append(len(sb))
+        out = pa.table({"id_a": b["id_a"], "id_b": b["id_b"],
+                        "n_inter": pa.array(inter, pa.int64()),
+                        "n_a": pa.array(na, pa.int64()),
+                        "n_b": pa.array(nb, pa.int64())})
+        keep = [a > 0 and i / a >= threshold
+                for i, a in zip(inter, na)]
+        return out.filter(pa.array(keep, pa.bool_()))
+
+    return enriched.map_batches(verify, batch_format="pyarrow")

@@ -1966,3 +1966,26 @@ def test_ari_pair_counts_crafted(ray_session):
     assert out.pairs_true == 2
     # cells: (X,1)=2 ->1, (X,2)=1 ->0, (Y,3)=2 ->1
     assert out.pairs_both == 2
+
+
+def test_containment_pairs_crafted(ray_session):
+    """A small doc fully inside a big doc has high containment but low
+    Jaccard — exactly what the asymmetric join must catch."""
+    from payor_linkage.dataops.dedup import containment_pairs
+
+    small = "alpha beta gamma delta"
+    big = ("alpha beta gamma delta " +
+           " ".join(f"w{i} w{i}x" for i in range(30)))
+    other = "zeta eta theta iota kappa"
+    ds = _doc_ds([small, big, other], ids=[1, 2, 3])
+    out = containment_pairs(ds, threshold=0.6, word_ngram=2).to_pandas()
+    got = {(r.id_a, r.id_b): (r.n_inter, r.n_a, r.n_b)
+           for r in out.itertuples()}
+    # small (3 bigrams) all inside big -> containment 1.0 ordered (1,2)
+    assert (1, 2) in got
+    n_inter, n_a, n_b = got[(1, 2)]
+    assert n_inter == 3 and n_a == 3
+    # the reverse direction fails (big not contained in small)
+    assert (2, 1) not in got
+    # jaccard would be 3/n_b ~ 0.05 — symmetric join would miss it
+    assert n_inter / n_b < 0.1
