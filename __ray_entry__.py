@@ -3398,6 +3398,17 @@ def q_knn_join(sf_dir: str):
     return knn_join(_emb(sf_dir), k=5, n_centroids=1, nprobe=1)
 
 
+def q_mutual_nn(sf_dir: str):
+    """Reciprocal-best-match pairs: vectors that are each other's
+    cosine top-1 (`similarity.mutual_nn` — one exact-complete
+    knn_join(k=1) pass, directed edges canonicalized and counted in
+    ONE grouped exchange; the high-precision embedding alignment
+    filter). Oracle: rank-1 window both directions, self-joined."""
+    from payor_linkage.dataops.similarity import mutual_nn
+
+    return mutual_nn(_emb(sf_dir), n_centroids=1, nprobe=1)
+
+
 def q_window_distinct(sf_dir: str):
     """Distinct users per 10-minute tumbling window (streaming
     COUNT(DISTINCT)): per-batch (win, user) dedup partials → one
@@ -3844,6 +3855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_window_distinct": q_window_distinct,
         "q_substring_dup_winnow": q_substring_dup_winnow,
         "q_knn_join": q_knn_join,
+        "q_mutual_nn": q_mutual_nn,
         "q_token_spectrum": q_token_spectrum,
         "q_global_median": q_global_median,
     }
@@ -4228,6 +4240,24 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.4
+        """,
+        "q_mutual_nn": """
+            WITH nn AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(
+                               CAST(q.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) DESC,
+                           b.vec_id) AS rank
+                FROM embeddings q
+                JOIN embeddings b ON b.vec_id != q.vec_id)
+              WHERE rank = 1)
+            SELECT a.query_id AS id_a, a.neighbor_id AS id_b
+            FROM nn a JOIN nn b ON a.neighbor_id = b.query_id
+                              AND b.neighbor_id = a.query_id
+            WHERE a.query_id < a.neighbor_id
         """,
         "q_ann_topk": """
             SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (

@@ -1989,3 +1989,21 @@ def test_containment_pairs_crafted(ray_session):
     assert (2, 1) not in got
     # jaccard would be 3/n_b ~ 0.05 — symmetric join would miss it
     assert n_inter / n_b < 0.1
+
+
+def test_mutual_nn_crafted(ray_session):
+    """Two tight pairs + one loner: the loner's NN is not reciprocal."""
+    import ray.data as rd
+
+    from payor_linkage.dataops.similarity import mutual_nn
+
+    vecs = [[1.0, 0.0, 0.0], [0.99, 0.01, 0.0],   # mutual pair 0-1
+            [0.0, 1.0, 0.0], [0.01, 0.99, 0.0],   # mutual pair 2-3
+            [0.5, 0.45, 0.0]]                      # 4 -> 0/1 one-way
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(list(range(5)), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float64())),
+    }))
+    out = mutual_nn(ds).to_pandas()
+    got = {(r.id_a, r.id_b) for r in out.itertuples()}
+    assert got == {(0, 1), (2, 3)}
