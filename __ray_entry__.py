@@ -3178,6 +3178,65 @@ def q_range_lookup(sf_dir: str):
         "value", [10.0, 100.0, 500.0], ["t0", "t1", "t2", "t3"])
 
 
+def q_basket_supports(sf_dir: str):
+    """Association-rule support table over user event baskets:
+    integer (n_ab, n_a, n_b, n_keys) per co-occurring event-type pair
+    with support >= 3 — confidence/lift derive downstream
+    (`enrich.association_supports`: cooccurrence pair counts + the
+    two-level distinct item supports broadcast back; float-free)."""
+    from payor_linkage.dataops.enrich import association_supports
+
+    return association_supports(_events(sf_dir), "user_id",
+                                "event_type", min_support=3)
+
+
+def q_ship_consistency(sf_dir: str):
+    """Cross-table temporal-consistency census (the referential DQ
+    gate): per order priority, lineitem count and how many shipped
+    BEFORE their order date — one size-aware join keyed on the order,
+    per-batch integer partials, one bounded grouped sum (violation
+    ratios derive downstream)."""
+    import numpy as np
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from payor_linkage.rayutil import smart_join
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_shipdate"])
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def okey(b: _pa.Table) -> _pa.Table:
+        return _pa.table({"l_orderkey": b["o_orderkey"],
+                          "o_orderdate": b["o_orderdate"],
+                          "o_orderpriority": b["o_orderpriority"]})
+
+    j = smart_join(li, orders.map_batches(okey, batch_format="pyarrow"),
+                   "l_orderkey")
+
+    def partial(b: _pa.Table) -> _pa.Table:
+        bad = _pc.cast(_pc.less(b["l_shipdate"], b["o_orderdate"]),
+                       _pa.int64())
+        t = _pa.table({"o_orderpriority": b["o_orderpriority"],
+                       "n_items": _pa.array(
+                           np.ones(len(b), dtype=np.int64)),
+                       "n_early_ship": bad})
+        return (t.group_by("o_orderpriority")
+                .aggregate([("n_items", "sum"), ("n_early_ship", "sum")])
+                .rename_columns(["o_orderpriority", "n_items",
+                                 "n_early_ship"]))
+
+    return (j.map_batches(partial, batch_format="pyarrow")
+            .groupby("o_orderpriority")
+            .aggregate(Sum("n_items", alias_name="n_items"),
+                       Sum("n_early_ship", alias_name="n_early_ship")))
+
+
 def q_cooccurrence(sf_dir: str):
     """Within-user event-type co-occurrence counts (market-basket
     pairs) — the DISTINCT self-join + GROUP BY shape without a
@@ -3847,6 +3906,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_fill_forward": q_fill_forward,
         "q_range_lookup": q_range_lookup,
         "q_cooccurrence": q_cooccurrence,
+        "q_basket_supports": q_basket_supports,
+        "q_ship_consistency": q_ship_consistency,
         "q_inverted_index": q_inverted_index,
         "q_sliding_sum": q_sliding_sum,
         "q_global_ntile": q_global_ntile,
@@ -4638,6 +4699,34 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sz sa ON sa.doc_id = id_a
                        JOIN sz sb ON sb.doc_id = id_b
             WHERE CAST(n_inter AS DOUBLE) / sa.m >= 0.6
+        """,
+        "q_ship_consistency": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(CASE WHEN l_shipdate < o_orderdate
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_early_ship
+            FROM lineitem l JOIN orders o
+              ON l.l_orderkey = o.o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "q_basket_supports": """
+            WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+            sup AS (SELECT event_type, count(*) AS n FROM b GROUP BY 1),
+            pair AS (
+              SELECT a.event_type AS item_a, c.event_type AS item_b,
+                     count(*) AS n_ab
+              FROM b a JOIN b c ON a.user_id = c.user_id
+                               AND a.event_type < c.event_type
+              GROUP BY 1, 2)
+            SELECT item_a, item_b, CAST(n_ab AS BIGINT) AS n_ab,
+                   CAST(sa.n AS BIGINT) AS n_a,
+                   CAST(sb.n AS BIGINT) AS n_b,
+                   (SELECT CAST(count(*) AS BIGINT) FROM
+                    (SELECT DISTINCT user_id FROM b)) AS n_keys
+            FROM pair JOIN sup sa ON sa.event_type = item_a
+                      JOIN sup sb ON sb.event_type = item_b
+            WHERE n_ab >= 3
         """,
         "q_corr_stats": """
             SELECT l_returnflag,

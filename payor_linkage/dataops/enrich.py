@@ -163,3 +163,60 @@ def rank_against(ds: Dataset, ref: Dataset, value_col: str,
 
     return ds.select_columns(proj).map_batches(probe,
                                                batch_format="pyarrow")
+
+
+def association_supports(ds: Dataset, key: str, item_col: str,
+                         min_support: int = 1) -> Dataset:
+    """Association-rule support table (the A-Priori counting step):
+    for every unordered item pair co-occurring under ≥ ``min_support``
+    keys, the integer supports (n_ab, n_a, n_b, n_keys) from which
+    confidence (n_ab/n_a) and lift (n_ab·n_keys / (n_a·n_b)) derive
+    downstream — keeping the output integral keeps the DuckDB-oracle
+    gate float-free.
+
+    Shape: pair supports via ``cooccurrence_counts`` (no self-join);
+    item supports via the two-level distinct (per-batch (key, item)
+    dedup partials → one grouped count at item grain — vocab-bounded);
+    the bounded item-support table broadcasts back onto the pair rows
+    (two ``lookup_join``s); the distinct-key total is one counts-sized
+    scalar."""
+    from payor_linkage.rayutil import lookup_join
+
+    pairs = cooccurrence_counts(ds, key, item_col)
+
+    def keep_pair(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater_equal(b["n"], min_support))
+        return pa.table({"item_a": t["item_a"], "item_b": t["item_b"],
+                         "n_ab": pc.cast(t["n"], pa.int64())})
+
+    pairs = pairs.map_batches(keep_pair, batch_format="pyarrow")
+
+    def distinct_pairs(b: pa.Table) -> pa.Table:
+        return (b.select([key, item_col]).group_by([key, item_col])
+                .aggregate([]))
+
+    baskets = (ds.select_columns([key, item_col])
+               .map_batches(distinct_pairs, batch_format="pyarrow")
+               .groupby([key, item_col]).count()
+               .select_columns([key, item_col])).materialize()
+    n_keys = baskets.select_columns([key]).groupby(key).count().count()
+
+    def item_rows(side: str):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({f"item_{side}": b[item_col],
+                             f"n_{side}": pc.cast(b["count()"],
+                                                  pa.int64())})
+        return f
+
+    sup = baskets.select_columns([item_col]).groupby(item_col).count()
+    sup_a = sup.map_batches(item_rows("a"), batch_format="pyarrow")
+    sup_b = sup.map_batches(item_rows("b"), batch_format="pyarrow")
+
+    out = lookup_join(lookup_join(pairs, sup_a, "item_a"),
+                      sup_b, "item_b")
+
+    def add_total(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "n_keys", pa.array(np.full(len(b), n_keys, dtype=np.int64)))
+
+    return out.map_batches(add_total, batch_format="pyarrow")

@@ -2007,3 +2007,24 @@ def test_mutual_nn_crafted(ray_session):
     out = mutual_nn(ds).to_pandas()
     got = {(r.id_a, r.id_b) for r in out.itertuples()}
     assert got == {(0, 1), (2, 3)}
+
+
+def test_association_supports_crafted(ray_session):
+    import ray.data as rd
+
+    from payor_linkage.dataops.enrich import association_supports
+
+    rows = [("u1", "a"), ("u1", "b"), ("u1", "a"),   # dup row collapses
+            ("u2", "a"), ("u2", "b"), ("u3", "a"),
+            ("u3", "c"), ("u4", "b")]
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array([r[0] for r in rows]),
+        "item": pa.array([r[1] for r in rows]),
+    }))
+    out = association_supports(ds, "k", "item").to_pandas()
+    got = {(r.item_a, r.item_b): (r.n_ab, r.n_a, r.n_b, r.n_keys)
+           for r in out.itertuples()}
+    # supports: a in u1,u2,u3 (3); b in u1,u2,u4 (3); c in u3 (1)
+    assert got[("a", "b")] == (2, 3, 3, 4)
+    assert got[("a", "c")] == (1, 3, 1, 4)
+    assert ("b", "c") not in got
