@@ -2083,6 +2083,46 @@ def q_mdm_ari(sf_dir: str):
         ["source_record_id", "entity_id"]))
 
 
+def q_mdm_degree_histogram(sf_dir: str):
+    """Match-graph degree distribution: (degree, n_nodes) over the
+    auto-match edge graph — the skew/hub profile read before
+    clustering (a heavy hub predicts a giant component). Two staged
+    grouped sums with per-batch partials; only counts ride either
+    exchange. Oracle: endpoint UNION ALL + two GROUP BYs over the
+    match-edge sidecar."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from payor_linkage.cluster import match_edges
+
+    res = _mdm_result(sf_dir)
+    edges = match_edges(res.candidates)
+
+    def node_rows(b: pa.Table) -> pa.Table:
+        both = pa.chunked_array([b["src"].combine_chunks(),
+                                 b["dst"].combine_chunks()]) \
+            .combine_chunks()
+        g = pa.table({"node": both}).group_by("node") \
+            .aggregate([([], "count_all")])
+        return pa.table({"node": g["node"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    deg = (edges.map_batches(node_rows, batch_format="pyarrow")
+           .groupby("node").aggregate(Sum("n", alias_name="deg")))
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        g = pa.table({"degree": pc.cast(b["deg"], pa.int64())}) \
+            .group_by("degree").aggregate([([], "count_all")])
+        return pa.table({"degree": g["degree"],
+                         "n_nodes": pc.cast(g["count_all"], pa.int64())})
+
+    return (deg.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("degree").aggregate(Sum("n_nodes",
+                                             alias_name="n_nodes")))
+
+
 def q_mdm_inferred_pairs(sf_dir: str):
     """Transitive-match audit: pairs that share a match group but were
     never directly auto-matched (`evaluate.inferred_pairs` — m²-index
@@ -3237,6 +3277,48 @@ def q_ship_consistency(sf_dir: str):
                        Sum("n_early_ship", alias_name="n_early_ship")))
 
 
+def q_monthly_active(sf_dir: str):
+    """Calendar-month rollup with COUNT(DISTINCT): per order month,
+    order count and distinct active customers — the month-grain ETL
+    rollup. One grouped exchange carrying already-distinct
+    (month, customer) partials (per-batch dedup), then a months-sized
+    second aggregate; `pc.floor_temporal` is the engine's date_trunc."""
+    import numpy as _np
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderdate", "o_custkey"])
+
+    def partial(b: _pa.Table) -> _pa.Table:
+        m = _pc.cast(_pc.floor_temporal(b["o_orderdate"], unit="month"),
+                     _pa.timestamp("us"))
+        t = _pa.table({"month": m, "o_custkey": b["o_custkey"]})
+        g = t.group_by(["month", "o_custkey"]).aggregate(
+            [([], "count_all")])
+        return _pa.table({"month": g["month"],
+                          "o_custkey": g["o_custkey"],
+                          "n": _pc.cast(g["count_all"], _pa.int64())})
+
+    pairs = (orders.map_batches(partial, batch_format="pyarrow")
+             .groupby(["month", "o_custkey"])
+             .aggregate(Sum("n", alias_name="n")))
+    agg = pairs.groupby("month").aggregate(
+        Sum("n", alias_name="n_orders"),
+        Count("o_custkey", alias_name="n_customers"))
+
+    def fin(b: _pa.Table) -> _pa.Table:
+        # Ray's aggregate routes timestamp keys through numpy and
+        # downgrades to timestamp[s] — restore µs at the boundary
+        return b.set_column(0, "month",
+                            _pc.cast(b["month"], _pa.timestamp("us")))
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
 def q_cooccurrence(sf_dir: str):
     """Within-user event-type co-occurrence counts (market-basket
     pairs) — the DISTINCT self-join + GROUP BY shape without a
@@ -3718,6 +3800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mdm_blocking_quality": q_mdm_blocking_quality,
         "q_mdm_bcubed": q_mdm_bcubed,
         "q_mdm_ari": q_mdm_ari,
+        "q_mdm_degree_histogram": q_mdm_degree_histogram,
         "q_mdm_threshold_sweep": q_mdm_threshold_sweep,
         "q_mdm_children_count": q_mdm_children_count,
         "q_mdm_hierarchy_orphans": q_mdm_hierarchy_orphans,
@@ -3908,6 +3991,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cooccurrence": q_cooccurrence,
         "q_basket_supports": q_basket_supports,
         "q_ship_consistency": q_ship_consistency,
+        "q_monthly_active": q_monthly_active,
         "q_inverted_index": q_inverted_index,
         "q_sliding_sum": q_sliding_sum,
         "q_global_ntile": q_global_ntile,
@@ -4700,6 +4784,13 @@ def oracle_sql() -> dict[str, str]:
                        JOIN sz sb ON sb.doc_id = id_b
             WHERE CAST(n_inter AS DOUBLE) / sa.m >= 0.6
         """,
+        "q_monthly_active": """
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT)
+                       AS n_customers
+            FROM orders GROUP BY 1
+        """,
         "q_ship_consistency": """
             SELECT o_orderpriority,
                    CAST(count(*) AS BIGINT) AS n_items,
@@ -5288,6 +5379,20 @@ def oracle_sql() -> dict[str, str]:
                                 AS BIGINT) FROM tru) AS pairs_true,
                    (SELECT CAST(COALESCE(sum(n * (n - 1) // 2), 0)
                                 AS BIGINT) FROM cells) AS pairs_both
+        """,
+        # degree histogram over the match-edge sidecar
+        "q_mdm_degree_histogram": f"""
+            WITH d AS (
+              SELECT node, count(*) AS deg FROM (
+                SELECT src AS node FROM
+                  read_parquet('{_SIDECAR_DIR}/edges/*.parquet')
+                UNION ALL
+                SELECT dst FROM
+                  read_parquet('{_SIDECAR_DIR}/edges/*.parquet'))
+              GROUP BY 1)
+            SELECT CAST(deg AS BIGINT) AS degree,
+                   CAST(count(*) AS BIGINT) AS n_nodes
+            FROM d GROUP BY 1
         """,
         # B-cubed per-record integers: three window counts over
         # membership ⋈ labels (orphans are singleton entities)
