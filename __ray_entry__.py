@@ -2123,6 +2123,19 @@ def q_mdm_degree_histogram(sf_dir: str):
                                              alias_name="n_nodes")))
 
 
+def q_mdm_bfs(sf_dir: str):
+    """Single-source BFS hop distances over the auto-match edge graph,
+    seeded at the lexicographically smallest endpoint
+    (`graph.bfs_layers` — per-round size-aware frontier join + grouped
+    dedup + component-bounded visited filter). Oracle: recursive CTE
+    min-hop walk over the match-edge sidecar."""
+    from payor_linkage.cluster import match_edges
+    from payor_linkage.dataops.graph import bfs_layers
+
+    res = _mdm_result(sf_dir)
+    return bfs_layers(match_edges(res.candidates), max_depth=20)
+
+
 def q_mdm_inferred_pairs(sf_dir: str):
     """Transitive-match audit: pairs that share a match group but were
     never directly auto-matched (`evaluate.inferred_pairs` — m²-index
@@ -3801,6 +3814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mdm_bcubed": q_mdm_bcubed,
         "q_mdm_ari": q_mdm_ari,
         "q_mdm_degree_histogram": q_mdm_degree_histogram,
+        "q_mdm_bfs": q_mdm_bfs,
         "q_mdm_threshold_sweep": q_mdm_threshold_sweep,
         "q_mdm_children_count": q_mdm_children_count,
         "q_mdm_hierarchy_orphans": q_mdm_hierarchy_orphans,
@@ -5379,6 +5393,24 @@ def oracle_sql() -> dict[str, str]:
                                 AS BIGINT) FROM tru) AS pairs_true,
                    (SELECT CAST(COALESCE(sum(n * (n - 1) // 2), 0)
                                 AS BIGINT) FROM cells) AS pairs_both
+        """,
+        # BFS min-hop walk; UNION dedups (node, dist) rows and the
+        # depth guard bounds cycle expansion
+        "q_mdm_bfs": f"""
+            WITH RECURSIVE sym AS (
+              SELECT src AS a, dst AS b FROM
+                read_parquet('{_SIDECAR_DIR}/edges/*.parquet')
+              UNION
+              SELECT dst, src FROM
+                read_parquet('{_SIDECAR_DIR}/edges/*.parquet')),
+            walk(node, dist) AS (
+              SELECT (SELECT min(a) FROM sym), 0
+              UNION
+              SELECT sym.b, walk.dist + 1
+              FROM walk JOIN sym ON sym.a = walk.node
+              WHERE walk.dist < 20)
+            SELECT node, CAST(min(dist) AS BIGINT) AS dist
+            FROM walk GROUP BY node
         """,
         # degree histogram over the match-edge sidecar
         "q_mdm_degree_histogram": f"""

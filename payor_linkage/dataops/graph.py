@@ -343,3 +343,86 @@ def k_core(edges: Dataset, k: int, src_col: str = "id_a",
             "node": pa.array([], node_type),
             "deg": pa.array([], pa.int64())}))
     return cur.groupby("node").aggregate(Count(alias_name="deg"))
+
+
+def bfs_layers(edges: Dataset, source=None, max_depth: int = 20,
+               src_col: str = "src", dst_col: str = "dst") -> Dataset:
+    """Single-source BFS hop distances over an undirected edge list:
+    (node, dist) for every node reachable from ``source`` within
+    ``max_depth`` hops (the source itself at dist 0). ``source=None``
+    seeds at the lexicographically smallest endpoint — a deterministic
+    default the SQL oracle can recompute.
+
+    Per round: one size-aware join (``smart_join`` — broadcast when
+    the frontier is small, hash join otherwise) from the frontier onto
+    the symmetric edge list, a grouped dedup of the new candidates,
+    and a visited-set anti filter. The visited id set is bounded by
+    the reachable component (broadcast via ``ray.put`` — the same
+    driver-bounded class as the CC tiers; components here are match
+    groups, orders of magnitude below the corpus)."""
+    import ray
+
+    from payor_linkage.rayutil import smart_join
+
+    def sym(b: pa.Table) -> pa.Table:
+        a = b[src_col].combine_chunks()
+        c = b[dst_col].combine_chunks()
+        return pa.table({
+            "a": pa.chunked_array([a, c]).combine_chunks(),
+            "b": pa.chunked_array([c, a]).combine_chunks()})
+
+    sym_edges = edges.select_columns([src_col, dst_col]).map_batches(
+        sym, batch_format="pyarrow").materialize()
+    ntype = sym_edges.schema().base_schema.field("a").type
+
+    if source is None:
+        def bmin(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({"m": pa.array([], ntype)})
+            return pa.table({"m": pa.array([pc.min(b["a"]).as_py()],
+                                           ntype)})
+
+        mins = sym_edges.map_batches(bmin,
+                                     batch_format="pyarrow").take_all()
+        if not mins:
+            return edges.map_batches(
+                lambda b: pa.table({"node": pa.array([], ntype),
+                                    "dist": pa.array([], pa.int64())}),
+                batch_format="pyarrow")
+        source = min(r["m"] for r in mins)
+
+    import ray.data as rd
+
+    dist_tbl = pa.table({"node": pa.array([source], ntype),
+                         "dist": pa.array([0], pa.int64())})
+    visited = {source}
+    frontier = rd.from_arrow(dist_tbl.select(["node"]))
+    out_tables = [dist_tbl]
+
+    for d in range(1, max_depth + 1):
+        cand = smart_join(sym_edges.map_batches(
+            lambda b: pa.table({"node": b["a"], "nbr": b["b"]}),
+            batch_format="pyarrow"), frontier, "node")
+        vref = ray.put(pa.array(sorted(visited), ntype))
+
+        def fresh(b: pa.Table, _v=vref) -> pa.Table:
+            keep = pc.invert(pc.is_in(b["nbr"], value_set=ray.get(_v)))
+            t = b.filter(keep)
+            return pa.table({"node": t["nbr"]}).group_by("node") \
+                .aggregate([])
+
+        new = (cand.map_batches(fresh, batch_format="pyarrow")
+               .groupby("node").count()
+               .select_columns(["node"]).materialize())
+        if new.count() == 0:
+            break
+        new_ids = pa.concat_tables(
+            ray.get(new.to_arrow_refs()),
+            promote_options="default")["node"].combine_chunks()
+        visited.update(new_ids.to_pylist())
+        out_tables.append(pa.table({
+            "node": new_ids,
+            "dist": pa.array(np.full(len(new_ids), d, np.int64))}))
+        frontier = new
+
+    return rd.from_arrow(pa.concat_tables(out_tables))

@@ -2028,3 +2028,25 @@ def test_association_supports_crafted(ray_session):
     assert got[("a", "b")] == (2, 3, 3, 4)
     assert got[("a", "c")] == (1, 3, 1, 4)
     assert ("b", "c") not in got
+
+
+def test_bfs_layers_crafted(ray_session):
+    """Path a-b-c-d plus isolated pair x-y: distances from 'a'."""
+    import ray.data as rd
+
+    from payor_linkage.dataops.graph import bfs_layers
+
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array(["a", "b", "c", "x"]),
+        "dst": pa.array(["b", "c", "d", "y"]),
+    }))
+    out = bfs_layers(edges).to_pandas()
+    got = dict(zip(out["node"], out["dist"]))
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+    out2 = bfs_layers(edges, source="x").to_pandas()
+    assert dict(zip(out2["node"], out2["dist"])) == {"x": 0, "y": 1}
+
+    out3 = bfs_layers(edges, source="a", max_depth=2).to_pandas()
+    assert dict(zip(out3["node"], out3["dist"])) == \
+        {"a": 0, "b": 1, "c": 2}
