@@ -1206,6 +1206,21 @@ def _media_refs(sf_dir: str):
                                                 batch_format="pyarrow")
 
 
+def q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking of the real binary media payloads
+    (`dedup.cdc_chunk_table` — gear rolling hash, vectorized as 32
+    shifted adds; expected 256-B chunks). Rows-only at the driver gate
+    (a rolling hash is not SQL-expressible); exactness is pytest-gated
+    against the byte-at-a-time reference plus a shift-resistance
+    property test."""
+    from payor_linkage.dataops.multimodal import synth_media
+
+    media = synth_media(_media_refs(sf_dir))
+    from payor_linkage.dataops.dedup import cdc_chunk_table
+
+    return cdc_chunk_table(media, mask_bits=8)
+
+
 def q_media_decode(sf_dir: str):
     """Multimodal decode, REAL end to end: payloads are actual binary
     PPM images and the engine's pure-numpy parser reads the dimensions
@@ -3927,6 +3942,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mdm_review_queue": q_mdm_review_queue,
         "q_lsh_neardup": q_lsh_neardup,
         "q_lang_id": q_lang_id,
+        "q_cdc_chunks": q_cdc_chunks,
         "q_media_decode": q_media_decode,
         "q_audio_decode": q_audio_decode,
         "q_media_resize": q_media_resize,

@@ -2027,3 +2027,92 @@ def containment_pairs(ds: Dataset, threshold: float = 0.6,
         return out.filter(pa.array(keep, pa.bool_()))
 
     return enriched.map_batches(verify, batch_format="pyarrow")
+
+
+# ── content-defined chunking (storage dedup) ──────────────────────────────
+
+
+def _gear_table() -> np.ndarray:
+    """Deterministic 256-entry gear table (md5 of the byte value —
+    process-randomization-free per the repo hashing rule)."""
+    import hashlib
+
+    return np.array([int.from_bytes(hashlib.md5(bytes([i])).digest()[:4],
+                                    "little")
+                     for i in range(256)], dtype=np.uint64)
+
+
+_GEAR = _gear_table()
+_CDC_WINDOW = 32
+
+
+def _cdc_cut_mask(data: np.ndarray, mask: int) -> np.ndarray:
+    """Vectorized gear rolling hash: h_i = Σ_{k<32} gear[b_{i−k}]·2^k
+    (mod 2^32) — the classic sequential recurrence h = 2h + gear[b]
+    unrolled into 32 shifted adds (uint64 wraparound preserves
+    mod 2^32). Returns the boolean cut-after-position-i mask."""
+    n = len(data)
+    g = _GEAR[data]
+    h = np.zeros(n, dtype=np.uint64)
+    for k in range(_CDC_WINDOW):
+        if k >= n:
+            break
+        h[k:] += g[:n - k] << np.uint64(k)
+    return (h & np.uint64(0xFFFFFFFF) & np.uint64(mask)) == 0
+
+
+def cdc_chunk_table(ds: Dataset, payload_col: str = "payload",
+                    id_col: str = "media_id",
+                    mask_bits: int = 8) -> Dataset:
+    """Content-defined chunking of a binary payload column (the
+    FastCDC/gear storage-dedup primitive): each blob splits where a
+    32-byte rolling gear hash has its low ``mask_bits`` bits zero
+    (expected chunk ≈ 2^mask_bits bytes), so an insertion near the
+    front re-chunks only a window around the edit — downstream chunk
+    hashes stay aligned and dedupe (the shift-resistance fixed-size
+    chunking lacks; pytest-gated). No min/max clamps: the cut rule is
+    pure arithmetic, deterministic on any engine.
+
+    Output: (id, chunk_no, offset, length, crc) — integer rows; the
+    global dedup step is any exact-dedup over ``crc`` (chunk store).
+    Per-batch work is fully vectorized on the byte buffer except the
+    bounded per-chunk crc loop (≈ len/2^mask_bits iterations).
+    Rows-only at the driver gate (a rolling hash is not
+    SQL-expressible); exactness is pytest-gated against a pure-Python
+    byte-at-a-time reference."""
+    import zlib
+
+    sch = ds.schema()
+    idt = dict(zip(sch.names, sch.types))[id_col]
+    out_schema = pa.schema([(id_col, idt), ("chunk_no", pa.int64()),
+                            ("offset", pa.int64()), ("length", pa.int64()),
+                            ("crc", pa.int64())])
+    mask = (1 << mask_bits) - 1
+
+    def chunks(b: pa.Table) -> pa.Table:
+        ids, cno, off, ln, crc = [], [], [], [], []
+        for i, payload in zip(b[id_col].to_pylist(),
+                              b[payload_col].to_pylist()):
+            if payload is None:
+                continue
+            data = np.frombuffer(payload, dtype=np.uint8)
+            if len(data) == 0:
+                continue
+            cuts = np.nonzero(_cdc_cut_mask(data, mask))[0] + 1
+            bounds = np.concatenate([[0], cuts[cuts < len(data)],
+                                     [len(data)]])
+            for j in range(len(bounds) - 1):
+                s, e = int(bounds[j]), int(bounds[j + 1])
+                ids.append(i)
+                cno.append(j)
+                off.append(s)
+                ln.append(e - s)
+                crc.append(zlib.crc32(payload[s:e]))
+        return pa.table({id_col: pa.array(ids, idt),
+                         "chunk_no": pa.array(cno, pa.int64()),
+                         "offset": pa.array(off, pa.int64()),
+                         "length": pa.array(ln, pa.int64()),
+                         "crc": pa.array(crc, pa.int64())}).cast(out_schema)
+
+    return ds.select_columns([id_col, payload_col]).map_batches(
+        chunks, batch_format="pyarrow")

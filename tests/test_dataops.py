@@ -2050,3 +2050,50 @@ def test_bfs_layers_crafted(ray_session):
     out3 = bfs_layers(edges, source="a", max_depth=2).to_pandas()
     assert dict(zip(out3["node"], out3["dist"])) == \
         {"a": 0, "b": 1, "c": 2}
+
+
+def test_cdc_chunks_match_python_reference(ray_session):
+    """Vectorized gear CDC equals the byte-at-a-time recurrence, spans
+    tile the blob, and an edit near the front leaves later chunk crcs
+    aligned (the shift-resistance fixed-size chunking lacks)."""
+    import zlib
+
+    import ray.data as rd
+
+    from payor_linkage.dataops.dedup import _GEAR, cdc_chunk_table
+
+    rng = np.random.RandomState(7)
+    blob = rng.bytes(4096)
+    mask_bits = 6
+    ds = rd.from_arrow(pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "payload": pa.array([blob], pa.binary())}))
+    out = cdc_chunk_table(ds, mask_bits=mask_bits).to_pandas() \
+        .sort_values("chunk_no")
+
+    # pure-python rolling reference: h = 2h + gear[b] mod 2^32
+    mask = (1 << mask_bits) - 1
+    h, bounds = 0, [0]
+    for i, byte in enumerate(blob):
+        h = ((h << 1) + int(_GEAR[byte])) & 0xFFFFFFFF
+        if (h & mask) == 0 and i + 1 < len(blob):
+            bounds.append(i + 1)
+    bounds.append(len(blob))
+    assert out["offset"].tolist() == bounds[:-1]
+    assert out["length"].tolist() == [bounds[j + 1] - bounds[j]
+                                      for j in range(len(bounds) - 1)]
+    assert out["crc"].tolist() == [
+        zlib.crc32(blob[bounds[j]:bounds[j + 1]])
+        for j in range(len(bounds) - 1)]
+    # spans tile the blob
+    assert out["length"].sum() == len(blob)
+
+    # shift-resistance: prepend 3 bytes; chunk crcs beyond the first
+    # window mostly survive
+    blob2 = b"xyz" + blob
+    ds2 = rd.from_arrow(pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "payload": pa.array([blob2], pa.binary())}))
+    out2 = cdc_chunk_table(ds2, mask_bits=mask_bits).to_pandas()
+    shared = set(out["crc"]) & set(out2["crc"])
+    assert len(shared) >= 0.8 * len(out)
