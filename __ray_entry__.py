@@ -2948,6 +2948,62 @@ def q_first_last_value(sf_dir: str):
         key="user_id", order_cols=["ts", "event_id"], value_col="value")
 
 
+def q_nth_value(sf_dir: str):
+    """NTH_VALUE(value, 3) over the full partition frame per user
+    ((ts, event_id) order) attached to every row — NULL for users with
+    fewer than 3 events (`aggregates.grouped_nth_value`; values
+    selected, never computed)."""
+    from payor_linkage.dataops.aggregates import grouped_nth_value
+
+    return grouped_nth_value(
+        _events(sf_dir).select_columns(["user_id", "ts", "event_id",
+                                        "value"]),
+        key="user_id", order_cols=["ts", "event_id"], value_col="value",
+        n=3)
+
+
+def q_burst_windows(sf_dir: str):
+    """Burst detection: (user, 1-hour window)s whose event count
+    exceeds 2× that user's median window count — integer-exact anomaly
+    flags (median is a selected element, the 2× threshold is integer
+    arithmetic; no float mean/σ). Window counts via per-batch partials,
+    per-user medians via grouped quantile_disc, bounded stats broadcast
+    back."""
+    from fractions import Fraction
+
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from ray.data.aggregate import Sum
+
+    from payor_linkage.dataops.aggregates import grouped_quantiles
+    from payor_linkage.rayutil import lookup_join
+
+    def partial(b: _pa.Table) -> _pa.Table:
+        import numpy as _np
+
+        win = _pc.cast(_pc.floor(_pc.divide(
+            _pc.cast(b["ts"], _pa.int64()), 3_600_000_000)), _pa.int64())
+        t = _pa.table({"user_id": b["user_id"], "win": win,
+                       "n": _pa.array(_np.ones(len(b), dtype=_np.int64))})
+        return (t.group_by(["user_id", "win"]).aggregate([("n", "sum")])
+                .rename_columns(["user_id", "win", "n"]))
+
+    counts = (_events(sf_dir).select_columns(["user_id", "ts"])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby(["user_id", "win"])
+              .aggregate(Sum("n", alias_name="n")))
+    med = grouped_quantiles(counts.select_columns(["user_id", "n"]),
+                            "user_id", "n", {"med": Fraction(1, 2)})
+    joined = lookup_join(counts, med, "user_id")
+
+    def flag(b: _pa.Table) -> _pa.Table:
+        keep = _pc.greater(b["n"], _pc.multiply(b["med"], 2))
+        return b.filter(keep)
+
+    return joined.map_batches(flag, batch_format="pyarrow")
+
+
 def q_corpus_pipeline(sf_dir: str):
     """End-to-end training-corpus curation, every stage a library
     operator, the whole chain streaming: held-out eval split (md5 hash
@@ -3871,6 +3927,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_distinct_intersect": q_distinct_intersect,
         "q_top_term_df": q_top_term_df,
         "q_first_last_value": q_first_last_value,
+        "q_nth_value": q_nth_value,
+        "q_burst_windows": q_burst_windows,
         "q_stratified_sample": q_stratified_sample,
         "q_block_counts": q_block_counts,
         "q_charset_jaccard_pairs": q_charset_jaccard_pairs,
@@ -6169,6 +6227,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, r0 + 1 AS src_rank,
                    CAST((r0 // wt) * 9 + woff + (r0 % wt) AS BIGINT) AS pos
             FROM r JOIN w USING (lang)
+        """,
+        "q_burst_windows": """
+            WITH w AS (
+              SELECT user_id,
+                     CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT)
+                         AS win,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2),
+            m AS (SELECT user_id, quantile_disc(n, 0.5) AS med
+                  FROM w GROUP BY 1)
+            SELECT w.user_id, w.win, w.n, CAST(m.med AS BIGINT) AS med
+            FROM w JOIN m ON w.user_id = m.user_id
+            WHERE w.n > 2 * m.med
+        """,
+        "q_nth_value": """
+            SELECT user_id, ts, event_id, value,
+                   nth_value(value, 3) OVER w AS nth_val
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING)
         """,
         "q_first_last_value": """
             SELECT user_id, ts, event_id, value,

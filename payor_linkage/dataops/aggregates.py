@@ -1783,3 +1783,45 @@ def l_diversity_risk(ds: Dataset, quasi_cols: list[str],
         return pa.table(out)
 
     return cohorts.map_batches(under, batch_format="pyarrow")
+
+
+def grouped_nth_value(ds: Dataset, key: str, order_cols: list[str],
+                      value_col: str, n: int,
+                      out_col: str = "nth_val") -> Dataset:
+    """NTH_VALUE(value, n) OVER (PARTITION BY key ORDER BY order_cols
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) attached
+    to every row — NULL when the partition has fewer than ``n`` rows
+    (SQL semantics). Values are selected, never computed — exact float
+    parity. One grouped sort; the per-run nth indices broadcast via one
+    ``np.repeat`` (the ``grouped_first_last`` shape)."""
+    proj = ([key] + [c for c in order_cols if c != key]
+            + ([value_col] if value_col not in order_cols
+               and value_col != key else []))
+    vt = ds.schema().base_schema.field(value_col).type
+    out_schema = pa.schema(
+        [(c, ds.schema().base_schema.field(c).type) for c in proj]
+        + [(out_col, vt)])
+
+    def runs(b: pa.Table, starts, ends) -> pa.Table:
+        lo, hi = starts[0], ends[-1]
+        rid = _run_ids(starts, ends)
+        arrs = [b[c].to_numpy(zero_copy_only=False)[lo:hi]
+                for c in order_cols]
+        order = np.lexsort(tuple(reversed(arrs)) + (rid,))
+        lens = (ends - starts).astype(np.int64)
+        # nth position per run where it exists; sentinel -1 → null
+        nth_pos = np.where(lens >= n, order[np.minimum(
+            starts - lo + n - 1, ends - lo - 1)] + lo, -1)
+        take = pa.array(order + lo)
+        cols = {c: b[c].take(take) for c in proj}
+        rep = np.repeat(nth_pos, lens)
+        vals = b[value_col].take(
+            pa.array(np.where(rep >= 0, rep, 0)))
+        cols[out_col] = pc.if_else(pa.array(rep >= 0), vals,
+                                   pa.scalar(None, vt))
+        return pa.table(cols).cast(out_schema)
+
+    from payor_linkage.rayutil import grouped_apply
+
+    return grouped_apply(ds.select_columns(list(dict.fromkeys(
+        proj + order_cols))), key, out_schema=out_schema, runs_fn=runs)

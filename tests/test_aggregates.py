@@ -1282,3 +1282,23 @@ def test_l_diversity_risk_crafted(ray_session):
     # zip 2 has 2 distinct -> safe
     assert got == {1: (3, 1), 3: (1, 1)}
     assert out["zip"].dtype == np.int32
+
+
+def test_grouped_nth_value_crafted(ray_session):
+    import ray.data as rd
+
+    from payor_linkage.dataops.aggregates import grouped_nth_value
+
+    t = pa.table({
+        "g": pa.array(["a", "a", "a", "b", "b", "c"]),
+        "o": pa.array([3, 1, 2, 2, 1, 1], pa.int64()),
+        "v": pa.array([30.0, 10.0, 20.0, 5.0, 4.0, 9.0], pa.float64()),
+    })
+    out = grouped_nth_value(rd.from_arrow(t), "g", ["o"], "v", n=2) \
+        .to_pandas().sort_values(["g", "o"]).reset_index(drop=True)
+    # group a ordered by o: v = 10,20,30 -> 2nd = 20 on every row
+    assert out.loc[out.g == "a", "nth_val"].tolist() == [20.0] * 3
+    # group b: 4,5 -> 2nd = 5
+    assert out.loc[out.g == "b", "nth_val"].tolist() == [5.0] * 2
+    # group c has 1 row -> NULL
+    assert out.loc[out.g == "c", "nth_val"].isna().all()
