@@ -3004,6 +3004,17 @@ def q_burst_windows(sf_dir: str):
     return joined.map_batches(flag, batch_format="pyarrow")
 
 
+def q_novelty(sf_dir: str):
+    """Per-document novelty census over word trigrams: corpus-unique
+    (df = 1) distinct grams vs total distinct grams — the
+    memorization-risk / data-valuation signal
+    (`text.novelty_census`; integer outputs, counts-only exchanges
+    after the gram explosion)."""
+    from payor_linkage.dataops.text import novelty_census
+
+    return novelty_census(_docs(sf_dir), word_ngram=3)
+
+
 def q_corpus_pipeline(sf_dir: str):
     """End-to-end training-corpus curation, every stage a library
     operator, the whole chain streaming: held-out eval split (md5 hash
@@ -3929,6 +3940,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_first_last_value": q_first_last_value,
         "q_nth_value": q_nth_value,
         "q_burst_windows": q_burst_windows,
+        "q_novelty": q_novelty,
         "q_stratified_sample": q_stratified_sample,
         "q_block_counts": q_block_counts,
         "q_charset_jaccard_pairs": q_charset_jaccard_pairs,
@@ -6227,6 +6239,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, r0 + 1 AS src_rank,
                    CAST((r0 // wt) * 9 + woff + (r0 % wt) AS BIGINT) AS pos
             FROM r JOIN w USING (lang)
+        """,
+        "q_novelty": """
+            WITH s AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x != '') AS ts
+              FROM documents),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2]
+                         AS gram
+              FROM s, LATERAL unnest(generate_series(1, len(ts) - 2))
+                       AS t(i)),
+            df AS (SELECT gram, count(*) AS df FROM g GROUP BY 1)
+            SELECT g.doc_id,
+                   CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_unique_grams,
+                   CAST(count(*) AS BIGINT) AS n_grams
+            FROM g JOIN df ON g.gram = df.gram
+            GROUP BY g.doc_id
         """,
         "q_burst_windows": """
             WITH w AS (

@@ -1546,3 +1546,56 @@ def regex_count_profile(ds: Dataset, col: str, patterns: dict,
 
     return ds.select_columns([id_col, col]).map_batches(
         f, batch_format="pyarrow")
+
+
+def novelty_census(ds: Dataset, word_ngram: int = 3,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> Dataset:
+    """Per-document novelty census: of each document's distinct word
+    n-grams, how many are corpus-UNIQUE (document frequency 1) vs
+    total — the memorization-risk / data-valuation signal (a document
+    whose grams all recur elsewhere adds nothing; one full of unique
+    grams is novel). Integer (n_unique_grams, n_grams) output keeps
+    the oracle float-free; the novelty ratio derives downstream.
+
+    Shape: one distinct-gram explosion (per-doc dedup inside the
+    batch), one vocab-grain df groupby, the df table attached back by
+    gram (`lookup_join`, hash-join fallback above its bound), then one
+    doc-grain grouped sum of (df == 1) flags — counts only on every
+    exchange after the explosion."""
+    from ray.data.aggregate import Count, Sum
+
+    from payor_linkage.rayutil import lookup_join
+
+    sch = ds.schema()
+    idt = dict(zip(sch.names, sch.types))[id_col]
+
+    def gram_rows(b: pa.Table) -> pa.Table:
+        out_id, out_g = [], []
+        for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            toks = (t or "").lower().split()
+            grams = {" ".join(toks[j:j + word_ngram])
+                     for j in range(len(toks) - word_ngram + 1)}
+            out_id.extend([i] * len(grams))
+            out_g.extend(grams)
+        return pa.table({id_col: pa.array(out_id, idt),
+                         "gram": pa.array(out_g, pa.string())})
+
+    grams = ds.select_columns([id_col, text_col]).map_batches(
+        gram_rows, batch_format="pyarrow").materialize()
+    df = grams.groupby("gram").aggregate(Count(alias_name="df"))
+    with_df = lookup_join(grams, df, on="gram")
+
+    def partial(b: pa.Table) -> pa.Table:
+        uniq = pc.cast(pc.equal(b["df"], 1), pa.int64())
+        t = pa.table({id_col: b[id_col], "n_unique_grams": uniq,
+                      "n_grams": pa.array(
+                          np.ones(b.num_rows, dtype=np.int64))})
+        return (t.group_by(id_col)
+                .aggregate([("n_unique_grams", "sum"), ("n_grams", "sum")])
+                .rename_columns([id_col, "n_unique_grams", "n_grams"]))
+
+    return (with_df.map_batches(partial, batch_format="pyarrow")
+            .groupby(id_col)
+            .aggregate(Sum("n_unique_grams", alias_name="n_unique_grams"),
+                       Sum("n_grams", alias_name="n_grams")))

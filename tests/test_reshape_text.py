@@ -610,3 +610,40 @@ def test_bpe_segment_matches_reference(ray_session):
         exp = ref_seg(r.word)
         assert r.seg == " ".join(exp), r.word
         assert r.n_tokens == len(exp)
+
+
+def test_novelty_census_matches_reference(ray_session):
+    """Per-doc (unique-gram, distinct-gram) counts must equal a pure
+    Python recomputation; docs shorter than the gram width emit no row;
+    duplicated docs must have zero corpus-unique grams."""
+    from payor_linkage.dataops.text import novelty_census
+
+    texts = [
+        "the quick brown fox jumps",     # shares a trigram with doc 1
+        "the quick brown dog sits",
+        "the quick brown fox jumps",     # exact dup of doc 0
+        "one of a kind content here",
+        "too short",                      # < 3 tokens -> no row
+        "",                               # empty -> no row
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    got = (novelty_census(_ds(df), word_ngram=3).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    import collections
+    per_doc = {}
+    dfreq = collections.Counter()
+    for i, t in enumerate(texts):
+        toks = t.lower().split()
+        grams = {" ".join(toks[j:j + 3]) for j in range(len(toks) - 2)}
+        if grams:
+            per_doc[i] = grams
+            dfreq.update(grams)
+    exp = {i: (sum(dfreq[g] == 1 for g in gs), len(gs))
+           for i, gs in per_doc.items()}
+    assert list(got["doc_id"]) == sorted(exp)
+    for r in got.itertuples():
+        assert (r.n_unique_grams, r.n_grams) == exp[r.doc_id], r.doc_id
+    # the duplicated pair shares every gram -> zero unique on both
+    assert exp[0][0] == 0 and exp[2][0] == 0
