@@ -121,6 +121,40 @@ def q_exact_dedup(sf_dir: str):
     return exact_dedup(_docs(sf_dir))
 
 
+def q_meta_blocking(sf_dir: str):
+    """Meta-blocking over word-3-gram token blocking: purge blocks
+    outside 2..32 members, weight pairs by common-block count (CBS),
+    prune below 3 (`dedup.meta_blocking_pairs` — purge inside the
+    group fn, ids-only exchanges)."""
+    from payor_linkage.dataops.dedup import meta_blocking_pairs
+    from payor_linkage.dataops.text import word_ngram_rows
+
+    blocks = word_ngram_rows(_docs(sf_dir), 3, out_col="tok")
+    return meta_blocking_pairs(blocks, min_common=3, min_block=2,
+                               max_block=32)
+
+
+def q_snm_pairs(sf_dir: str):
+    """Sorted-neighborhood blocking candidates (window 6 over the
+    16-char lowered-text prefix key): the fixed-pair-volume ER
+    candidate generator (`dedup.snm_pairs` — one global sort, per-block
+    ROW_NUMBER arithmetic, window-1 head rows carried across block
+    boundaries)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from payor_linkage.dataops.dedup import snm_pairs
+
+    def key(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "snm_key",
+            pc.utf8_slice_codeunits(pc.utf8_lower(b["text"]), 0, 16))
+
+    ds = (_docs(sf_dir).select_columns(["doc_id", "text"])
+          .map_batches(key, batch_format="pyarrow"))
+    return snm_pairs(ds, key_cols=["snm_key"], window=6)
+
+
 def q_incremental_dedup(sf_dir: str):
     """Incremental exact dedup against persisted bucketed hash state
     (`dedup.exact_dedup_incremental`): prior corpus = docs with
@@ -3945,6 +3979,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_block_counts": q_block_counts,
         "q_charset_jaccard_pairs": q_charset_jaccard_pairs,
         "q_exact_dedup": q_exact_dedup,
+        "q_snm_pairs": q_snm_pairs,
+        "q_meta_blocking": q_meta_blocking,
         "q_incremental_dedup": q_incremental_dedup,
         "q_events_by_type": q_events_by_type,
         "q_top_events": q_top_events,
@@ -4157,6 +4193,37 @@ def oracle_sql() -> dict[str, str]:
         "q_exact_dedup": """
             SELECT text, min(doc_id) AS keeper_id, count(*) AS n_dups
             FROM documents GROUP BY text
+        """,
+        "q_meta_blocking": """
+            WITH s AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x != '') AS ts
+              FROM documents),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS tok
+              FROM s, LATERAL unnest(generate_series(1, len(ts) - 2))
+                       AS t(i)),
+            keys AS (SELECT tok FROM g GROUP BY tok
+                     HAVING count(*) BETWEEN 2 AND 32)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS n_common
+            FROM g a JOIN g b USING (tok) JOIN keys USING (tok)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 3
+        """,
+        "q_snm_pairs": """
+            WITH r AS (
+              SELECT doc_id,
+                     row_number() OVER (
+                         ORDER BY substr(lower(text), 1, 16), doc_id)
+                         AS rn
+              FROM documents)
+            SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
+                   GREATEST(a.doc_id, b.doc_id) AS id_b,
+                   CAST(b.rn - a.rn AS BIGINT) AS rank_gap
+            FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < 6
         """,
         "q_events_by_type": """
             SELECT event_type, count(*) AS n,

@@ -2116,3 +2116,142 @@ def cdc_chunk_table(ds: Dataset, payload_col: str = "payload",
 
     return ds.select_columns([id_col, payload_col]).map_batches(
         chunks, batch_format="pyarrow")
+
+
+def snm_pairs(ds: Dataset, key_cols: list[str], window: int = 6,
+              id_col: str = "doc_id") -> Dataset:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo's SNM): order
+    the corpus by ``key_cols`` (ties broken by ``id_col`` for a total
+    order) and emit every canonical pair of records at rank distance
+    < ``window`` — the classic ER candidate generator whose pair volume
+    is exactly ``(window-1) * n - (window-1)*window/2`` regardless of
+    key skew (the property that motivates it over equi-key blocking:
+    no hot-block quadratic blowup, at the cost of missing pairs the
+    sort separates).
+
+    Scale shape: ONE global sort, then per-block row counts (one int
+    each) to the driver — the same distributed ROW_NUMBER construction
+    as ``reshape.global_ntile`` — and pair emission is per-block
+    integer arithmetic: each block pairs its own rows against rows at
+    distance < window, borrowing only the next ``window-1`` rows from
+    the following block(s) (tiny head slices fetched by ref; a block
+    never ships its body twice). Each pair is emitted exactly once, by
+    the block owning its lower-ranked row, so no DISTINCT pass runs."""
+    import ray
+    import ray.data as rd
+
+    proj = list(dict.fromkeys(key_cols + [id_col]))
+    # schema via the materialized sort (a lambda-filtered upstream has
+    # no schema until executed)
+    sds = (ds.select_columns(proj)
+           .sort(key_cols + [id_col]).materialize())
+    sch = sds.schema()
+    idt = (dict(zip(sch.names, sch.types))[id_col]
+           if sch is not None and id_col in sch.names else pa.int64())
+    out_schema = pa.schema([("id_a", idt), ("id_b", idt),
+                            ("rank_gap", pa.int64())])
+    refs = sds.to_arrow_refs()
+    if window < 2 or not refs:
+        return rd.from_arrow(out_schema.empty_table())
+
+    @ray.remote
+    def _count(tbl: pa.Table) -> int:
+        return tbl.num_rows
+
+    @ray.remote
+    def _head(tbl: pa.Table, n: int) -> pa.Table:
+        return tbl.slice(0, n)
+
+    counts = ray.get([_count.remote(r) for r in refs])
+
+    @ray.remote
+    def _emit(own: pa.Table, *heads: pa.Table) -> pa.Table:
+        m = own.num_rows
+        if m == 0:
+            return out_schema.empty_table()
+        tbl = pa.concat_tables([own, *heads]) if heads else own
+        total = tbl.num_rows
+        ids = tbl[id_col].combine_chunks()
+        lo, hi, gap = [], [], []
+        for d in range(1, window):
+            k = min(m, total - d)
+            if k <= 0:
+                break
+            lo.append(np.arange(k, dtype=np.int64))
+            hi.append(np.arange(d, d + k, dtype=np.int64))
+            gap.append(np.full(k, d, dtype=np.int64))
+        if not lo:
+            return out_schema.empty_table()
+        li = pa.array(np.concatenate(lo))
+        hj = pa.array(np.concatenate(hi))
+        a, b = ids.take(li), ids.take(hj)
+        swap = pc.greater(a, b)
+        return pa.table({
+            "id_a": pc.if_else(swap, b, a),
+            "id_b": pc.if_else(swap, a, b),
+            "rank_gap": pa.array(np.concatenate(gap)),
+        }).cast(out_schema)
+
+    tasks = []
+    need_total = window - 1
+    for i, ref in enumerate(refs):
+        heads, need, j = [], need_total, i + 1
+        while need > 0 and j < len(refs):
+            take = min(need, counts[j])
+            if take > 0:
+                heads.append(_head.remote(refs[j], take))
+                need -= take
+            j += 1
+        tasks.append(_emit.remote(ref, *heads))
+    return rd.from_arrow_refs(tasks)
+
+
+def meta_blocking_pairs(blocks: Dataset, id_col: str = "doc_id",
+                        key_col: str = "tok", min_common: int = 2,
+                        min_block: int = 2,
+                        max_block: int = 32) -> Dataset:
+    """Meta-blocking with the common-blocks (CBS) weighting scheme
+    (Papadakis et al.): from a long (record, blocking-key) table, keep
+    only blocks with ``min_block..max_block`` members (block purging),
+    emit each block's canonical pairs, weight every pair by HOW MANY
+    kept blocks it co-occurs in, and prune pairs below ``min_common``
+    — turning a redundancy-positive key scheme (token / n-gram
+    blocking) into a precision-filtered candidate set.
+
+    Scale shape: block purging happens INSIDE the per-key group
+    function (the group sees its own size — no df join, no broadcast),
+    so the pair exchange is bounded by max_block × (kept block rows);
+    the weight count is one pair-keyed groupby whose input is that
+    bounded emission. No record content is shuffled — ids only."""
+    from payor_linkage.rayutil import grouped_apply
+
+    sch = blocks.schema()
+    idt = dict(zip(sch.names, sch.types))[id_col]
+    pair_schema = pa.schema([("pair", pa.string()), ("id_a", idt),
+                             ("id_b", idt)])
+
+    def emit(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n < max(2, min_block) or n > max_block:
+            return pair_schema.empty_table()
+        ids = pc.unique(g[id_col].combine_chunks()).sort()
+        n = len(ids)
+        if n < max(2, min_block):
+            return pair_schema.empty_table()
+        iu, ju = np.triu_indices(n, k=1)
+        a, b = ids.take(pa.array(iu)), ids.take(pa.array(ju))
+        key = pc.binary_join_element_wise(
+            pc.cast(a, pa.string()), pc.cast(b, pa.string()), "|")
+        return pa.table({"pair": key, "id_a": a, "id_b": b})
+
+    pairs = grouped_apply(blocks, key_col, group_fn=emit,
+                          out_schema=pair_schema)
+    weighted = pairs.groupby("pair").aggregate(
+        Min("id_a", alias_name="id_a"), Min("id_b", alias_name="id_b"),
+        Count(alias_name="n_common"))
+
+    def prune(b: pa.Table) -> pa.Table:
+        kept = b.filter(pc.greater_equal(b["n_common"], min_common))
+        return kept.drop_columns(["pair"])
+
+    return weighted.map_batches(prune, batch_format="pyarrow")

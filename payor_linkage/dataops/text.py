@@ -1548,6 +1548,31 @@ def regex_count_profile(ds: Dataset, col: str, patterns: dict,
         f, batch_format="pyarrow")
 
 
+def word_ngram_rows(ds: Dataset, n: int, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    out_col: str = "gram") -> Dataset:
+    """Explode documents into DISTINCT (id, whitespace-word n-gram)
+    rows — the shared front end of the novelty census and gram-keyed
+    blocking (per-doc dedup happens inside the batch, so the exchange
+    carries each (doc, gram) once)."""
+    sch = ds.schema()
+    idt = dict(zip(sch.names, sch.types))[id_col]
+
+    def gram_rows(b: pa.Table) -> pa.Table:
+        out_id, out_g = [], []
+        for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            toks = (t or "").lower().split()
+            grams = {" ".join(toks[j:j + n])
+                     for j in range(len(toks) - n + 1)}
+            out_id.extend([i] * len(grams))
+            out_g.extend(grams)
+        return pa.table({id_col: pa.array(out_id, idt),
+                         out_col: pa.array(out_g, pa.string())})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        gram_rows, batch_format="pyarrow")
+
+
 def novelty_census(ds: Dataset, word_ngram: int = 3,
                    text_col: str = "text",
                    id_col: str = "doc_id") -> Dataset:
@@ -1567,22 +1592,8 @@ def novelty_census(ds: Dataset, word_ngram: int = 3,
 
     from payor_linkage.rayutil import lookup_join
 
-    sch = ds.schema()
-    idt = dict(zip(sch.names, sch.types))[id_col]
-
-    def gram_rows(b: pa.Table) -> pa.Table:
-        out_id, out_g = [], []
-        for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
-            toks = (t or "").lower().split()
-            grams = {" ".join(toks[j:j + word_ngram])
-                     for j in range(len(toks) - word_ngram + 1)}
-            out_id.extend([i] * len(grams))
-            out_g.extend(grams)
-        return pa.table({id_col: pa.array(out_id, idt),
-                         "gram": pa.array(out_g, pa.string())})
-
-    grams = ds.select_columns([id_col, text_col]).map_batches(
-        gram_rows, batch_format="pyarrow").materialize()
+    grams = word_ngram_rows(ds, word_ngram, text_col=text_col,
+                            id_col=id_col).materialize()
     df = grams.groupby("gram").aggregate(Count(alias_name="df"))
     with_df = lookup_join(grams, df, on="gram")
 

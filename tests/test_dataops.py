@@ -2097,3 +2097,85 @@ def test_cdc_chunks_match_python_reference(ray_session):
     out2 = cdc_chunk_table(ds2, mask_bits=mask_bits).to_pandas()
     shared = set(out["crc"]) & set(out2["crc"])
     assert len(shared) >= 0.8 * len(out)
+
+
+def test_snm_pairs_matches_window_reference(ray_session):
+    """SNM pairs must equal the brute-force rank-window reference, with
+    ties broken by id, exactly-once emission (no duplicate pairs), and
+    the fixed pair-volume identity (w-1)*n - w*(w-1)/2. Many tiny
+    blocks force the head carry to span multiple following blocks."""
+    import ray.data as rd
+
+    from payor_linkage.dataops.dedup import snm_pairs
+
+    keys = ["b", "a", "a", "c", "b", "a", "d", "c", "b", "a", "e", "c"]
+    n, w = len(keys), 5
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)[::-1]),
+        "snm_key": pa.array(keys, pa.string()),
+    })).repartition(10)
+    out = snm_pairs(ds, key_cols=["snm_key"], window=w).to_pandas()
+
+    order = sorted(range(n), key=lambda i: (keys[i], n - 1 - i))
+    ids = [n - 1 - i for i in order]
+    exp = {(min(ids[p], ids[q]), max(ids[p], ids[q]), q - p)
+           for p in range(n) for q in range(p + 1, min(p + w, n))}
+    got = {(r.id_a, r.id_b, r.rank_gap) for r in out.itertuples()}
+    assert got == exp
+    assert len(out) == len(got) == (w - 1) * n - w * (w - 1) // 2
+
+
+def test_snm_pairs_edges(ray_session):
+    """window < 2 and empty input both give an empty typed frame."""
+    import ray.data as rd
+
+    from payor_linkage.dataops.dedup import snm_pairs
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "snm_key": pa.array(["x", "y"], pa.string())}))
+    assert snm_pairs(ds, ["snm_key"], window=1).count() == 0
+    empty = ds.filter(lambda r: False)
+    out = snm_pairs(empty, ["snm_key"], window=4)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"id_a", "id_b", "rank_gap"}
+
+
+def test_meta_blocking_pairs_reference(ray_session):
+    """CBS weights must equal a brute-force recount; purged blocks
+    (too small / too large) contribute nothing; pairs below min_common
+    are pruned."""
+    import collections
+
+    import ray.data as rd
+
+    from payor_linkage.dataops.dedup import meta_blocking_pairs
+
+    rows = [
+        # key k1: docs 1,2,3 ; k2: 1,2 ; k3: 1,2 ; k4: 2,3
+        (1, "k1"), (2, "k1"), (3, "k1"),
+        (1, "k2"), (2, "k2"),
+        (1, "k3"), (2, "k3"),
+        (2, "k4"), (3, "k4"),
+        (9, "solo"),                      # block of 1 -> purged
+        (4, "big"), (5, "big"), (6, "big"), (7, "big"),  # > max_block
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "tok": pa.array([r[1] for r in rows], pa.string())}))
+    out = meta_blocking_pairs(ds, min_common=2, min_block=2,
+                              max_block=3).to_pandas()
+
+    w = collections.Counter()
+    byk = collections.defaultdict(set)
+    for i, k in rows:
+        byk[k].add(i)
+    for k, mem in byk.items():
+        if 2 <= len(mem) <= 3:
+            mem = sorted(mem)
+            for x in range(len(mem)):
+                for y in range(x + 1, len(mem)):
+                    w[(mem[x], mem[y])] += 1
+    exp = {p: c for p, c in w.items() if c >= 2}
+    got = {(r.id_a, r.id_b): r.n_common for r in out.itertuples()}
+    assert got == exp == {(1, 2): 3, (2, 3): 2}
