@@ -121,6 +121,32 @@ def q_exact_dedup(sf_dir: str):
     return exact_dedup(_docs(sf_dir))
 
 
+def q_grouped_trend(sf_dir: str):
+    """Per-event-type linear trend of daily event volume, as EXACT
+    integer OLS sufficient statistics (slope_num/slope_den — no float
+    ever crosses the oracle boundary; `aggregates.grouped_trend`,
+    map-combine shape)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from payor_linkage.dataops.aggregates import grouped_trend
+
+    def day_of(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64())
+        day = np.floor_divide(us.to_numpy(zero_copy_only=False),
+                              86_400_000_000)
+        return pa.table({"event_type": b["event_type"],
+                         "day": pa.array(day, pa.int64())})
+
+    daily = (_events(sf_dir).select_columns(["event_type", "ts"])
+             .map_batches(day_of, batch_format="pyarrow")
+             .groupby(["event_type", "day"])
+             .aggregate(Count(alias_name="y")))
+    return grouped_trend(daily, ["event_type"], "day", "y")
+
+
 def q_meta_blocking(sf_dir: str):
     """Meta-blocking over word-3-gram token blocking: purge blocks
     outside 2..32 members, weight pairs by common-block count (CBS),
@@ -1987,6 +2013,29 @@ def q_mdm_components(sf_dir: str):
         ["match_group_id", "source_record_id", "is_survivor"]),
         canon, "match_group_id")
     return j.select_columns(["source_record_id", "canonical_id", "is_survivor"])
+
+
+def q_mdm_common_neighbors(sf_dir: str):
+    """Missed-match link prediction over the auto-match graph: every
+    non-adjacent record pair ranked by shared matched neighbors
+    (`graph.common_neighbors` — degree-capped wedge emission + ONE
+    tagged-union pair groupby; the structural-support complement to
+    q_mdm_inferred_pairs' membership view)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from payor_linkage.dataops.graph import common_neighbors
+
+    res = _mdm_result(sf_dir)
+
+    def edges(b: pa.Table) -> pa.Table:
+        m = b.filter(pc.equal(b["final_decision"], "match"))
+        return pa.table({"src": m["source_record_id_a"],
+                         "dst": m["source_record_id_b"]})
+
+    e = res.candidates.map_batches(edges, batch_format="pyarrow")
+    return common_neighbors(e, src_col="src", dst_col="dst",
+                            min_common=1)
 
 
 def q_mdm_groups(sf_dir: str):
@@ -3918,6 +3967,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q_mdm_golden": q_mdm_golden,
         "q_mdm_components": q_mdm_components,
+        "q_mdm_common_neighbors": q_mdm_common_neighbors,
         "q_mdm_decisions": q_mdm_decisions,
         "q_mdm_xref": q_mdm_xref,
         "q_mdm_incremental": q_mdm_incremental,
@@ -3981,6 +4031,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_exact_dedup": q_exact_dedup,
         "q_snm_pairs": q_snm_pairs,
         "q_meta_blocking": q_meta_blocking,
+        "q_grouped_trend": q_grouped_trend,
         "q_incremental_dedup": q_incremental_dedup,
         "q_events_by_type": q_events_by_type,
         "q_top_events": q_top_events,
@@ -4193,6 +4244,19 @@ def oracle_sql() -> dict[str, str]:
         "q_exact_dedup": """
             SELECT text, min(doc_id) AS keeper_id, count(*) AS n_dups
             FROM documents GROUP BY text
+        """,
+        "q_grouped_trend": """
+            WITH d AS (
+              SELECT event_type,
+                     CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+                     CAST(count(*) AS BIGINT) AS y
+              FROM events GROUP BY 1, 2)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(*) * sum(day * y) - sum(day) * sum(y)
+                        AS BIGINT) AS slope_num,
+                   CAST(count(*) * sum(day * day) - sum(day) * sum(day)
+                        AS BIGINT) AS slope_den
+            FROM d GROUP BY 1
         """,
         "q_meta_blocking": """
             WITH s AS (
@@ -5387,6 +5451,24 @@ def oracle_sql() -> dict[str, str]:
             FROM m a JOIN m b ON a.g = b.g AND a.id < b.id
             LEFT JOIN e ON e.src = a.id AND e.dst = b.id
             WHERE e.src IS NULL
+        """,
+        "q_mdm_common_neighbors": f"""
+            WITH e AS (
+              SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+              FROM read_parquet('{_SIDECAR_DIR}/edges/*.parquet')
+              WHERE src != dst GROUP BY 1, 2),
+            adj AS (SELECT a AS c, b AS n FROM e
+                    UNION ALL SELECT b, a FROM e),
+            deg AS (SELECT c, count(*) AS d FROM adj GROUP BY c),
+            w AS (
+              SELECT x.n AS id_a, y.n AS id_b, count(*) AS cnt
+              FROM adj x JOIN adj y ON x.c = y.c AND x.n < y.n
+              JOIN deg ON deg.c = x.c
+              WHERE deg.d <= 256
+              GROUP BY 1, 2)
+            SELECT w.id_a, w.id_b, CAST(w.cnt AS BIGINT) AS n_common
+            FROM w LEFT JOIN e ON e.a = w.id_a AND e.b = w.id_b
+            WHERE e.a IS NULL AND w.cnt >= 1
         """,
         "q_mdm_components": f"""
             WITH RECURSIVE

@@ -1825,3 +1825,48 @@ def grouped_nth_value(ds: Dataset, key: str, order_cols: list[str],
 
     return grouped_apply(ds.select_columns(list(dict.fromkeys(
         proj + order_cols))), key, out_schema=out_schema, runs_fn=runs)
+
+
+def grouped_trend(ds: Dataset, key_cols: list[str], x_col: str,
+                  y_col: str) -> Dataset:
+    """Per-group OLS trend of integer ``y`` against integer ``x`` as
+    EXACT integer sufficient statistics: slope = slope_num/slope_den
+    with slope_num = n·Σxy − Σx·Σy and slope_den = n·Σx² − (Σx)².
+    Emitting the numerator/denominator (never the float quotient)
+    keeps the result order-independent and oracle-exact; both values
+    are invariant to any constant shift of x, so magnitudes can be
+    bounded upstream by re-basing x without changing the output.
+
+    Scale shape: the map-combine pattern — each batch pre-aggregates
+    (n, Σx, Σy, Σxy, Σx²) per key with an in-batch Arrow group_by, so
+    the shuffle carries one row per (key × block), then one small
+    grouped sum and a final integer kernel. Inputs must fit int64
+    after the products (≈ |x|·|y|·n < 2⁶³)."""
+    from ray.data.aggregate import Sum
+
+    sums = ["n", "sx", "sy", "sxy", "sxx"]
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = pc.cast(b[x_col], pa.int64())
+        y = pc.cast(b[y_col], pa.int64())
+        t = pa.table({
+            **{k: b[k] for k in key_cols},
+            "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "sx": x, "sy": y, "sxy": pc.multiply(x, y),
+            "sxx": pc.multiply(x, x)})
+        return (t.group_by(key_cols)
+                .aggregate([(c, "sum") for c in sums])
+                .rename_columns(key_cols + sums))
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(key_cols if len(key_cols) > 1 else key_cols[0])
+           .aggregate(*[Sum(c, alias_name=c) for c in sums]))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n, sx, sy = b["n"], b["sx"], b["sy"]
+        num = pc.subtract(pc.multiply(n, b["sxy"]), pc.multiply(sx, sy))
+        den = pc.subtract(pc.multiply(n, b["sxx"]), pc.multiply(sx, sx))
+        return pa.table({**{k: b[k] for k in key_cols}, "n": n,
+                         "slope_num": num, "slope_den": den})
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

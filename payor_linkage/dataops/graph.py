@@ -426,3 +426,144 @@ def bfs_layers(edges: Dataset, source=None, max_depth: int = 20,
         frontier = new
 
     return rd.from_arrow(pa.concat_tables(out_tables))
+
+
+def common_neighbors(edges: Dataset, src_col: str = "id_a",
+                     dst_col: str = "id_b", min_common: int = 2,
+                     max_degree: int = 256) -> Dataset:
+    """Link prediction by common-neighbor count: every NON-adjacent
+    node pair at distance 2, weighted by how many neighbors the two
+    share — in an ER match graph these are the transitivity-implied
+    matches the scorer never saw, ranked by structural support.
+
+    Shape: canonical distinct edges → symmetric adjacency → one
+    grouped wedge emission per center (neighbor pairs via the m²-index
+    expansion, vectorized across runs; centers above ``max_degree``
+    are SKIPPED — a hub's wedge fan-out is degree², and a hub's
+    endorsement carries no signal, the block-purging argument) → a
+    tagged union with the edge list itself and ONE pair-keyed groupby
+    (wedge count + adjacency flag in the same exchange — no second
+    join). Returns (id_a, id_b, n_common) for non-edges with
+    n_common ≥ min_common. Node ids may be integer or string (string
+    neighbors are dictionary-encoded + rank-remapped inside the group
+    fn, so ordering never pays an object-dtype compare)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from payor_linkage.rayutil import grouped_apply
+
+    sch = edges.schema()
+    node_t = dict(zip(sch.names, sch.types))[src_col]
+    int_nodes = pa.types.is_integer(node_t)
+    tag_schema = pa.schema([("pair", pa.string()), ("id_a", node_t),
+                            ("id_b", node_t), ("wedge", pa.int64()),
+                            ("edge", pa.int64())])
+
+    def canon(b: pa.Table) -> pa.Table:
+        a = pc.cast(b[src_col], node_t)
+        c = pc.cast(b[dst_col], node_t)
+        lo = pc.min_element_wise(a, c)
+        hi = pc.max_element_wise(a, c)
+        keep = pc.not_equal(lo, hi)
+        return pa.table({"a": lo.filter(keep), "b": hi.filter(keep)})
+
+    dedges = (edges.map_batches(canon, batch_format="pyarrow")
+              .groupby(["a", "b"]).count()
+              .drop_columns(["count()"])).materialize()
+    if dedges.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.schema(
+            [("id_a", node_t), ("id_b", node_t),
+             ("n_common", pa.int64())]).empty_table())
+
+    def sym(b: pa.Table) -> pa.Table:
+        a, c = b["a"].combine_chunks(), b["b"].combine_chunks()
+        return pa.table({"center": pa.concat_arrays([a, c]),
+                         "nbr": pa.concat_arrays([c, a])})
+
+    adj = dedges.map_batches(sym, batch_format="pyarrow")
+
+    def wedge_runs(b: pa.Table, starts, ends) -> pa.Table:
+        lo, hi = int(starts[0]), int(ends[-1])
+        sizes = (ends - starts).astype(np.int64)
+        keep_run = sizes <= max_degree
+        col = b["nbr"].combine_chunks()
+        if int_nodes:
+            codes = col.to_numpy(zero_copy_only=False)[lo:hi]
+            dict_sorted = None
+        else:
+            # rank-remapped dictionary codes: code order == value order
+            enc = col.dictionary_encode()
+            raw = enc.indices.to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            drank = np.empty(len(enc.dictionary), dtype=np.int64)
+            drank[pc.sort_indices(enc.dictionary).to_numpy(
+                zero_copy_only=False).astype(np.int64)] = \
+                np.arange(len(enc.dictionary))
+            codes = drank[raw][lo:hi]
+            inv = np.empty(len(drank), dtype=np.int64)
+            inv[drank] = np.arange(len(drank))
+            dict_sorted = enc.dictionary.take(pa.array(inv))
+        # sort neighbors within each run so emitted pairs are canonical
+        rid = np.repeat(np.arange(len(starts), dtype=np.int64), sizes)
+        order = np.lexsort((codes, rid))
+        nbr = codes[order]
+        rs = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        m = np.where(keep_run, sizes, 0)
+        sq = m * m
+        total = int(sq.sum())
+        if total == 0:
+            return tag_schema.empty_table()
+        # per-run m²-index expansion masked to i<j (the cooccurrence
+        # shape; m ≤ max_degree bounds the temporary)
+        cum = np.concatenate([[0], np.cumsum(sq)[:-1]])
+        p = np.arange(total, dtype=np.int64) - np.repeat(cum, sq)
+        mrep = np.repeat(m, sq)
+        srep = np.repeat(rs, sq)
+        i, j = p // mrep, p % mrep
+        mask = i < j
+        ca, cb = nbr[(srep + i)[mask]], nbr[(srep + j)[mask]]
+        if dict_sorted is None:
+            ia, ib = pa.array(ca, node_t), pa.array(cb, node_t)
+        else:
+            ia = dict_sorted.take(pa.array(ca))
+            ib = dict_sorted.take(pa.array(cb))
+        key = pc.binary_join_element_wise(
+            pc.cast(ia, pa.string()), pc.cast(ib, pa.string()), "|")
+        part = pa.table({"pair": key, "id_a": ia, "id_b": ib}) \
+            .group_by(["pair", "id_a", "id_b"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({
+            "pair": part["pair"], "id_a": part["id_a"],
+            "id_b": part["id_b"],
+            "wedge": pc.cast(part["count_all"], pa.int64()),
+            "edge": pa.array(np.zeros(part.num_rows, dtype=np.int64)),
+        }).cast(tag_schema)
+
+    wedges = grouped_apply(adj, "center", out_schema=tag_schema,
+                           runs_fn=wedge_runs)
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(b["a"], pa.string()), pc.cast(b["b"], pa.string()),
+            "|")
+        n = b.num_rows
+        return pa.table({
+            "pair": key, "id_a": b["a"], "id_b": b["b"],
+            "wedge": pa.array(np.zeros(n, dtype=np.int64)),
+            "edge": pa.array(np.ones(n, dtype=np.int64)),
+        }).cast(tag_schema)
+
+    tagged = wedges.union(
+        dedges.map_batches(edge_rows, batch_format="pyarrow"))
+    agg = tagged.groupby("pair").aggregate(
+        Min("id_a", alias_name="id_a"), Min("id_b", alias_name="id_b"),
+        Sum("wedge", alias_name="n_common"),
+        Max("edge", alias_name="has_edge"))
+
+    def prune(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(b["has_edge"], 0),
+                       pc.greater_equal(b["n_common"], min_common))
+        return b.filter(keep).select(["id_a", "id_b", "n_common"])
+
+    return agg.map_batches(prune, batch_format="pyarrow")

@@ -1302,3 +1302,43 @@ def test_grouped_nth_value_crafted(ray_session):
     assert out.loc[out.g == "b", "nth_val"].tolist() == [5.0] * 2
     # group c has 1 row -> NULL
     assert out.loc[out.g == "c", "nth_val"].isna().all()
+
+
+def test_grouped_trend_exact_sufficient_stats(ray_session):
+    """slope_num/slope_den must equal the exact integer formulas per
+    group (checked against Fraction-exact OLS), shift-invariance must
+    hold, and a constant-x group must emit slope_den = 0."""
+    from fractions import Fraction
+
+    from payor_linkage.dataops.aggregates import grouped_trend
+
+    rng = np.random.default_rng(11)
+    ks = np.repeat(["a", "b", "c"], 40)
+    x = rng.integers(19000, 19400, size=120)
+    y = rng.integers(0, 500, size=120)
+    x[ks == "c"] = 19111  # constant x -> undefined slope, den 0
+    df = pd.DataFrame({"k": ks, "x": x.astype(np.int64),
+                       "y": y.astype(np.int64)})
+    out = (grouped_trend(_ds(df), ["k"], "x", "y").to_pandas()
+           .set_index("k").sort_index())
+
+    for k, g in df.groupby("k"):
+        n = len(g)
+        num = n * int((g.x * g.y).sum()) - int(g.x.sum()) * int(g.y.sum())
+        den = n * int((g.x * g.x).sum()) - int(g.x.sum()) ** 2
+        r = out.loc[k]
+        assert (r.n, r.slope_num, r.slope_den) == (n, num, den)
+        if den != 0:
+            xm, ym = Fraction(int(g.x.sum()), n), Fraction(int(g.y.sum()), n)
+            cov = sum((Fraction(int(a)) - xm) * (Fraction(int(b)) - ym)
+                      for a, b in zip(g.x, g.y))
+            var = sum((Fraction(int(a)) - xm) ** 2 for a in g.x)
+            assert Fraction(num, den) == cov / var
+    assert out.loc["c"].slope_den == 0
+
+    # shift invariance: x - 19000 gives identical num/den
+    df2 = df.assign(x=df.x - 19000)
+    out2 = (grouped_trend(_ds(df2), ["k"], "x", "y").to_pandas()
+            .set_index("k").sort_index())
+    assert (out2[["slope_num", "slope_den"]]
+            .equals(out[["slope_num", "slope_den"]]))

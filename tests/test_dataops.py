@@ -2179,3 +2179,57 @@ def test_meta_blocking_pairs_reference(ray_session):
     exp = {p: c for p, c in w.items() if c >= 2}
     got = {(r.id_a, r.id_b): r.n_common for r in out.itertuples()}
     assert got == exp == {(1, 2): 3, (2, 3): 2}
+
+
+def _cn_reference(edge_list, min_common, max_degree):
+    import collections
+
+    nbrs = collections.defaultdict(set)
+    eset = set()
+    for a, b in edge_list:
+        if a == b:
+            continue
+        lo, hi = min(a, b), max(a, b)
+        eset.add((lo, hi))
+        nbrs[lo].add(hi)
+        nbrs[hi].add(lo)
+    w = collections.Counter()
+    for c, ns in nbrs.items():
+        if len(ns) > max_degree:
+            continue
+        ns = sorted(ns)
+        for x in range(len(ns)):
+            for y in range(x + 1, len(ns)):
+                w[(ns[x], ns[y])] += 1
+    return {p: c for p, c in w.items()
+            if c >= min_common and p not in eset}
+
+
+@pytest.mark.parametrize("as_str", [False, True])
+def test_common_neighbors_reference(ray_session, as_str):
+    """Distance-2 non-edge pairs with common-neighbor weights must
+    equal the brute-force reference for int AND string node ids; hub
+    centers above max_degree contribute no wedges; duplicate and
+    reversed input edges collapse."""
+    import ray.data as rd
+
+    from payor_linkage.dataops.graph import common_neighbors
+
+    edge_list = [(1, 2), (2, 3), (3, 4), (1, 5), (5, 3),
+                 (2, 1),                       # reversed dup
+                 (10, 20), (10, 21), (10, 22), (10, 23), (10, 24),
+                 (20, 21)]
+    conv = (lambda v: f"n{v:02d}") if as_str else (lambda v: v)
+    el = [(conv(a), conv(b)) for a, b in edge_list]
+    t = pa.table({
+        "id_a": pa.array([a for a, _ in el]),
+        "id_b": pa.array([b for _, b in el])})
+    out = common_neighbors(rd.from_arrow(t), min_common=1,
+                           max_degree=4).to_pandas()
+    exp = _cn_reference(el, 1, 4)
+    got = {(r.id_a, r.id_b): r.n_common for r in out.itertuples()}
+    assert got == exp
+    # the known interesting pairs on the path+chord component
+    assert got[(conv(1), conv(3))] == 2 and got[(conv(2), conv(5))] == 2
+    # hub (degree 5) emitted no wedges: 20..24 pairs only via edge 20-21
+    assert (conv(21), conv(22)) not in got
