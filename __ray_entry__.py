@@ -121,6 +121,19 @@ def q_exact_dedup(sf_dir: str):
     return exact_dedup(_docs(sf_dir))
 
 
+def q_greedy_cover(sf_dir: str):
+    """Greedy maximum-coverage subset selection: 8 documents picked to
+    maximize newly covered word-3-grams per round
+    (`text.greedy_cover`, tiered driver-local/distributed with
+    byte-parity pytest gate). NO SQL oracle — iterative greedy needs
+    aggregation inside recursion, which recursive CTEs disallow; the
+    exact python reference gate lives in
+    tests/test_reshape_text.py::test_greedy_cover_matches_reference."""
+    from payor_linkage.dataops.text import greedy_cover
+
+    return greedy_cover(_docs(sf_dir), k=8, word_ngram=3)
+
+
 def q_grouped_trend(sf_dir: str):
     """Per-event-type linear trend of daily event volume, as EXACT
     integer OLS sufficient statistics (slope_num/slope_den — no float
@@ -4032,6 +4045,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_snm_pairs": q_snm_pairs,
         "q_meta_blocking": q_meta_blocking,
         "q_grouped_trend": q_grouped_trend,
+        "q_greedy_cover": q_greedy_cover,
         "q_incremental_dedup": q_incremental_dedup,
         "q_events_by_type": q_events_by_type,
         "q_top_events": q_top_events,

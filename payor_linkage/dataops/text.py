@@ -1610,3 +1610,121 @@ def novelty_census(ds: Dataset, word_ngram: int = 3,
             .groupby(id_col)
             .aggregate(Sum("n_unique_grams", alias_name="n_unique_grams"),
                        Sum("n_grams", alias_name="n_grams")))
+
+
+def greedy_cover(ds: Dataset, k: int = 10, word_ngram: int = 3,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 local_rows_bound: int = 2_000_000) -> Dataset:
+    """Greedy maximum-coverage data selection: pick ``k`` documents,
+    one per round, each maximizing the count of corpus n-grams not yet
+    covered by earlier picks (ties → smallest id; rounds stop early
+    when no remaining document adds coverage). The classic (1−1/e)
+    submodular-selection step of "choose a small, diverse training
+    subset"; returns (sel_round, id, gain, covered_total) — all
+    integers, fully deterministic.
+
+    Tiers (the bpe_train / cluster.py pattern): below
+    ``local_rows_bound`` distinct (doc, gram) rows the loop runs
+    driver-local over collected plasma-backed Arrow (dictionary codes
+    + one bincount per round — no per-round cluster barriers); above
+    it, a distributed loop: the covered-gram set (bounded by the k
+    selected docs' grams) is broadcast via ``ray.put`` each round, one
+    map pass scores per-doc uncovered counts with in-batch group_by,
+    per-block bests stream to the driver, and one filtered pass
+    fetches the winner's grams. Byte-parity between tiers is
+    pytest-gated. No SQL oracle — iterative greedy (aggregation inside
+    recursion is not CTE-expressible); exact pytest reference gate
+    instead."""
+    import ray
+    import ray.data as rd
+
+    grams = word_ngram_rows(ds, word_ngram, text_col=text_col,
+                            id_col=id_col).materialize()
+    gsch = grams.schema()
+    idt = dict(zip(gsch.names, gsch.types))[id_col]
+    out_schema = pa.schema([("sel_round", pa.int64()), (id_col, idt),
+                            ("gain", pa.int64()),
+                            ("covered_total", pa.int64())])
+    n_rows = grams.count()
+    sel_ids, sel_gains = [], []
+
+    if n_rows <= local_rows_bound:
+        tbl = pa.concat_tables(_collect_refs(grams),
+                               promote_options="default")
+        if tbl.num_rows:
+            denc = tbl[id_col].combine_chunks().dictionary_encode()
+            genc = tbl["gram"].combine_chunks().dictionary_encode()
+            d = denc.indices.to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            g = genc.indices.to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            doc_ids = denc.dictionary
+            covered = np.zeros(len(genc.dictionary), dtype=bool)
+            for _ in range(k):
+                gains = np.bincount(d[~covered[g]],
+                                    minlength=len(doc_ids))
+                best = int(gains.max()) if len(gains) else 0
+                if best == 0:
+                    break
+                cand = np.flatnonzero(gains == best)
+                # tie-break on the id VALUE, not the dictionary code
+                win = cand[np.argmin([doc_ids[int(c)].as_py()
+                                      for c in cand])] if len(cand) > 1 \
+                    else cand[0]
+                covered[g[d == win]] = True
+                sel_ids.append(doc_ids[int(win)].as_py())
+                sel_gains.append(best)
+    else:
+        covered: set = set()
+        for _ in range(k):
+            cov_ref = ray.put(pa.array(sorted(covered), pa.string()))
+
+            def score(b: pa.Table, ref=cov_ref) -> pa.Table:
+                cov = ray.get(ref)
+                t = b.filter(pc.invert(
+                    pc.is_in(b["gram"], value_set=cov)))
+                if t.num_rows == 0:
+                    return pa.schema([(id_col, idt),
+                                      ("gain", pa.int64())]).empty_table()
+                part = (pa.table({id_col: t[id_col]})
+                        .group_by(id_col).aggregate([([], "count_all")]))
+                return pa.table({id_col: part[id_col],
+                                 "gain": pc.cast(part["count_all"],
+                                                 pa.int64())})
+
+            from ray.data.aggregate import Sum
+
+            per_doc = (grams.map_batches(score, batch_format="pyarrow")
+                       .groupby(id_col)
+                       .aggregate(Sum("gain", alias_name="gain")))
+
+            def block_best(b: pa.Table) -> pa.Table:
+                if b.num_rows == 0:
+                    return b
+                # max gain, then min id among that gain
+                mx = pc.max(b["gain"])
+                t = b.filter(pc.equal(b["gain"], mx))
+                mi = pc.min(t[id_col])
+                return t.filter(pc.equal(t[id_col], mi)).slice(0, 1)
+
+            bests = per_doc.map_batches(
+                block_best, batch_format="pyarrow").take_all()
+            if not bests:
+                break
+            bests.sort(key=lambda r: (-r["gain"], r[id_col]))
+            win_id, best = bests[0][id_col], int(bests[0]["gain"])
+            if best == 0:
+                break
+            new_grams = grams.filter(
+                expr=f"{id_col} == {win_id!r}").take_all()
+            covered |= {r["gram"] for r in new_grams}
+            sel_ids.append(win_id)
+            sel_gains.append(best)
+
+    cum = np.cumsum(sel_gains).astype(np.int64) if sel_gains else []
+    return rd.from_arrow(pa.table({
+        "sel_round": pa.array(np.arange(1, len(sel_ids) + 1,
+                                        dtype=np.int64)),
+        id_col: pa.array(sel_ids, idt),
+        "gain": pa.array(sel_gains, pa.int64()),
+        "covered_total": pa.array(cum, pa.int64())}).cast(out_schema))

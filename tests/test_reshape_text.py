@@ -647,3 +647,65 @@ def test_novelty_census_matches_reference(ray_session):
         assert (r.n_unique_grams, r.n_grams) == exp[r.doc_id], r.doc_id
     # the duplicated pair shares every gram -> zero unique on both
     assert exp[0][0] == 0 and exp[2][0] == 0
+
+
+def _greedy_cover_reference(texts, ids, k, n):
+    per = {}
+    for i, t in zip(ids, texts):
+        toks = t.lower().split()
+        per[i] = {" ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)}
+    covered, out = set(), []
+    for r in range(k):
+        best = max(per, key=lambda i: (len(per[i] - covered), ),
+                   default=None)
+        gains = {i: len(g - covered) for i, g in per.items()}
+        bg = max(gains.values(), default=0)
+        if bg == 0:
+            break
+        win = min(i for i, g in gains.items() if g == bg)
+        covered |= per[win]
+        out.append((r + 1, win, bg, len(covered)))
+    return out
+
+
+def test_greedy_cover_matches_reference(ray_session):
+    """Driver tier must equal the exact python greedy (ties -> min id,
+    early stop when nothing new is coverable)."""
+    from payor_linkage.dataops.text import greedy_cover
+
+    texts = [
+        "a b c d e",          # grams: abc bcd cde (3 new)
+        "a b c d e",          # dup: gain 0 after doc 0
+        "x y z w",            # 2 new
+        "c d e f g h",        # overlaps cde
+        "p q r s t u v",      # 5 new
+        "x y z w",            # dup
+    ]
+    ids = [10, 4, 7, 2, 9, 1]
+    df = pd.DataFrame({"doc_id": np.array(ids, dtype=np.int64),
+                       "text": texts})
+    got = [(r.sel_round, r.doc_id, r.gain, r.covered_total)
+           for r in greedy_cover(_ds(df), k=10, word_ngram=3)
+           .to_pandas().itertuples()]
+    exp = _greedy_cover_reference(texts, ids, 10, 3)
+    assert got == exp
+    # dups contribute nothing -> selection ends before k
+    assert len(got) < 6
+
+
+def test_greedy_cover_tier_parity(ray_session):
+    """Distributed tier (local_rows_bound=0) must be byte-identical to
+    the driver tier on the same corpus."""
+    from payor_linkage.dataops.text import greedy_cover
+
+    rng = np.random.default_rng(3)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff", "gg"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(4, 12)))
+             for _ in range(40)]
+    df = pd.DataFrame({"doc_id": np.arange(40, dtype=np.int64),
+                       "text": texts})
+    a = greedy_cover(_ds(df), k=6, word_ngram=2).to_pandas()
+    b = greedy_cover(_ds(df), k=6, word_ngram=2,
+                     local_rows_bound=0).to_pandas()
+    assert a.equals(b)
+    assert len(a) > 0
