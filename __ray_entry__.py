@@ -1715,6 +1715,28 @@ def q_ipc_roundtrip(sf_dir: str):
         Max("doc_id", alias_name="max_id"))
 
 
+def q_orc_roundtrip(sf_dir: str):
+    """Apache ORC sink + source (S5/S6 format breadth, fourth format —
+    pyarrow.orc serialization; Ray 2.49 ships no ORC reader/writer):
+    documents projected through content-hash-named per-block ORC files
+    (idempotent on retry) and streamed back via read_binary_files +
+    per-task deserialize; oracle aggregates the ORIGINAL parquet —
+    round-trip fidelity, not self-consistency."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from payor_linkage.storage import read_orc_dir, write_orc_dir
+
+    d = os.path.join(_SIDECAR_DIR, "orc_docs")
+    write_orc_dir(_docs(sf_dir).select_columns(
+        ["doc_id", "lang", "source", "n_chars"]), d)
+    back = read_orc_dir(d)
+    return back.groupby(["source", "lang"]).aggregate(
+        Count(alias_name="n"),
+        Sum("n_chars", alias_name="sum_chars"),
+        Min("doc_id", alias_name="min_id"),
+        Max("doc_id", alias_name="max_id"))
+
+
 def q_grouped_checksum(sf_dir: str):
     """Per-source order-independent content checksum (sum of 32-bit
     md5 prefixes over doc_id\\x1ftext) + row count — the anti-entropy
@@ -4173,6 +4195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_weighted_median": q_weighted_median,
         "q_kcore": q_kcore,
         "q_ipc_roundtrip": q_ipc_roundtrip,
+        "q_orc_roundtrip": q_orc_roundtrip,
         "q_grouped_checksum": q_grouped_checksum,
         "q_share_bps": q_share_bps,
         "q_late_events": q_late_events,
@@ -6999,6 +7022,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1, 2
         """,
         "q_ipc_roundtrip": """
+            SELECT source, lang, count(*) AS n,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+            FROM documents GROUP BY 1, 2
+        """,
+        "q_orc_roundtrip": """
             SELECT source, lang, count(*) AS n,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                    MIN(doc_id) AS min_id, MAX(doc_id) AS max_id

@@ -525,6 +525,58 @@ def write_ipc_dir(ds: Dataset, path: str) -> str:
     return path
 
 
+def write_orc_dir(ds: Dataset, path: str) -> str:
+    """Apache ORC sink: one ORC file per block, serialized with
+    ``pyarrow.orc`` inside ``map_batches`` (Ray 2.49 has no native ORC
+    writer). Files are CONTENT-HASH-named (md5 of the serialized
+    bytes) so a retried task rewrites the same file instead of
+    duplicating it — idempotent by construction, same contract as
+    `write_ipc_dir`. Directory truncated first so re-runs are
+    idempotent. Returns the directory path.
+
+    Multi-node note: ``path`` must be shared storage — tasks write
+    from whichever node runs them."""
+    import hashlib
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.orc as paorc
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+
+    def dump(b: "pa.Table") -> "pa.Table":
+        sink = pa.BufferOutputStream()
+        paorc.write_table(b, sink)
+        raw = sink.getvalue().to_pybytes()
+        name = hashlib.md5(raw).hexdigest()
+        with open(os.path.join(path, f"{name}.orc"), "wb") as f:
+            f.write(raw)
+        return pa.table({"path": pa.array([name], pa.string()),
+                         "n_rows": pa.array([b.num_rows], pa.int64())})
+
+    ds.map_batches(dump, batch_format="pyarrow").materialize()
+    return path
+
+
+def read_orc_dir(path: str) -> Dataset:
+    """Apache ORC source: `read_binary_files` streams one task per
+    file; each payload deserializes via `pyarrow.orc.ORCFile` over a
+    zero-copy BufferReader — a distributed read with no driver
+    materialization (mirrors `read_ipc_dir`)."""
+    import pyarrow as pa
+    import pyarrow.orc as paorc
+    import ray.data as rd
+
+    def parse(b: "pa.Table") -> "pa.Table":
+        tables = [paorc.ORCFile(pa.BufferReader(raw.as_py())).read()
+                  for raw in b["bytes"]]
+        return pa.concat_tables(tables, promote_options="default")
+
+    return rd.read_binary_files(path).map_batches(
+        parse, batch_format="pyarrow")
+
+
 def read_ipc_dir(path: str) -> Dataset:
     """Arrow IPC source: `read_binary_files` streams one task per file;
     each batch of file payloads deserializes zero-copy-ish via

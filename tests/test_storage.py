@@ -147,6 +147,32 @@ def test_ipc_roundtrip_row_identity(ray_session, tmp_path):
     pd.testing.assert_frame_equal(back2, df)
 
 
+def test_orc_roundtrip_row_identity(ray_session, tmp_path):
+    """ORC sink/source must round-trip every row exactly, and a
+    re-write into the same directory must be idempotent (content-hash
+    names; stale files truncated)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from payor_linkage.storage import read_orc_dir, write_orc_dir
+
+    df = pd.DataFrame({
+        "i": pd.array(range(500), dtype="int64"),
+        "s": [f"row-{i}\x1fodd" if i % 2 else f"row-{i}" for i in range(500)],
+        "f": [i / 7 for i in range(500)],
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)) \
+        .repartition(7)
+    d = str(tmp_path / "orc")
+    write_orc_dir(ds, d)
+    back1 = read_orc_dir(d).to_pandas().sort_values("i").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back1, df)
+    write_orc_dir(ds, d)  # idempotent re-run
+    back2 = read_orc_dir(d).to_pandas().sort_values("i").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back2, df)
+
+
 def test_grouped_checksum_detects_difference(ray_session):
     """Equal tables agree per group; a single changed byte in one group
     changes exactly that group's checksum (n unchanged)."""
