@@ -3996,6 +3996,52 @@ def q_state_dwell(sf_dir: str):
     return state_dwell(_events(sf_dir))
 
 
+_FS_CACHE: dict = {}
+
+
+def _fs_patterns(sf_dir: str):
+    """Blocking pairs → Fellegi–Sunter agreement-pattern histogram,
+    cached per corpus; writes the endpoint-field sidecar the oracle
+    recomputes the bitmask + histogram from."""
+    from payor_linkage.blocking import blocking_pairs
+    from payor_linkage.evaluate import FS_FIELDS, fs_agreement_patterns
+
+    key = _mdm_replicas(sf_dir)
+    if key not in _FS_CACHE:
+        res = _mdm_result(sf_dir)
+        pairs = blocking_pairs(res.unified).materialize()
+        cols = [f + s for f in FS_FIELDS for s in ("_a", "_b")]
+        _dump_sidecar("fs_pairfields", pairs.select_columns(cols))
+        _FS_CACHE[key] = fs_agreement_patterns(pairs).materialize()
+    return _FS_CACHE[key]
+
+
+def q_fs_patterns(sf_dir: str):
+    """Fellegi–Sunter sufficient statistic: the histogram of binary
+    agreement patterns over candidate pairs (bit i = exact equality on
+    `evaluate.FS_FIELDS[i]`, both sides non-null). One vectorized pass
+    + a ≤2^K-row grouped sum — the corpus-scale step of FS estimation.
+    Oracle: the same bitmask CASE arithmetic + GROUP BY COUNT over the
+    raw endpoint-field sidecar."""
+    return _fs_patterns(sf_dir).sort("pattern")
+
+
+def q_fs_em_weights(sf_dir: str):
+    """Fellegi–Sunter m/u probabilities + log2 match weights estimated
+    by EM over the pattern histogram (`evaluate.fs_em_weights` —
+    driver-tier over ≤2^K rows by construction). Rows-only: iterative
+    float EM is not SQL-expressible; exactness is pytest-gated against
+    an independent per-pair-expansion reference implementation
+    (tests/test_fs_em.py)."""
+    import pyarrow as pa
+
+    from payor_linkage.evaluate import fs_em_weights
+
+    tbl, lam = fs_em_weights(_fs_patterns(sf_dir))
+    return tbl.append_column(
+        "lambda_match", pa.array([lam] * tbl.num_rows, pa.float64()))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # First 50 entries are the driver-correctness window for this round:
     # the full q_mdm_* core + queries not yet driver-verified in r02/r03.
@@ -4014,6 +4060,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mdm_blocking_quality": q_mdm_blocking_quality,
         "q_mdm_bcubed": q_mdm_bcubed,
         "q_mdm_ari": q_mdm_ari,
+        "q_fs_patterns": q_fs_patterns,
+        "q_fs_em_weights": q_fs_em_weights,
         "q_mdm_degree_histogram": q_mdm_degree_histogram,
         "q_mdm_bfs": q_mdm_bfs,
         "q_mdm_threshold_sweep": q_mdm_threshold_sweep,
@@ -5665,6 +5713,33 @@ def oracle_sql() -> dict[str, str]:
                                 AS BIGINT) FROM tru) AS pairs_true,
                    (SELECT CAST(COALESCE(sum(n * (n - 1) // 2), 0)
                                 AS BIGINT) FROM cells) AS pairs_both
+        """,
+        # Fellegi–Sunter pattern histogram: same bitmask CASE arithmetic
+        # over the raw endpoint fields (bit i = evaluate.FS_FIELDS[i];
+        # agree = both non-null AND equal — NULL comparisons fall to
+        # ELSE 0, matching fill_null(equal, False) engine-side)
+        "q_fs_patterns": f"""
+            SELECT pattern, count(*) AS n_pairs FROM (
+              SELECT CAST(
+                  (CASE WHEN payor_name_clean_a IS NOT NULL
+                         AND payor_name_clean_a = payor_name_clean_b
+                        THEN 1 ELSE 0 END)
+                + 2 * (CASE WHEN tax_id_a IS NOT NULL
+                             AND tax_id_a = tax_id_b THEN 1 ELSE 0 END)
+                + 4 * (CASE WHEN cms_plan_id_a IS NOT NULL
+                             AND cms_plan_id_a = cms_plan_id_b
+                            THEN 1 ELSE 0 END)
+                + 8 * (CASE WHEN state_code_a IS NOT NULL
+                             AND state_code_a = state_code_b
+                            THEN 1 ELSE 0 END)
+                + 16 * (CASE WHEN zip_code_a IS NOT NULL
+                              AND zip_code_a = zip_code_b
+                             THEN 1 ELSE 0 END)
+                + 32 * (CASE WHEN phone_a IS NOT NULL
+                              AND phone_a = phone_b THEN 1 ELSE 0 END)
+                AS BIGINT) AS pattern
+              FROM read_parquet('{_SIDECAR_DIR}/fs_pairfields/*.parquet')
+            ) GROUP BY pattern ORDER BY pattern
         """,
         # BFS min-hop walk; UNION dedups (node, dist) rows and the
         # depth guard bounds cycle expansion

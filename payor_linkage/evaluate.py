@@ -434,3 +434,102 @@ def ari_pair_counts(groups, labels):
         "pairs_true": pa.array([pairs_true], pa.int64()),
         "pairs_both": pa.array([pairs_both], pa.int64()),
     })
+
+
+# ── Fellegi–Sunter parameter estimation ────────────────────────────────────
+
+# binary agreement fields for FS estimation: exact-equality comparisons on
+# the normalized pair payload (blocking.py carries {f}_a/{f}_b on every
+# candidate pair — no join-back needed). Bit i of a pattern = FS_FIELDS[i].
+FS_FIELDS = ["payor_name_clean", "tax_id", "cms_plan_id", "state_code",
+             "zip_code", "phone"]
+
+
+def fs_agreement_patterns(pairs, fields=FS_FIELDS):
+    """Histogram of binary agreement patterns γ over candidate pairs —
+    the sufficient statistic for Fellegi–Sunter EM (field i agrees iff
+    both sides non-null AND equal; bit i of ``pattern``). The classic
+    observation that makes FS estimation embarrassingly scalable: EM
+    never needs the pairs again, only the ≤2^K pattern counts, so the
+    corpus-sized pair set is touched exactly once.
+
+    Scale shape: per-block vectorized bitmask (pyarrow equality → numpy
+    shift/or) collapsed to a per-block ``bincount`` partial, then one
+    grouped sum over ≤2^K tiny rows — only (pattern, count) ride the
+    exchange. Reference semantics: the m/u machinery the reference
+    hand-tunes as strategy weights (`snowflake/07_scoring.sql` weight
+    constants); here estimated from data."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    k = len(fields)
+    if k > 20:
+        raise ValueError("fs_agreement_patterns: 2^K pattern space too wide")
+
+    def pat(b: pa.Table) -> pa.Table:
+        mask = np.zeros(b.num_rows, dtype=np.int64)
+        for i, f in enumerate(fields):
+            eq = pc.fill_null(pc.equal(b[f + "_a"], b[f + "_b"]), False)
+            mask |= eq.to_numpy(zero_copy_only=False).astype(np.int64) << i
+        cnt = np.bincount(mask, minlength=1 << k)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"pattern": pa.array(nz, pa.int64()),
+                         "n_pairs": pa.array(cnt[nz], pa.int64())})
+
+    parts = pairs.map_batches(pat, batch_format="pyarrow")
+    return parts.groupby("pattern").aggregate(
+        Sum("n_pairs", alias_name="n_pairs"))
+
+
+def fs_em_weights(patterns, fields=FS_FIELDS, iters=40, init_m=0.9,
+                  init_u=0.1, init_lambda=0.05, eps=1e-6):
+    """Fellegi–Sunter m/u estimation via EM over the pattern histogram
+    (Winkler's formulation): per-field match/unmatch agreement
+    probabilities plus the log2 agreement/disagreement weights that
+    make the composite score additive. Driver-tier by construction —
+    the input is ≤2^K rows regardless of corpus size (the whole point
+    of :func:`fs_agreement_patterns`), so there is nothing to
+    distribute and no fallback needed.
+
+    Returns ``(table, lambda_match)``: table columns ``field, m_prob,
+    u_prob, agree_weight, disagree_weight``; ``lambda_match`` is the
+    estimated match prevalence among candidate pairs."""
+    import numpy as np
+    import pyarrow as pa
+
+    if hasattr(patterns, "to_pandas") and not isinstance(patterns, pa.Table):
+        patterns = patterns.to_pandas()  # Dataset → small frame
+        pats = patterns["pattern"].to_numpy()
+        cnts = patterns["n_pairs"].to_numpy()
+    else:
+        pats = patterns["pattern"].to_numpy()
+        cnts = patterns["n_pairs"].to_numpy()
+
+    k = len(fields)
+    g = ((pats[:, None] >> np.arange(k)) & 1).astype(np.float64)  # P×K
+    n = cnts.astype(np.float64)
+    m = np.full(k, float(init_m))
+    u = np.full(k, float(init_u))
+    lam = float(init_lambda)
+    for _ in range(iters):
+        log_pm = g @ np.log(m) + (1.0 - g) @ np.log(1.0 - m)
+        log_pu = g @ np.log(u) + (1.0 - g) @ np.log(1.0 - u)
+        pm = lam * np.exp(log_pm)
+        pu = (1.0 - lam) * np.exp(log_pu)
+        w = pm / (pm + pu)  # E-step: P(match | γ)
+        wn, vn = w * n, (1.0 - w) * n
+        m = np.clip(g.T @ wn / wn.sum(), eps, 1.0 - eps)
+        u = np.clip(g.T @ vn / vn.sum(), eps, 1.0 - eps)
+        lam = float(np.clip(wn.sum() / n.sum(), 1e-9, 1.0 - 1e-9))
+
+    tbl = pa.table({
+        "field": pa.array(list(fields), pa.string()),
+        "m_prob": pa.array(m, pa.float64()),
+        "u_prob": pa.array(u, pa.float64()),
+        "agree_weight": pa.array(np.log2(m / u), pa.float64()),
+        "disagree_weight": pa.array(np.log2((1.0 - m) / (1.0 - u)),
+                                    pa.float64()),
+    })
+    return tbl, lam
