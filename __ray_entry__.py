@@ -4042,6 +4042,28 @@ def q_fs_em_weights(sf_dir: str):
         "lambda_match", pa.array([lam] * tbl.num_rows, pa.float64()))
 
 
+def q_forest_paths(sf_dir: str):
+    """Root + depth for every node of a parent forest via pointer
+    doubling (`graph.forest_paths` — O(log depth) rounds, each ONE
+    total-map join; even-cycle collapse guarded by the non-root-
+    fixpoint check). Forest: doc_id → doc_id // 8 (≥8) — ~log8(N)
+    levels, so the doubling is genuinely exercised. Oracle: recursive
+    CTE walk with arg_max(cur, depth) per node."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from payor_linkage.dataops.graph import forest_paths
+
+    def mk_edges(b: pa.Table) -> pa.Table:
+        d = b["doc_id"]
+        keep = pc.greater_equal(d, 8)
+        d = d.filter(keep)
+        return pa.table({"child": d, "parent": pc.divide(d, 8)})
+
+    edges = _docs(sf_dir).map_batches(mk_edges, batch_format="pyarrow")
+    return forest_paths(edges).sort("node")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # First 50 entries are the driver-correctness window for this round:
     # the full q_mdm_* core + queries not yet driver-verified in r02/r03.
@@ -4062,6 +4084,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mdm_ari": q_mdm_ari,
         "q_fs_patterns": q_fs_patterns,
         "q_fs_em_weights": q_fs_em_weights,
+        "q_forest_paths": q_forest_paths,
         "q_mdm_degree_histogram": q_mdm_degree_histogram,
         "q_mdm_bfs": q_mdm_bfs,
         "q_mdm_threshold_sweep": q_mdm_threshold_sweep,
@@ -5740,6 +5763,25 @@ def oracle_sql() -> dict[str, str]:
                 AS BIGINT) AS pattern
               FROM read_parquet('{_SIDECAR_DIR}/fs_pairfields/*.parquet')
             ) GROUP BY pattern ORDER BY pattern
+        """,
+        # Forest root+depth: recursive-CTE ancestor walk (one parent per
+        # child by construction); the row at max depth per node is the
+        # root — depth bound mirrors the engine's max_depth guard
+        "q_forest_paths": """
+            WITH RECURSIVE ptr AS (
+              SELECT doc_id AS child, doc_id // 8 AS parent
+              FROM documents WHERE doc_id >= 8),
+            nodes AS (SELECT DISTINCT child AS node FROM ptr
+                      UNION SELECT DISTINCT parent FROM ptr),
+            walk AS (
+              SELECT node, node AS cur, 0 AS depth FROM nodes
+              UNION ALL
+              SELECT w.node, p.parent, w.depth + 1
+              FROM walk w JOIN ptr p ON w.cur = p.child
+              WHERE w.depth < 64)
+            SELECT node, arg_max(cur, depth) AS root,
+                   CAST(max(depth) AS BIGINT) AS depth
+            FROM walk GROUP BY node ORDER BY node
         """,
         # BFS min-hop walk; UNION dedups (node, dist) rows and the
         # depth guard bounds cycle expansion

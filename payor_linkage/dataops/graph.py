@@ -567,3 +567,174 @@ def common_neighbors(edges: Dataset, src_col: str = "id_a",
         return b.filter(keep).select(["id_a", "id_b", "n_common"])
 
     return agg.map_batches(prune, batch_format="pyarrow")
+
+
+def forest_paths(edges: Dataset, child_col: str = "child",
+                 parent_col: str = "parent", max_depth: int = 64,
+                 local_rows_bound: int = 2_000_000) -> Dataset:
+    """Root + depth resolution over a parent forest (the hierarchy
+    drill-to-root the reference UI walks one lookup at a time,
+    `app/src/pages/HierarchyView.tsx`, here resolved for every node at
+    once): returns ``(node, root, depth)`` for every distinct node in
+    the edge list — roots carry ``(node, node, 0)``.
+
+    Input is made a forest deterministically: self-loops dropped, a
+    multi-parent child keeps its MIN parent (one bounded groupby).
+
+    Shape — pointer doubling, the classic O(log depth) distributed
+    closure: keep a TOTAL map ``(node, anc, dist)`` where roots point
+    to themselves (dist 0), and each round substitute ``anc ←
+    map[anc].anc, dist += map[anc].dist`` with ONE ``smart_join`` (the
+    total-map trick makes every row match, so no anti-join is needed).
+    A depth-d forest converges in ⌈log2 d⌉ rounds; convergence is a
+    per-round changed-row count (tiny aggregate). Raises past
+    ``max_depth`` — a cycle in the input would otherwise loop, and the
+    recursive-CTE oracle bounds its walk the same way. Below
+    ``local_rows_bound`` nodes, a driver tier does the same doubling
+    in numpy over dictionary codes (parity pytest-gated)."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from payor_linkage.rayutil import smart_join
+
+    sch = edges.schema()
+    node_t = dict(zip(sch.names, sch.types))[child_col]
+
+    def canon(b: pa.Table) -> pa.Table:
+        c = pc.cast(b[child_col], node_t)
+        p = pc.cast(b[parent_col], node_t)
+        keep = pc.and_kleene(pc.and_kleene(c.is_valid(), p.is_valid()),
+                             pc.not_equal(c, p))
+        return pa.table({"child": c.filter(keep), "parent": p.filter(keep)})
+
+    ptr = (edges.map_batches(canon, batch_format="pyarrow")
+           .groupby("child").aggregate(Min("parent", alias_name="parent"))
+           .materialize())
+
+    def as_nodes(col):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({"node": b[col]})
+        return f
+
+    nodes = (ptr.map_batches(as_nodes("child"), batch_format="pyarrow")
+             .union(ptr.map_batches(as_nodes("parent"),
+                                    batch_format="pyarrow"))
+             .groupby("node").count().drop_columns(["count()"])
+             .materialize())
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return rd.from_arrow(pa.schema(
+            [("node", node_t), ("root", node_t),
+             ("depth", pa.int64())]).empty_table())
+
+    if n_nodes <= local_rows_bound:
+        # driver tier: dictionary codes + numpy doubling
+        import ray as _ray
+
+        ptr_tbl = pa.concat_tables(_ray.get(ptr.to_arrow_refs()),
+                                   promote_options="default")
+        node_tbl = pa.concat_tables(_ray.get(nodes.to_arrow_refs()),
+                                    promote_options="default")
+        ids = node_tbl["node"].combine_chunks()
+        order = pc.sort_indices(ids)
+        ids = ids.take(order)
+        child_idx = pc.index_in(ptr_tbl["child"].combine_chunks(),
+                                ids).to_numpy(zero_copy_only=False)
+        par_idx = pc.index_in(ptr_tbl["parent"].combine_chunks(),
+                              ids).to_numpy(zero_copy_only=False)
+        anc = np.arange(len(ids), dtype=np.int64)
+        anc[child_idx] = par_idx
+        dist = np.zeros(len(ids), dtype=np.int64)
+        dist[child_idx] = 1
+        for _ in range(max_depth.bit_length() + 1):
+            nxt = anc[anc]
+            if (nxt == anc).all():
+                break
+            dist = dist + dist[anc]
+            anc = nxt
+            if dist.max() > max_depth:
+                raise ValueError("forest_paths: cycle or depth beyond "
+                                 f"max_depth={max_depth}")
+        else:
+            if not (anc[anc] == anc).all():
+                raise ValueError("forest_paths: cycle or depth beyond "
+                                 f"max_depth={max_depth}")
+        # an EVEN cycle collapses to self-pointing fixpoints (the classic
+        # doubling pitfall) — a genuine root has dist 0, a collapsed
+        # cycle member does not
+        if (dist[anc] != 0).any():
+            raise ValueError("forest_paths: cycle detected (non-root "
+                             "fixpoint)")
+        out = pa.table({"node": ids, "root": ids.take(pa.array(anc)),
+                        "depth": pa.array(dist, pa.int64())})
+        return rd.from_arrow(out)
+
+    # distributed tier: total map + smart_join doubling
+    def rename_root(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["node"], "anc": b["node"],
+                         "dist": pa.array(np.zeros(b.num_rows, np.int64))})
+
+    def rename_child(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["child"], "anc": b["parent"],
+                         "dist": pa.array(np.ones(b.num_rows, np.int64))})
+
+    child_ids = ptr.map_batches(as_nodes("child"), batch_format="pyarrow")
+    # anti (roots = nodes not in child set): tag-union + grouped sum
+    tagged = (nodes.map_batches(
+        lambda b: pa.table({"node": b["node"], "tag": pa.array(
+            np.zeros(b.num_rows, np.int64))}), batch_format="pyarrow")
+        .union(child_ids.map_batches(
+            lambda b: pa.table({"node": b["node"], "tag": pa.array(
+                np.ones(b.num_rows, np.int64))}), batch_format="pyarrow")))
+    from ray.data.aggregate import Sum
+
+    def only_roots(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": b.filter(pc.equal(b["tag"], 0))["node"]})
+
+    root_nodes = (tagged.groupby("node").aggregate(
+        Sum("tag", alias_name="tag"))
+        .map_batches(only_roots, batch_format="pyarrow"))
+
+    m = (root_nodes.map_batches(rename_root, batch_format="pyarrow")
+         .union(ptr.map_batches(rename_child, batch_format="pyarrow"))
+         .materialize())
+
+    for _ in range(max_depth.bit_length() + 2):
+        def as_lookup(b: pa.Table) -> pa.Table:
+            return pa.table({"anc": b["node"], "anc2": b["anc"],
+                             "dist2": b["dist"]})
+
+        look = m.map_batches(as_lookup, batch_format="pyarrow")
+        j = smart_join(m, look, "anc").materialize()
+
+        def advance(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": b["node"], "anc": b["anc2"],
+                "dist": pc.add(b["dist"], b["dist2"]),
+                "moved": pc.cast(pc.not_equal(b["anc"], b["anc2"]),
+                                 pa.int64())})
+
+        adv = j.map_batches(advance, batch_format="pyarrow").materialize()
+        moved = adv.sum("moved") or 0
+        m = adv.drop_columns(["moved"]).materialize()
+        if moved == 0:
+            # at the fixpoint every anc must be a TRUE root (dist2 == 0);
+            # an even cycle collapses to self-pointing non-roots
+            if (j.max("dist2") or 0) != 0:
+                raise ValueError("forest_paths: cycle detected (non-root "
+                                 "fixpoint)")
+            break
+        dmax = m.max("dist") or 0
+        if dmax > max_depth:
+            raise ValueError("forest_paths: cycle or depth beyond "
+                             f"max_depth={max_depth}")
+    else:
+        raise ValueError("forest_paths: did not converge — cycle or depth "
+                         f"beyond max_depth={max_depth}")
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["node"], "root": b["anc"],
+                         "depth": b["dist"]})
+
+    return m.map_batches(finalize, batch_format="pyarrow")

