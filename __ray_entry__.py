@@ -4064,6 +4064,47 @@ def q_forest_paths(sf_dir: str):
     return forest_paths(edges).sort("node")
 
 
+_LM_CACHE: dict = {}
+
+
+def _lm_model(sf_dir: str):
+    """Trained bigram LM count tables (min_count=5), cached per corpus."""
+    from payor_linkage.dataops.text import ngram_lm_counts
+
+    if sf_dir not in _LM_CACHE:
+        _LM_CACHE[sf_dir] = ngram_lm_counts(_docs(sf_dir), min_count=5)
+    return _LM_CACHE[sf_dir]
+
+
+def q_lm_doc_stats(sf_dir: str):
+    """Bigram-LM quality-probe integers per document: token/OOV counts
+    plus the summed trained bigram / previous-token counts over each
+    document's BOS-prefixed, <unk>-folded bigrams
+    (`text.ngram_lm_doc_stats` — train = two grouped count passes,
+    probe = size-aware lookup_join on composite int keys, assembly =
+    one tagged-union grouped sum). The float cross-entropy
+    (q_lm_xent) consumes exactly these probes. Oracle: full SQL
+    retrain + re-probe — lag() bigrams over position-ordered tokens,
+    fold via a count CTE, and the same two sums."""
+    from payor_linkage.dataops.text import ngram_lm_doc_stats
+
+    uni, big = _lm_model(sf_dir)
+    return ngram_lm_doc_stats(_docs(sf_dir), uni, big).sort("doc_id")
+
+
+def q_lm_xent(sf_dir: str):
+    """Per-document add-k bigram cross-entropy in bits/token under the
+    corpus-trained LM (`text.ngram_lm_xent`) — the CCNet-style fluency
+    filter signal. Rows-only: per-doc float log sums; the integer
+    probe layer underneath is oracle-checked as q_lm_doc_stats and the
+    arithmetic is pytest-gated against a pure-python per-token
+    reference (tests/test_lm.py)."""
+    from payor_linkage.dataops.text import ngram_lm_xent
+
+    uni, big = _lm_model(sf_dir)
+    return ngram_lm_xent(_docs(sf_dir), uni, big).sort("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # First 50 entries are the driver-correctness window for this round:
     # the full q_mdm_* core + queries not yet driver-verified in r02/r03.
@@ -4085,6 +4126,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_fs_patterns": q_fs_patterns,
         "q_fs_em_weights": q_fs_em_weights,
         "q_forest_paths": q_forest_paths,
+        "q_lm_doc_stats": q_lm_doc_stats,
+        "q_lm_xent": q_lm_xent,
         "q_mdm_degree_histogram": q_mdm_degree_histogram,
         "q_mdm_bfs": q_mdm_bfs,
         "q_mdm_threshold_sweep": q_mdm_threshold_sweep,
@@ -5763,6 +5806,55 @@ def oracle_sql() -> dict[str, str]:
                 AS BIGINT) AS pattern
               FROM read_parquet('{_SIDECAR_DIR}/fs_pairfields/*.parquet')
             ) GROUP BY pattern ORDER BY pattern
+        """,
+        # Bigram-LM probe integers: full SQL retrain (count CTE folds
+        # sub-min_count tokens to <unk>, lag() over position-ordered
+        # surviving tokens forms BOS-prefixed bigrams) + the same two
+        # count sums per document — float-free
+        "q_lm_doc_stats": """
+            WITH tok AS (
+              SELECT doc_id, tok, p FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(
+                           lower(text), '[^a-z0-9]+')) AS tok,
+                       generate_subscripts(regexp_split_to_array(
+                           lower(text), '[^a-z0-9]+'), 1) AS p
+                FROM documents)
+              WHERE tok <> ''),
+            cnt AS (SELECT tok, count(*) AS n FROM tok GROUP BY 1),
+            fold AS (SELECT t.doc_id, t.p,
+                            CASE WHEN c.n >= 5 THEN t.tok
+                                 ELSE '<unk>' END AS tok,
+                            CASE WHEN c.n >= 5 THEN 0 ELSE 1 END AS oov
+                     FROM tok t JOIN cnt c USING (tok)),
+            funi AS (SELECT tok, count(*) AS n FROM fold GROUP BY 1),
+            ndocs AS (SELECT count(DISTINCT doc_id) AS n FROM fold),
+            big AS (SELECT doc_id,
+                           coalesce(lag(tok) OVER (PARTITION BY doc_id
+                                                   ORDER BY p),
+                                    '<s>') AS prev,
+                           tok AS cur
+                    FROM fold),
+            bcnt AS (SELECT prev, cur, count(*) AS n
+                     FROM big GROUP BY 1, 2),
+            prevn AS (SELECT tok AS prev, n FROM funi
+                      UNION ALL SELECT '<s>', n FROM ndocs),
+            probes AS (SELECT b.doc_id, sum(pn.n) AS sp, sum(bc.n) AS sb
+                       FROM big b
+                       JOIN bcnt bc USING (prev, cur)
+                       JOIN prevn pn USING (prev)
+                       GROUP BY 1),
+            base AS (SELECT d.doc_id,
+                            CAST(count(f.p) AS BIGINT) AS n_tokens,
+                            CAST(coalesce(sum(f.oov), 0) AS BIGINT)
+                                AS n_oov
+                     FROM documents d LEFT JOIN fold f USING (doc_id)
+                     GROUP BY 1)
+            SELECT base.doc_id, n_tokens, n_oov,
+                   CAST(coalesce(pr.sp, 0) AS BIGINT) AS sum_prev,
+                   CAST(coalesce(pr.sb, 0) AS BIGINT) AS sum_bi
+            FROM base LEFT JOIN probes pr USING (doc_id)
+            ORDER BY base.doc_id
         """,
         # Forest root+depth: recursive-CTE ancestor walk (one parent per
         # child by construction); the row at max depth per node is the

@@ -1728,3 +1728,298 @@ def greedy_cover(ds: Dataset, k: int = 10, word_ngram: int = 3,
         id_col: pa.array(sel_ids, idt),
         "gain": pa.array(sel_gains, pa.int64()),
         "covered_total": pa.array(cum, pa.int64())}).cast(out_schema))
+
+
+# ── n-gram language-model quality scoring ──────────────────────────────────
+
+_LM_BOS = "<s>"
+_LM_UNK = "<unk>"
+
+
+def _lm_vocab_ref(uni: Dataset, min_count: int):
+    """Collect the in-vocab tokens (unigram count ≥ min_count) once,
+    sorted, and broadcast. Vocabularies grow sublinearly in corpus
+    size (the `encode_tokens` bound argument); above broadcast scale
+    swap the fold for a smart_join on token."""
+    import ray
+
+    def keep(b: pa.Table) -> pa.Table:
+        m = pc.greater_equal(b["n"], min_count)
+        return pa.table({"token": b["word"].filter(m),
+                         "n": b["n"].filter(m)})
+
+    vt = uni.map_batches(keep, batch_format="pyarrow").to_pandas()
+    toks = np.sort(vt["token"].to_numpy())
+    order = np.argsort(vt["token"].to_numpy())
+    cnts = vt["n"].to_numpy()[order].astype(np.int64)
+    return ray.put((pa.array(toks, pa.string()), cnts))
+
+
+def _lm_fold_ids(b: pa.Table, text_col: str, vocab_arr):
+    """Tokenize + fold to dense ids: 0..V-1 vocab (sorted order), V =
+    <unk>, V+1 = <s>. Returns (row_of, ids, V)."""
+    row_of, flat = _tokenize_flat(b, text_col)
+    v = len(vocab_arr)
+    idx = pc.index_in(flat, value_set=vocab_arr).to_numpy(
+        zero_copy_only=False)
+    ids = np.where(np.isnan(idx) if idx.dtype.kind == "f" else idx < 0,
+                   v, idx).astype(np.int64)
+    return row_of, ids, v
+
+
+def _lm_bigram_keys(row_of, ids, v):
+    """Composite int keys prev*(V+2)+cur with <s> prepended per doc —
+    pure integer arithmetic, no Python per token."""
+    if len(ids) == 0:
+        return np.empty(0, np.int64)
+    starts = np.empty(len(ids), dtype=bool)
+    starts[0] = True
+    starts[1:] = row_of[1:] != row_of[:-1]
+    prev = np.empty_like(ids)
+    prev[1:] = ids[:-1]
+    prev[0] = 0
+    prev[starts] = v + 1  # BOS
+    return prev * (v + 2) + ids
+
+
+def ngram_lm_counts(ds: Dataset, text_col: str = "text",
+                    min_count: int = 2) -> tuple[Dataset, Dataset]:
+    """Bigram language-model training (the CCNet/KenLM-style quality
+    model, reduced to its count tables): unigram counts folded to
+    ``<unk>`` below ``min_count`` (plus the per-document ``<s>`` BOS
+    mass) and folded bigram counts — the sufficient statistics of an
+    add-k bigram LM; smoothing/log-probs derive downstream as pure
+    arithmetic.
+
+    Scale shape: the unigram pass is `_word_counts` (per-block Arrow
+    partials, one bounded grouped Sum). The bigram pass folds tokens to
+    dense ids against the broadcast vocab, collapses each block with
+    ``np.bincount``-style unique counting on composite int keys, and
+    grouped-Sums (key, n) partials — only integer pairs ride the
+    exchange; token strings reappear once, at the bounded decode.
+
+    Returns ``(unigrams, bigrams)``: ``(token, n)`` with ``<s>`` /
+    ``<unk>`` rows, and ``(prev, cur, n)``."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    uni = _word_counts(ds, text_col).materialize()
+    ref = _lm_vocab_ref(uni, min_count)
+
+    def big_partial(b: pa.Table) -> pa.Table:
+        vocab_arr, _ = ray.get(ref)
+        row_of, ids, v = _lm_fold_ids(b, text_col, vocab_arr)
+        keys = _lm_bigram_keys(row_of, ids, v)
+        uk, cnt = np.unique(keys, return_counts=True)
+        return pa.table({"key": pa.array(uk, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    bigram_keys = (ds.select_columns([text_col])
+                   .map_batches(big_partial, batch_format="pyarrow")
+                   .groupby("key").aggregate(Sum("n", alias_name="n"))
+                   .materialize())
+
+    def decode(b: pa.Table) -> pa.Table:
+        vocab_arr, _ = ray.get(ref)
+        ext = pa.concat_arrays([vocab_arr.combine_chunks()
+                                if isinstance(vocab_arr, pa.ChunkedArray)
+                                else vocab_arr,
+                                pa.array([_LM_UNK, _LM_BOS], pa.string())])
+        v = len(ext) - 2
+        k = b["key"].to_numpy(zero_copy_only=False)
+        return pa.table({"prev": ext.take(pa.array(k // (v + 2))),
+                         "cur": ext.take(pa.array(k % (v + 2))),
+                         "n": b["n"]})
+
+    bigrams = bigram_keys.map_batches(decode, batch_format="pyarrow")
+
+    # folded unigram table: vocab rows + <unk> mass + <s> (= docs with
+    # ≥1 token — exactly the BOS emission count, read off the bigrams)
+    def fold_uni(b: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(b["n"], min_count)
+        tok = pc.if_else(keep, b["word"], pa.scalar(_LM_UNK))
+        return pa.table({"token": tok, "n": b["n"]})
+
+    folded = (uni.map_batches(fold_uni, batch_format="pyarrow")
+              .groupby("token").aggregate(Sum("n", alias_name="n")))
+
+    def bos_rows(b: pa.Table) -> pa.Table:
+        m = pc.equal(b["prev"], _LM_BOS)
+        return pa.table({"token": b["prev"].filter(m),
+                         "n": b["n"].filter(m)})
+
+    bos = (bigrams.map_batches(bos_rows, batch_format="pyarrow")
+           .groupby("token").aggregate(Sum("n", alias_name="n")))
+    return folded.union(bos).materialize(), bigrams.materialize()
+
+
+def ngram_lm_doc_stats(ds: Dataset, unigrams: Dataset, bigrams: Dataset,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> Dataset:
+    """Per-document bigram-LM probe statistics as EXACT INTEGERS —
+    ``(doc_id, n_tokens, n_oov, sum_prev, sum_bi)`` where ``sum_bi`` /
+    ``sum_prev`` total the trained bigram / previous-token counts over
+    the document's (BOS-prefixed, OOV-folded) bigrams. These are the
+    LM-probe joins a float cross-entropy would consume
+    (:func:`ngram_lm_xent`); keeping the queried output integral makes
+    the DuckDB gate float-free (the `bcubed_stats` convention).
+
+    Scale shape: the vocab + folded unigram counts broadcast once
+    (bounded); documents are rows so per-batch doc stats are exact; the
+    bigram probe is a `lookup_join` on composite int keys (size-aware:
+    broadcast below its bound, hash join above); the final assembly is
+    ONE tagged-union grouped sum — no doc-grain join."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from payor_linkage.rayutil import lookup_join
+
+    # broadcast: sorted vocab + count vector indexed by folded id
+    uni_tbl = unigrams.to_pandas()
+    toks = uni_tbl["token"].to_numpy()
+    cnts = uni_tbl["n"].to_numpy().astype(np.int64)
+    special = {_LM_UNK: 0, _LM_BOS: 0}
+    vmask = ~np.isin(toks, list(special))
+    vsort = np.argsort(toks[vmask])
+    vocab_sorted = toks[vmask][vsort]
+    v = len(vocab_sorted)
+    counts_by_id = np.zeros(v + 2, dtype=np.int64)
+    counts_by_id[:v] = cnts[vmask][vsort]
+    for t, slot in ((_LM_UNK, v), (_LM_BOS, v + 1)):
+        hit = cnts[toks == t]
+        if len(hit):
+            counts_by_id[slot] = int(hit[0])
+    import pyarrow as _pa
+
+    ref = ray.put((_pa.array(vocab_sorted, _pa.string()), counts_by_id))
+
+    def doc_partial(b: pa.Table) -> pa.Table:
+        vocab_arr, cbi = ray.get(ref)
+        row_of, ids, vv = _lm_fold_ids(b, text_col, vocab_arr)
+        n = b.num_rows
+        n_tokens = np.bincount(row_of, minlength=n).astype(np.int64)
+        n_oov = np.bincount(row_of[ids == vv], minlength=n).astype(np.int64)
+        keys = _lm_bigram_keys(row_of, ids, vv)
+        prev_ids = keys // (vv + 2)
+        sum_prev = np.bincount(row_of, weights=cbi[prev_ids],
+                               minlength=n).astype(np.int64)
+        return pa.table({id_col: b[id_col],
+                         "n_tokens": pa.array(n_tokens, pa.int64()),
+                         "n_oov": pa.array(n_oov, pa.int64()),
+                         "sum_prev": pa.array(sum_prev, pa.int64()),
+                         "sum_bi": pa.array(np.zeros(n, np.int64))})
+
+    stats = ds.select_columns([id_col, text_col]).map_batches(
+        doc_partial, batch_format="pyarrow")
+
+    def explode_keys(b: pa.Table) -> pa.Table:
+        vocab_arr, _ = ray.get(ref)
+        row_of, ids, vv = _lm_fold_ids(b, text_col, vocab_arr)
+        keys = _lm_bigram_keys(row_of, ids, vv)
+        return pa.table({id_col: b[id_col].take(pa.array(row_of)),
+                         "key": pa.array(keys, pa.int64())})
+
+    def bigram_keyed(b: pa.Table) -> pa.Table:
+        vocab_arr, _ = ray.get(ref)
+        vv = len(vocab_arr)
+        spec = {_LM_UNK: vv, _LM_BOS: vv + 1}
+
+        def enc(col):
+            raw = pc.index_in(b[col], value_set=vocab_arr).to_numpy(
+                zero_copy_only=False)
+            out = np.where(np.isnan(raw) if raw.dtype.kind == "f"
+                           else raw < 0, -1, raw).astype(np.int64)
+            s = b[col].to_numpy(zero_copy_only=False)
+            for t, sl in spec.items():
+                out[s == t] = sl
+            return out
+
+        key = enc("prev") * (vv + 2) + enc("cur")
+        return pa.table({"key": pa.array(key, pa.int64()), "bn": b["n"]})
+
+    probed = lookup_join(
+        ds.select_columns([id_col, text_col]).map_batches(
+            explode_keys, batch_format="pyarrow"),
+        bigrams.map_batches(bigram_keyed, batch_format="pyarrow"),
+        "key")
+
+    def bi_rows(b: pa.Table) -> pa.Table:
+        z = np.zeros(b.num_rows, np.int64)
+        return pa.table({id_col: b[id_col],
+                         "n_tokens": pa.array(z), "n_oov": pa.array(z),
+                         "sum_prev": pa.array(z),
+                         "sum_bi": pc.cast(b["bn"], pa.int64())})
+
+    return (stats.union(probed.map_batches(bi_rows, batch_format="pyarrow"))
+            .groupby(id_col).aggregate(
+                Sum("n_tokens", alias_name="n_tokens"),
+                Sum("n_oov", alias_name="n_oov"),
+                Sum("sum_prev", alias_name="sum_prev"),
+                Sum("sum_bi", alias_name="sum_bi")))
+
+
+def ngram_lm_xent(ds: Dataset, unigrams: Dataset, bigrams: Dataset,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  add_k: float = 0.5) -> Dataset:
+    """Per-document add-k bigram cross-entropy (bits/token) under a
+    trained `ngram_lm_counts` model — the CCNet-style quality signal
+    (low = fluent/in-domain, high = junk). P(cur|prev) = (c(bigram)+k)
+    / (c(prev)+k·(V+1)); per-doc sums are computed in one deterministic
+    numpy order per document (iterative floats — pytest-gated, not
+    SQL)."""
+    import ray
+
+    uni_tbl = unigrams.to_pandas()
+    toks = uni_tbl["token"].to_numpy()
+    cnts = uni_tbl["n"].to_numpy().astype(np.int64)
+    vmask = ~np.isin(toks, [_LM_UNK, _LM_BOS])
+    vsort = np.argsort(toks[vmask])
+    vocab_sorted = toks[vmask][vsort]
+    v = len(vocab_sorted)
+    counts_by_id = np.zeros(v + 2, dtype=np.int64)
+    counts_by_id[:v] = cnts[vmask][vsort]
+    for t, slot in ((_LM_UNK, v), (_LM_BOS, v + 1)):
+        hit = cnts[toks == t]
+        if len(hit):
+            counts_by_id[slot] = int(hit[0])
+
+    big = bigrams.to_pandas()  # bounded: observed folded bigrams
+
+    def enc_tok(arr):
+        if v == 0:
+            out = np.full(len(arr), v, np.int64)
+        else:
+            pos = np.clip(np.searchsorted(vocab_sorted, arr), 0, v - 1)
+            out = np.where(vocab_sorted[pos] == arr, pos, v).astype(np.int64)
+        out[arr == _LM_BOS] = v + 1
+        return out
+
+    rawkey = (enc_tok(big["prev"].to_numpy()) * (v + 2)
+              + enc_tok(big["cur"].to_numpy()))
+    border = np.argsort(rawkey, kind="stable")
+    bkey = rawkey[border]
+    bval = big["n"].to_numpy().astype(np.int64)[border]
+    ref = ray.put((pa.array(vocab_sorted, pa.string()), counts_by_id,
+                   bkey, bval))
+
+    def score(b: pa.Table) -> pa.Table:
+        vocab_arr, cbi, bk, bv = ray.get(ref)
+        row_of, ids, vv = _lm_fold_ids(b, text_col, vocab_arr)
+        n = b.num_rows
+        keys = _lm_bigram_keys(row_of, ids, vv)
+        if len(bk):
+            pos = np.clip(np.searchsorted(bk, keys), 0, len(bk) - 1)
+            cbig = np.where(bk[pos] == keys, bv[pos], 0).astype(np.float64)
+        else:
+            cbig = np.zeros(len(keys), np.float64)
+        cprev = cbi[keys // (vv + 2)].astype(np.float64)
+        logp = np.log2(cbig + add_k) - np.log2(cprev + add_k * (vv + 1))
+        total = np.bincount(row_of, weights=-logp, minlength=n)
+        n_tok = np.bincount(row_of, minlength=n).astype(np.int64)
+        xent = np.where(n_tok > 0, total / np.maximum(n_tok, 1), 0.0)
+        return pa.table({id_col: b[id_col],
+                         "n_tokens": pa.array(n_tok, pa.int64()),
+                         "xent_bits": pa.array(xent, pa.float64())})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow")
