@@ -4064,6 +4064,30 @@ def q_forest_paths(sf_dir: str):
     return forest_paths(edges).sort("node")
 
 
+def q_wl_labels(sf_dir: str):
+    """Weisfeiler–Lehman structural fingerprints (2 rounds) for every
+    node of the auto-match graph (`graph.wl_labels` — per round ONE
+    label attach + ONE ordered string-agg + batch-vectorized DuckDB
+    md5). Nodes whose R-hop neighborhoods are isomorphic share a
+    label — grouping them finds structurally identical match families.
+    Oracle: the same two rounds unrolled in SQL over the edge sidecar
+    (md5 + string_agg ORDER BY — byte-identical by construction)."""
+    from payor_linkage.dataops.graph import wl_labels
+
+    res = _mdm_result(sf_dir)
+
+    def edges_only(b):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        m = b.filter(pc.equal(b["final_decision"], "match"))
+        return pa.table({"id_a": m["source_record_id_a"],
+                         "id_b": m["source_record_id_b"]})
+
+    edges = res.candidates.map_batches(edges_only, batch_format="pyarrow")
+    return wl_labels(edges, rounds=2).sort("node")
+
+
 _LM_CACHE: dict = {}
 
 
@@ -4128,6 +4152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_forest_paths": q_forest_paths,
         "q_lm_doc_stats": q_lm_doc_stats,
         "q_lm_xent": q_lm_xent,
+        "q_wl_labels": q_wl_labels,
         "q_mdm_degree_histogram": q_mdm_degree_histogram,
         "q_mdm_bfs": q_mdm_bfs,
         "q_mdm_threshold_sweep": q_mdm_threshold_sweep,
@@ -5806,6 +5831,33 @@ def oracle_sql() -> dict[str, str]:
                 AS BIGINT) AS pattern
               FROM read_parquet('{_SIDECAR_DIR}/fs_pairfields/*.parquet')
             ) GROUP BY pattern ORDER BY pattern
+        """,
+        # WL color refinement, 2 rounds unrolled: degree init, then
+        # md5(own || '|' || string_agg(nbr, ',' ORDER BY nbr)) twice —
+        # engine uses DuckDB's md5 kernel too, so labels are
+        # byte-identical
+        "q_wl_labels": f"""
+            WITH canon AS (
+              SELECT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM read_parquet('{_SIDECAR_DIR}/edges/*.parquet')
+              WHERE src <> dst GROUP BY 1, 2),
+            sym AS (SELECT a AS center, b AS nbr FROM canon
+                    UNION ALL SELECT b, a FROM canon),
+            l0 AS (SELECT center AS node, CAST(count(*) AS VARCHAR) AS l
+                   FROM sym GROUP BY 1),
+            r1 AS (SELECT s.center AS node,
+                          md5(o.l || '|' ||
+                              string_agg(n.l, ',' ORDER BY n.l)) AS l
+                   FROM sym s JOIN l0 o ON s.center = o.node
+                              JOIN l0 n ON s.nbr = n.node
+                   GROUP BY s.center, o.l),
+            r2 AS (SELECT s.center AS node,
+                          md5(o.l || '|' ||
+                              string_agg(n.l, ',' ORDER BY n.l)) AS l
+                   FROM sym s JOIN r1 o ON s.center = o.node
+                              JOIN r1 n ON s.nbr = n.node
+                   GROUP BY s.center, o.l)
+            SELECT node, l AS wl FROM r2 ORDER BY node
         """,
         # Bigram-LM probe integers: full SQL retrain (count CTE folds
         # sub-min_count tokens to <unk>, lag() over position-ordered

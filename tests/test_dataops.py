@@ -2310,3 +2310,53 @@ def test_forest_paths_on_match_hierarchy(ray_session, pipeline_result):
     roots = got[got["depth"] == 0]
     assert (roots["node"] == roots["root"]).all()
     assert set(got["root"]).issubset(set(roots["node"]))
+
+
+def test_wl_labels_structure(ray_session):
+    """WL refinement: isomorphic neighborhoods share labels (two
+    disjoint triangles; path endpoints), non-isomorphic ones differ;
+    labels match a DuckDB re-derivation byte-for-byte (the oracle's
+    construction)."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from payor_linkage.dataops.graph import wl_labels
+
+    edges = pa.table({
+        "id_a": ["a", "b", "c", "p", "q", "r", "x", "y"],
+        "id_b": ["b", "c", "a", "q", "r", "p", "y", "z"]})
+    got = (wl_labels(rd.from_arrow(edges), rounds=2).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+    m = dict(zip(got["node"], got["wl"]))
+    assert len({m[c] for c in "abcpqr"}) == 1  # triangles all alike
+    assert m["x"] == m["z"] != m["y"]          # path: ends vs middle
+    assert m["x"] != m["a"]
+
+    con = duckdb.connect()
+    con.register("edges", edges)
+    want = con.execute("""
+        WITH canon AS (
+          SELECT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+          FROM edges WHERE id_a <> id_b GROUP BY 1, 2),
+        sym AS (SELECT a AS center, b AS nbr FROM canon
+                UNION ALL SELECT b, a FROM canon),
+        l0 AS (SELECT center AS node, CAST(count(*) AS VARCHAR) AS l
+               FROM sym GROUP BY 1),
+        r1 AS (SELECT s.center AS node,
+                      md5(o.l || '|' || string_agg(n.l, ',' ORDER BY n.l))
+                          AS l
+               FROM sym s JOIN l0 o ON s.center = o.node
+                          JOIN l0 n ON s.nbr = n.node
+               GROUP BY s.center, o.l),
+        r2 AS (SELECT s.center AS node,
+                      md5(o.l || '|' || string_agg(n.l, ',' ORDER BY n.l))
+                          AS l
+               FROM sym s JOIN r1 o ON s.center = o.node
+                          JOIN r1 n ON s.nbr = n.node
+               GROUP BY s.center, o.l)
+        SELECT node, l AS wl FROM r2 ORDER BY node
+    """).df()
+    con.close()
+    pd.testing.assert_frame_equal(got, want)
