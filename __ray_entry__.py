@@ -4088,6 +4088,91 @@ def q_wl_labels(sf_dir: str):
     return wl_labels(edges, rounds=2).sort("node")
 
 
+_TRUTH_CACHE: dict = {}
+
+
+def _truth_inputs(sf_dir: str):
+    """Claims + vote patterns + distinct sources for the truth-discovery
+    queries, cached per corpus; writes the claims sidecar the
+    pattern/agreement oracles recompute from."""
+    from payor_linkage.survivorship import (CLAIM_FIELDS, source_claims,
+                                            source_vote_patterns)
+
+    key = _mdm_replicas(sf_dir)
+    if key not in _TRUTH_CACHE:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        res = _mdm_result(sf_dir)
+        claims = source_claims(res.unified, res.xref).materialize()
+        _dump_sidecar("claims", claims)
+        srcs = sorted(set(
+            claims.groupby("source_system").count()
+            .to_pandas()["source_system"]))
+        pats = source_vote_patterns(claims, srcs).materialize()
+
+        def to_str(b: pa.Table) -> pa.Table:
+            cols = {"source_record_id": b["source_record_id"],
+                    "source_system": b["source_system"]}
+            for c in CLAIM_FIELDS:
+                cols[c] = pc.cast(b[c], pa.string())
+            return pa.table(cols)
+
+        _dump_sidecar("claim_recs", res.unified.select_columns(
+            ["source_record_id", "source_system"] + CLAIM_FIELDS)
+            .map_batches(to_str, batch_format="pyarrow"))
+        _dump_sidecar("xref_slim", res.xref.select_columns(
+            ["source_record_id", "master_payor_id"]))
+
+        def gv(b: pa.Table) -> pa.Table:
+            cols = {"master_payor_id": b["master_payor_id"]}
+            for c in CLAIM_FIELDS:
+                cols["g_" + c] = pc.cast(b[c], pa.string())
+            return pa.table(cols)
+
+        _dump_sidecar("golden_claimvals", res.golden.select_columns(
+            ["master_payor_id"] + CLAIM_FIELDS)
+            .map_batches(gv, batch_format="pyarrow"))
+        _TRUTH_CACHE[key] = (claims, pats, srcs)
+    return _TRUTH_CACHE[key]
+
+
+def q_source_agreement(sf_dir: str):
+    """Per-(source_system, field) claim/agreement integers vs the
+    elected golden value (`survivorship.source_agreement`) — the
+    data-driven read on the reference's hand-set trust ranks. Oracle:
+    the same two joins + CASE sums per field over the claim-record /
+    xref / golden-value sidecars."""
+    from payor_linkage.survivorship import source_agreement
+
+    _truth_inputs(sf_dir)  # sidecars
+    res = _mdm_result(sf_dir)
+    return source_agreement(res.unified, res.golden, res.xref).sort(
+        ["source_system", "field"])
+
+
+def q_source_vote_patterns(sf_dir: str):
+    """Vote-pattern histogram — the truth-discovery sufficient
+    statistic (`survivorship.source_vote_patterns`: per (master,
+    field) group, claims canonicalize to `srcidx:valueclass` tokens in
+    (srcidx, valueclass) order; EM never needs the claims again).
+    Oracle: dense_rank + ordered string_agg over the claims sidecar."""
+    _, pats, _ = _truth_inputs(sf_dir)
+    return pats.sort("pattern")
+
+
+def q_source_accuracy(sf_dir: str):
+    """TruthFinder-style EM source accuracies over the vote-pattern
+    histogram (`survivorship.source_accuracy_em` — driver-tier over a
+    set-partition-bounded table by construction). Rows-only: iterative
+    float EM; pytest-gated against a per-claim-expansion reference
+    (tests/test_truth.py)."""
+    from payor_linkage.survivorship import source_accuracy_em
+
+    _, pats, srcs = _truth_inputs(sf_dir)
+    return source_accuracy_em(pats, srcs)
+
+
 _LM_CACHE: dict = {}
 
 
@@ -4129,6 +4214,32 @@ def q_lm_xent(sf_dir: str):
     return ngram_lm_xent(_docs(sf_dir), uni, big).sort("doc_id")
 
 
+def _source_agreement_sql() -> str:
+    """Per-field UNION ALL branches of the agreement oracle (built from
+    the same CLAIM_FIELDS list the engine uses — one source of truth)."""
+    from payor_linkage.survivorship import CLAIM_FIELDS
+
+    branches = "\n              UNION ALL\n".join(f"""
+              SELECT source_system, '{c}' AS field,
+                     CAST(sum(CASE WHEN {c} IS NOT NULL
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_claims,
+                     CAST(sum(CASE WHEN {c} IS NOT NULL AND {c} = g_{c}
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+              FROM j GROUP BY 1""" for c in CLAIM_FIELDS)
+    return f"""
+            WITH j AS (
+              SELECT r.*, g.* EXCLUDE (master_payor_id)
+              FROM read_parquet('{_SIDECAR_DIR}/claim_recs/*.parquet') r
+              JOIN read_parquet('{_SIDECAR_DIR}/xref_slim/*.parquet') x
+                USING (source_record_id)
+              JOIN read_parquet(
+                  '{_SIDECAR_DIR}/golden_claimvals/*.parquet') g
+                USING (master_payor_id))
+            SELECT * FROM ({branches})
+            ORDER BY source_system, field
+        """
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # First 50 entries are the driver-correctness window for this round:
     # the full q_mdm_* core + queries not yet driver-verified in r02/r03.
@@ -4153,6 +4264,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lm_doc_stats": q_lm_doc_stats,
         "q_lm_xent": q_lm_xent,
         "q_wl_labels": q_wl_labels,
+        "q_source_agreement": q_source_agreement,
+        "q_source_vote_patterns": q_source_vote_patterns,
+        "q_source_accuracy": q_source_accuracy,
         "q_mdm_degree_histogram": q_mdm_degree_histogram,
         "q_mdm_bfs": q_mdm_bfs,
         "q_mdm_threshold_sweep": q_mdm_threshold_sweep,
@@ -5831,6 +5945,32 @@ def oracle_sql() -> dict[str, str]:
                 AS BIGINT) AS pattern
               FROM read_parquet('{_SIDECAR_DIR}/fs_pairfields/*.parquet')
             ) GROUP BY pattern ORDER BY pattern
+        """,
+        # Source agreement vs elected golden: two sidecar joins + per-
+        # field CASE sums (branches generated from the engine's own
+        # CLAIM_FIELDS list)
+        "q_source_agreement": _source_agreement_sql(),
+        # Truth-discovery vote patterns: dense_rank of value within
+        # (master, field) = the engine's per-run value class; ordered
+        # string_agg rebuilds the canonical token string
+        "q_source_vote_patterns": f"""
+            WITH c AS (SELECT * FROM
+                read_parquet('{_SIDECAR_DIR}/claims/*.parquet')),
+            srcs AS (SELECT source_system,
+                            ROW_NUMBER() OVER (ORDER BY source_system)
+                                - 1 AS si
+                     FROM (SELECT DISTINCT source_system FROM c)),
+            ranked AS (SELECT c.master_payor_id, c.field, s.si,
+                              dense_rank() OVER (
+                                  PARTITION BY c.master_payor_id, c.field
+                                  ORDER BY c.value) - 1 AS cls
+                       FROM c JOIN srcs s USING (source_system)),
+            pats AS (SELECT master_payor_id, field,
+                            string_agg(si || ':' || cls, ','
+                                       ORDER BY si, cls) AS pattern
+                     FROM ranked GROUP BY 1, 2)
+            SELECT pattern, CAST(count(*) AS BIGINT) AS n
+            FROM pats GROUP BY 1 ORDER BY pattern
         """,
         # WL color refinement, 2 rounds unrolled: degree init, then
         # md5(own || '|' || string_agg(nbr, ',' ORDER BY nbr)) twice —

@@ -584,3 +584,225 @@ def _default_blocks() -> int:
         return 2 * int(ray.cluster_resources().get("CPU", 4))
     except Exception:
         return 8
+
+
+# ── truth discovery: source agreement + accuracy estimation ────────────────
+
+# compact informative claim fields (string-compared; dates/bools are cast
+# to their ISO/lowercase string forms so engine and SQL agree exactly)
+CLAIM_FIELDS = ["payor_name", "tax_id", "cms_plan_id", "zip_code", "phone",
+                "website"]
+
+
+def source_agreement(unified: Dataset, golden: Dataset, xref: Dataset,
+                     fields: list[str] | None = None) -> Dataset:
+    """Per-(source_system, field) agreement with the elected golden
+    value, as exact integers ``(source_system, field, n_claims,
+    n_agree)`` — the data-driven read on the reference's hand-set
+    source trust ranks (`snowflake/08_survivorship.sql` trust CASE):
+    a claim is a non-null record value; it agrees when it string-equals
+    its master's golden value.
+
+    Scale shape: ONE record-grain master attach (`lookup_join`,
+    hash-join fallback), ONE golden-grain value attach, then per-batch
+    long-form (source, field) partial counts and a bounded grouped
+    sum — only counters ride the exchange."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from payor_linkage.rayutil import smart_join
+
+    fields = list(fields or CLAIM_FIELDS)
+    recs = unified.select_columns(
+        ["source_record_id", "source_system"] + fields)
+
+    def to_str(prefix):
+        def f(b: pa.Table) -> pa.Table:
+            cols = {c: b[c] for c in b.column_names if c not in fields}
+            for c in fields:
+                cols[prefix + c] = pc.cast(b[c], pa.string())
+            return pa.table(cols)
+        return f
+
+    recs = recs.map_batches(to_str(""), batch_format="pyarrow")
+    withm = lookup_join(
+        recs, xref.select_columns(["source_record_id", "master_payor_id"]),
+        on="source_record_id")
+    gvals = golden.select_columns(["master_payor_id"] + fields) \
+        .map_batches(to_str("g_"), batch_format="pyarrow")
+    j = smart_join(withm, gvals, "master_payor_id")
+
+    def partial(b: pa.Table) -> pa.Table:
+        parts = []
+        for c in fields:
+            claim = b[c].is_valid()
+            agree = pc.and_kleene(claim, pc.fill_null(
+                pc.equal(b[c], b["g_" + c]), False))
+            parts.append(pa.table({
+                "source_system": b["source_system"],
+                "field": pa.array([c] * b.num_rows, pa.string()),
+                "n_claims": pc.cast(claim, pa.int64()),
+                "n_agree": pc.cast(agree, pa.int64())}))
+        t = pa.concat_tables(parts)
+        p = t.group_by(["source_system", "field"]).aggregate(
+            [("n_claims", "sum"), ("n_agree", "sum")])
+        return p.rename_columns(
+            ["source_system", "field", "n_claims", "n_agree"])
+
+    return (j.map_batches(partial, batch_format="pyarrow")
+            .groupby(["source_system", "field"]).aggregate(
+                Sum("n_claims", alias_name="n_claims"),
+                Sum("n_agree", alias_name="n_agree")))
+
+
+def source_claims(unified: Dataset, xref: Dataset,
+                  fields: list[str] | None = None) -> Dataset:
+    """Distinct long-form claims ``(master_payor_id, field,
+    source_system, value)`` (non-null, values cast to string) — the
+    input grain of truth-discovery. One master attach + a distinct
+    groupby at claim grain."""
+    import pyarrow.compute as pc
+
+    fields = list(fields or CLAIM_FIELDS)
+    recs = unified.select_columns(
+        ["source_record_id", "source_system"] + fields)
+    withm = lookup_join(
+        recs, xref.select_columns(["source_record_id", "master_payor_id"]),
+        on="source_record_id")
+
+    def explode(b: pa.Table) -> pa.Table:
+        parts = []
+        for c in fields:
+            v = pc.cast(b[c], pa.string())
+            keep = v.is_valid()
+            parts.append(pa.table({
+                "master_payor_id": b["master_payor_id"].filter(keep),
+                "field": pa.array([c] * int(pc.sum(pc.cast(
+                    keep, pa.int64())).as_py() or 0), pa.string()),
+                "source_system": b["source_system"].filter(keep),
+                "value": v.filter(keep)}))
+        return pa.concat_tables(parts)
+
+    return (withm.map_batches(explode, batch_format="pyarrow")
+            .groupby(["master_payor_id", "field", "source_system",
+                      "value"]).count().drop_columns(["count()"]))
+
+
+def source_vote_patterns(claims: Dataset,
+                         sources: list[str]) -> Dataset:
+    """The sufficient statistic of source-accuracy EM (the
+    Fellegi-pattern trick applied to truth discovery): each
+    (master, field) group's claims collapse to a canonical VOTE
+    PATTERN — ``srcidx:valueclass`` tokens joined in (srcidx,
+    valueclass) order, where valueclass is the dense rank of the
+    claimed value within the group — and EM only ever needs the
+    ≤(set-partition count) pattern histogram, so the corpus-sized
+    claim set is touched once.
+
+    Shape: one grouped pass computes value dense-ranks (vectorized
+    across runs: unique (run, value-code) pairs + per-run position
+    arithmetic — no per-group Python), one `grouped_string_agg`
+    serializes each group (inherent per-group join: output IS one
+    string per group), one bounded count."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from payor_linkage.dataops.aggregates import grouped_string_agg
+    from payor_linkage.rayutil import grouped_apply
+
+    src_arr = pa.array(sorted(sources), pa.string())
+
+    def prep(b: pa.Table) -> pa.Table:
+        gk = pc.binary_join_element_wise(
+            b["master_payor_id"], b["field"], "\x1f")
+        si = pc.cast(pc.index_in(b["source_system"], value_set=src_arr),
+                     pa.int64())
+        return pa.table({"gk": gk, "src_idx": si, "value": b["value"]})
+
+    prepped = claims.map_batches(prep, batch_format="pyarrow")
+
+    cls_schema = pa.schema([("gk", pa.string()), ("src_idx", pa.int64()),
+                            ("cls", pa.int64())])
+
+    def cls_runs(b: pa.Table, starts, ends) -> pa.Table:
+        lo, hi = int(starts[0]), int(ends[-1])
+        n = hi - lo
+        sizes = (ends - starts).astype(np.int64)
+        rid = np.repeat(np.arange(len(starts), dtype=np.int64), sizes)
+        enc = b["value"].combine_chunks().dictionary_encode()
+        raw = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        drank = np.empty(len(enc.dictionary), dtype=np.int64)
+        drank[pc.sort_indices(enc.dictionary).to_numpy(
+            zero_copy_only=False).astype(np.int64)] = \
+            np.arange(len(enc.dictionary))
+        codes = drank[raw][lo:hi]
+        k = int(codes.max()) + 1 if n else 1
+        pairs = rid * k + codes
+        u, inv = np.unique(pairs, return_inverse=True)
+        urid = u // k
+        first = np.searchsorted(urid, np.arange(len(starts)))
+        cls = (np.arange(len(u), dtype=np.int64) - first[urid])[inv]
+        return pa.table({"gk": b["gk"].slice(lo, n),
+                         "src_idx": b["src_idx"].slice(lo, n),
+                         "cls": pa.array(cls, pa.int64())})
+
+    with_cls = grouped_apply(prepped, "gk", out_schema=cls_schema,
+                             runs_fn=cls_runs)
+
+    def token(b: pa.Table) -> pa.Table:
+        t = pc.binary_join_element_wise(
+            pc.cast(b["src_idx"], pa.string()),
+            pc.cast(b["cls"], pa.string()), ":")
+        return pa.table({"gk": b["gk"], "src_idx": b["src_idx"],
+                         "cls": b["cls"], "tok": t})
+
+    agg = grouped_string_agg(
+        with_cls.map_batches(token, batch_format="pyarrow"),
+        ["gk"], "tok", ["src_idx", "cls"], sep=",", out_col="pattern")
+    return (agg.groupby("pattern").count()
+            .map_batches(lambda b: pa.table({
+                "pattern": b["pattern"],
+                "n": pc.cast(b["count()"], pa.int64())}),
+                batch_format="pyarrow"))
+
+
+def source_accuracy_em(patterns, sources: list[str], iters: int = 25,
+                       prior: float = 0.8, eps: float = 1e-6):
+    """TruthFinder-style source-accuracy EM over the vote-pattern
+    histogram: per group, P(value-class true) ∝ Σ accuracy of its
+    claiming sources; a source's accuracy is the mean P of its claims.
+    Driver-tier by construction — the histogram is bounded by the
+    set-partition count of ≤#sources claims, never corpus size.
+    Returns an Arrow table ``(source_system, accuracy, n_claims)``
+    (floats — pytest-gated against a per-claim reference, not SQL)."""
+    import numpy as np
+
+    srcs = sorted(sources)
+    if hasattr(patterns, "to_pandas") and not isinstance(
+            patterns, pa.Table):
+        patterns = patterns.to_pandas()
+    pats = [p.split(",") for p in patterns["pattern"]]
+    cnts = np.asarray(patterns["n"], dtype=np.float64)
+    # parse once: per pattern, arrays of (src_idx, cls)
+    parsed = [np.array([[int(a), int(c)] for a, c in
+                        (tok.split(":") for tok in p)], dtype=np.int64)
+              for p in pats]
+    acc = np.full(len(srcs), float(prior))
+    claim_totals = np.zeros(len(srcs))
+    for p, n in zip(parsed, cnts):
+        np.add.at(claim_totals, p[:, 0], n)
+    for _ in range(iters):
+        new = np.zeros(len(srcs))
+        for p, n in zip(parsed, cnts):
+            w = acc[p[:, 0]]
+            cls_w = np.bincount(p[:, 1], weights=w)
+            pclaim = cls_w[p[:, 1]] / max(cls_w.sum(), 1e-300)
+            np.add.at(new, p[:, 0], n * pclaim)
+        acc = np.clip(new / np.maximum(claim_totals, 1e-300),
+                      eps, 1.0 - eps)
+    return pa.table({
+        "source_system": pa.array(srcs, pa.string()),
+        "accuracy": pa.array(acc, pa.float64()),
+        "n_claims": pa.array(claim_totals.astype(np.int64), pa.int64()),
+    })
