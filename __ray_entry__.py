@@ -4088,6 +4088,31 @@ def q_wl_labels(sf_dir: str):
     return wl_labels(edges, rounds=2).sort("node")
 
 
+def q_feature_hash(sf_dir: str):
+    """Hashing-trick document featurization: tokens bucketed into a
+    64-dim count vector via the 32-bit md5-prefix hash
+    (`text.feature_hash_vectors` — map-only, md5 through DuckDB's C++
+    kernel per batch, counts finalize inside the batch). Long-form
+    integer output; oracle recomputes the same hash arithmetic +
+    GROUP BY."""
+    from payor_linkage.dataops.text import feature_hash_vectors
+
+    return feature_hash_vectors(_docs(sf_dir), dim=64).sort(
+        ["doc_id", "dim_idx"])
+
+
+def q_ewma(sf_dir: str):
+    """Per-user EWMA (α=0.3, pandas adjust=False semantics) over the
+    event value stream (`temporal.ewma` — one grouped sort, segmented
+    scaled-cumsum closed form, ~n/256 python steps). Rows-only:
+    iterative float recurrence; pytest-gated against pandas ewm at
+    1e-9 (tests/test_dataops.py)."""
+    from payor_linkage.dataops.temporal import ewma
+
+    return ewma(_events(sf_dir), "user_id", "ts", "value",
+                alpha=0.3).sort(["user_id", "ts"])
+
+
 _TRUTH_CACHE: dict = {}
 
 
@@ -4267,6 +4292,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_source_agreement": q_source_agreement,
         "q_source_vote_patterns": q_source_vote_patterns,
         "q_source_accuracy": q_source_accuracy,
+        "q_feature_hash": q_feature_hash,
+        "q_ewma": q_ewma,
         "q_mdm_degree_histogram": q_mdm_degree_histogram,
         "q_mdm_bfs": q_mdm_bfs,
         "q_mdm_threshold_sweep": q_mdm_threshold_sweep,
@@ -5945,6 +5972,20 @@ def oracle_sql() -> dict[str, str]:
                 AS BIGINT) AS pattern
               FROM read_parquet('{_SIDECAR_DIR}/fs_pairfields/*.parquet')
             ) GROUP BY pattern ORDER BY pattern
+        """,
+        # Hashing trick: identical md5-prefix → bucket arithmetic over
+        # the shared tokenization contract
+        "q_feature_hash": """
+            SELECT doc_id,
+                   ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64
+                       AS dim_idx,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT doc_id,
+                         unnest(regexp_split_to_array(
+                             lower(text), '[^a-z0-9]+')) AS tok
+                  FROM documents)
+            WHERE tok <> ''
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # Source agreement vs elected golden: two sidecar joins + per-
         # field CASE sums (branches generated from the engine's own

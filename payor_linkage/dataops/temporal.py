@@ -1115,3 +1115,64 @@ def state_dwell(events: Dataset, on: str = "user_id",
     return partials.groupby("state").aggregate(
         Sum("dwell_us", alias_name="dwell_us"),
         Sum("n_spans", alias_name="n_spans"))
+
+
+def ewma(ds: Dataset, key: str, order_col: str, value_col: str,
+         alpha: float = 0.3) -> Dataset:
+    """Per-key exponentially weighted moving average over an ordered
+    value stream (``y_i = α·x_i + (1−α)·y_{i−1}``, seeded with the
+    first value — pandas ``ewm(adjust=False)`` semantics): the classic
+    streaming smoother / anomaly baseline. Returns every input row
+    plus its ``ewma`` column.
+
+    Shape: one grouped sort (`grouped_apply`), runs re-ordered by
+    ``order_col`` and smoothed with the scaled-cumsum closed form in
+    segments of 256 (exactly one renormalization per segment keeps
+    (1−α)^−j bounded; the segment loop is ~n/256 python steps, the
+    arithmetic is numpy). Floats are iterative by nature — pytest-
+    gated against pandas ewm, not SQL."""
+    import numpy as np
+
+    from payor_linkage.rayutil import grouped_apply
+
+    sch = dict(zip(ds.schema().names, ds.schema().types))
+    out_schema = pa.schema([(key, sch[key]), (order_col, sch[order_col]),
+                            (value_col, sch[value_col]),
+                            ("ewma", pa.float64())])
+    om = 1.0 - alpha
+    # om^-seg must stay inside float64: ~300 decimal digits of headroom
+    seg = 256 if om <= 0.0 or om >= 1.0 else \
+        max(1, min(256, int(300.0 / max(1e-12, -np.log10(om)))))
+
+    def runs(b: pa.Table, starts, ends) -> pa.Table:
+        lo, hi = int(starts[0]), int(ends[-1])
+        n = hi - lo
+        sizes = (ends - starts).astype(np.int64)
+        rid = np.repeat(np.arange(len(starts), dtype=np.int64), sizes)
+        ov = b[order_col].to_numpy(zero_copy_only=False)[lo:hi]
+        order = np.lexsort((ov, rid))
+        x = b[value_col].to_numpy(zero_copy_only=False)[lo:hi][order] \
+            .astype(np.float64)
+        y = np.empty(n, np.float64)
+        offs = np.concatenate([starts - lo, [n]])
+        for r in range(len(starts)):
+            s, e = int(offs[r]), int(offs[r + 1])
+            y[s] = carry = x[s]  # seed: y_0 = x_0
+            for cs in range(s + 1, e, seg):
+                ce = min(cs + seg, e)
+                t = np.arange(1, ce - cs + 1, dtype=np.float64)
+                pw = om ** t
+                # y_{cs+j} = om^j·carry + α·Σ_t v_t·om^(j−t)
+                y[cs:ce] = pw * (carry + alpha * np.cumsum(
+                    x[cs:ce] * om ** (-t)))
+                carry = y[ce - 1]
+        inv_order = np.empty(n, np.int64)
+        inv_order[order] = np.arange(n)
+        cols = {key: b[key].slice(lo, n),
+                order_col: b[order_col].slice(lo, n),
+                value_col: b[value_col].slice(lo, n),
+                "ewma": pa.array(y[inv_order], pa.float64())}
+        return pa.table(cols).cast(out_schema)
+
+    prepped = ds.select_columns([key, order_col, value_col])
+    return grouped_apply(prepped, key, out_schema=out_schema, runs_fn=runs)

@@ -2023,3 +2023,41 @@ def ngram_lm_xent(ds: Dataset, unigrams: Dataset, bigrams: Dataset,
 
     return ds.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pyarrow")
+
+
+def feature_hash_vectors(ds: Dataset, id_col: str = "doc_id",
+                         text_col: str = "text", dim: int = 64) -> Dataset:
+    """The hashing trick (Weinberger et al.): each document's tokens
+    bucketed into a fixed ``dim``-dimensional count vector via the
+    32-bit md5-prefix hash — the schema-free featurizer that turns
+    arbitrary text into k-means/kNN-ready vectors with no vocabulary
+    pass at all. Long-form integer output ``(doc_id, dim_idx, n)``
+    (zero dims omitted), so the gate is float-free.
+
+    Scale shape: map-only — md5 runs through DuckDB's vectorized C++
+    kernel per batch (the `grouped_checksum` precedent), bucket = h %
+    dim in numpy, and per-document counts finalize inside the batch
+    (documents are rows, so no exchange at all)."""
+    import duckdb
+
+    def partial(b: pa.Table) -> pa.Table:
+        row_of, flat = _tokenize_flat(b, text_col)
+        if len(flat) == 0:
+            return pa.table({id_col: b[id_col].take(pa.array([], pa.int64())),
+                             "dim_idx": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        con = duckdb.connect()
+        con.register("t", pa.table({"tok": flat}))
+        h = con.execute(
+            "SELECT ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM t"
+        ).arrow()["h"].to_numpy(zero_copy_only=False)
+        con.close()
+        bucket = (h % dim).astype(np.int64)
+        t = pa.table({id_col: b[id_col].take(pa.array(row_of)),
+                      "dim_idx": pa.array(bucket, pa.int64()),
+                      "n": pa.array(np.ones(len(bucket), np.int64))})
+        return (t.group_by([id_col, "dim_idx"]).aggregate([("n", "sum")])
+                .rename_columns([id_col, "dim_idx", "n"]))
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        partial, batch_format="pyarrow")

@@ -2360,3 +2360,51 @@ def test_wl_labels_structure(ray_session):
     """).df()
     con.close()
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_ewma_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from payor_linkage.dataops.temporal import ewma
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    df = pd.DataFrame({"k": rng.integers(0, 23, n),
+                       "t": rng.permutation(n),
+                       "v": rng.normal(size=n)})
+    for a in (0.3, 0.05, 0.95):  # spans the om^-seg overflow regimes
+        got = (ewma(rd.from_pandas(df), "k", "t", "v", alpha=a)
+               .to_pandas().sort_values(["k", "t"]).reset_index(drop=True))
+        want = (df.sort_values(["k", "t"]).groupby("k")["v"]
+                .transform(lambda s: s.ewm(alpha=a, adjust=False).mean()))
+        np.testing.assert_allclose(got["ewma"].to_numpy(),
+                                   want.to_numpy(), rtol=1e-9)
+
+
+def test_feature_hash_matches_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from payor_linkage.dataops.text import feature_hash_vectors
+
+    docs = pa.table({"doc_id": [1, 2, 3],
+                     "text": ["the cat sat the", "dog", ""]})
+    got = (feature_hash_vectors(rd.from_arrow(docs), dim=8).to_pandas()
+           .sort_values(["doc_id", "dim_idx"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.execute("""
+        SELECT doc_id, ('0x' || substr(md5(tok),1,8))::BIGINT % 8
+                   AS dim_idx,
+               CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT doc_id, unnest(regexp_split_to_array(
+                  lower(text), '[^a-z0-9]+')) AS tok FROM documents)
+        WHERE tok <> '' GROUP BY 1, 2 ORDER BY 1, 2""").df()
+    con.close()
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes))
+    # the same token always lands in the same bucket: doc1 has 'the' ×2
+    assert got[got.doc_id == 1]["n"].max() == 2
