@@ -4088,6 +4088,27 @@ def q_wl_labels(sf_dir: str):
     return wl_labels(edges, rounds=2).sort("node")
 
 
+def q_cms_join_size(sf_dir: str):
+    """Equi-join cardinality estimation WITHOUT running the join: the
+    Count-Min inner product (`sketch.cms_inner_product`) over per-side
+    register sketches of events.user_id × orders.o_custkey — min over
+    depth rows of Σ a[d,bucket]·b[d,bucket], a one-sided upper bound
+    on Σ_k f_a(k)·f_b(k). The planner-side primitive for choosing
+    broadcast vs shuffle joins. Pure int64; oracle recomputes both
+    register tables from scratch (salted md5 buckets) and the same
+    JOIN + SUM + MIN. The bound quality vs the exact join size is
+    pytest-gated."""
+    from payor_linkage.dataops.sketch import cms_inner_product, cms_registers
+
+    import ray.data as rd
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey"])
+    ra = cms_registers(_events(sf_dir), "user_id")
+    rb = cms_registers(orders, "o_custkey")
+    return cms_inner_product(ra, rb)
+
+
 def q_feature_hash(sf_dir: str):
     """Hashing-trick document featurization: tokens bucketed into a
     64-dim count vector via the 32-bit md5-prefix hash
@@ -4294,6 +4315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_source_accuracy": q_source_accuracy,
         "q_feature_hash": q_feature_hash,
         "q_ewma": q_ewma,
+        "q_cms_join_size": q_cms_join_size,
         "q_mdm_degree_histogram": q_mdm_degree_histogram,
         "q_mdm_bfs": q_mdm_bfs,
         "q_mdm_threshold_sweep": q_mdm_threshold_sweep,
@@ -5972,6 +5994,31 @@ def oracle_sql() -> dict[str, str]:
                 AS BIGINT) AS pattern
               FROM read_parquet('{_SIDECAR_DIR}/fs_pairfields/*.parquet')
             ) GROUP BY pattern ORDER BY pattern
+        """,
+        # CM inner product: both register tables rebuilt from scratch
+        # (salted md5 buckets, the q_cms_registers arithmetic), then
+        # JOIN USING (depth, bucket) + per-depth SUM of products + MIN
+        "q_cms_join_size": """
+            WITH d AS (SELECT unnest(range(4)) AS dd),
+            ra AS (SELECT dd, bucket, count(*) AS n FROM (
+                     SELECT dd,
+                            ('0x' || substr(md5(CAST(dd AS VARCHAR)
+                                 || ':' || CAST(user_id AS VARCHAR)),
+                                 1, 8))::BIGINT % 256 AS bucket
+                     FROM events, d) GROUP BY 1, 2),
+            rb AS (SELECT dd, bucket, count(*) AS n FROM (
+                     SELECT dd,
+                            ('0x' || substr(md5(CAST(dd AS VARCHAR)
+                                 || ':' || CAST(o_custkey AS VARCHAR)),
+                                 1, 8))::BIGINT % 256 AS bucket
+                     FROM orders, d) GROUP BY 1, 2),
+            per_depth AS (SELECT ra.dd,
+                                 CAST(sum(ra.n * rb.n) AS BIGINT) AS s
+                          FROM ra JOIN rb USING (dd, bucket)
+                          GROUP BY 1)
+            SELECT CAST(min(s) AS BIGINT) AS est_join_size,
+                   CAST(4 AS BIGINT) AS depth_rows_used
+            FROM per_depth
         """,
         # Hashing trick: identical md5-prefix → bucket arithmetic over
         # the shared tokenization contract

@@ -290,3 +290,33 @@ def histogram_quantile(ds, value_col: str, divisor: float,
         i = int(np.searchsorted(cum, target))
         out[q] = float(hist.bin.iloc[i] * divisor)
     return out
+
+
+def cms_inner_product(reg_a: Dataset, reg_b: Dataset,
+                      depth: int = 4) -> "pa.Table":
+    """Join-size estimation from two Count-Min sketches (the classic
+    AMS/CM inner-product application): for each depth row d,
+    Σ_bucket a[d]·b[d] upper-bounds the true equi-join cardinality
+    Σ_key f_a(key)·f_b(key); the estimate is the MIN over rows —
+    one-sided (never under-estimates), ε·N_a·N_b expected error. Pure
+    int64 arithmetic over two bounded register tables, so the gate is
+    float-free and SQL-exact (JOIN USING (depth, bucket) + SUM +
+    MIN). Returns one row: (est_join_size, depth_rows_used)."""
+    a = pa.Table.from_pylist(reg_a.take_all())
+    b = pa.Table.from_pylist(reg_b.take_all())
+
+    def as_map(t):
+        return {(d, w): n for d, w, n in zip(
+            t["depth"].to_pylist(), t["bucket"].to_pylist(),
+            t["n"].to_pylist())}
+
+    ma, mb = as_map(a), as_map(b)
+    per_depth = []
+    for d in range(depth):
+        s = sum(n * mb.get((dd, w), 0)
+                for (dd, w), n in ma.items() if dd == d)
+        per_depth.append(s)
+    return pa.table({
+        "est_join_size": pa.array([min(per_depth)], pa.int64()),
+        "depth_rows_used": pa.array([depth], pa.int64()),
+    })

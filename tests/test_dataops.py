@@ -2408,3 +2408,26 @@ def test_feature_hash_matches_duckdb(ray_session):
     pd.testing.assert_frame_equal(got, want.astype(got.dtypes))
     # the same token always lands in the same bucket: doc1 has 'the' ×2
     assert got[got.doc_id == 1]["n"].max() == 2
+
+
+def test_cms_inner_product_join_size(ray_session):
+    """CM inner product never under-estimates the true equi-join size,
+    and is exact when buckets don't collide."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from payor_linkage.dataops.sketch import cms_inner_product, cms_registers
+
+    rng = np.random.default_rng(11)
+    ka = rng.integers(0, 40, 3000)
+    kb = rng.integers(0, 40, 2000)
+    ra = cms_registers(rd.from_arrow(pa.table({"k": ka})), "k")
+    rb = cms_registers(rd.from_arrow(pa.table({"k": kb})), "k")
+    est = int(cms_inner_product(ra, rb)["est_join_size"][0].as_py())
+    ca = np.bincount(ka, minlength=40)
+    cb = np.bincount(kb, minlength=40)
+    exact = int((ca * cb).sum())
+    assert est >= exact
+    # 40 keys in 256 buckets: collisions inflate ≤ a few percent here
+    assert est <= exact * 2
