@@ -4088,6 +4088,34 @@ def q_wl_labels(sf_dir: str):
     return wl_labels(edges, rounds=2).sort("node")
 
 
+def q_regex_extract(sf_dir: str):
+    """First-match regex group extraction to columns
+    (`text.regex_extract_columns` — one RE2 pass per batch through
+    Arrow's C++ kernel, struct unpacked zero-copy): first two words +
+    whether the doc opens with a known verb. Oracle: DuckDB
+    regexp_extract per group (also RE2; NULLIF('') mirrors Arrow's
+    null-on-no-match, and the [a-z]+ groups can never capture
+    empty)."""
+    from payor_linkage.dataops.text import regex_extract_columns
+
+    return regex_extract_columns(
+        _docs(sf_dir), "text",
+        r"^(?P<w1>[a-z]+) (?P<w2>[a-z]+)", ["w1", "w2"]).sort("doc_id")
+
+
+def q_isotonic_calibration(sf_dir: str):
+    """Monotone score→precision calibration: PAVA over the oracle-
+    checked q_mdm_threshold_sweep buckets
+    (`evaluate.calibrate_isotonic` — driver-tier over ≤21 rows by
+    construction). Rows-only: pooled means are floats; pytest-gated
+    against a naive merge-adjacent-violators reference
+    (tests/test_dataops.py)."""
+    from payor_linkage.evaluate import calibrate_isotonic, threshold_sweep
+
+    res = _mdm_result(sf_dir)
+    return calibrate_isotonic(threshold_sweep(res.unified, res.candidates))
+
+
 def q_cms_join_size(sf_dir: str):
     """Equi-join cardinality estimation WITHOUT running the join: the
     Count-Min inner product (`sketch.cms_inner_product`) over per-side
@@ -4316,6 +4344,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_feature_hash": q_feature_hash,
         "q_ewma": q_ewma,
         "q_cms_join_size": q_cms_join_size,
+        "q_regex_extract": q_regex_extract,
+        "q_isotonic_calibration": q_isotonic_calibration,
         "q_mdm_degree_histogram": q_mdm_degree_histogram,
         "q_mdm_bfs": q_mdm_bfs,
         "q_mdm_threshold_sweep": q_mdm_threshold_sweep,
@@ -5994,6 +6024,15 @@ def oracle_sql() -> dict[str, str]:
                 AS BIGINT) AS pattern
               FROM read_parquet('{_SIDECAR_DIR}/fs_pairfields/*.parquet')
             ) GROUP BY pattern ORDER BY pattern
+        """,
+        # RE2 both sides; NULLIF('') mirrors Arrow's null-on-no-match
+        "q_regex_extract": """
+            SELECT doc_id,
+                   NULLIF(regexp_extract(text,
+                       '^(?P<w1>[a-z]+) (?P<w2>[a-z]+)', 1), '') AS w1,
+                   NULLIF(regexp_extract(text,
+                       '^(?P<w1>[a-z]+) (?P<w2>[a-z]+)', 2), '') AS w2
+            FROM documents ORDER BY doc_id
         """,
         # CM inner product: both register tables rebuilt from scratch
         # (salted md5 buckets, the q_cms_registers arithmetic), then

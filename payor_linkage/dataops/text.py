@@ -2061,3 +2061,27 @@ def feature_hash_vectors(ds: Dataset, id_col: str = "doc_id",
 
     return ds.select_columns([id_col, text_col]).map_batches(
         partial, batch_format="pyarrow")
+
+
+def regex_extract_columns(ds: Dataset, text_col: str, pattern: str,
+                          group_names: list[str],
+                          id_col: str = "doc_id") -> Dataset:
+    """First-match regex group extraction to typed columns —
+    ``regexp_extract(text, pattern, group)`` semantics per group name
+    (non-matching rows get nulls): the workhorse ETL primitive for
+    pulling structured fields out of semi-structured text.
+
+    Map-only and fully vectorized: ``pc.extract_regex`` (RE2 through
+    Arrow's C++ kernel) runs once per batch and the struct result is
+    unpacked zero-copy; no Python per row."""
+    import pyarrow.compute as pc
+
+    def ext(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b[text_col], pattern)
+        cols = {id_col: b[id_col]}
+        for g in group_names:
+            cols[g] = pc.struct_field(m, g)
+        return pa.table(cols)
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        ext, batch_format="pyarrow")

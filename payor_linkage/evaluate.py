@@ -533,3 +533,45 @@ def fs_em_weights(patterns, fields=FS_FIELDS, iters=40, init_m=0.9,
                                     pa.float64()),
     })
     return tbl, lam
+
+
+def calibrate_isotonic(sweep) -> "pa.Table":
+    """Isotonic calibration of the match-score → precision curve: PAVA
+    (pool-adjacent-violators) over the `threshold_sweep` buckets, so
+    calibrated precision is monotone non-decreasing in score — the
+    standard way to turn raw ensemble scores into trustworthy review-
+    queue probabilities without a parametric fit. Driver-tier by
+    construction (≤ granularity+1 buckets regardless of corpus size);
+    the bucket integers underneath are the oracle-checked surface
+    (q_mdm_threshold_sweep), the float output is pytest-gated against
+    a naive merge-violators reference."""
+    import numpy as np
+    import pyarrow as pa
+
+    if hasattr(sweep, "to_pandas") and not isinstance(sweep, pa.Table):
+        sweep = sweep.to_pandas()
+    df = sweep if not isinstance(sweep, pa.Table) else sweep.to_pandas()
+    df = df.sort_values("bucket").reset_index(drop=True)
+    w = df["n_pairs"].to_numpy().astype(np.float64)
+    y = df["n_true"].to_numpy().astype(np.float64) / np.maximum(w, 1.0)
+
+    # stack-based PAVA: maintain blocks of (weight, mean); merge while
+    # the last two violate monotonicity
+    bw, bm, bn = [], [], []  # weight, mean, count of buckets pooled
+    for wi, yi in zip(w, y):
+        cw, cm, cn = wi, yi, 1
+        while bw and bm[-1] > cm:
+            pw, pm, pn = bw.pop(), bm.pop(), bn.pop()
+            cm = (pw * pm + cw * cm) / max(pw + cw, 1e-300)
+            cw += pw
+            cn += pn
+        bw.append(cw)
+        bm.append(cm)
+        bn.append(cn)
+    cal = np.repeat(np.array(bm), np.array(bn))
+    return pa.table({
+        "bucket": pa.array(df["bucket"].to_numpy(), pa.int64()),
+        "n_pairs": pa.array(df["n_pairs"].to_numpy(), pa.int64()),
+        "n_true": pa.array(df["n_true"].to_numpy(), pa.int64()),
+        "calibrated_precision": pa.array(cal, pa.float64()),
+    })

@@ -2431,3 +2431,52 @@ def test_cms_inner_product_join_size(ray_session):
     assert est >= exact
     # 40 keys in 256 buckets: collisions inflate ≤ a few percent here
     assert est <= exact * 2
+
+
+def test_isotonic_calibration_matches_naive_pava(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    from payor_linkage.evaluate import calibrate_isotonic
+
+    rng = np.random.default_rng(5)
+    n_pairs = rng.integers(1, 50, 15)
+    n_true = np.array([rng.integers(0, p + 1) for p in n_pairs])
+    sweep = pa.table({"bucket": pa.array(np.arange(15), pa.int64()),
+                      "n_pairs": pa.array(n_pairs, pa.int64()),
+                      "n_true": pa.array(n_true, pa.int64())})
+    got = calibrate_isotonic(sweep)["calibrated_precision"].to_numpy()
+
+    # naive O(n^2) reference: repeatedly merge ANY adjacent violator
+    blocks = [[float(w), float(t) / max(w, 1), 1]
+              for w, t in zip(n_pairs, n_true)]
+    changed = True
+    while changed:
+        changed = False
+        for i in range(len(blocks) - 1):
+            if blocks[i][1] > blocks[i + 1][1] + 1e-15:
+                w1, m1, c1 = blocks[i]
+                w2, m2, c2 = blocks[i + 1]
+                blocks[i:i + 2] = [[w1 + w2,
+                                    (w1 * m1 + w2 * m2) / (w1 + w2),
+                                    c1 + c2]]
+                changed = True
+                break
+    want = np.repeat([b[1] for b in blocks], [b[2] for b in blocks])
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+    assert (np.diff(got) >= -1e-12).all()
+
+
+def test_regex_extract_null_on_no_match(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from payor_linkage.dataops.text import regex_extract_columns
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": [1, 2], "text": ["alpha beta rest", "123 no match"]}))
+    got = regex_extract_columns(
+        docs, "text", r"^(?P<w1>[a-z]+) (?P<w2>[a-z]+)",
+        ["w1", "w2"]).to_pandas().set_index("doc_id")
+    assert got.loc[1].tolist() == ["alpha", "beta"]
+    assert got.loc[2].isna().all()
