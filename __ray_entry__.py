@@ -4088,6 +4088,43 @@ def q_wl_labels(sf_dir: str):
     return wl_labels(edges, rounds=2).sort("node")
 
 
+def q_medoid_name(sf_dir: str):
+    """Medoid golden-name election per match group
+    (`survivorship.medoid_name`): the member name maximizing total
+    Jaro–Winkler similarity to its co-members — the no-trust-prior
+    survivorship alternative. JW runs through DuckDB's kernel on BOTH
+    sides and sums are FLOOR-quantized to micro-units, so the gate is
+    float-free and byte-exact. Oracle: within-group self-join +
+    jaro_winkler_similarity + per-member integer sums + argmax over
+    the members sidecar."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from payor_linkage.survivorship import medoid_name
+
+    res = _mdm_result(sf_dir)
+
+    def memb(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "g": b["match_group_id"], "rid": b["source_record_id"]})
+
+    # sidecar: (g, rid, name) with the same null-fill the engine applies
+    from payor_linkage.rayutil import lookup_join
+
+    side = lookup_join(
+        res.groups.select_columns(["source_record_id", "match_group_id"]),
+        res.unified.select_columns(["source_record_id",
+                                    "payor_name_clean"]),
+        on="source_record_id").map_batches(
+        lambda b: pa.table({
+            "g": b["match_group_id"], "rid": b["source_record_id"],
+            "name": pc.fill_null(
+                pc.cast(b["payor_name_clean"], pa.string()), "")}),
+        batch_format="pyarrow")
+    _dump_sidecar("medoid_members", side)
+    return medoid_name(res.groups, res.unified).sort("match_group_id")
+
+
 def q_regex_extract(sf_dir: str):
     """First-match regex group extraction to columns
     (`text.regex_extract_columns` — one RE2 pass per batch through
@@ -4346,6 +4383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cms_join_size": q_cms_join_size,
         "q_regex_extract": q_regex_extract,
         "q_isotonic_calibration": q_isotonic_calibration,
+        "q_medoid_name": q_medoid_name,
         "q_mdm_degree_histogram": q_mdm_degree_histogram,
         "q_mdm_bfs": q_mdm_bfs,
         "q_mdm_threshold_sweep": q_mdm_threshold_sweep,
@@ -6024,6 +6062,29 @@ def oracle_sql() -> dict[str, str]:
                 AS BIGINT) AS pattern
               FROM read_parquet('{_SIDECAR_DIR}/fs_pairfields/*.parquet')
             ) GROUP BY pattern ORDER BY pattern
+        """,
+        # Medoid election: same DuckDB JW kernel + FLOOR micro-unit
+        # quantization as the engine → integer sums, byte-exact; LEFT
+        # JOIN keeps singleton groups (no pairs) at total 0
+        "q_medoid_name": f"""
+            WITH m AS (SELECT * FROM
+                read_parquet('{_SIDECAR_DIR}/medoid_members/*.parquet')),
+            p AS (SELECT a.g, a.rid, a.name,
+                         CAST(FLOOR(jaro_winkler_similarity(
+                             a.name, b.name) * 1000000) AS BIGINT) AS s
+                  FROM m a JOIN m b USING (g) WHERE a.rid <> b.rid),
+            sums AS (SELECT g, rid, name, SUM(s) AS tot
+                     FROM p GROUP BY 1, 2, 3),
+            allm AS (SELECT m.g, m.rid, m.name,
+                            CAST(COALESCE(s.tot, 0) AS BIGINT) AS tot
+                     FROM m LEFT JOIN sums s USING (g, rid)),
+            pick AS (SELECT g, name, tot,
+                            row_number() OVER (PARTITION BY g
+                                ORDER BY tot DESC, name ASC) AS rn
+                     FROM allm)
+            SELECT g AS match_group_id, name AS medoid_name,
+                   tot AS total_sim_micro
+            FROM pick WHERE rn = 1 ORDER BY g
         """,
         # RE2 both sides; NULLIF('') mirrors Arrow's null-on-no-match
         "q_regex_extract": """

@@ -806,3 +806,95 @@ def source_accuracy_em(patterns, sources: list[str], iters: int = 25,
         "accuracy": pa.array(acc, pa.float64()),
         "n_claims": pa.array(claim_totals.astype(np.int64), pa.int64()),
     })
+
+
+def medoid_name(groups: Dataset, unified: Dataset,
+                name_col: str = "payor_name_clean",
+                quant: int = 1_000_000) -> Dataset:
+    """Medoid golden-name election: per match group, the member name
+    maximizing total Jaro–Winkler similarity to the other members —
+    the centroid-style alternative to the reference's trust-rank
+    survivorship (useful when no source is trusted a priori). Ties
+    break to the lexicographically smallest name. Returns
+    ``(match_group_id, medoid_name, total_sim_micro)`` where the sum
+    is FLOOR-quantized to integer micro-units, so the gate is float-
+    free: JW itself runs through DuckDB's C++ kernel (the scorer's
+    precedent), byte-identical to a SQL oracle, and integer sums are
+    order-independent.
+
+    Shape: one member attach (`lookup_join`), one grouped pass; within
+    each run the k² pair index matrix is pure numpy arithmetic
+    (bounded by the cluster cap), all pairs across runs JW-scored in
+    ONE DuckDB call per block, and per-name sums collapse via
+    bincount."""
+    import duckdb
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from payor_linkage.rayutil import grouped_apply, lookup_join
+
+    members = lookup_join(
+        groups.select_columns(["source_record_id", "match_group_id"]),
+        unified.select_columns(["source_record_id", name_col]),
+        on="source_record_id")
+
+    def prep(b: pa.Table) -> pa.Table:
+        name = pc.fill_null(pc.cast(b[name_col], pa.string()), "")
+        return pa.table({"g": b["match_group_id"], "name": name})
+
+    prepped = members.map_batches(prep, batch_format="pyarrow")
+    out_schema = pa.schema([("match_group_id", pa.string()),
+                            ("medoid_name", pa.string()),
+                            ("total_sim_micro", pa.int64())])
+
+    def runs(b: pa.Table, starts, ends) -> pa.Table:
+        lo, hi = int(starts[0]), int(ends[-1])
+        n = hi - lo
+        sizes = (ends - starts).astype(np.int64)
+        names = b["name"].combine_chunks().slice(lo, n)
+        # k² ordered pair indices per run, vectorized across runs
+        sq = sizes * sizes
+        total = int(sq.sum())
+        cum = np.concatenate([[0], np.cumsum(sq)[:-1]])
+        p = np.arange(total, dtype=np.int64) - np.repeat(cum, sq)
+        base = np.repeat(starts - lo, sq)
+        krep = np.repeat(sizes, sq)
+        li = base + p // krep
+        ri = base + p % krep
+        keep = li != ri
+        li, ri = li[keep], ri[keep]
+        if len(li):
+            con = duckdb.connect()
+            con.register("t", pa.table({
+                "a": names.take(pa.array(li)),
+                "b": names.take(pa.array(ri))}))
+            jw = con.execute(
+                f"SELECT CAST(FLOOR(jaro_winkler_similarity(a, b) * "
+                f"{quant}) AS BIGINT) AS s FROM t").arrow()["s"] \
+                .to_numpy(zero_copy_only=False)
+            con.close()
+        else:
+            jw = np.empty(0, np.int64)
+        per_name = np.zeros(n, np.int64)
+        np.add.at(per_name, li, jw)
+        # argmax per run with (sum DESC, name ASC) tie-break: lexsort
+        # by (name rank asc) then stable max scan — use order trick
+        enc = names.dictionary_encode()
+        raw = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        drank = np.empty(len(enc.dictionary), dtype=np.int64)
+        drank[pc.sort_indices(enc.dictionary).to_numpy(
+            zero_copy_only=False).astype(np.int64)] = \
+            np.arange(len(enc.dictionary))
+        nrank = drank[raw]
+        rid = np.repeat(np.arange(len(starts), dtype=np.int64), sizes)
+        order = np.lexsort((nrank, -per_name, rid))
+        firsts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        win = order[firsts]
+        gfirst = pa.array((starts).astype(np.int64))
+        return pa.table({
+            "match_group_id": b["g"].take(gfirst),
+            "medoid_name": names.take(pa.array(win)),
+            "total_sim_micro": pa.array(per_name[win], pa.int64()),
+        }).cast(out_schema)
+
+    return grouped_apply(prepped, "g", out_schema=out_schema, runs_fn=runs)

@@ -198,3 +198,55 @@ def test_vectorized_election_matches_python_kernel(ray_session):
         ref2 = _make_golden_runs_py(cfg, with_spans=False)(
             tbl, starts[1:-1], ends[1:-1])
         assert vec2.equals(ref2)
+
+
+def test_medoid_name_matches_duckdb_reference(ray_session, pipeline_result):
+    """Medoid election equals an independent DuckDB self-join argmax
+    (same JW kernel, floor micro-quantized integer sums) on the real
+    match groups; singletons return their own name at total 0."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from payor_linkage.rayutil import lookup_join
+    from payor_linkage.survivorship import medoid_name
+
+    res = pipeline_result
+    got = (medoid_name(res.groups, res.unified).to_pandas()
+           .sort_values("match_group_id").reset_index(drop=True))
+
+    members = lookup_join(
+        res.groups.select_columns(["source_record_id", "match_group_id"]),
+        res.unified.select_columns(["source_record_id",
+                                    "payor_name_clean"]),
+        on="source_record_id").map_batches(
+        lambda b: pa.table({
+            "g": b["match_group_id"], "rid": b["source_record_id"],
+            "name": pc.fill_null(
+                pc.cast(b["payor_name_clean"], pa.string()), "")}),
+        batch_format="pyarrow").to_pandas()
+    con = duckdb.connect()
+    con.register("m", members)
+    want = con.execute("""
+        WITH p AS (SELECT a.g, a.rid, a.name,
+                          CAST(FLOOR(jaro_winkler_similarity(a.name,
+                              b.name) * 1000000) AS BIGINT) AS s
+                   FROM m a JOIN m b USING (g) WHERE a.rid <> b.rid),
+        sums AS (SELECT g, rid, name, SUM(s) AS tot FROM p GROUP BY 1,2,3),
+        allm AS (SELECT m.g, m.rid, m.name,
+                        CAST(COALESCE(s.tot, 0) AS BIGINT) AS tot
+                 FROM m LEFT JOIN sums s USING (g, rid)),
+        pick AS (SELECT g, name, tot, row_number() OVER (
+                     PARTITION BY g ORDER BY tot DESC, name ASC) AS rn
+                 FROM allm)
+        SELECT g AS match_group_id, name AS medoid_name,
+               tot AS total_sim_micro
+        FROM pick WHERE rn = 1 ORDER BY g""").df()
+    con.close()
+    pd.testing.assert_frame_equal(got, want)
+    # medoid is always a member name; singleton groups score 0
+    sizes = members.groupby("g").size()
+    singles = set(sizes[sizes == 1].index)
+    s = got[got.match_group_id.isin(singles)]
+    assert (s["total_sim_micro"] == 0).all()
