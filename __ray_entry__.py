@@ -4088,6 +4088,25 @@ def q_wl_labels(sf_dir: str):
     return wl_labels(edges, rounds=2).sort("node")
 
 
+def q_subtree_sums(sf_dir: str):
+    """Hierarchical rollup: subtree sizes for every node of the
+    doc_id→doc_id//8 forest (`graph.forest_subtree_sums` — bottom-up
+    level rounds, ONE grouped Sum per level; depth labeled first by
+    pointer doubling). The BOM-explosion / org-chart aggregate.
+    Oracle: ancestor-closure recursive CTE grouped by ancestor."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from payor_linkage.dataops.graph import forest_subtree_sums
+
+    def mk_edges(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].filter(pc.greater_equal(b["doc_id"], 8))
+        return pa.table({"child": d, "parent": pc.divide(d, 8)})
+
+    edges = _docs(sf_dir).map_batches(mk_edges, batch_format="pyarrow")
+    return forest_subtree_sums(edges).sort("node")
+
+
 def q_medoid_name(sf_dir: str):
     """Medoid golden-name election per match group
     (`survivorship.medoid_name`): the member name maximizing total
@@ -4384,6 +4403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_regex_extract": q_regex_extract,
         "q_isotonic_calibration": q_isotonic_calibration,
         "q_medoid_name": q_medoid_name,
+        "q_subtree_sums": q_subtree_sums,
         "q_mdm_degree_histogram": q_mdm_degree_histogram,
         "q_mdm_bfs": q_mdm_bfs,
         "q_mdm_threshold_sweep": q_mdm_threshold_sweep,
@@ -6063,6 +6083,24 @@ def oracle_sql() -> dict[str, str]:
               FROM read_parquet('{_SIDECAR_DIR}/fs_pairfields/*.parquet')
             ) GROUP BY pattern ORDER BY pattern
         """,
+        # Subtree rollup: every walk row (node, cur) says cur is an
+        # ancestor-or-self of node → COUNT per cur = subtree size
+        "q_subtree_sums": """
+            WITH RECURSIVE ptr AS (
+              SELECT doc_id AS child, doc_id // 8 AS parent
+              FROM documents WHERE doc_id >= 8),
+            nodes AS (SELECT DISTINCT node FROM (
+                        SELECT child AS node FROM ptr
+                        UNION ALL SELECT parent FROM ptr)),
+            walk AS (
+              SELECT node, node AS cur, 0 AS depth FROM nodes
+              UNION ALL
+              SELECT w.node, p.parent, w.depth + 1
+              FROM walk w JOIN ptr p ON w.cur = p.child
+              WHERE w.depth < 64)
+            SELECT cur AS node, CAST(count(*) AS BIGINT) AS subtree_sum
+            FROM walk GROUP BY 1 ORDER BY 1
+        """,
         # Medoid election: same DuckDB JW kernel + FLOOR micro-unit
         # quantization as the engine → integer sums, byte-exact; LEFT
         # JOIN keeps singleton groups (no pairs) at total 0
@@ -6243,8 +6281,11 @@ def oracle_sql() -> dict[str, str]:
             WITH RECURSIVE ptr AS (
               SELECT doc_id AS child, doc_id // 8 AS parent
               FROM documents WHERE doc_id >= 8),
-            nodes AS (SELECT DISTINCT child AS node FROM ptr
-                      UNION SELECT DISTINCT parent FROM ptr),
+            -- DuckDB 1.0 quirk: a bare UNION inside WITH RECURSIVE
+            -- does not dedup — wrap in DISTINCT over UNION ALL
+            nodes AS (SELECT DISTINCT node FROM (
+                        SELECT child AS node FROM ptr
+                        UNION ALL SELECT parent FROM ptr)),
             walk AS (
               SELECT node, node AS cur, 0 AS depth FROM nodes
               UNION ALL

@@ -820,3 +820,113 @@ def wl_labels(edges: Dataset, src_col: str = "id_a",
     return labels.map_batches(
         lambda b: pa.table({"node": b["node"], "wl": b["l"]}),
         batch_format="pyarrow")
+
+
+def forest_subtree_sums(edges: Dataset, child_col: str = "child",
+                        parent_col: str = "parent",
+                        values: Dataset | None = None,
+                        max_depth: int = 64) -> Dataset:
+    """Hierarchical rollup (the BOM-explosion / org-chart aggregate):
+    for every node of a parent forest, the SUM of a per-node value
+    over its whole subtree, self included (``values`` is an optional
+    ``(node, v)`` Dataset; None sums 1s = subtree sizes — nodes
+    missing from ``values`` contribute 0). Returns
+    ``(node, subtree_sum)``.
+
+    Shape — bottom-up level rounds: `forest_paths` (pointer doubling)
+    labels each node's depth first; then, from the deepest level up,
+    each level's accumulated sums collapse onto parents with ONE
+    grouped Sum + ONE bounded union per round. Rounds = tree depth —
+    the right trade for real hierarchies, which are shallow (an org
+    chart is ~6 levels at any corpus size); the all-pairs closure
+    alternative is O(n·depth) rows of shuffle. Cycles are rejected by
+    `forest_paths` before any work."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    from payor_linkage.rayutil import smart_join
+
+    sch = edges.schema()
+    node_t = dict(zip(sch.names, sch.types))[child_col]
+
+    fp = forest_paths(edges, child_col, parent_col,
+                      max_depth=max_depth).materialize()
+    if fp.count() == 0:
+        return rd.from_arrow(pa.schema(
+            [("node", node_t),
+             ("subtree_sum", pa.int64())]).empty_table())
+
+    def canon(b: pa.Table) -> pa.Table:
+        c = pc.cast(b[child_col], node_t)
+        p = pc.cast(b[parent_col], node_t)
+        keep = pc.and_kleene(pc.and_kleene(c.is_valid(), p.is_valid()),
+                             pc.not_equal(c, p))
+        return pa.table({"child": c.filter(keep), "parent": p.filter(keep)})
+
+    ptr = (edges.map_batches(canon, batch_format="pyarrow")
+           .groupby("child").aggregate(Min("parent", alias_name="parent"))
+           .materialize())
+
+    if values is None:
+        vals = fp.map_batches(
+            lambda b: pa.table({"node": b["node"], "v": pa.array(
+                np.ones(b.num_rows, np.int64))}), batch_format="pyarrow")
+    else:
+        # every forest node needs a row (0 default) so the depth attach
+        # below stays total: tagged union + grouped sum
+        given = values.map_batches(
+            lambda b: pa.table({"node": pc.cast(b["node"], node_t),
+                                "v": pc.cast(b["v"], pa.int64())}),
+            batch_format="pyarrow")
+        zeros = fp.map_batches(
+            lambda b: pa.table({"node": b["node"], "v": pa.array(
+                np.zeros(b.num_rows, np.int64))}), batch_format="pyarrow")
+        vals = given.union(zeros).groupby("node").aggregate(
+            Sum("v", alias_name="v"))
+
+    # depth attach once: (node, depth, v) — accumulate upward
+    cur = smart_join(vals, fp.select_columns(["node", "depth"]),
+                     "node").materialize()
+    # parent attach map: node → parent (children only)
+    par = ptr.map_batches(
+        lambda b: pa.table({"node": b["child"], "parent": b["parent"]}),
+        batch_format="pyarrow").materialize()
+
+    out_parts = []
+    dmax = int(cur.max("depth") or 0)
+    for d in range(dmax, 0, -1):
+        def split(b: pa.Table, dd=d) -> pa.Table:
+            return b.filter(pc.equal(b["depth"], dd))
+
+        def keep_rest(b: pa.Table, dd=d) -> pa.Table:
+            return b.filter(pc.not_equal(b["depth"], dd))
+
+        level = cur.map_batches(split, batch_format="pyarrow") \
+            .materialize()
+        out_parts.append(level.select_columns(["node", "v"]))
+        # push each finished node's sum onto its parent
+        up = smart_join(level.select_columns(["node", "v"]), par, "node")
+        contrib = (up.map_batches(
+            lambda b: pa.table({"node": b["parent"], "add": b["v"]}),
+            batch_format="pyarrow")
+            .groupby("node").aggregate(Sum("add", alias_name="add")))
+        rest = cur.map_batches(keep_rest, batch_format="pyarrow")
+        merged = rest.union(contrib.map_batches(
+            lambda b: pa.table({"node": b["node"],
+                                "v": pc.cast(b["add"], pa.int64()),
+                                "depth": pa.nulls(b.num_rows, pa.int64())}),
+            batch_format="pyarrow"))
+        # consolidate: sum v per node, keep the real depth (max ignores
+        # the null depth of contribution rows)
+        cur = merged.groupby("node").aggregate(
+            Sum("v", alias_name="v"),
+            Max("depth", alias_name="depth")).materialize()
+    out_parts.append(cur.select_columns(["node", "v"]))
+
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.union(p)
+    return out.map_batches(
+        lambda b: pa.table({"node": b["node"],
+                            "subtree_sum": pc.cast(b["v"], pa.int64())}),
+        batch_format="pyarrow")

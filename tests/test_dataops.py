@@ -2480,3 +2480,22 @@ def test_regex_extract_null_on_no_match(ray_session):
         ["w1", "w2"]).to_pandas().set_index("doc_id")
     assert got.loc[1].tolist() == ["alpha", "beta"]
     assert got.loc[2].isna().all()
+
+
+def test_forest_subtree_sums(ray_session):
+    """Hand-checked counts + weighted values; values default to 1."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from payor_linkage.dataops.graph import forest_subtree_sums
+
+    edges = rd.from_arrow(pa.table({"child": ["b", "c", "d", "f"],
+                                    "parent": ["a", "b", "b", "e"]}))
+    got = forest_subtree_sums(edges).to_pandas()
+    assert dict(zip(got.node, got.subtree_sum)) == {
+        "a": 4, "b": 3, "c": 1, "d": 1, "e": 2, "f": 1}
+
+    vals = rd.from_arrow(pa.table({"node": ["c", "f"], "v": [5, 2]}))
+    gw = forest_subtree_sums(edges, values=vals).to_pandas()
+    assert dict(zip(gw.node, gw.subtree_sum)) == {
+        "a": 5, "b": 5, "c": 5, "d": 0, "e": 2, "f": 2}
