@@ -4088,6 +4088,29 @@ def q_wl_labels(sf_dir: str):
     return wl_labels(edges, rounds=2).sort("node")
 
 
+def q_interpolate(sf_dir: str):
+    """Linear gap interpolation (`temporal.interpolate_linear`): event
+    values deterministically nulled (event_id % 5 == 0), interior
+    gaps lerp'd between known neighbors per user, edge gaps stay
+    null. Oracle: IGNORE-NULLS window neighbors + the IDENTICAL float
+    expression (byte-exact — IEEE determinism; GREATEST(dt,1) guards
+    equal timestamps on both sides)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from payor_linkage.dataops.temporal import interpolate_linear
+
+    def null_out(b: pa.Table) -> pa.Table:
+        m = pc.equal(pc.subtract(b["event_id"],
+                                 pc.multiply(pc.divide(b["event_id"], 5),
+                                             5)), 0)
+        v = pc.if_else(m, pa.scalar(None, pa.float64()), b["value"])
+        return b.set_column(b.column_names.index("value"), "value", v)
+
+    ev = _events(sf_dir).map_batches(null_out, batch_format="pyarrow")
+    return interpolate_linear(ev).sort(["user_id", "ts", "event_id"])
+
+
 def q_subtree_sums(sf_dir: str):
     """Hierarchical rollup: subtree sizes for every node of the
     doc_id→doc_id//8 forest (`graph.forest_subtree_sums` — bottom-up
@@ -4404,6 +4427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_isotonic_calibration": q_isotonic_calibration,
         "q_medoid_name": q_medoid_name,
         "q_subtree_sums": q_subtree_sums,
+        "q_interpolate": q_interpolate,
         "q_mdm_degree_histogram": q_mdm_degree_histogram,
         "q_mdm_bfs": q_mdm_bfs,
         "q_mdm_threshold_sweep": q_mdm_threshold_sweep,
@@ -6082,6 +6106,41 @@ def oracle_sql() -> dict[str, str]:
                 AS BIGINT) AS pattern
               FROM read_parquet('{_SIDECAR_DIR}/fs_pairfields/*.parquet')
             ) GROUP BY pattern ORDER BY pattern
+        """,
+        # Linear interpolation: IGNORE-NULLS window neighbors; the
+        # arithmetic expression tree matches the engine token-for-token
+        "q_interpolate": """
+            WITH e AS (SELECT user_id, ts, event_id,
+                              CASE WHEN event_id % 5 = 0 THEN NULL
+                                   ELSE value END AS value
+                       FROM events),
+            w AS (SELECT user_id, ts, event_id, value,
+                    last_value(value IGNORE NULLS) OVER pw AS v_prev,
+                    last_value(CASE WHEN value IS NOT NULL
+                               THEN epoch_us(ts) END IGNORE NULLS)
+                        OVER pw AS t_prev,
+                    first_value(value IGNORE NULLS) OVER fw AS v_next,
+                    first_value(CASE WHEN value IS NOT NULL
+                                THEN epoch_us(ts) END IGNORE NULLS)
+                        OVER fw AS t_next
+                  FROM e
+                  WINDOW pw AS (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING),
+                         fw AS (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS BETWEEN 1 FOLLOWING
+                                AND UNBOUNDED FOLLOWING))
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN value IS NOT NULL THEN value
+                        WHEN v_prev IS NOT NULL AND v_next IS NOT NULL
+                        THEN v_prev + (v_next - v_prev) *
+                             (CAST(epoch_us(ts) - t_prev AS DOUBLE) /
+                              CAST(GREATEST(t_next - t_prev, 1)
+                                   AS DOUBLE))
+                        ELSE NULL END AS interp
+            FROM w ORDER BY user_id, ts, event_id
         """,
         # Subtree rollup: every walk row (node, cur) says cur is an
         # ancestor-or-self of node → COUNT per cur = subtree size

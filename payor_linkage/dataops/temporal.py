@@ -1176,3 +1176,74 @@ def ewma(ds: Dataset, key: str, order_col: str, value_col: str,
 
     prepped = ds.select_columns([key, order_col, value_col])
     return grouped_apply(prepped, key, out_schema=out_schema, runs_fn=runs)
+
+
+def interpolate_linear(events: Dataset, on: str = "user_id",
+                       order_cols: list[str] | None = None,
+                       value_col: str = "value",
+                       out_col: str = "interp") -> Dataset:
+    """Linear interpolation of interior nulls: within each partition
+    ordered by ``order_col``, a null value between two known neighbors
+    becomes ``v_prev + (v_next − v_prev) · ((t − t_prev) / (t_next −
+    t_prev))``; leading/trailing nulls (no neighbor on one side) stay
+    null, known rows pass through unchanged — the standard time-series
+    gap fill one step up from LOCF.
+
+    Ordering is by ``order_cols`` (default ["ts", "event_id"] — pass a
+    unique tiebreaker, exactly as `fill_forward` does); interpolation
+    distance uses the FIRST order column as int64 time. One grouped
+    sort; prev/next known indices come from the `fill_forward`
+    monotone-accumulate trick run in both directions (run-boundary
+    leaks masked the same way). The single float expression is written
+    identically in the SQL oracle, so parity is byte-exact (IEEE ops
+    are deterministic given the same expression tree); equal-timestamp
+    gaps divide by GREATEST(dt, 1) on both sides."""
+    import pyarrow.compute as pc
+
+    order_cols = order_cols or ["ts", "event_id"]
+    proj = [on] + [c for c in order_cols if c != on] + [value_col]
+    out_schema = pa.schema(
+        [(c, events.schema().base_schema.field(c).type) for c in proj]
+        + [(out_col, pa.float64())])
+
+    def runs(b: pa.Table, starts, ends) -> pa.Table:
+        lo, hi = int(starts[0]), int(ends[-1])
+        span = hi - lo
+        rid = _run_ids_local(starts, ends)
+        arrs = [b[c].to_numpy(zero_copy_only=False)[lo:hi]
+                for c in order_cols]
+        ov = arrs[0]
+        order = np.lexsort(tuple(reversed(arrs)) + (rid,))
+        vcol = b[value_col].combine_chunks()
+        v = vcol.to_numpy(zero_copy_only=False)[lo:hi][order] \
+            .astype(np.float64)
+        t = ov[order].astype(np.int64)
+        valid = pc.is_valid(vcol).to_numpy(
+            zero_copy_only=False)[lo:hi][order]
+        idx = np.arange(span, dtype=np.int64)
+        prev = np.maximum.accumulate(np.where(valid, idx, -1))
+        nxt = span - 1 - np.maximum.accumulate(
+            np.where(valid[::-1], idx, -1))[::-1]
+        lens = (ends - starts).astype(np.int64)
+        run_start = np.repeat((starts - lo).astype(np.int64), lens)
+        run_end = np.repeat((ends - lo).astype(np.int64), lens)
+        ok = valid | ((prev >= run_start) & (nxt < run_end)
+                      & (prev >= 0) & (nxt <= span - 1))
+        pi = np.clip(prev, 0, span - 1)
+        ni = np.clip(nxt, 0, span - 1)
+        dt = (t - t[pi]).astype(np.float64)
+        dT = np.maximum(t[ni] - t[pi], 1).astype(np.float64)
+        interp = v[pi] + (v[ni] - v[pi]) * (dt / dT)
+        out = np.where(valid, v, np.where(ok, interp, np.nan))
+        res = pa.array(out, pa.float64())
+        res = pc.if_else(pa.array(ok | valid), res,
+                         pa.scalar(None, pa.float64()))
+        take = pa.array(order + lo)
+        cols = {c: b[c].take(take) for c in proj}
+        cols[out_col] = res
+        return pa.table(cols).cast(out_schema)
+
+    from payor_linkage.rayutil import grouped_apply
+
+    return grouped_apply(events.select_columns(proj), on,
+                         out_schema=out_schema, runs_fn=runs)

@@ -2499,3 +2499,31 @@ def test_forest_subtree_sums(ray_session):
     gw = forest_subtree_sums(edges, values=vals).to_pandas()
     assert dict(zip(gw.node, gw.subtree_sum)) == {
         "a": 5, "b": 5, "c": 5, "d": 0, "e": 2, "f": 2}
+
+
+def test_interpolate_linear_hand_checked(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from payor_linkage.dataops.temporal import interpolate_linear
+
+    ev = pa.table({
+        "user_id": [1] * 6 + [2] * 3,
+        "ts": pa.array([0, 10, 20, 30, 40, 50, 0, 10, 20],
+                       pa.timestamp("us")),
+        "event_id": list(range(9)),
+        "value": [None, 1.0, None, None, 7.0, None,  # edges stay null
+                  None, None, 5.0]})
+    got = (interpolate_linear(rd.from_arrow(ev)).to_pandas()
+           .sort_values(["user_id", "ts"]).reset_index(drop=True))
+    want = [None, 1.0, 3.0, 5.0, 7.0, None, None, None, 5.0]
+    for g, w in zip(got["interp"], want):
+        if w is None:
+            assert pd.isna(g)
+        else:
+            np.testing.assert_allclose(g, w)
+    # known rows pass through untouched
+    known = got[got.value.notna()]
+    assert (known.value == known.interp).all()
