@@ -4088,6 +4088,38 @@ def q_wl_labels(sf_dir: str):
     return wl_labels(edges, rounds=2).sort("node")
 
 
+def q_rank_agreement(sf_dir: str):
+    """Kendall τ-b sufficient statistics comparing two per-user
+    rankings — activity (event count) vs tenure (first-event time,
+    int µs) — as exact pair-concordance integers
+    (`evaluate.ranking_agreement`; per-user scores are ONE distributed
+    groupby, the n² classification is driver-tier over the bounded
+    per-entity aggregate by contract). Oracle: the same sign CASE over
+    an inequality self-join."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from payor_linkage.evaluate import ranking_agreement
+
+    from ray.data.aggregate import Min
+
+    ev = _events(sf_dir)
+    per_user = (ev.map_batches(
+        lambda b: pa.table({"user_id": b["user_id"],
+                            "tsus": pc.cast(b["ts"], pa.int64())}),
+        batch_format="pyarrow")
+        .groupby("user_id").aggregate(Min("tsus", alias_name="b")))
+    counts = (ev.groupby("user_id").count()
+              .map_batches(lambda b: pa.table({
+                  "user_id": b["user_id"],
+                  "a": pc.cast(b["count()"], pa.int64())}),
+                  batch_format="pyarrow"))
+    from payor_linkage.rayutil import smart_join
+
+    both = smart_join(counts, per_user, "user_id")
+    return ranking_agreement(both, "user_id", "a", "b")
+
+
 def q_interpolate(sf_dir: str):
     """Linear gap interpolation (`temporal.interpolate_linear`): event
     values deterministically nulled (event_id % 5 == 0), interior
@@ -4428,6 +4460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_medoid_name": q_medoid_name,
         "q_subtree_sums": q_subtree_sums,
         "q_interpolate": q_interpolate,
+        "q_rank_agreement": q_rank_agreement,
         "q_mdm_degree_histogram": q_mdm_degree_histogram,
         "q_mdm_bfs": q_mdm_bfs,
         "q_mdm_threshold_sweep": q_mdm_threshold_sweep,
@@ -6106,6 +6139,29 @@ def oracle_sql() -> dict[str, str]:
                 AS BIGINT) AS pattern
               FROM read_parquet('{_SIDECAR_DIR}/fs_pairfields/*.parquet')
             ) GROUP BY pattern ORDER BY pattern
+        """,
+        # Kendall concordance: sign CASE over an i<j self-join of the
+        # same per-user aggregates
+        "q_rank_agreement": """
+            WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS a,
+                              CAST(min(epoch_us(ts)) AS BIGINT) AS b
+                       FROM events GROUP BY 1),
+            p AS (SELECT sign(x.a - y.a) AS da, sign(x.b - y.b) AS db
+                  FROM u x JOIN u y ON x.user_id < y.user_id)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM u) AS n_items,
+                   (SELECT CAST(count(*) * (count(*) - 1) // 2
+                                AS BIGINT) FROM u) AS n_pairs,
+                   CAST(sum(CASE WHEN da * db > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS concordant,
+                   CAST(sum(CASE WHEN da * db < 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS discordant,
+                   CAST(sum(CASE WHEN da = 0 AND db <> 0 THEN 1
+                            ELSE 0 END) AS BIGINT) AS tied_a,
+                   CAST(sum(CASE WHEN da <> 0 AND db = 0 THEN 1
+                            ELSE 0 END) AS BIGINT) AS tied_b,
+                   CAST(sum(CASE WHEN da = 0 AND db = 0 THEN 1
+                            ELSE 0 END) AS BIGINT) AS tied_both
+            FROM p
         """,
         # Linear interpolation: IGNORE-NULLS window neighbors; the
         # arithmetic expression tree matches the engine token-for-token

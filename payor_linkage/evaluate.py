@@ -575,3 +575,56 @@ def calibrate_isotonic(sweep) -> "pa.Table":
         "n_true": pa.array(df["n_true"].to_numpy(), pa.int64()),
         "calibrated_precision": pa.array(cal, pa.float64()),
     })
+
+
+def ranking_agreement(ds, id_col: str, a_col: str, b_col: str,
+                      max_items: int = 20_000) -> "pa.Table":
+    """Kendall pair-concordance integers between two per-item scores
+    (the τ-b sufficient statistics): over all item pairs i<j, counts
+    of concordant / discordant / tied-in-a / tied-in-b / tied-in-both
+    sign combinations — the exact, float-free way to compare two
+    rankings (two ANN configs, two scorers, score-vs-label). τ-b
+    derives downstream as pure arithmetic.
+
+    Driver-tier BY CONTRACT: rankings are query-result-sized (top-k
+    lists, per-entity aggregates), never corpus-sized — raises above
+    ``max_items``. The n² classification runs chunk-vectorized in
+    numpy (no python per pair); upstream score construction is the
+    distributed part."""
+    import numpy as np
+    import pyarrow as pa
+
+    tbl = ds.to_pandas() if hasattr(ds, "to_pandas") and not isinstance(
+        ds, pa.Table) else (ds.to_pandas() if isinstance(ds, pa.Table)
+                            else ds)
+    n = len(tbl)
+    if n > max_items:
+        raise ValueError(f"ranking_agreement: {n} items exceeds the "
+                         f"bounded-ranking contract ({max_items})")
+    a = tbl[a_col].to_numpy()
+    b = tbl[b_col].to_numpy()
+    conc = disc = tie_a = tie_b = tie_both = 0
+    chunk = max(1, 10_000_000 // max(n, 1))
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        rows = np.arange(s, e)
+        mask = np.arange(n)[None, :] > rows[:, None]  # j > i only
+        da = np.sign(a[s:e, None].astype(np.int64)
+                     - a[None, :].astype(np.int64))
+        db = np.sign(b[s:e, None].astype(np.int64)
+                     - b[None, :].astype(np.int64))
+        prod = da * db
+        conc += int(((prod > 0) & mask).sum())
+        disc += int(((prod < 0) & mask).sum())
+        tie_both += int(((da == 0) & (db == 0) & mask).sum())
+        tie_a += int(((da == 0) & (db != 0) & mask).sum())
+        tie_b += int(((da != 0) & (db == 0) & mask).sum())
+    return pa.table({
+        "n_items": pa.array([n], pa.int64()),
+        "n_pairs": pa.array([n * (n - 1) // 2], pa.int64()),
+        "concordant": pa.array([conc], pa.int64()),
+        "discordant": pa.array([disc], pa.int64()),
+        "tied_a": pa.array([tie_a], pa.int64()),
+        "tied_b": pa.array([tie_b], pa.int64()),
+        "tied_both": pa.array([tie_both], pa.int64()),
+    })

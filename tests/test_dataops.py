@@ -2527,3 +2527,43 @@ def test_interpolate_linear_hand_checked(ray_session):
     # known rows pass through untouched
     known = got[got.value.notna()]
     assert (known.value == known.interp).all()
+
+
+def test_ranking_agreement_matches_brute_force(ray_session):
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from payor_linkage.evaluate import ranking_agreement
+
+    rng = np.random.default_rng(9)
+    n = 200
+    a = rng.integers(0, 20, n)
+    b = rng.integers(0, 20, n)
+    got = ranking_agreement(
+        rd.from_arrow(pa.table({"id": np.arange(n), "a": a, "b": b})),
+        "id", "a", "b").to_pandas().iloc[0]
+    conc = disc = ta = tb = tboth = 0
+    for i, j in itertools.combinations(range(n), 2):
+        da, db = np.sign(a[i] - a[j]), np.sign(b[i] - b[j])
+        if da * db > 0:
+            conc += 1
+        elif da * db < 0:
+            disc += 1
+        elif da == 0 and db == 0:
+            tboth += 1
+        elif da == 0:
+            ta += 1
+        else:
+            tb += 1
+    assert [got.concordant, got.discordant, got.tied_a, got.tied_b,
+            got.tied_both] == [conc, disc, ta, tb, tboth]
+    assert got.n_pairs == n * (n - 1) // 2 == conc + disc + ta + tb + tboth
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ranking_agreement(
+            rd.from_arrow(pa.table({"id": [1], "a": [1], "b": [1]})),
+            "id", "a", "b", max_items=0)
