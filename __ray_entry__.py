@@ -4088,6 +4088,25 @@ def q_wl_labels(sf_dir: str):
     return wl_labels(edges, rounds=2).sort("node")
 
 
+def q_kmv_registers(sf_dir: str):
+    """K-minimum-values distinct sketch of orders.o_custkey
+    (`sketch.kmv_registers` — per-batch k-smallest-distinct partials
+    via DuckDB's md5 kernel, one bounded distinct + sort + limit).
+    Unlike HLL this sketch also estimates set INTERSECTIONS; the
+    estimate accuracy and the intersection path are pytest-gated,
+    the integer register table is the oracle surface (DISTINCT hash +
+    ORDER BY + LIMIT)."""
+    import os
+
+    import ray.data as rd
+
+    from payor_linkage.dataops.sketch import kmv_registers
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey"])
+    return kmv_registers(orders, "o_custkey", k=256)
+
+
 def q_rank_agreement(sf_dir: str):
     """Kendall τ-b sufficient statistics comparing two per-user
     rankings — activity (event count) vs tenure (first-event time,
@@ -4461,6 +4480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_subtree_sums": q_subtree_sums,
         "q_interpolate": q_interpolate,
         "q_rank_agreement": q_rank_agreement,
+        "q_kmv_registers": q_kmv_registers,
         "q_mdm_degree_histogram": q_mdm_degree_histogram,
         "q_mdm_bfs": q_mdm_bfs,
         "q_mdm_threshold_sweep": q_mdm_threshold_sweep,
@@ -6139,6 +6159,14 @@ def oracle_sql() -> dict[str, str]:
                 AS BIGINT) AS pattern
               FROM read_parquet('{_SIDECAR_DIR}/fs_pairfields/*.parquet')
             ) GROUP BY pattern ORDER BY pattern
+        """,
+        # KMV: k smallest distinct md5-prefix hashes — pure integers
+        "q_kmv_registers": """
+            SELECT h FROM (
+              SELECT DISTINCT ('0x' || substr(md5(CAST(o_custkey AS
+                  VARCHAR)), 1, 8))::BIGINT AS h
+              FROM orders)
+            ORDER BY h LIMIT 256
         """,
         # Kendall concordance: sign CASE over an i<j self-join of the
         # same per-user aggregates

@@ -320,3 +320,70 @@ def cms_inner_product(reg_a: Dataset, reg_b: Dataset,
         "est_join_size": pa.array([min(per_depth)], pa.int64()),
         "depth_rows_used": pa.array([depth], pa.int64()),
     })
+
+
+def kmv_registers(ds: Dataset, value_col: str, k: int = 256) -> Dataset:
+    """K-minimum-values distinct sketch: the k smallest 32-bit
+    md5-prefix hashes of the column's distinct values — the mergeable
+    sketch that (unlike HLL) also supports set INTERSECTION estimates
+    (`kmv_intersect_estimate`). Integer register surface, so the gate
+    is float-free: the oracle is DISTINCT-hash + ORDER BY + LIMIT k.
+
+    Scale shape: per-batch k-smallest-distinct partials (md5 through
+    DuckDB's C++ kernel — no per-row Python), one grouped distinct
+    over ≤ k·blocks rows, one bounded sort+limit."""
+    import duckdb
+    import pyarrow.compute as pc
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"h": pa.array([], pa.int64())})
+        con = duckdb.connect()
+        con.register("t", b.select([value_col]))
+        h = con.execute(
+            f"SELECT DISTINCT ('0x' || substr(md5(CAST({value_col} AS "
+            f"VARCHAR)), 1, 8))::BIGINT AS h FROM t ORDER BY h LIMIT {k}"
+        ).arrow()["h"]
+        con.close()
+        return pa.table({"h": pc.cast(h, pa.int64())})
+
+    return (ds.select_columns([value_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("h").count().drop_columns(["count()"])
+            .sort("h").limit(k))
+
+
+def kmv_estimate(registers, k: int = 256) -> float:
+    """Distinct-count estimate from a KMV register table: (k−1)·2³² /
+    h_k (unbiased for the kth-smallest order statistic of uniform
+    hashes). Exact when fewer than k distinct values exist (the
+    register set IS the value set)."""
+    t = registers.to_pandas() if not isinstance(registers, pa.Table) \
+        else registers.to_pandas()
+    h = sorted(t["h"])
+    if len(h) < k:
+        return float(len(h))
+    return (k - 1) * (2.0 ** 32) / float(h[-1])
+
+
+def kmv_intersect_estimate(reg_a, reg_b, k: int = 256) -> dict:
+    """Jaccard + intersection estimation from two KMV sketches: the k
+    smallest of the UNION of both register sets is a KMV sketch of the
+    union; the fraction of those present in BOTH inputs estimates the
+    Jaccard similarity, and |A∩B| ≈ ρ · est(|A∪B|). Driver arithmetic
+    over two bounded register tables."""
+    ta = set((reg_a.to_pandas() if not isinstance(reg_a, pa.Table)
+              else reg_a.to_pandas())["h"])
+    tb = set((reg_b.to_pandas() if not isinstance(reg_b, pa.Table)
+              else reg_b.to_pandas())["h"])
+    u = sorted(ta | tb)[:k]
+    if not u:
+        return {"jaccard": 0.0, "est_union": 0.0, "est_intersection": 0.0}
+    both = sum(1 for h in u if h in ta and h in tb)
+    rho = both / len(u)
+    if len(u) < k:
+        est_union = float(len(u))
+    else:
+        est_union = (k - 1) * (2.0 ** 32) / float(u[-1])
+    return {"jaccard": rho, "est_union": est_union,
+            "est_intersection": rho * est_union}

@@ -2567,3 +2567,33 @@ def test_ranking_agreement_matches_brute_force(ray_session):
         ranking_agreement(
             rd.from_arrow(pa.table({"id": [1], "a": [1], "b": [1]})),
             "id", "a", "b", max_items=0)
+
+
+def test_kmv_sketch_estimates(ray_session):
+    """KMV registers: exact below k; estimate within 15% above k;
+    intersection/Jaccard estimates land near truth on crafted overlap."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from payor_linkage.dataops.sketch import (kmv_estimate,
+                                              kmv_intersect_estimate,
+                                              kmv_registers)
+
+    small = rd.from_arrow(pa.table({"v": list(range(50)) * 3}))
+    regs = kmv_registers(small, "v", k=256).materialize()
+    assert regs.count() == 50
+    assert kmv_estimate(regs, k=256) == 50.0
+
+    big = rd.from_arrow(pa.table({"v": list(range(20000))}))
+    rb = kmv_registers(big, "v", k=256)
+    est = kmv_estimate(rb, k=256)
+    assert abs(est - 20000) / 20000 < 0.15
+
+    a = rd.from_arrow(pa.table({"v": list(range(0, 12000))}))
+    b = rd.from_arrow(pa.table({"v": list(range(6000, 18000))}))
+    ra = kmv_registers(a, "v", k=256).materialize()
+    rbb = kmv_registers(b, "v", k=256).materialize()
+    out = kmv_intersect_estimate(ra, rbb, k=256)
+    assert abs(out["jaccard"] - 1 / 3) < 0.12
+    assert abs(out["est_intersection"] - 6000) / 6000 < 0.35
