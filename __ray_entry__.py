@@ -4088,6 +4088,25 @@ def q_wl_labels(sf_dir: str):
     return wl_labels(edges, rounds=2).sort("node")
 
 
+def q_blocking_schemes(sf_dir: str):
+    """Scheme-selection table: per candidate blocking key (the four
+    north-rule schemes), distinct keys / keyed records / pair budget
+    Σ C(block,2) / recallable true pairs Σ C(same-entity-in-block,2)
+    (`evaluate.blocking_scheme_stats` — two bounded grouped counts per
+    scheme, C(n,2) collapsed per batch; no pair materialized). Oracle:
+    the same grouped sums per scheme over a keys+labels sidecar."""
+    from payor_linkage.evaluate import BLOCK_SCHEMES, blocking_scheme_stats
+
+    res = _mdm_result(sf_dir)
+    side = res.unified.select_columns(
+        ["source_record_id"] + BLOCK_SCHEMES + ["entity_id"])
+    _dump_sidecar("scheme_keys", side)
+    tbl = blocking_scheme_stats(res.unified)
+    import pyarrow.compute as pc
+
+    return tbl.take(pc.sort_indices(tbl["scheme"]))
+
+
 def q_kmv_registers(sf_dir: str):
     """K-minimum-values distinct sketch of orders.o_custkey
     (`sketch.kmv_registers` — per-batch k-smallest-distinct partials
@@ -4418,6 +4437,30 @@ def q_lm_xent(sf_dir: str):
     return ngram_lm_xent(_docs(sf_dir), uni, big).sort("doc_id")
 
 
+def _blocking_schemes_sql() -> str:
+    """Per-scheme UNION ALL branches, generated from the same scheme
+    list the engine uses."""
+    from payor_linkage.evaluate import BLOCK_SCHEMES
+
+    src = f"read_parquet('{_SIDECAR_DIR}/scheme_keys/*.parquet')"
+    branches = "\n            UNION ALL\n".join(f"""
+            SELECT '{sc}' AS scheme,
+                   CAST(count(DISTINCT {sc}) AS BIGINT) AS n_keys,
+                   CAST(count({sc}) AS BIGINT) AS n_records,
+                   (SELECT CAST(COALESCE(sum(n * (n - 1) // 2), 0)
+                                AS BIGINT)
+                    FROM (SELECT count(*) AS n FROM {src}
+                          WHERE {sc} IS NOT NULL GROUP BY {sc}))
+                       AS sum_pairs,
+                   (SELECT CAST(COALESCE(sum(n * (n - 1) // 2), 0)
+                                AS BIGINT)
+                    FROM (SELECT count(*) AS n FROM {src}
+                          WHERE {sc} IS NOT NULL AND entity_id <> -1
+                          GROUP BY {sc}, entity_id)) AS covered_pairs
+            FROM {src}""" for sc in BLOCK_SCHEMES)
+    return f"SELECT * FROM ({branches}) ORDER BY scheme"
+
+
 def _source_agreement_sql() -> str:
     """Per-field UNION ALL branches of the agreement oracle (built from
     the same CLAIM_FIELDS list the engine uses — one source of truth)."""
@@ -4481,6 +4524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_interpolate": q_interpolate,
         "q_rank_agreement": q_rank_agreement,
         "q_kmv_registers": q_kmv_registers,
+        "q_blocking_schemes": q_blocking_schemes,
         "q_mdm_degree_histogram": q_mdm_degree_histogram,
         "q_mdm_bfs": q_mdm_bfs,
         "q_mdm_threshold_sweep": q_mdm_threshold_sweep,
@@ -6160,6 +6204,9 @@ def oracle_sql() -> dict[str, str]:
               FROM read_parquet('{_SIDECAR_DIR}/fs_pairfields/*.parquet')
             ) GROUP BY pattern ORDER BY pattern
         """,
+        # Scheme-selection stats: branch per key scheme over the
+        # keys+labels sidecar (engine's own scheme list)
+        "q_blocking_schemes": _blocking_schemes_sql(),
         # KMV: k smallest distinct md5-prefix hashes — pure integers
         "q_kmv_registers": """
             SELECT h FROM (

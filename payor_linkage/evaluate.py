@@ -628,3 +628,57 @@ def ranking_agreement(ds, id_col: str, a_col: str, b_col: str,
         "tied_b": pa.array([tie_b], pa.int64()),
         "tied_both": pa.array([tie_both], pa.int64()),
     })
+
+
+BLOCK_SCHEMES = ["block_name_key", "block_tax_id", "block_zip3_name4",
+                 "block_phonetic"]
+
+
+def blocking_scheme_stats(unified, schemes: list[str] | None = None):
+    """Per-scheme blocking statistics — the scheme-selection table the
+    ER literature reads before committing to keys: for each candidate
+    key column, ``n_keys`` (distinct non-null), ``n_records`` (rows
+    keyed), ``sum_pairs`` (Σ C(block,2) — the scheme's pair budget)
+    and ``covered_pairs`` (Σ C(same-entity-in-block,2) — the true
+    pairs it can recall; orphans excluded). All exact integers; the
+    recall-per-cost ratio derives downstream.
+
+    Scale shape: per scheme, TWO bounded grouped counts (key; key ×
+    entity) each collapsed to C(n,2) partials per batch — only
+    counters ride the exchanges; no pair is ever materialized."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    schemes = list(schemes or BLOCK_SCHEMES)
+
+    def pair_sum(counts_ds) -> int:
+        def c2(b: pa.Table) -> pa.Table:
+            n = pc.cast(b["count()"], pa.int64())
+            return pa.table({"p": pc.divide(
+                pc.multiply(n, pc.subtract(n, 1)), 2)})
+
+        s = counts_ds.map_batches(c2, batch_format="pyarrow").sum("p")
+        return int(s or 0)
+
+    rows = []
+    for sc in schemes:
+        keyed = unified.select_columns([sc, "entity_id"]).map_batches(
+            lambda b, c=sc: b.filter(b[c].is_valid()),
+            batch_format="pyarrow").materialize()
+        n_records = keyed.count()
+        by_key = keyed.groupby(sc).count().materialize()
+        n_keys = by_key.count()
+        sum_pairs = pair_sum(by_key)
+        real = keyed.map_batches(
+            lambda b: b.filter(pc.not_equal(b["entity_id"], -1)),
+            batch_format="pyarrow")
+        covered = pair_sum(real.groupby([sc, "entity_id"]).count())
+        rows.append((sc, n_keys, n_records, sum_pairs, covered))
+
+    return pa.table({
+        "scheme": pa.array([r[0] for r in rows], pa.string()),
+        "n_keys": pa.array([r[1] for r in rows], pa.int64()),
+        "n_records": pa.array([r[2] for r in rows], pa.int64()),
+        "sum_pairs": pa.array([r[3] for r in rows], pa.int64()),
+        "covered_pairs": pa.array([r[4] for r in rows], pa.int64()),
+    })

@@ -221,3 +221,25 @@ def test_steward_overlay_override(ray_session):
                                "steward_decision": "confirmed_no_match"}])
     out2 = decide(scored, steward_overlay=overlay2).to_pandas()
     assert out2.iloc[0].final_decision == "no_match"
+
+
+def test_blocking_scheme_stats_matches_pandas(ray_session, pipeline_result):
+    import pandas as pd
+
+    from payor_linkage.evaluate import BLOCK_SCHEMES, blocking_scheme_stats
+
+    got = blocking_scheme_stats(pipeline_result.unified).to_pandas() \
+        .set_index("scheme")
+    df = pipeline_result.unified.select_columns(
+        BLOCK_SCHEMES + ["entity_id"]).to_pandas()
+    for sc in BLOCK_SCHEMES:
+        k = df[df[sc].notna()]
+        assert got.loc[sc, "n_records"] == len(k)
+        assert got.loc[sc, "n_keys"] == k[sc].nunique()
+        sizes = k.groupby(sc).size()
+        assert got.loc[sc, "sum_pairs"] == int(
+            (sizes * (sizes - 1) // 2).sum())
+        real = k[k.entity_id != -1]
+        cs = real.groupby([sc, "entity_id"]).size()
+        assert got.loc[sc, "covered_pairs"] == int(
+            (cs * (cs - 1) // 2).sum())
