@@ -4505,6 +4505,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mdm_blocking_quality": q_mdm_blocking_quality,
         "q_mdm_bcubed": q_mdm_bcubed,
         "q_mdm_ari": q_mdm_ari,
+        # VERDICT-r04 oracle-dtype fixes — keep in the driver sample
+        "q_bucketed_patch": q_bucketed_patch,
+        "q_big_orders": q_big_orders,
+        "q_sliding_sum": q_sliding_sum,
         "q_fs_patterns": q_fs_patterns,
         "q_fs_em_weights": q_fs_em_weights,
         "q_forest_paths": q_forest_paths,
@@ -4551,7 +4555,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_string_agg": q_string_agg,
         "q_rollup_counts": q_rollup_counts,
         "q_partitioned_roundtrip": q_partitioned_roundtrip,
-        "q_bucketed_patch": q_bucketed_patch,
         "q_rolling_max": q_rolling_max,
         "q_token_explode": q_token_explode,
         "q_value_histogram": q_value_histogram,
@@ -4694,7 +4697,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rank": q_rank,
         "q_keyed_sample": q_keyed_sample,
         "q_doc_chunks": q_doc_chunks,
-        "q_big_orders": q_big_orders,
         "q_transitions": q_transitions,
         "q_session_paths": q_session_paths,
         "q_bpe_pair_counts": q_bpe_pair_counts,
@@ -4728,7 +4730,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ship_consistency": q_ship_consistency,
         "q_monthly_active": q_monthly_active,
         "q_inverted_index": q_inverted_index,
-        "q_sliding_sum": q_sliding_sum,
         "q_global_ntile": q_global_ntile,
         "q_profile": q_profile,
         "q_substring_dup": q_substring_dup,
