@@ -4088,6 +4088,56 @@ def q_wl_labels(sf_dir: str):
     return wl_labels(edges, rounds=2).sort("node")
 
 
+def q_pair_training_set(sf_dir: str):
+    """Learned-matcher training-set export: every candidate pair's
+    per-dimension similarity vector (name/tax/address/phone/cms/
+    overall) labeled with ground truth (both endpoints share a real
+    entity) — the dataset a gradient-boosted or linear matcher trains
+    on instead of the hand-set weight chain. Two broadcast label
+    attaches (`rayutil.lookup_join`, hash fallback above bound) + one
+    vectorized compare; the floats are SELECTED from the scored
+    candidates, never recomputed, so oracle parity is exact (the SQL
+    re-derives only the label join over the features + labels
+    sidecars)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from payor_linkage.rayutil import lookup_join
+
+    res = _mdm_result(sf_dir)
+    feats = res.candidates.select_columns(
+        ["source_record_id_a", "source_record_id_b", "score_name",
+         "score_tax_id", "score_address", "score_phone",
+         "score_cms_plan_id", "overall_score"])
+    _dump_sidecar("pair_features", feats)
+    labels = res.unified.select_columns(["source_record_id", "entity_id"])
+
+    def rename(side):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({f"source_record_id_{side}":
+                             b["source_record_id"],
+                             f"ent_{side}": b["entity_id"]})
+        return f
+
+    j = lookup_join(feats, labels.map_batches(rename("a"),
+                                              batch_format="pyarrow"),
+                    on="source_record_id_a")
+    j = lookup_join(j, labels.map_batches(rename("b"),
+                                          batch_format="pyarrow"),
+                    on="source_record_id_b")
+
+    def lab(b: pa.Table) -> pa.Table:
+        is_m = pc.and_kleene(
+            pc.equal(b["ent_a"], b["ent_b"]),
+            pc.and_kleene(pc.not_equal(b["ent_a"], -1),
+                          pc.not_equal(b["ent_b"], -1)))
+        out = b.drop_columns(["ent_a", "ent_b"])
+        return out.append_column("is_match", pc.cast(is_m, pa.int64()))
+
+    return j.map_batches(lab, batch_format="pyarrow").sort(
+        ["source_record_id_a", "source_record_id_b"])
+
+
 def q_blocking_schemes(sf_dir: str):
     """Scheme-selection table: per candidate blocking key (the four
     north-rule schemes), distinct keys / keyed records / pair budget
@@ -4529,6 +4579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rank_agreement": q_rank_agreement,
         "q_kmv_registers": q_kmv_registers,
         "q_blocking_schemes": q_blocking_schemes,
+        "q_pair_training_set": q_pair_training_set,
         "q_mdm_degree_histogram": q_mdm_degree_histogram,
         "q_mdm_bfs": q_mdm_bfs,
         "q_mdm_threshold_sweep": q_mdm_threshold_sweep,
@@ -6204,6 +6255,21 @@ def oracle_sql() -> dict[str, str]:
                 AS BIGINT) AS pattern
               FROM read_parquet('{_SIDECAR_DIR}/fs_pairfields/*.parquet')
             ) GROUP BY pattern ORDER BY pattern
+        """,
+        # Training-set export: floats pass through from the features
+        # sidecar; only the label join is re-derived
+        "q_pair_training_set": f"""
+            SELECT f.*,
+                   CAST(CASE WHEN a.entity_id = b.entity_id
+                              AND a.entity_id <> -1
+                              AND b.entity_id <> -1
+                        THEN 1 ELSE 0 END AS BIGINT) AS is_match
+            FROM read_parquet('{_SIDECAR_DIR}/pair_features/*.parquet') f
+            JOIN read_parquet('{_SIDECAR_DIR}/labels/*.parquet') a
+              ON f.source_record_id_a = a.source_record_id
+            JOIN read_parquet('{_SIDECAR_DIR}/labels/*.parquet') b
+              ON f.source_record_id_b = b.source_record_id
+            ORDER BY f.source_record_id_a, f.source_record_id_b
         """,
         # Scheme-selection stats: branch per key scheme over the
         # keys+labels sidecar (engine's own scheme list)

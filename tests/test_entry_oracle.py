@@ -88,3 +88,25 @@ def test_entry_smoke(ray_session):
     df = _to_df(e.entry())
     assert len(df) > 0
     assert "master_payor_id" in df.columns
+
+
+def test_pair_training_set_labels(ray_session):
+    """Training-set labels agree with ground truth recomputed in
+    pandas, and the feature floats pass through candidates untouched."""
+    import __ray_entry__ as e
+
+    df = _to_df(e.queries()["q_pair_training_set"](SF_DIR))
+    res = e._mdm_result(SF_DIR)
+    ent = (res.unified.select_columns(["source_record_id", "entity_id"])
+           .to_pandas().set_index("source_record_id")["entity_id"])
+    ea = ent.reindex(df["source_record_id_a"]).to_numpy()
+    eb = ent.reindex(df["source_record_id_b"]).to_numpy()
+    want = ((ea == eb) & (ea != -1) & (eb != -1)).astype("int64")
+    assert (df["is_match"].to_numpy() == want).all()
+    cand = res.candidates.select_columns(
+        ["source_record_id_a", "source_record_id_b",
+         "overall_score"]).to_pandas()
+    m = df.merge(cand, on=["source_record_id_a", "source_record_id_b"],
+                 suffixes=("", "_c"))
+    assert (m["overall_score"].fillna(-1)
+            == m["overall_score_c"].fillna(-1)).all()
