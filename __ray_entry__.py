@@ -4138,6 +4138,35 @@ def q_pair_training_set(sf_dir: str):
         ["source_record_id_a", "source_record_id_b"])
 
 
+_MATCHER_FEATURES = ["score_name", "score_tax_id", "score_address",
+                     "score_phone", "score_cms_plan_id"]
+
+
+def q_matcher_fit(sf_dir: str):
+    """Learned linear matcher: logistic regression fit by distributed
+    IRLS over the labeled pair-feature set (`evaluate.fit_logistic` —
+    each Newton round reduces ONE (k+1)²+(k+1)-float sufficient-
+    statistic row per batch; the corpus is never collected). Returns
+    (feature, coef) rows incl. the intercept — the data-driven
+    replacement for the reference's hand-set strategy weights
+    (`snowflake/07_scoring.sql` weight constants). Rows-only:
+    iterative float optimization; pytest-gated against a
+    single-machine numpy IRLS at 1e-6 and a coefficient-sanity gate
+    (strong identifiers weigh positive)."""
+    import pyarrow as pa
+
+    from payor_linkage.evaluate import fit_logistic
+
+    pairs = q_pair_training_set(sf_dir)
+    beta, n = fit_logistic(pairs, _MATCHER_FEATURES, "is_match")
+    names = ["intercept"] + _MATCHER_FEATURES
+    return pa.table({
+        "feature": pa.array(names, pa.string()),
+        "coef": pa.array(beta, pa.float64()),
+        "n_rows": pa.array([n] * len(names), pa.int64()),
+    })
+
+
 def q_blocking_schemes(sf_dir: str):
     """Scheme-selection table: per candidate blocking key (the four
     north-rule schemes), distinct keys / keyed records / pair budget
@@ -4580,6 +4609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_kmv_registers": q_kmv_registers,
         "q_blocking_schemes": q_blocking_schemes,
         "q_pair_training_set": q_pair_training_set,
+        "q_matcher_fit": q_matcher_fit,
         "q_mdm_degree_histogram": q_mdm_degree_histogram,
         "q_mdm_bfs": q_mdm_bfs,
         "q_mdm_threshold_sweep": q_mdm_threshold_sweep,

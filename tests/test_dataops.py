@@ -2597,3 +2597,54 @@ def test_kmv_sketch_estimates(ray_session):
     out = kmv_intersect_estimate(ra, rbb, k=256)
     assert abs(out["jaccard"] - 1 / 3) < 0.12
     assert abs(out["est_intersection"] - 6000) / 6000 < 0.35
+
+
+def test_fit_logistic_matches_reference_irls(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from payor_linkage.evaluate import fit_logistic
+
+    rng = np.random.default_rng(4)
+    n = 3000
+    x1, x2 = rng.normal(size=n), rng.normal(size=n)
+    y = (rng.random(n) < 1 / (1 + np.exp(0.5 - 2 * x1 + 1.5 * x2))) \
+        .astype("int64")
+    df = pd.DataFrame({"f1": x1, "f2": x2, "y": y})
+    beta, nrows = fit_logistic(rd.from_pandas(df), ["f1", "f2"], "y",
+                               iters=12)
+    assert nrows == n
+    X = np.column_stack([np.ones(n), x1, x2])
+    b = np.zeros(3)
+    for _ in range(12):
+        p = 1 / (1 + np.exp(-(X @ b)))
+        w = p * (1 - p)
+        b = b + np.linalg.solve((X.T * w) @ X + 1e-6 * np.eye(3),
+                                X.T @ (y - p) - 1e-6 * b)
+    np.testing.assert_allclose(beta, b, rtol=1e-6)
+    # recovers the generating signs
+    assert beta[1] > 0 and beta[2] < 0
+
+
+def test_matcher_fit_on_real_pairs(ray_session):
+    """The learned matcher trained on the real labeled pair features
+    separates matches from non-matches on its own training corpus."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    import __ray_entry__ as e
+
+    pairs = e.q_pair_training_set("/root/testdata/sf0.01")
+    from payor_linkage.evaluate import fit_logistic
+
+    beta, n = fit_logistic(pairs, e._MATCHER_FEATURES, "is_match")
+    df = pairs.to_pandas()
+    X = np.column_stack(
+        [np.ones(len(df))]
+        + [df[c].fillna(0.0).to_numpy() for c in e._MATCHER_FEATURES])
+    p = 1 / (1 + np.exp(-(X @ beta)))
+    acc = ((p > 0.5).astype(int) == df["is_match"]).mean()
+    assert acc > 0.9
+    coefs = dict(zip(e._MATCHER_FEATURES, beta[1:]))
+    assert coefs["score_name"] > 0  # names drive the corpus's truth
