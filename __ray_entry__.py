@@ -4167,6 +4167,47 @@ def q_matcher_fit(sf_dir: str):
     })
 
 
+def q_matcher_confusion(sf_dir: str):
+    """The learned matcher APPLIED: decision = sign(β·x) over every
+    labeled pair (p > 0.5 ⇔ the linear score > 0), reduced to exact
+    confusion integers (tp/fp/fn/tn) vs ground truth. β comes from
+    `q_matcher_fit` and rides a sidecar; BOTH sides evaluate the dot
+    product with the same left-associative expression
+    (β₀ + f₁·β₁ + …), so the float comparison is byte-identical and
+    the gate stays exact. One map + one scalar sum — no shuffle."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    fitted = q_matcher_fit(sf_dir)
+    beta = fitted["coef"].to_numpy()
+    _dump_sidecar("matcher_beta", rd.from_arrow(fitted))
+    pairs = q_pair_training_set(sf_dir)
+    bref = ray.put(beta.copy())
+
+    def conf(b: pa.Table) -> pa.Table:
+        bb = ray.get(bref)
+        acc = np.full(b.num_rows, bb[0], np.float64)
+        for i, c in enumerate(_MATCHER_FEATURES):
+            f = pc.fill_null(pc.cast(b[c], pa.float64()), 0.0) \
+                .to_numpy(zero_copy_only=False)
+            acc = acc + f * bb[i + 1]  # left-associative, as in SQL
+        pred = acc > 0.0
+        y = b["is_match"].to_numpy(zero_copy_only=False).astype(bool)
+        return pa.table({
+            "tp": pa.array([int((pred & y).sum())], pa.int64()),
+            "fp": pa.array([int((pred & ~y).sum())], pa.int64()),
+            "fn": pa.array([int((~pred & y).sum())], pa.int64()),
+            "tn": pa.array([int((~pred & ~y).sum())], pa.int64()),
+        })
+
+    parts = pairs.map_batches(conf, batch_format="pyarrow").materialize()
+    return pa.table({k: pa.array([int(parts.sum(k) or 0)], pa.int64())
+                     for k in ("tp", "fp", "fn", "tn")})
+
+
 def q_blocking_schemes(sf_dir: str):
     """Scheme-selection table: per candidate blocking key (the four
     north-rule schemes), distinct keys / keyed records / pair budget
@@ -4610,6 +4651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_blocking_schemes": q_blocking_schemes,
         "q_pair_training_set": q_pair_training_set,
         "q_matcher_fit": q_matcher_fit,
+        "q_matcher_confusion": q_matcher_confusion,
         "q_mdm_degree_histogram": q_mdm_degree_histogram,
         "q_mdm_bfs": q_mdm_bfs,
         "q_mdm_threshold_sweep": q_mdm_threshold_sweep,
@@ -6285,6 +6327,47 @@ def oracle_sql() -> dict[str, str]:
                 AS BIGINT) AS pattern
               FROM read_parquet('{_SIDECAR_DIR}/fs_pairfields/*.parquet')
             ) GROUP BY pattern ORDER BY pattern
+        """,
+        # Learned-matcher confusion: the β·x dot product evaluated with
+        # the SAME left-associative expression as the engine (byte-
+        # identical float → identical sign), then CASE sums
+        "q_matcher_confusion": f"""
+            WITH b AS (SELECT feature, coef FROM
+                read_parquet('{_SIDECAR_DIR}/matcher_beta/*.parquet')),
+            j AS (SELECT f.*,
+                         CASE WHEN a.entity_id = bb.entity_id
+                               AND a.entity_id <> -1
+                               AND bb.entity_id <> -1
+                              THEN 1 ELSE 0 END AS is_match
+                  FROM read_parquet(
+                      '{_SIDECAR_DIR}/pair_features/*.parquet') f
+                  JOIN read_parquet('{_SIDECAR_DIR}/labels/*.parquet') a
+                    ON f.source_record_id_a = a.source_record_id
+                  JOIN read_parquet('{_SIDECAR_DIR}/labels/*.parquet') bb
+                    ON f.source_record_id_b = bb.source_record_id),
+            s AS (SELECT is_match,
+                    (SELECT coef FROM b WHERE feature = 'intercept')
+                    + COALESCE(score_name, 0) *
+                      (SELECT coef FROM b WHERE feature = 'score_name')
+                    + COALESCE(score_tax_id, 0) *
+                      (SELECT coef FROM b WHERE feature = 'score_tax_id')
+                    + COALESCE(score_address, 0) *
+                      (SELECT coef FROM b WHERE feature = 'score_address')
+                    + COALESCE(score_phone, 0) *
+                      (SELECT coef FROM b WHERE feature = 'score_phone')
+                    + COALESCE(score_cms_plan_id, 0) *
+                      (SELECT coef FROM b
+                       WHERE feature = 'score_cms_plan_id') AS score
+                  FROM j)
+            SELECT CAST(sum(CASE WHEN score > 0 AND is_match = 1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                   CAST(sum(CASE WHEN score > 0 AND is_match = 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                   CAST(sum(CASE WHEN score <= 0 AND is_match = 1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                   CAST(sum(CASE WHEN score <= 0 AND is_match = 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS tn
+            FROM s
         """,
         # Training-set export: floats pass through from the features
         # sidecar; only the label join is re-derived
