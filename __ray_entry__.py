@@ -4167,6 +4167,19 @@ def q_matcher_fit(sf_dir: str):
     })
 
 
+def q_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+    over documents (`aggregates.grouping_sets_counts` — one finest-
+    level shuffle, every set folded driver-side from the bounded
+    partial; rolled-out columns labeled 'ALL'). Oracle: native
+    GROUPING SETS with the same COALESCE labeling."""
+    from payor_linkage.dataops.aggregates import grouping_sets_counts
+
+    return grouping_sets_counts(
+        _docs(sf_dir), ["source", "lang"],
+        [["source", "lang"], ["source"], ["lang"], []])
+
+
 def q_matcher_confusion(sf_dir: str):
     """The learned matcher APPLIED: decision = sign(β·x) over every
     labeled pair (p > 0.5 ⇔ the linear score > 0), reduced to exact
@@ -4652,6 +4665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pair_training_set": q_pair_training_set,
         "q_matcher_fit": q_matcher_fit,
         "q_matcher_confusion": q_matcher_confusion,
+        "q_grouping_sets": q_grouping_sets,
         "q_mdm_degree_histogram": q_mdm_degree_histogram,
         "q_mdm_bfs": q_mdm_bfs,
         "q_mdm_threshold_sweep": q_mdm_threshold_sweep,
@@ -6327,6 +6341,15 @@ def oracle_sql() -> dict[str, str]:
                 AS BIGINT) AS pattern
               FROM read_parquet('{_SIDECAR_DIR}/fs_pairfields/*.parquet')
             ) GROUP BY pattern ORDER BY pattern
+        """,
+        # Native GROUPING SETS; COALESCE('ALL') mirrors the label scheme
+        "q_grouping_sets": """
+            SELECT COALESCE(source, 'ALL') AS source,
+                   COALESCE(lang, 'ALL') AS lang,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM documents
+            GROUP BY GROUPING SETS ((source, lang), (source), (lang),
+                                    ())
         """,
         # Learned-matcher confusion: the β·x dot product evaluated with
         # the SAME left-associative expression as the engine (byte-

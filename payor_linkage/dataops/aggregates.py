@@ -1870,3 +1870,40 @@ def grouped_trend(ds: Dataset, key_cols: list[str], x_col: str,
                          "slope_num": num, "slope_den": den})
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def grouping_sets_counts(ds: Dataset, cols: list[str],
+                         sets: list[list[str]],
+                         total_label: str = "ALL"):
+    """Arbitrary ``GROUP BY GROUPING SETS`` counts — the general form
+    ROLLUP and CUBE specialize (each set lists the columns it groups
+    by; the rest are encoded as ``total_label``, so no NULL crosses
+    the oracle compare; key columns must be strings free of the
+    label). Duplicate sets duplicate rows, exactly as in SQL.
+
+    Scale shape: ONE distributed shuffle total — the finest-level
+    (all-columns) aggregate; every requested set folds driver-side
+    from that bounded result (the `rollup_counts` pattern). Returns a
+    pyarrow Table ``(cols..., n)``."""
+    import pandas as pd
+
+    for s in sets:
+        unknown = set(s) - set(cols)
+        if unknown:
+            raise ValueError(f"grouping_sets_counts: {unknown} not in "
+                             f"{cols}")
+    base = ds.groupby(cols).count().rename_columns(
+        {"count()": "n"}).to_pandas()
+    frames = []
+    for s in sets:
+        keep = [c for c in cols if c in s]  # canonical column order
+        f = (base.groupby(keep, as_index=False)["n"].sum() if keep
+             else base[["n"]].sum().to_frame().T)
+        for c in cols:
+            if c not in keep:
+                f[c] = total_label
+        frames.append(f[cols + ["n"]])
+    out = pd.concat(frames, ignore_index=True)
+    return pa.Table.from_pandas(out[cols + ["n"]],
+                                preserve_index=False).cast(
+        pa.schema([(c, pa.string()) for c in cols] + [("n", pa.int64())]))

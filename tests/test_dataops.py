@@ -2648,3 +2648,27 @@ def test_matcher_fit_on_real_pairs(ray_session):
     assert acc > 0.9
     coefs = dict(zip(e._MATCHER_FEATURES, beta[1:]))
     assert coefs["score_name"] > 0  # names drive the corpus's truth
+
+
+def test_grouping_sets_counts(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from payor_linkage.dataops.aggregates import grouping_sets_counts
+
+    ds = rd.from_arrow(pa.table({
+        "a": ["x", "x", "y", "y", "y"],
+        "b": ["1", "2", "1", "1", "2"]}))
+    got = (grouping_sets_counts(ds, ["a", "b"],
+                                [["a", "b"], ["b"], []]).to_pandas()
+           .sort_values(["a", "b"]).reset_index(drop=True))
+    want = pd.DataFrame({
+        "a": ["ALL", "ALL", "ALL", "x", "x", "y", "y"],
+        "b": ["1", "2", "ALL", "1", "2", "1", "2"],
+        "n": [3, 2, 5, 1, 1, 2, 1]}).astype(got.dtypes)
+    pd.testing.assert_frame_equal(got, want)
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        grouping_sets_counts(ds, ["a"], [["z"]])
