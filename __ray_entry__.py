@@ -4167,6 +4167,32 @@ def q_matcher_fit(sf_dir: str):
     })
 
 
+def q_skew_join(sf_dir: str):
+    """Skew-aware inner join of events × orders on customer key
+    (`rayutil.skew_join`): keys above the hotness threshold are served
+    by a broadcast duplicate-key replicate join (two binary searches +
+    repeat/take per batch — the hot rows ship once per worker, not
+    once per probe row), the cold remainder by the ordinary hash join;
+    result ≡ a plain inner join. Low threshold here so BOTH paths
+    execute at driver scale (the all-cold and hot-path equivalences
+    are separately pytest-gated). Oracle: the plain SQL JOIN."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from payor_linkage.rayutil import skew_join
+
+    ev = _events(sf_dir).select_columns(["event_id", "user_id"])
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"]).map_batches(
+        lambda b: pa.table({"user_id": b["o_custkey"],
+                            "o_orderkey": b["o_orderkey"]}),
+        batch_format="pyarrow")
+    return skew_join(ev, orders, "user_id", hot_count=50).sort(
+        ["user_id", "event_id", "o_orderkey"])
+
+
 def q_grouping_sets(sf_dir: str):
     """GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
     over documents (`aggregates.grouping_sets_counts` — one finest-
@@ -4666,6 +4692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_matcher_fit": q_matcher_fit,
         "q_matcher_confusion": q_matcher_confusion,
         "q_grouping_sets": q_grouping_sets,
+        "q_skew_join": q_skew_join,
         "q_mdm_degree_histogram": q_mdm_degree_histogram,
         "q_mdm_bfs": q_mdm_bfs,
         "q_mdm_threshold_sweep": q_mdm_threshold_sweep,
@@ -6341,6 +6368,12 @@ def oracle_sql() -> dict[str, str]:
                 AS BIGINT) AS pattern
               FROM read_parquet('{_SIDECAR_DIR}/fs_pairfields/*.parquet')
             ) GROUP BY pattern ORDER BY pattern
+        """,
+        # Skew-aware join ≡ plain inner join
+        "q_skew_join": """
+            SELECT e.user_id, e.event_id, o.o_orderkey
+            FROM events e JOIN orders o ON e.user_id = o.o_custkey
+            ORDER BY e.user_id, e.event_id, o.o_orderkey
         """,
         # Native GROUPING SETS; COALESCE('ALL') mirrors the label scheme
         "q_grouping_sets": """

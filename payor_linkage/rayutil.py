@@ -462,3 +462,106 @@ def broadcast_semi_join(big: Dataset, keys: Dataset, big_on: str,
         return b.filter(mask)
 
     return big.map_batches(probe, batch_format="pyarrow")
+
+
+def replicate_join(big: Dataset, small: Dataset, on: str,
+                   max_rows: int = 2_000_000) -> Dataset:
+    """Inner equi-join where ``small`` is BOUNDED but may carry
+    DUPLICATE keys (the case `lookup_join` refuses): collect small
+    once sorted by key, broadcast, and per ``big`` batch probe each
+    row's key range with two binary searches, then repeat/take to emit
+    one output row per match — zero shuffle, ``big`` streams. This is
+    the replicated side of a skew-aware join: a hot key's entire
+    match set ships once per worker, not once per row. Raises above
+    ``max_rows`` (an unbounded small side must shuffle) and on payload
+    column collisions. Integer keys probe at numpy speed; string keys
+    pay an object-compare per probe — dictionary-encode hot string
+    keys upstream if that shows up."""
+    import numpy as np
+
+    small = small.materialize()
+    clash = (set(small.schema().names) - {on}) & set(big.schema().names)
+    if clash:
+        raise ValueError(f"replicate_join: column collision {clash}")
+    if small.count() > max_rows:
+        raise ValueError("replicate_join requires a bounded small side")
+    tbl = pa.concat_tables(ray.get(small.to_arrow_refs()),
+                           promote_options="default")
+    order = pc.sort_indices(tbl[on])
+    tbl = tbl.take(order).combine_chunks()
+    skeys = tbl[on].combine_chunks()
+    payload_cols = [c for c in tbl.column_names if c != on]
+    ref = ray.put((skeys, tbl.select(payload_cols)))
+
+    def probe(b: pa.Table) -> pa.Table:
+        sk, pay = ray.get(ref)
+        skn = sk.to_numpy(zero_copy_only=False)
+        bkn = b[on].combine_chunks().to_numpy(zero_copy_only=False)
+        # range per big row: [lo, hi) of matching small rows
+        lo = np.searchsorted(skn, bkn, side="left")
+        hi = np.searchsorted(skn, bkn, side="right")
+        cnt = (hi - lo).astype(np.int64)
+        big_idx = np.repeat(np.arange(b.num_rows, dtype=np.int64), cnt)
+        small_idx = (np.repeat(lo, cnt)
+                     + (np.arange(int(cnt.sum()), dtype=np.int64)
+                        - np.repeat(np.concatenate(
+                            [[0], np.cumsum(cnt)[:-1]]), cnt)))
+        out = b.take(pa.array(big_idx))
+        for c in payload_cols:
+            out = out.append_column(c, pay[c].take(pa.array(small_idx)))
+        return out
+
+    return big.map_batches(probe, batch_format="pyarrow")
+
+
+def skew_join(left: Dataset, right: Dataset, on: str,
+              hot_count: int = 100_000,
+              hot_side_bound: int = 2_000_000) -> Dataset:
+    """Skew-aware inner equi-join: keys whose RIGHT-side multiplicity
+    exceeds ``hot_count`` would make one hash partition a straggler —
+    their right rows are REPLICATED (broadcast + range probe,
+    `replicate_join`) while the cold remainder takes the ordinary
+    hash join; one union at the end. The hot set is discovered with a
+    bounded count aggregate; hot right rows must fit the broadcast
+    bound (``hot_side_bound`` — a key hotter than that needs salting
+    upstream, raise rather than degrade). Equivalent to a plain inner
+    join (equality pytest-gated)."""
+    import numpy as np
+
+    counts = right.groupby(on).count().materialize()
+
+    def hot_only(b: pa.Table) -> pa.Table:
+        m = pc.greater(pc.cast(b["count()"], pa.int64()), hot_count)
+        return pa.table({on: b[on].filter(m)})
+
+    hot = counts.map_batches(hot_only, batch_format="pyarrow") \
+        .materialize()
+    n_hot = hot.count()
+    if n_hot == 0:
+        return smart_join(left, right, on)
+    hot_tbl = pa.concat_tables(ray.get(hot.to_arrow_refs()),
+                               promote_options="default")
+    hot_arr = pc.sort_indices(hot_tbl[on])
+    hot_keys = hot_tbl[on].combine_chunks().take(hot_arr)
+    kref = ray.put(hot_keys)
+
+    def split(keep_hot: bool):
+        def f(b: pa.Table) -> pa.Table:
+            hk = ray.get(kref)
+            m = pc.is_in(b[on], value_set=hk)
+            m = pc.fill_null(m, False)
+            return b.filter(m if keep_hot else pc.invert(m))
+        return f
+
+    right_hot = right.map_batches(split(True), batch_format="pyarrow")
+    cold = smart_join(left.map_batches(split(False),
+                                       batch_format="pyarrow"),
+                      right.map_batches(split(False),
+                                        batch_format="pyarrow"), on)
+    hot_joined = replicate_join(
+        left.map_batches(split(True), batch_format="pyarrow"),
+        right_hot, on, max_rows=hot_side_bound)
+    # align column orders before union
+    cols = sorted(set(cold.schema().names))
+    return cold.select_columns(cols).union(
+        hot_joined.select_columns(cols))

@@ -114,3 +114,57 @@ def test_scatter_blocks_empty_result_schema(ray_session):
     schema = pa.schema([("x", pa.string())])
     out = scatter_blocks(ds, lambda t, *_: None, schema=schema)
     assert out.num_rows == 0 and out.schema == schema
+
+
+def test_replicate_join_duplicate_keys(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from payor_linkage.rayutil import replicate_join
+
+    rng = np.random.default_rng(2)
+    bk = rng.integers(0, 40, 5000)
+    sk = rng.integers(0, 50, 150)
+    big = rd.from_arrow(pa.table({"k": bk, "bval": np.arange(5000)}))
+    small = rd.from_arrow(pa.table({"k": sk, "sval": np.arange(150)}))
+    got = replicate_join(big, small, "k").to_pandas()
+    want = (pd.DataFrame({"k": bk, "bval": np.arange(5000)})
+            .merge(pd.DataFrame({"k": sk, "sval": np.arange(150)}),
+                   on="k"))
+    key = ["k", "bval", "sval"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True)[key],
+        want.sort_values(key).reset_index(drop=True)[key])
+
+    with pytest.raises(ValueError):  # column collision refused
+        replicate_join(big, rd.from_arrow(
+            pa.table({"k": [1], "bval": [9]})), "k")
+
+
+def test_skew_join_equals_plain_join(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from payor_linkage.rayutil import skew_join
+
+    rng = np.random.default_rng(7)
+    bk = np.concatenate([np.zeros(4000, np.int64),
+                         rng.integers(1, 30, 2000)])
+    sk = np.concatenate([np.zeros(5, np.int64),
+                         rng.integers(1, 40, 120)])
+    big = rd.from_arrow(pa.table({"k": bk, "bval": np.arange(6000)}))
+    small = rd.from_arrow(pa.table({"k": sk, "sval": np.arange(125)}))
+    want = (pd.DataFrame({"k": bk, "bval": np.arange(6000)})
+            .merge(pd.DataFrame({"k": sk, "sval": np.arange(125)}),
+                   on="k"))
+    key = ["k", "bval", "sval"]
+    for hot in (2, 10**9):  # hot path engaged vs all-cold fallback
+        got = skew_join(big, small, "k", hot_count=hot).to_pandas()
+        pd.testing.assert_frame_equal(
+            got.sort_values(key).reset_index(drop=True)[key],
+            want.sort_values(key).reset_index(drop=True)[key])
